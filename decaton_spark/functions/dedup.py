@@ -1,0 +1,170 @@
+"""Deduplication operators for LLM-data pipelines.
+
+Five strategies over ``documents`` (and one over embeddings, see
+``similarity.embedding_near_dups``), each with a deterministic,
+oracle-checkable batch form:
+
+- exact:        md5(text) group — one shuffle on the hash.
+- fingerprint:  rolling token hash group (see functions.text).
+- minhash LSH:  shingle → per-band min-hash → band-bucket join; near-dup
+                candidates are pairs sharing any band bucket. Banding is
+                the scale path: no pairwise comparison ever happens
+                outside a bucket.
+- simhash:      bitwise majority of per-token hashes → 16-bit signature;
+                near-dups share the signature (or differ by small
+                Hamming distance).
+- n-gram jaccard: exact set similarity, for verification / small cohorts.
+
+All expression-only (no UDFs). Hashes come from
+``decaton_spark.functions.hashing`` so the DuckDB oracle reproduces
+them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from decaton_spark.functions.hashing import md5_long
+
+
+def exact_dups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Group identical texts: (text_hash, n_docs, keep_id) — keep the
+    smallest id, the canonical survivor-selection rule."""
+    return (
+        df.groupBy(F.md5(F.col(text_col).cast("binary")).alias("text_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("keep_id"),
+        )
+    )
+
+
+def word_shingles(text_col: str = "text", k: int = 3) -> Column:
+    """Distinct k-word shingles of a whitespace-tokenized document,
+    as strings joined by unit separator."""
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    shingle_at = lambda i: F.array_join(F.slice(toks, i + 1, k), "\x1f")  # noqa: E731
+    return F.array_distinct(F.transform(idx, shingle_at))
+
+
+def minhash_signature(
+    shingles_col: str, bands: int = 4, band_prefix: str = "b"
+) -> list[Column]:
+    """One min-hash per band: min over shingles of md5int(band || shingle).
+
+    With one hash per band this is LSH banding with r=1 rows/band —
+    candidate pairs share the min-hash in at least one band. Hash text
+    is engine-portable (md5 hex arithmetic); built as one SQL lambda so
+    the same fragment runs in the DuckDB oracle.
+    """
+    sigs = []
+    for b in range(bands):
+        tok = md5_long(f"concat('{band_prefix}{b}|', s)", 8)
+        sigs.append(
+            F.expr(f"array_min(transform({shingles_col}, s -> {tok}))").alias(
+                f"minhash_{b}"
+            )
+        )
+    return sigs
+
+
+def minhash_buckets(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """(band, signature, bucket_size, min_id): LSH buckets with ≥2 docs —
+    each bucket is a near-duplicate candidate group. The downstream
+    pair-join only ever happens within buckets (the 100 TB-safe path)."""
+    sh = word_shingles(text_col, k)
+    sig = df.withColumn("shingles", sh).select(
+        F.col(id_col), *minhash_signature("shingles", bands)
+    )
+    stacked = sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"), F.col(f"minhash_{b}").alias("sig")
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bs"),
+    ).select(id_col, "bs.band", "bs.sig")
+    return (
+        stacked.groupBy("band", "sig")
+        .agg(F.count(F.lit(1)).alias("bucket_size"), F.min(id_col).alias("min_id"))
+        .filter(F.col("bucket_size") >= 2)
+    )
+
+
+def simhash(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    out_col: str = "simhash",
+    bits: int = 16,
+) -> DataFrame:
+    """Per-document simhash over distinct whitespace tokens.
+
+    Bit i of the signature is the majority vote of bit (hex digit i
+    mod 2) across token md5s. Token md5s are computed once per token
+    (array of hashes), then folded per bit — O(tokens + bits) per doc.
+    """
+    # array of md5 hex strings, one per distinct token
+    hashes = f"transform(array_distinct(split({text_col}, ' ')), t -> md5(t))"
+    bit_contrib = (
+        "aggregate({hashes}, CAST(0 AS BIGINT), (acc, h) -> acc + "
+        "CASE WHEN (instr('0123456789abcdef', substr(h, i + 1, 1)) - 1) % 2 = 1 "
+        "THEN 1 ELSE -1 END)"
+    ).format(hashes=hashes)
+    sig = (
+        f"aggregate(sequence(0, {bits - 1}), CAST(0 AS BIGINT), "
+        f"(acc, i) -> acc + CASE WHEN {bit_contrib} > 0 "
+        f"THEN shiftleft(CAST(1 AS BIGINT), i) ELSE CAST(0 AS BIGINT) END)"
+    )
+    return df.withColumn(out_col, F.expr(sig))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 1,
+    threshold: float = 0.5,
+    max_id: int | None = None,
+) -> DataFrame:
+    """Exact Jaccard similarity on distinct word n-gram sets for all
+    pairs (id_a < id_b), optionally bounded to ids < max_id.
+
+    This is the quadratic verifier — at scale it runs *within LSH
+    buckets* (bounded cohorts), never on the full corpus; ``max_id``
+    models that bound in the benchmark fixture.
+    """
+    grams = (
+        F.array_distinct(F.split(F.col(text_col), " "))
+        if n == 1
+        else word_shingles(text_col, n)
+    )
+    sets = df.select(F.col(id_col).alias("id"), grams.alias("grams"))
+    if max_id is not None:
+        sets = sets.filter(F.col("id") < max_id)
+    a = sets.select(F.col("id").alias("id_a"), F.col("grams").alias("grams_a"))
+    b = sets.select(F.col("id").alias("id_b"), F.col("grams").alias("grams_b"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    inter = F.size(F.array_intersect("grams_a", "grams_b"))
+    union = F.size("grams_a") + F.size("grams_b") - inter
+    jacc = F.round(inter * F.lit(1.0) / union, 6)
+    return (
+        pairs.select("id_a", "id_b", jacc.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

