@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from decaton_spark.functions.hashing import md5_long
+from decaton_spark.functions.hashing import hex_to_long
 
 
 def exact_dups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -50,23 +50,27 @@ def word_shingles(text_col: str = "text", k: int = 3) -> Column:
     return F.array_distinct(F.transform(idx, shingle_at))
 
 
-def minhash_signature(
-    shingles_col: str, bands: int = 4, band_prefix: str = "b"
-) -> list[Column]:
-    """One min-hash per band: min over shingles of md5int(band || shingle).
+def minhash_signature(shingles_col: str, bands: int = 4) -> list[Column]:
+    """One min-hash per band: min over shingles of an 8-hex-digit slice
+    of the shingle's md5 (band b reads digits 8b+1..8b+8, so up to 4
+    bands come from ONE md5 per shingle — 4× fewer digests than
+    hashing per band).
 
     With one hash per band this is LSH banding with r=1 rows/band —
     candidate pairs share the min-hash in at least one band. Hash text
     is engine-portable (md5 hex arithmetic); built as one SQL lambda so
     the same fragment runs in the DuckDB oracle.
     """
+    if bands > 4:
+        raise ValueError("md5 yields 32 hex digits = at most 4 8-digit bands")
     sigs = []
     for b in range(bands):
-        tok = md5_long(f"concat('{band_prefix}{b}|', s)", 8)
+        slice_int = hex_to_long("h", start=1 + 8 * b, ndigits=8)
         sigs.append(
-            F.expr(f"array_min(transform({shingles_col}, s -> {tok}))").alias(
-                f"minhash_{b}"
-            )
+            F.expr(
+                f"array_min(transform(transform({shingles_col}, s -> md5(s)), "
+                f"h -> {slice_int}))"
+            ).alias(f"minhash_{b}")
         )
     return sigs
 

@@ -1,0 +1,15 @@
+from decaton_spark.multimodal.columns import (
+    MEDIA_SCHEMA,
+    attach_media_meta,
+    decode_images,
+    extract_features,
+    sample_frames,
+)
+
+__all__ = [
+    "MEDIA_SCHEMA",
+    "attach_media_meta",
+    "decode_images",
+    "extract_features",
+    "sample_frames",
+]

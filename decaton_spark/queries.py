@@ -28,7 +28,7 @@ from decaton_spark.functions import dedup as dd
 from decaton_spark.functions import similarity as sim
 from decaton_spark.functions import sketches as sk
 from decaton_spark.functions import text as tx
-from decaton_spark.functions.hashing import md5_bucket, md5_long
+from decaton_spark.functions.hashing import hex_to_long, md5_bucket, md5_long
 from decaton_spark.operators import (
     Pipeline,
     apply_key_quota,
@@ -558,12 +558,13 @@ def _minhash_oracle(bands: int = 4, k: int = 3) -> str:
     )
     sig_selects = "\n        UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, "
-        f"list_min(list_transform(shingles, s -> {md5_long(f'''concat('b{b}|', s)''', 8)})) AS sig "
+        f"list_min(list_transform(hashes, h -> {hex_to_long('h', start=1 + 8 * b, ndigits=8)})) AS sig "
         f"FROM sh"
         for b in range(bands)
     )
     return f"""
-    WITH sh AS (SELECT doc_id, {shingles} AS shingles FROM documents),
+    WITH sh AS (SELECT doc_id,
+        list_transform({shingles}, s -> md5(s)) AS hashes FROM documents),
     sigs AS ({sig_selects})
     SELECT band, sig, count(*) AS bucket_size, min(doc_id) AS min_id
     FROM sigs GROUP BY band, sig HAVING count(*) >= 2

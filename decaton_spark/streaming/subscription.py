@@ -1,0 +1,120 @@
+"""The Subscription: Decaton's consumer loop as a StreamingQuery.
+
+Reference lifecycle (``ProcessorSubscription``,
+``processor/.../runtime/ProcessorSubscription.java:58-255``): subscribe
+topics → poll → filter/quota → route to sub-partitions → process chain →
+commit offsets. Spark replaces the whole offset/rebalance machinery
+(SURVEY §2.4 T7/T9-T12) with checkpointed microbatches:
+
+    readStream → pipeline (the same batch operators) → foreachBatch
+    {origin sink, retry sink, shaping sink} → checkpoint commit.
+
+Retry topology mirrors S2/S5: the subscription reads origin + retry
+streams, gates retry rows on scheduled time (T4), and failed rows are
+re-produced to the retry sink with mutated metadata (T3).
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from decaton_spark.operators.pipeline import Pipeline
+from decaton_spark.operators.rate_limit import TokenBucket
+
+
+@dataclass
+class SubscriptionConfig:
+    """The reloadable subset of Decaton's ProcessorProperties
+    (``processor/.../runtime/ProcessorProperties.java:56-272``).
+
+    Reloadable values are re-read every microbatch (the Spark analog of
+    dynamic property reload, ``PartitionContexts.java:260-283``);
+    structural ones require query restart — same split as the
+    reference.
+    """
+
+    ignore_keys: list[str] = field(default_factory=list)  # decaton.ignore.keys
+    rate_limit_per_second: int = -1  # decaton.processing.rate.per.partition
+    max_pending_records: int = 10_000  # → maxOffsetsPerTrigger / maxFilesPerTrigger
+    checkpoint_location: str | None = None
+    trigger: dict = field(default_factory=lambda: {"availableNow": True})
+
+
+class Subscription:
+    """A running processing pipeline over a task stream.
+
+    ``process_fn(batch_df, batch_id) -> None`` plays DecatonProcessor:
+    the terminal, possibly side-effecting stage. Transformations before
+    it come from the Pipeline (pure DataFrame ops, checked by the batch
+    oracle).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        stream: DataFrame,
+        pipeline: Pipeline | None = None,
+        process_fn: Callable[[DataFrame, int], None] | None = None,
+        config: SubscriptionConfig | None = None,
+        config_supplier: Callable[[], SubscriptionConfig] | None = None,
+    ) -> None:
+        self.spark = spark
+        self.stream = stream
+        self.pipeline = pipeline or Pipeline()
+        self.process_fn = process_fn
+        self.config = config or SubscriptionConfig()
+        self.config_supplier = config_supplier
+        self._query: StreamingQuery | None = None
+        self._bucket: TokenBucket | None = None
+        if self.config.rate_limit_per_second >= 0:
+            self._bucket = TokenBucket(self.config.rate_limit_per_second)
+
+    # -- lifecycle (maps SubscriptionStateListener states) -----------------
+
+    def _foreach_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        cfg = self.config_supplier() if self.config_supplier else self.config
+        df = batch_df
+        if cfg.ignore_keys:
+            from decaton_spark.operators.filters import ignore_keys as _ik
+
+            df = _ik(df, cfg.ignore_keys)
+        df = self.pipeline.apply(df)
+        if self._bucket is not None:
+            n = df.count()
+            wait = self._bucket.acquire(n, time.monotonic())
+            if wait > 0 and wait != float("inf"):
+                time.sleep(min(wait, 10.0))
+        if self.process_fn is not None:
+            self.process_fn(df, batch_id)
+
+    def start(self, query_name: str = "decaton-subscription") -> StreamingQuery:
+        writer = (
+            self.stream.writeStream.queryName(query_name)
+            .foreachBatch(self._foreach_batch)
+            .outputMode("update")
+        )
+        if self.config.checkpoint_location:
+            writer = writer.option("checkpointLocation", self.config.checkpoint_location)
+        trig = self.config.trigger
+        writer = writer.trigger(**trig)
+        self._query = writer.start()
+        return self._query
+
+    def await_termination(self, timeout: float | None = None) -> None:
+        assert self._query is not None, "not started"
+        self._query.awaitTermination(timeout)
+
+    def stop(self) -> None:
+        """Graceful drain analog (ProcessorSubscription.initiateShutdown):
+        checkpoint makes replay-on-restart safe, so stop is just stop."""
+        if self._query is not None:
+            self._query.stop()
+
+    @property
+    def last_progress(self):
+        return self._query.lastProgress if self._query else None

@@ -1,0 +1,167 @@
+"""Unit tests for operator semantics not covered by the oracle gate."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from decaton_spark.envelope import (
+    events_to_tasks,
+    metadata_to_header_json,
+    parse_header_metadata,
+)
+from decaton_spark.operators import (
+    compact_tasks,
+    ignore_keys,
+    rate_limit,
+    retry_tasks,
+    split_due,
+    split_shaping,
+    sub_partition,
+)
+from decaton_spark.operators.filters import ignore_keys_df
+from decaton_spark.operators.rate_limit import PAUSED, UNLIMITED, TokenBucket
+from decaton_spark.sources import load_table
+
+
+@pytest.fixture(scope="module")
+def tasks(spark, sf_dir):
+    return events_to_tasks(load_table(spark, "events", sf_dir)).cache()
+
+
+def test_envelope_header_roundtrip(tasks):
+    """dt_meta header write → parse recovers every metadata field
+    (TaskMetadataUtil.writeAsHeader/readFromHeader)."""
+    with_hdr = metadata_to_header_json(tasks)
+    stripped = with_hdr.drop(*[c for c in with_hdr.columns if c.startswith("meta_")])
+    back = parse_header_metadata(stripped)
+    orig = tasks.select("offset", "meta_timestamp_millis", "meta_retry_count")
+    rt = back.select("offset", "meta_timestamp_millis", "meta_retry_count")
+    assert orig.exceptAll(rt).count() == 0 and rt.exceptAll(orig).count() == 0
+
+
+def test_ignore_keys_null_passthrough(spark):
+    df = spark.createDataFrame([("a", 1), (None, 2), ("b", 3)], ["key", "v"])
+    out = ignore_keys(df, ["a"])
+    assert {r["v"] for r in out.collect()} == {2, 3}, "null keys must pass"
+
+
+def test_ignore_keys_df_anti_join(tasks, spark):
+    keys_df = spark.createDataFrame([("1",), ("2",)], ["key"])
+    small = ignore_keys_df(tasks, keys_df)
+    lit = ignore_keys(tasks, ["1", "2"])
+    assert small.count() == lit.count()
+
+
+def test_compaction_custom_compactor(tasks):
+    """PICK by smallest value (min-wins compactor) — custom ordering."""
+    out = compact_tasks(
+        tasks,
+        linger=None,
+        order_by=[(-F.col("meta_timestamp_millis")).alias("neg"), F.col("offset")],
+    )
+    first = (
+        tasks.groupBy("key")
+        .agg(F.min("meta_timestamp_millis").alias("m"))
+        .withColumnRenamed("key", "k")
+    )
+    joined = out.join(first, (out.key == first.k))
+    assert joined.filter(F.col("meta_timestamp_millis") != F.col("m")).count() == 0
+
+
+def test_retry_max_retries_drops(tasks):
+    bumped = tasks.withColumn("meta_retry_count", F.lit(3).cast("long"))
+    out = retry_tasks(bumped, F.lit(True), max_retries=3)
+    assert out.count() == 0, "tasks at the retry cap must be dead-lettered"
+
+
+def test_retry_then_due_split(tasks):
+    retried = retry_tasks(tasks, F.col("event_type") == "error", backoff_millis=1000)
+    as_of = retried.agg(F.max("meta_scheduled_time_millis")).first()[0]
+    due, pending = split_due(retried, as_of)
+    assert due.count() == retried.count() and pending.count() == 0
+
+
+def test_rate_limit_extremes(tasks):
+    assert rate_limit(tasks, UNLIMITED).filter("NOT admitted").count() == 0
+    assert rate_limit(tasks, PAUSED).filter("admitted").count() == 0
+
+
+def test_rate_limit_budget_respected(tasks):
+    out = rate_limit(tasks, 2, bucket_millis=3_600_000)
+    per_bucket = (
+        out.filter("admitted")
+        .groupBy("partition", F.floor(F.col("meta_timestamp_millis") / 3_600_000))
+        .count()
+    )
+    assert per_bucket.filter("count > 2").count() == 0
+
+
+def test_token_bucket_smoothing():
+    tb = TokenBucket(permits_per_second=10, max_burst_seconds=1.0)
+    assert tb.acquire(10, now=0.0) == 0.0  # burst credit covers it
+    wait = tb.acquire(10, now=0.0)  # immediately over budget
+    assert wait == pytest.approx(1.0)
+    assert tb.acquire(5, now=10.0) == 0.0  # refilled
+
+
+def test_sub_partition_methods(tasks):
+    n = tasks.count()
+    hashed = sub_partition(tasks, 8, method="hash")
+    assert hashed.count() == n
+    assert hashed.agg(F.min("sub_partition")).first()[0] >= 0
+    assert hashed.agg(F.max("sub_partition")).first()[0] < 8
+    # same key always lands in the same sub-partition (ordering unit)
+    assert (
+        hashed.groupBy("key")
+        .agg(F.countDistinct("sub_partition").alias("d"))
+        .filter("d > 1")
+        .count()
+        == 0
+    )
+    rr = sub_partition(tasks, 8, method="round_robin")
+    assert rr.count() == n
+
+
+def test_shaping_split_topic_suffix(tasks):
+    process, shape = split_shaping(
+        tasks, 5 / 86_400, window_duration="1 day"
+    )
+    assert process.count() + shape.count() == tasks.count()
+    assert shape.filter(~F.col("topic").endswith("-shaping")).count() == 0
+
+
+def test_multimodal_plumbing(spark, sf_dir):
+    from decaton_spark.multimodal import (
+        attach_media_meta,
+        decode_images,
+        extract_features,
+        sample_frames,
+    )
+
+    docs = (
+        load_table(spark, "documents", sf_dir)
+        .limit(50)
+        .select("doc_id", F.col("text").cast("binary").alias("payload"))
+    )
+    meta = attach_media_meta(docs)
+    row = meta.select("media_meta.n_bytes", "media_meta.sha1").first()
+    assert row["n_bytes"] > 0 and len(row["sha1"]) == 40
+
+    dec = decode_images(docs).collect()
+    assert len(dec) == 50 and all(r["ok"] and 16 <= r["width"] < 80 for r in dec)
+    # determinism: same payload → same dims
+    dec2 = decode_images(docs).collect()
+    assert sorted((r["doc_id"], r["width"]) for r in dec) == sorted(
+        (r["doc_id"], r["width"]) for r in dec2
+    )
+
+    feats = extract_features(docs, dim=8).first()
+    assert len(feats["features"]) == 8
+
+    frames = sample_frames(docs, every_n_bytes=64, max_frames=4)
+    per_doc = frames.groupBy("doc_id").count()
+    assert per_doc.filter("count > 4").count() == 0
+
+    with pytest.raises(Exception):
+        decode_images(docs, backend="pil").collect()

@@ -1,0 +1,187 @@
+"""Streaming-layer tests: Subscription lifecycle, stateful compaction,
+and the ProcessorTestSuite-style restart invariant (SURVEY §5 layer 2:
+at-least-once + per-key last-wins correctness across a query restart,
+the Spark analog of Decaton's rolling-restart chaos test).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from decaton_spark.envelope import events_to_tasks
+from decaton_spark.operators import Pipeline, compact_tasks, ignore_keys
+from decaton_spark.sources import load_table
+from decaton_spark.streaming import Subscription, streaming_compact
+from decaton_spark.streaming.subscription import SubscriptionConfig
+
+HOUR_MS = 3_600_000
+
+
+@pytest.fixture(scope="module")
+def task_stream_dir(spark, sf_dir, tmp_path_factory):
+    d = tmp_path_factory.mktemp("task-stream")
+    tasks = events_to_tasks(load_table(spark, "events", sf_dir))
+    tasks.drop("timestamp").repartition(4).write.mode("overwrite").parquet(str(d))
+    return str(d), tasks.drop("timestamp").schema
+
+
+def test_subscription_foreachbatch(spark, sf_dir, task_stream_dir):
+    path, schema = task_stream_dir
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 2).parquet(path)
+    )
+    seen: list[int] = []
+    pipe = Pipeline().then_process(lambda df: ignore_keys(df, ["1", "2"]), "ignore")
+    sub = Subscription(
+        spark,
+        stream,
+        pipeline=pipe,
+        process_fn=lambda df, bid: seen.append(df.count()),
+        config=SubscriptionConfig(trigger={"availableNow": True}),
+    )
+    sub.start("test-sub")
+    sub.await_termination(120)
+    sub.stop()
+
+    batch = ignore_keys(
+        events_to_tasks(load_table(spark, "events", sf_dir)), ["1", "2"]
+    ).count()
+    assert len(seen) >= 2, "expected multiple microbatches"
+    assert sum(seen) == batch, "at-least-once/exactly-once row coverage"
+
+
+def test_subscription_reloadable_config(spark, task_stream_dir):
+    """Dynamic property reload (ProcessorProperties / DynamicProperty):
+    the blocklist is re-read every microbatch."""
+    path, schema = task_stream_dir
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 2).parquet(path)
+    )
+    cfgs = [SubscriptionConfig(ignore_keys=["1"]), SubscriptionConfig(ignore_keys=[])]
+    calls: list[int] = []
+
+    def supplier():
+        return cfgs[min(len(calls), 1)]
+
+    def proc(df, bid):
+        calls.append(df.filter(F.col("key") == "1").count())
+
+    sub = Subscription(
+        spark, stream, process_fn=proc, config_supplier=supplier,
+        config=SubscriptionConfig(trigger={"availableNow": True}),
+    )
+    sub.start("test-reload")
+    sub.await_termination(120)
+    sub.stop()
+    assert calls[0] == 0, "first batch must drop blocklisted key"
+    assert sum(calls[1:]) > 0, "after reload, key 1 flows again"
+
+
+def _final_survivors(spark, table: str):
+    """Survivors are monotone under (ts, offset): the final survivor per
+    (key, window) is the max over all update-mode emissions."""
+    return (
+        spark.table(table)
+        .groupBy("key", "window_start_ms")
+        .agg(
+            F.max_by(
+                F.struct("offset", "meta_timestamp_millis", "value"),
+                F.struct("meta_timestamp_millis", "offset"),
+            ).alias("s")
+        )
+        .select("key", "window_start_ms", "s.offset", "s.meta_timestamp_millis")
+    )
+
+
+def test_streaming_compaction_matches_batch(spark, sf_dir, task_stream_dir, tmp_path):
+    path, schema = task_stream_dir
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(path)
+    )
+    out = streaming_compact(stream, window_ms=HOUR_MS)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("compact_stream")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+
+    got = _final_survivors(spark, "compact_stream").toPandas()
+
+    tasks = events_to_tasks(load_table(spark, "events", sf_dir))
+    expected = (
+        compact_tasks(tasks, linger="1 hour")
+        .withColumn(
+            "window_start_ms",
+            (F.col("meta_timestamp_millis") / HOUR_MS).cast("long") * HOUR_MS,
+        )
+        .select("key", "window_start_ms", "offset", "meta_timestamp_millis")
+        .toPandas()
+    )
+    key = ["key", "window_start_ms"]
+    got = got.sort_values(key, ignore_index=True)
+    expected = expected.sort_values(key, ignore_index=True)
+    assert got.equals(expected), "streaming compaction != batch compaction"
+
+
+def test_streaming_compaction_survives_restart(spark, sf_dir, tmp_path):
+    """Chaos analog of ProcessorTestSuite.run() (restart mid-stream):
+    process half the files, stop, restart on the full set with the same
+    checkpoint — state must carry over and the result equal batch."""
+    tasks = events_to_tasks(load_table(spark, "events", sf_dir)).drop("timestamp")
+    schema = tasks.schema
+    half1 = tasks.filter(F.col("offset") % 2 == 0)
+    half2 = tasks.filter(F.col("offset") % 2 == 1)
+    d = tmp_path / "stream"
+    d.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    half1.coalesce(1).write.mode("append").parquet(str(d))
+
+    emissions: list = []
+
+    def run_once(qname):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(d))
+        )
+        q = (
+            streaming_compact(stream, window_ms=HOUR_MS)
+            .writeStream.queryName(qname)
+            .foreachBatch(lambda df, bid: emissions.extend(df.collect()))
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        q.stop()
+
+    run_once("compact_r1")  # first instance: half the data, then "crash"
+    half2.coalesce(1).write.mode("append").parquet(str(d))
+    run_once("compact_r2")  # restarted instance resumes from checkpoint
+
+    # union of emissions from both incarnations; survivors are monotone
+    spark.createDataFrame(emissions).createOrReplaceTempView("compact_all")
+    got = _final_survivors(spark, "compact_all").toPandas()
+
+    expected = (
+        compact_tasks(
+            events_to_tasks(load_table(spark, "events", sf_dir)), linger="1 hour"
+        )
+        .withColumn(
+            "window_start_ms",
+            (F.col("meta_timestamp_millis") / HOUR_MS).cast("long") * HOUR_MS,
+        )
+        .select("key", "window_start_ms", "offset", "meta_timestamp_millis")
+        .toPandas()
+    )
+    key = ["key", "window_start_ms"]
+    got = got.sort_values(key, ignore_index=True)
+    expected = expected.sort_values(key, ignore_index=True)
+    assert got.equals(expected), "restart lost or corrupted compaction state"
