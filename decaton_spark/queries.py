@@ -818,6 +818,204 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Additional surface: projections, serde, windows, set ops, rollup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f3_projection",
+    f"""
+    WITH {TASKS_CTE}
+    SELECT key, meta_timestamp_millis, meta_retry_count, meta_scheduled_time_millis
+    FROM tasks WHERE "offset" < 50
+    """,
+)
+def f3_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 task-view projection (ProcessingContextImpl.metadata()/key(),
+    ProcessingContextImpl.java:68-87): the narrow column set user
+    processors see — and the column pruning Catalyst pushes to the scan."""
+    from decaton_spark.operators import project_task_view
+
+    tasks = _tasks(spark, sf_dir).filter(F.col("offset") < 50)
+    return project_task_view(tasks).drop(
+        "meta_source_application_id", "meta_source_instance_id"
+    )
+
+
+@register(
+    "s7_serde_roundtrip",
+    f"""
+    WITH {TASKS_CTE}
+    SELECT "offset", '{{"k":' || CAST(CAST(value->>'k' AS BIGINT) AS VARCHAR) || '}}' AS reserialized
+    FROM tasks WHERE "offset" < 100 AND json_valid(value)
+    """,
+)
+def s7_serde_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 serde plug-point (Serializer/Deserializer, common/.../
+    Serializer.java:21-30): bytes → typed struct → bytes, JSON codec."""
+    tasks = _tasks(spark, sf_dir)
+    parsed = discard_invalid(tasks.filter(F.col("offset") < 100), "value", "k BIGINT")
+    return parsed.select(
+        "offset", F.to_json(F.struct(F.col("payload.k").alias("k"))).alias("reserialized")
+    )
+
+
+SESSION_GAP_MS = 1_800_000  # 30 minutes
+
+
+@register(
+    "w1_sessionize",
+    f"""
+    WITH ev AS (
+        SELECT user_id, epoch_ms(ts) AS ms, event_id FROM events),
+    ord AS (
+        SELECT *, lag(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev
+        FROM ev),
+    isl AS (
+        SELECT *, sum(CASE WHEN prev IS NULL OR ms - prev >= {SESSION_GAP_MS}
+                           THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY ms, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sid
+        FROM ord)
+    SELECT CAST(user_id AS VARCHAR) AS key,
+           min(ms) AS session_start_ms,
+           max(ms) + {SESSION_GAP_MS} AS session_end_ms,
+           count(*) AS n_events
+    FROM isl GROUP BY user_id, sid
+    """,
+)
+def w1_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows over the task stream (Spark-native
+    session_window; the reference has no event-time windows at all —
+    SURVEY §2.6 — so this is surface the engine adds)."""
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy(
+            F.col("user_id").cast("string").alias("key"),
+            F.session_window("ts", "30 minutes").alias("w"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "key",
+            F.unix_millis("w.start").alias("session_start_ms"),
+            F.unix_millis("w.end").alias("session_end_ms"),
+            "n_events",
+        )
+    )
+
+
+@register(
+    "w2_running_value",
+    """
+    SELECT event_id,
+           CAST(user_id AS VARCHAR) AS key,
+           CAST(sum(CAST(value AS DECIMAL(18,2)))
+                OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+                      ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_value
+    FROM events
+    """,
+)
+def w2_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window functions (free relational surface): per-key running sum
+    in event order — exact via DECIMAL accumulation."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_millis("ts"), "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return ev.select(
+        "event_id",
+        F.col("user_id").cast("string").alias("key"),
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias("running_value"),
+    )
+
+
+@register(
+    "set_ops_purchasers_no_errors",
+    """
+    SELECT CAST(user_id AS VARCHAR) AS key FROM events WHERE event_type = 'purchase'
+    EXCEPT
+    SELECT CAST(user_id AS VARCHAR) AS key FROM events WHERE event_type = 'error'
+    """,
+)
+def set_ops_purchasers_no_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (free surface): purchasers with no error events."""
+    ev = load_table(spark, "events", sf_dir)
+    key = F.col("user_id").cast("string").alias("key")
+    purchasers = ev.filter(F.col("event_type") == "purchase").select(key)
+    erroring = ev.filter(F.col("event_type") == "error").select(key)
+    return purchasers.subtract(erroring)
+
+
+@register(
+    "rollup_order_stats",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def rollup_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation (free surface): order counts and exact price
+    totals at (status, priority), (status), and grand-total levels."""
+    o = load_table(spark, "orders", sf_dir)
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
+    )
+
+
+@register(
+    "topk_parts_by_revenue",
+    """
+    SELECT p.p_brand, p.p_type,
+           CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY p.p_brand, p.p_type
+    ORDER BY revenue DESC, p_brand, p_type LIMIT 5
+    """,
+)
+def topk_parts_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-join + top-k (free surface): the dimension side is
+    broadcast, so the fact scan never shuffles before aggregation."""
+    li = load_table(spark, "lineitem", sf_dir)
+    p = load_table(spark, "part", sf_dir)
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(24,6)")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "p_brand", "p_type")
+        .limit(5)
+    )
+
+
+@register(
+    "docs_source_quality",
+    """
+    SELECT source, lang,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+    FROM documents GROUP BY source, lang
+    """,
+)
+def docs_source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level quality rollup per (source, lang) — the shape of a
+    training-data curation dashboard query."""
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(F.size(F.split(F.col("text"), " ")).cast("long")).alias("total_tokens"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the Decaton pipeline (blocklist → validate → compact →
     per-key stats) over sf0.001, end-to-end through the operator chain."""

@@ -26,7 +26,9 @@ from decaton_spark.sources import load_table
 
 @pytest.fixture(scope="module")
 def tasks(spark, sf_dir):
-    return events_to_tasks(load_table(spark, "events", sf_dir)).cache()
+    df = events_to_tasks(load_table(spark, "events", sf_dir)).cache()
+    yield df
+    df.unpersist()
 
 
 def test_envelope_header_roundtrip(tasks):

@@ -1,0 +1,103 @@
+"""Physical-plan tests: the 100 TB scale contract.
+
+Correctness says the operator works; these tests pin the *plan shape*
+that keeps it working at 1000 executors / 100 TB:
+
+- filters reach the parquet scan (PushedFilters)
+- projections prune the scan (ReadSchema)
+- dimension joins broadcast (no sort-merge shuffle of the fact table)
+- aggregations are partial (map-side combine before the shuffle)
+- compaction is an aggregation, not a global window sort
+- narrow text/hash operators introduce no shuffle at all
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from decaton_spark.queries import QUERIES
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    jqe = df._jdf.queryExecution()
+    jvm = df.sparkSession._jvm
+    return jqe.explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    )
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    spark.catalog.clearCache()  # cached test fixtures would hide the scans
+    return {
+        name: plan_of(QUERIES[name].fn(spark, sf_dir))
+        for name in (
+            "q1_pricing_summary",
+            "q3_top_orders",
+            "q5_nation_volume",
+            "q6_forecast_revenue",
+            "t1_compaction_windowed",
+            "dedup_exact",
+            "text_fingerprint",
+            "dedup_simhash",
+            "ann_brute_force_topk",
+            "f3_projection",
+            "events_user_value",
+        )
+    }
+
+
+def test_filter_pushdown_reaches_scan(plans):
+    p = plans["q6_forecast_revenue"]
+    assert "PushedFilters:" in p
+    assert "GreaterThanOrEqual(l_discount" in p and "LessThan(l_quantity" in p
+
+
+def test_column_pruning(plans):
+    # q1 projects 7 of 11 lineitem columns; shipdate must not be read
+    assert "l_shipdate" not in plans["q1_pricing_summary"].split("ReadSchema")[1]
+    # envelope projection prunes events to the used columns only
+    read = plans["f3_projection"].split("ReadSchema")[1]
+    assert "props" not in read and "event_type" not in read
+
+
+def test_dim_joins_broadcast(plans):
+    for q in ("q3_top_orders", "q5_nation_volume"):
+        assert "BroadcastHashJoin" in plans[q], f"{q} must broadcast dims"
+        assert "SortMergeJoin" not in plans[q], f"{q} must not sort-merge the fact"
+
+
+def test_aggregations_partial(plans):
+    # map-side partial agg before the exchange: two HashAggregate levels
+    for q in ("q1_pricing_summary", "dedup_exact", "events_user_value"):
+        p = plans[q]
+        assert p.count("HashAggregate") >= 2, f"{q} needs partial+final agg"
+
+
+def test_compaction_is_agg_not_sort(plans):
+    p = plans["t1_compaction_windowed"]
+    assert "max_by" in p or "ObjectHashAggregate" in p or "HashAggregate" in p
+    assert "Window" not in p, "compaction must not be a window sort"
+    # partial aggregation bounds shuffle volume to one survivor/key/partition
+    assert p.count("Aggregate") >= 2
+
+
+def test_text_ops_shuffle_free(plans):
+    for q in ("text_fingerprint", "dedup_simhash"):
+        assert "Exchange" not in plans[q], f"{q} is a projection; no shuffle allowed"
+
+
+def test_ann_brute_force_broadcasts_queries(plans):
+    p = plans["ann_brute_force_topk"]
+    assert "BroadcastNestedLoopJoin" in p, "query set must broadcast"
+    # the only exchange allowed is the top-k window partitioning
+    n_exchanges = p.count("Exchange hashpartitioning")
+    assert n_exchanges <= 1, f"expected ≤1 shuffle, saw {n_exchanges}"
+
+
+def test_wholestage_codegen_everywhere(spark, sf_dir):
+    # AQE's formatted plan hides codegen spans pre-execution; ask the
+    # codegen explain mode directly
+    for q in ("q1_pricing_summary", "text_fingerprint", "t1_compaction_windowed"):
+        p = plan_of(QUERIES[q].fn(spark, sf_dir), mode="codegen")
+        assert "WholeStageCodegen" in p, f"{q} fell out of codegen entirely"
