@@ -61,14 +61,24 @@ def brute_force_topk(
     window. Ties break by neighbor id after rounding, so ranking is
     deterministic and oracle-reproducible.
     """
+    # norms hoisted to per-vector projections: O(Q+C) instead of O(Q*C)
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_norm"),
     )
-    c = df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    c = df.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm(F.col(vec_col)).alias("c_norm"),
+    )
     pairs = c.crossJoin(F.broadcast(q)).filter(
         F.col("neighbor_id") != F.col("query_id")
     )
-    sim = F.round(cosine(F.col("q_vec"), F.col("c_vec")), round_digits)
+    sim = F.round(
+        dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm")),
+        round_digits,
+    )
     scored = pairs.select("query_id", "neighbor_id", sim.alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -128,17 +138,22 @@ def lsh_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_norm"),
         hyperplane_bucket(vec_col, dims).alias("bucket"),
     )
     c = df.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
+        norm(F.col(vec_col)).alias("c_norm"),
         hyperplane_bucket(vec_col, dims).alias("bucket"),
     )
     pairs = c.join(F.broadcast(q), "bucket").filter(
         F.col("neighbor_id") != F.col("query_id")
     )
-    sim = F.round(cosine(F.col("q_vec"), F.col("c_vec")), round_digits)
+    sim = F.round(
+        dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm")),
+        round_digits,
+    )
     scored = pairs.select("query_id", "neighbor_id", sim.alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -167,10 +182,17 @@ def embedding_near_dups(
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     if max_id is not None:
         base = base.filter(F.col("id") < max_id)
-    a = base.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"))
-    b = base.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+    base = base.withColumn("n", norm(F.col("v")))
+    a = base.select(
+        F.col("id").alias("id_a"), F.col("v").alias("v_a"), F.col("n").alias("n_a")
+    )
+    b = base.select(
+        F.col("id").alias("id_b"), F.col("v").alias("v_b"), F.col("n").alias("n_b")
+    )
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    sim = F.round(cosine(F.col("v_a"), F.col("v_b")), round_digits)
+    sim = F.round(
+        dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")), round_digits
+    )
     return pairs.select("id_a", "id_b", sim.alias("cosine")).filter(
         F.col("cosine") >= threshold
     )

@@ -1,0 +1,84 @@
+"""As-of (point-in-time) join — enrichment surface the engine adds.
+
+Spark has no native ASOF JOIN. The scale-correct construction is the
+union-sort trick, not a range cross-join:
+
+    tag left/right rows, union on the join key, sort within key by
+    (ts, side), and carry the last-seen right row forward with
+    ``last(..., ignorenulls=True)`` over an unbounded-preceding window.
+
+Cost: ONE shuffle on the key + an in-group sort — linear in rows, no
+pairwise blow-up, no skew amplification (a key's cost is its own row
+count). This is the same plan shape a sort-merge join would need
+anyway, so it survives 100×.
+
+Oracle parity: DuckDB implements ASOF JOIN natively — the correctness
+tests compare against it.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _struct_type(df: DataFrame, cols: Sequence[str]) -> T.StructType:
+    fields = {f.name: f for f in df.schema.fields}
+    return T.StructType([fields[c] for c in cols])
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: Sequence[str],
+    strict: bool = False,
+    how: str = "left",
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    ``right_ts <= left_ts`` (``<`` when ``strict``) within the same
+    ``on`` key.
+
+    ``how="left"`` keeps unmatched left rows (right cols null);
+    ``how="inner"`` drops them.
+    """
+    lcols = list(left.columns)
+    right_cols = list(right_cols)
+    # right rows sort before left rows at equal ts (non-strict: a right
+    # row at exactly left_ts is a match) or after (strict: it isn't)
+    right_side, left_side = (0, 1) if not strict else (1, 0)
+
+    l_tagged = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(left_side).alias("_side"),
+        F.struct(*lcols).alias("_l"),
+        F.lit(None).cast(_struct_type(right, right_cols)).alias("_r"),
+    )
+    r_tagged = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(right_side).alias("_side"),
+        F.lit(None).cast(_struct_type(left, lcols)).alias("_l"),
+        F.struct(*right_cols).alias("_r"),
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = unioned.withColumn("_match", F.last("_r", ignorenulls=True).over(w))
+    matched = carried.filter(F.col("_l").isNotNull())
+    if how == "inner":
+        matched = matched.filter(F.col("_match").isNotNull())
+    return matched.select(
+        *[F.col(f"_l.{c}").alias(c) for c in lcols],
+        *[F.col(f"_match.{c}").alias(c) for c in right_cols],
+    )

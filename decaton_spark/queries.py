@@ -1016,6 +1016,52 @@ def docs_source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "asof_join_enrichment",
+    """
+    WITH ords AS (
+        SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+        FROM orders GROUP BY o_custkey, o_orderdate)
+    SELECT e.event_id,
+           CAST(e.user_id AS VARCHAR) AS key,
+           coalesce(o.o_orderkey, -1) AS last_orderkey,
+           coalesce(strftime(o.o_orderdate, '%Y-%m-%d'), 'none') AS last_orderdate
+    FROM events e
+    ASOF LEFT JOIN ords o
+      ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+)
+def asof_join_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (point-in-time enrichment): each event joined to the
+    user's latest order at event time. Spark lacks ASOF JOIN; the
+    operator builds it with one shuffle + in-group sort (see
+    operators/asof.py). Oracle = DuckDB's native ASOF JOIN."""
+    from decaton_spark.operators.asof import asof_join
+
+    ev = load_table(spark, "events", sf_dir)
+    orders = (
+        load_table(spark, "orders", sf_dir)
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    joined = asof_join(
+        ev.withColumn("_join_key", F.col("user_id")),
+        orders.withColumn("_join_key", F.col("o_custkey")),
+        on="_join_key",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_cols=["o_orderkey", "o_orderdate"],
+    )
+    return joined.select(
+        "event_id",
+        F.col("user_id").cast("string").alias("key"),
+        F.coalesce("o_orderkey", F.lit(-1)).alias("last_orderkey"),
+        F.coalesce(
+            F.date_format("o_orderdate", "yyyy-MM-dd"), F.lit("none")
+        ).alias("last_orderdate"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the Decaton pipeline (blocklist → validate → compact →
     per-key stats) over sf0.001, end-to-end through the operator chain."""

@@ -110,3 +110,136 @@ def streaming_compact(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def ordered_process(
+    tasks: DataFrame,
+    *,
+    key_col: str = "key",
+) -> DataFrame:
+    """Per-key ordered, serial, at-least-once processing — the Decaton
+    delivery-guarantee core (SURVEY §5 layer 2).
+
+    Rows of a key are processed in (partition, offset) order within and
+    across microbatches; state carries the high-watermark offset so the
+    PROCESS_ORDERING invariant (``ProcessOrdering.java:57-108``) is
+    checkable: each emitted row reports the previous offset processed
+    for its key. Emitted ``regressed=true`` rows would mark an ordering
+    violation (reprocessing below the committed watermark is legal only
+    after a restart — the invariant the chaos test asserts).
+
+    SERIAL_PROCESSING (``SerialProcessing.java:47-60``) holds by
+    construction: a key lives in exactly one state-store partition and
+    its update function runs single-threaded.
+    """
+    out_schema = (
+        f"{key_col} string, offset long, prev_offset long, regressed boolean"
+    )
+    state_schema = "last_offset long"
+
+    def update(key, pdfs, state: GroupState):
+        last = state.get[0] if state.exists else -1
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if not len(batch):
+            return
+        batch = batch.sort_values(["partition", "offset"])
+        prevs, regressed = [], []
+        for off in batch["offset"]:
+            prevs.append(last)
+            regressed.append(off <= last)
+            last = int(off)
+        state.update((last,))
+        yield pd.DataFrame(
+            {
+                key_col: key[0],
+                "offset": batch["offset"].astype("int64").values,
+                "prev_offset": prevs,
+                "regressed": regressed,
+            }
+        )
+
+    return (
+        tasks.select(key_col, "partition", "offset")
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def streaming_quota(
+    tasks: DataFrame,
+    quota_per_window: int,
+    *,
+    window_ms: int = 10_000,
+    depth: int = 4,
+    width: int = 64,
+) -> DataFrame:
+    """Streaming T6: per-partition Count-Min sketch state with
+    conservative update (the reference's KeyCounter.java:121-142), keys
+    shaped once their estimated in-window count reaches the quota.
+
+    Grouping is by Kafka partition — one bounded sketch (depth×width
+    longs) per partition, exactly Decaton's PerKeyQuotaManager scope.
+    The sketch rotates when the observation window advances
+    (WindowedKeyStat.java:74-111 keeps 2 windows; we keep the active
+    one per state entry, which shapes identically for tumbling checks).
+    """
+    out_schema = "key string, offset long, estimate long, quota_verdict string"
+    state_schema = "win long, counts array<long>"
+
+    def _buckets(key: str) -> list[int]:
+        import hashlib
+
+        return [
+            int(hashlib.md5(f"d{d}|{key}".encode()).hexdigest()[:8], 16) % width
+            for d in range(depth)
+        ]
+
+    def update(pkey, pdfs, state: GroupState):
+        if state.exists:
+            win, counts = state.get
+            counts = list(counts)
+        else:
+            win, counts = -1, [0] * (depth * width)
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if not len(batch):
+            return
+        batch = batch.sort_values("offset")
+        out_rows = {"key": [], "offset": [], "estimate": [], "quota_verdict": []}
+        for key, off, ts in zip(
+            batch["key"], batch["offset"], batch["meta_timestamp_millis"]
+        ):
+            w = (int(ts) // window_ms) * window_ms
+            if w != win:  # window rotation: fresh sketch
+                win, counts = w, [0] * (depth * width)
+            bks = _buckets(key)
+            est = min(counts[d * width + b] for d, b in enumerate(bks))
+            new_est = est + 1
+            for d, b in enumerate(bks):  # conservative update
+                idx = d * width + b
+                counts[idx] = max(counts[idx], new_est)
+            out_rows["key"].append(key)
+            out_rows["offset"].append(int(off))
+            out_rows["estimate"].append(new_est)
+            out_rows["quota_verdict"].append(
+                "shape" if new_est >= quota_per_window else "process"
+            )
+        state.update((win, counts))
+        yield pd.DataFrame(out_rows)
+
+    return (
+        tasks.select("partition", "key", "offset", "meta_timestamp_millis")
+        .groupBy("partition")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

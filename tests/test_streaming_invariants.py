@@ -1,0 +1,139 @@
+"""Port of the reference's ProcessingGuarantee suite (SURVEY §5 layer 2:
+``testing/.../processor/ProcessingGuarantee.java:42-77``):
+
+- AT_LEAST_ONCE_DELIVERY: produced offset set == processed offset set
+- PROCESS_ORDERING: per-key processed sequence follows offset order
+- SERIAL_PROCESSING: by construction (one state partition per key);
+  asserted here as no interleaved regression marks
+
+plus the streaming CM-sketch quota (T6) overestimate guarantee.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from decaton_spark.envelope import events_to_tasks
+from decaton_spark.sources import load_table
+from decaton_spark.streaming import ordered_process, streaming_quota
+
+
+@pytest.fixture(scope="module")
+def stream_parts(spark, sf_dir, tmp_path_factory):
+    """Task-stream fixture honoring the source contract: like a Kafka
+    partition, offsets arrive in increasing order — each appended file
+    (= microbatch) carries a later offset range."""
+    import time
+
+    d = tmp_path_factory.mktemp("inv-stream")
+    tasks = events_to_tasks(load_table(spark, "events", sf_dir)).drop("timestamp")
+    n = tasks.count()
+    step = (n + 3) // 4
+    for i in range(4):
+        lo, hi = i * step, (i + 1) * step
+        (
+            tasks.filter((F.col("offset") >= lo) & (F.col("offset") < hi))
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(str(d))
+        )
+        time.sleep(1.1)  # FileStreamSource orders by modification time
+    return str(d), tasks.schema, tasks
+
+
+def _run(stream_df, tmp_path, name):
+    rows = []
+    q = (
+        stream_df.writeStream.queryName(name)
+        .foreachBatch(lambda df, bid: rows.extend(df.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / f"ckpt-{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    return rows
+
+
+def test_at_least_once_and_ordering(spark, stream_parts, tmp_path):
+    path, schema, tasks = stream_parts
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(path)
+    )
+    rows = _run(ordered_process(stream), tmp_path, "ordered")
+
+    produced = {r["offset"] for r in tasks.select("offset").collect()}
+    processed = [r["offset"] for r in rows]
+    # AT_LEAST_ONCE: every produced offset processed (exactly once here —
+    # no crash in this run, so no duplicates either)
+    assert set(processed) == produced
+    assert len(processed) == len(produced)
+    # PROCESS_ORDERING: no offset regression within any key
+    assert not any(r["regressed"] for r in rows)
+    # per-key sequence strictly follows offset order via prev_offset chain
+    by_key: dict[str, list] = {}
+    for r in rows:
+        by_key.setdefault(r["key"], []).append(r)
+    for key, rs in by_key.items():
+        offs = [r["offset"] for r in rs]
+        assert offs == sorted(offs), f"key {key} out of order"
+
+
+def test_streaming_quota_cm_guarantees(spark, stream_parts, tmp_path):
+    path, schema, tasks = stream_parts
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 2).parquet(path)
+    )
+    window_ms = 86_400_000  # 1-day windows: matches the batch T6 fixture
+    rows = _run(
+        streaming_quota(stream, quota_per_window=5, window_ms=window_ms),
+        tmp_path,
+        "quota",
+    )
+    assert len(rows) == tasks.count(), "every task gets a verdict"
+
+    # CM guarantee: estimate >= true running count at that point; with
+    # per-partition sketches and these key cardinalities collisions are
+    # rare but legal — the invariant is one-sided
+    true_counts = {
+        (r["key"], r["w"]): r["n"]
+        for r in (
+            tasks.groupBy(
+                "key",
+                (F.floor(F.col("meta_timestamp_millis") / window_ms)).alias("w"),
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+    }
+    final_est: dict[tuple, int] = {}
+    for r in rows:
+        final_est[r["key"]] = max(final_est.get(r["key"], 0), r["estimate"])
+    # keys whose max true in-window count clears the quota must be shaped
+    # at least once (estimate can only overshoot)
+    max_true = {}
+    for (k, _w), n in true_counts.items():
+        max_true[k] = max(max_true.get(k, 0), n)
+    shaped_keys = {r["key"] for r in rows if r["quota_verdict"] == "shape"}
+    for k, n in max_true.items():
+        if n >= 5:
+            assert k in shaped_keys, f"key {k} with count {n} escaped shaping"
+
+
+def test_quota_extremes(spark, stream_parts, tmp_path):
+    path, schema, tasks = stream_parts
+    stream = spark.readStream.schema(schema).parquet(path)
+    rows = _run(
+        streaming_quota(stream, quota_per_window=1, window_ms=86_400_000),
+        tmp_path,
+        "quota-all",
+    )
+    assert all(r["quota_verdict"] == "shape" for r in rows), "quota=1 shapes all"
+    rows = _run(
+        streaming_quota(stream, quota_per_window=10**9, window_ms=86_400_000),
+        tmp_path,
+        "quota-none",
+    )
+    assert all(r["quota_verdict"] == "process" for r in rows), "huge quota shapes none"
