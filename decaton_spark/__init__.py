@@ -15,6 +15,36 @@ Design stance (see SURVEY.md §7):
 """
 
 from decaton_spark.session import get_spark
+from decaton_spark.envelope import events_to_tasks
+from decaton_spark.operators import (
+    Pipeline,
+    apply_key_quota,
+    batch_tasks,
+    compact_tasks,
+    ignore_keys,
+    rate_limit,
+    retry_tasks,
+    split_due,
+    split_shaping,
+    sub_partition,
+)
+from decaton_spark.operators.asof import asof_join
+from decaton_spark.sources import load_table
 
-__all__ = ["get_spark"]
+__all__ = [
+    "Pipeline",
+    "apply_key_quota",
+    "asof_join",
+    "batch_tasks",
+    "compact_tasks",
+    "events_to_tasks",
+    "get_spark",
+    "ignore_keys",
+    "load_table",
+    "rate_limit",
+    "retry_tasks",
+    "split_due",
+    "split_shaping",
+    "sub_partition",
+]
 __version__ = "0.1.0"

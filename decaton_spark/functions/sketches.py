@@ -52,15 +52,22 @@ def cm_sketch_table(
 
 
 def cm_estimate(
-    sketch: DataFrame, keys: DataFrame, key_col: str = "key", *, width: int = 64
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str = "key",
+    *,
+    depth: int = 4,
+    width: int = 64,
 ) -> DataFrame:
     """Point-estimate each key's count: min over depth of its bucket.
 
     CM guarantees estimate ≥ true count; conservative update tightens
     it further in the streaming path. Join is broadcast (sketch is
-    depth×width rows — tiny by construction).
+    depth×width rows — tiny by construction). ``depth``/``width`` must
+    match the sketch's construction (kept explicit — no driver
+    round-trip to discover them).
     """
-    depths = [r["depth"] for r in sketch.select("depth").distinct().collect()]
+    depths = range(depth)
     probes = keys.select(
         F.col(key_col),
         F.explode(
@@ -72,7 +79,7 @@ def cm_estimate(
                             "bucket"
                         ),
                     )
-                    for d in sorted(depths)
+                    for d in depths
                 ]
             )
         ).alias("db"),

@@ -1,0 +1,14 @@
+from decaton_spark.plans.inspect import (
+    count_shuffles,
+    plan_of,
+    uses_broadcast_join,
+)
+from decaton_spark.plans.bucketing import bucketize, colocated_join
+
+__all__ = [
+    "bucketize",
+    "colocated_join",
+    "count_shuffles",
+    "plan_of",
+    "uses_broadcast_join",
+]

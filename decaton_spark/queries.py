@@ -356,7 +356,7 @@ def cm_sketch_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     tasks = _tasks(spark, sf_dir)
     sketch = sk.cm_sketch_table(tasks, "key", depth=4, width=64)
     keys = tasks.select("key").distinct()
-    return sk.cm_estimate(sketch, keys, "key", width=64)
+    return sk.cm_estimate(sketch, keys, "key", depth=4, width=64)
 
 
 def _cm_oracle() -> str:
@@ -1014,6 +1014,53 @@ def docs_source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("total_chars"),
         F.sum(F.size(F.split(F.col("text"), " ")).cast("long")).alias("total_tokens"),
     )
+
+
+@register(
+    "semi_anti_customers",
+    """
+    SELECT 'with_orders' AS cohort, count(*) AS n FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    UNION ALL
+    SELECT 'without_orders' AS cohort, count(*) AS n FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi/anti joins (free surface): EXISTS / NOT EXISTS as
+    left_semi / left_anti — no row multiplication, build side broadcast."""
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir).select("o_custkey")
+    with_orders = c.join(o, c.c_custkey == o.o_custkey, "left_semi").agg(
+        F.count(F.lit(1)).alias("n")
+    ).select(F.lit("with_orders").alias("cohort"), "n")
+    without = c.join(o, c.c_custkey == o.o_custkey, "left_anti").agg(
+        F.count(F.lit(1)).alias("n")
+    ).select(F.lit("without_orders").alias("cohort"), "n")
+    return with_orders.unionByName(without)
+
+
+@register(
+    "pivot_event_types",
+    """
+    SELECT CAST(user_id AS VARCHAR) AS key,
+           count(*) FILTER (WHERE event_type = 'click')    AS click,
+           count(*) FILTER (WHERE event_type = 'error')    AS error,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+           count(*) FILTER (WHERE event_type = 'view')     AS view
+    FROM events GROUP BY user_id
+    """,
+)
+def pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (free surface): per-user event-type histogram as columns."""
+    ev = load_table(spark, "events", sf_dir)
+    out = (
+        ev.groupBy(F.col("user_id").cast("string").alias("key"))
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .count()
+    )
+    return out.fillna(0)
 
 
 @register(

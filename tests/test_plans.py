@@ -87,12 +87,14 @@ def test_text_ops_shuffle_free(plans):
         assert "Exchange" not in plans[q], f"{q} is a projection; no shuffle allowed"
 
 
-def test_ann_brute_force_broadcasts_queries(plans):
+def test_ann_brute_force_broadcasts_queries(plans, spark, sf_dir):
+    from decaton_spark.plans import count_shuffles
+
     p = plans["ann_brute_force_topk"]
     assert "BroadcastNestedLoopJoin" in p, "query set must broadcast"
     # the only exchange allowed is the top-k window partitioning
-    n_exchanges = p.count("Exchange hashpartitioning")
-    assert n_exchanges <= 1, f"expected ≤1 shuffle, saw {n_exchanges}"
+    n = count_shuffles(QUERIES["ann_brute_force_topk"].fn(spark, sf_dir))
+    assert n <= 1, f"expected ≤1 shuffle, saw {n}"
 
 
 def test_wholestage_codegen_everywhere(spark, sf_dir):
