@@ -165,6 +165,220 @@ def lsh_topk(
     )
 
 
+def brute_force_topk_vectorized(
+    df: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = EMB,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Exact top-k cosine, numpy-vectorized: the compute-bound scale path.
+
+    The query matrix (small) is broadcast to every Arrow batch; each
+    ``mapInPandas`` batch computes a (batch × queries) cosine matrix
+    with one BLAS matmul and emits only its local top-k per query —
+    so the shuffle carries k rows per (query, input partition), not
+    the full score matrix. A final per-query top-k reduces.
+
+    Same results as ``brute_force_topk`` (float64 matmul; rounding
+    before ranking) at ~an order of magnitude less CPU for wide
+    vectors; prefer this at 100 TB, the expression form for oracle
+    work.
+    """
+    import numpy as np
+
+    q_rows = queries.select(id_col, vec_col).collect()  # query set is tiny
+    q_ids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
+    q_norm = np.linalg.norm(q_mat, axis=1)
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast((q_ids, q_mat, q_norm))
+
+    out_schema = "query_id long, neighbor_id long, cosine double"
+
+    def score(batches):
+        import pandas as pd
+
+        ids, mat, norms = bc.value
+        for pdf in batches:
+            c_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            c_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            c_norm = np.linalg.norm(c_mat, axis=1)
+            cos = (c_mat @ mat.T) / np.outer(c_norm, norms)
+            cos = np.round(cos, round_digits)
+            parts = []
+            for j, qid in enumerate(ids):
+                col = cos[:, j]
+                mask = c_ids != qid
+                cand_ids, cand_cos = c_ids[mask], col[mask]
+                if len(cand_ids) > k:  # local top-k prune before shuffle
+                    idx = np.lexsort((cand_ids, -cand_cos))[:k]
+                else:
+                    idx = np.argsort(-cand_cos, kind="stable")
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "neighbor_id": cand_ids[idx],
+                            "cosine": cand_cos[idx],
+                        }
+                    )
+                )
+            yield pd.concat(parts, ignore_index=True)
+
+    scored = df.select(id_col, vec_col).mapInPandas(score, out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+def _centroid_literals(
+    centroids: list[tuple[int, list[float]]],
+) -> Column:
+    """Literal array<struct<cid,cv,cn>> — centroid set inlined into the plan.
+
+    Centroid count is small (IVF nlist), so inlining keeps cell
+    assignment a pure projection: no shuffle, no join, evaluated
+    map-side inside whole-stage codegen.  Norms are sequential-fold
+    sums so they match the oracle's ``list_reduce`` bit-for-bit.
+    """
+    structs = []
+    for cid, vec in centroids:
+        acc = 0.0
+        for x in vec:
+            acc += float(x) * float(x)
+        structs.append(
+            F.struct(
+                F.lit(int(cid)).cast("long").alias("cid"),
+                F.array(*[F.lit(float(x)) for x in vec]).alias("cv"),
+                F.lit(acc**0.5).alias("cn"),
+            )
+        )
+    return F.array(*structs)
+
+
+def _cell_scores(vec_col: str, cents: Column, round_digits: int) -> Column:
+    """array<struct<cos,cid>>: rounded cosine of a row's vector vs each centroid."""
+    v = F.col(vec_col)
+    n = norm(v)
+    return F.transform(
+        cents,
+        lambda c: F.struct(
+            # + 0.0 normalizes IEEE -0.0 to +0.0 so tie ordering agrees
+            # across engines (Spark struct compare vs DuckDB sort)
+            (F.round(dot(v, c["cv"]) / (n * c["cn"]), round_digits) + F.lit(0.0)).alias(
+                "cos"
+            ),
+            c["cid"].alias("cid"),
+        ),
+    )
+
+
+def _argmax_cell(scores: Column) -> Column:
+    """Fold to the best cell: max cosine, ties to the lowest centroid id.
+
+    Sequential fold with strict ``>`` keeps the first (lowest-cid)
+    winner — identical to ``row_number() ORDER BY cos DESC, cid`` = 1.
+    """
+    init = F.struct(F.lit(-2.0).alias("cos"), F.lit(-1).cast("long").alias("cid"))
+    best = F.aggregate(
+        scores,
+        init,
+        lambda acc, s: F.when(s["cos"] > acc["cos"], s).otherwise(acc),
+    )
+    return best["cid"]
+
+
+def ivf_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = EMB,
+    round_digits: int = 4,
+) -> DataFrame:
+    """IVF (inverted-file) ANN top-k: probe the ``nprobe`` nearest cells.
+
+    Centroids are the ``nlist`` lowest-id corpus vectors — deterministic
+    and oracle-expressible; a k-means refinement would only move the
+    centroid literals, not the plan shape. The scale story:
+
+    - **cell assignment is a projection** (fold over an inlined centroid
+      array) — the corpus is never shuffled or joined to assign cells;
+    - **queries explode to nprobe (query, cell) probes** and broadcast;
+    - the candidate join is an equality join on ``cell`` touching only
+      probed cells — at 100 TB the cell id becomes the storage partition
+      key so unprobed cells are partition-pruned at the scan.
+    """
+    cent_rows = (
+        df.select(id_col, vec_col)
+        .filter(F.col(id_col) < nlist)
+        .orderBy(id_col)
+        .collect()
+    )
+    cents = _centroid_literals([(r[id_col], r[vec_col]) for r in cent_rows])
+
+    c = df.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm(F.col(vec_col)).alias("c_norm"),
+        _argmax_cell(_cell_scores(vec_col, cents, round_digits)).alias("cell"),
+    )
+    # top-nprobe cells per query: desc sort of (cos, −cid) == cos desc,
+    # cid asc on ties (integer negation — no IEEE −0.0 pitfalls)
+    probe_cells = F.transform(
+        F.slice(
+            F.sort_array(
+                F.transform(
+                    _cell_scores(vec_col, cents, round_digits),
+                    lambda s: F.struct(
+                        s["cos"].alias("cos"), (-s["cid"]).alias("negcid")
+                    ),
+                ),
+                asc=False,
+            ),
+            1,
+            nprobe,
+        ),
+        lambda s: -s["negcid"],
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_norm"),
+        F.explode(probe_cells).alias("cell"),
+    )
+    pairs = c.join(F.broadcast(q), "cell").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    sim = (
+        F.round(
+            dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm")),
+            round_digits,
+        )
+        + F.lit(0.0)  # normalize -0.0 so hashes match the oracle
+    )
+    scored = pairs.select("query_id", "neighbor_id", sim.alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
 def embedding_near_dups(
     df: DataFrame,
     *,

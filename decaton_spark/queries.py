@@ -710,9 +710,7 @@ _NORM = (
 )
 
 
-@register(
-    "ann_brute_force_topk",
-    f"""
+_ANN_TOPK_ORACLE = f"""
     WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
     c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
     scored AS (
@@ -724,12 +722,72 @@ _NORM = (
                       ORDER BY cosine DESC, neighbor_id) AS rank
         FROM scored)
     SELECT query_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= 5
-    """,
-)
+    """
+
+
+@register("ann_brute_force_topk", _ANN_TOPK_ORACLE)
 def ann_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
     q = emb.filter(F.col("vec_id") < 8)
     return sim.brute_force_topk(emb, q, k=5)
+
+
+@register("ann_brute_force_topk_vec", _ANN_TOPK_ORACLE)
+def ann_brute_force_topk_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLAS-matmul scale path: same results, Arrow-batched kernel."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") < 8)
+    return sim.brute_force_topk_vectorized(emb, q, k=5)
+
+
+def _dot64(a: str, b: str) -> str:
+    """DuckDB sequential-fold dot product (matches F.aggregate order)."""
+    return (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(64), "
+        f"i -> CAST({a}[i + 1] AS DOUBLE) * CAST({b}[i + 1] AS DOUBLE))), (x, y) -> x + y)"
+    )
+
+
+@register(
+    "ann_ivf_topk",
+    f"""
+    WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+    ascore AS (
+        SELECT e.vec_id, c.cid,
+               round({_dot64('e.embedding', 'c.cv')}
+                     / ({_NORM.format(v='e.embedding')} * {_NORM.format(v='c.cv')}), 4) + 0.0 AS cos
+        FROM embeddings e CROSS JOIN cent c),
+    assign AS (
+        SELECT vec_id, cid AS cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+        FROM ascore),
+    cell AS (SELECT vec_id, cell FROM assign WHERE rn = 1),
+    probe AS (
+        SELECT vec_id AS query_id, cid AS cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+        FROM ascore WHERE vec_id < 8),
+    q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+    c AS (SELECT e.vec_id AS neighbor_id, e.embedding AS nv, cl.cell
+          FROM embeddings e JOIN cell cl ON e.vec_id = cl.vec_id),
+    scored AS (
+        SELECT q.query_id, c.neighbor_id,
+               round({_dot64('q.qv', 'c.nv')}
+                     / ({_NORM.format(v='q.qv')} * {_NORM.format(v='c.nv')}), 4) + 0.0 AS cosine
+        FROM c JOIN probe p ON c.cell = p.cell AND p.rn <= 4
+               JOIN q ON q.query_id = p.query_id
+        WHERE c.neighbor_id <> p.query_id),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored)
+    SELECT query_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= 5
+    """,
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: nlist=16 lowest-id centroids, nprobe=4 probed cells."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") < 8)
+    return sim.ivf_topk(emb, q, k=5, nlist=16, nprobe=4)
 
 
 _BUCKET = (
