@@ -119,6 +119,92 @@ def metadata_to_header_json(df: DataFrame) -> DataFrame:
     )
 
 
+#: Legacy envelope: metadata + payload packed into the record value
+#: (reference: ``protocol/src/main/proto/decaton_internal.proto:13-18``,
+#: the deprecated ``DecatonTaskRequest``). JSON stand-in for protobuf.
+LEGACY_ENVELOPE_STRUCT = T.StructType(
+    [
+        T.StructField("metadata", METADATA_STRUCT),
+        T.StructField("serialized_task", T.StringType()),
+    ]
+)
+
+
+def wrap_legacy_envelope(df: DataFrame) -> DataFrame:
+    """Pack metadata + payload into a legacy single-value envelope.
+
+    Mirrors the deprecated producer path (reference:
+    ``client/.../internal/DecatonClientImpl.java:124-146`` legacy
+    branch): the value becomes ``{metadata, serialized_task}`` and no
+    ``dt_meta`` header is written.
+    """
+    df = metadata_struct(df)
+    return df.withColumn(
+        "value",
+        F.to_json(
+            F.struct(
+                F.col("metadata").alias("metadata"),
+                F.col("value").alias("serialized_task"),
+            )
+        ),
+    ).withColumn("headers", F.array().cast("array<struct<key:string,value:binary>>"))
+
+
+def extract_task(df: DataFrame, headers_col: str = "headers") -> DataFrame:
+    """Unified task extraction: header → legacy envelope → raw fallback.
+
+    Mirrors the reference's config-driven fallback chain
+    (``DefaultTaskExtractor.java:40-77``): prefer ``dt_meta`` header
+    metadata with the value used as-is; else, if the value parses as a
+    legacy envelope, take metadata and payload from it; else treat the
+    value as a raw task with default metadata derived from the record
+    timestamp. Adds ``task_format`` ∈ {header, legacy, raw} for
+    observability. Pure Catalyst expressions — one projection, no
+    shuffle, JSON parse inside codegen.
+    """
+    # try_element_at: records without headers yield NULL (ANSI-safe)
+    hdr_val = F.try_element_at(
+        F.filter(F.col(headers_col), lambda h: h["key"] == F.lit(METADATA_HEADER_KEY)),
+        F.lit(1),
+    )["value"].cast("string")
+    # materialize both parses BEFORE touching `value`: later expressions
+    # must not re-resolve against the replaced column
+    df = df.withColumn("_hdr_meta", F.from_json(hdr_val, METADATA_STRUCT)).withColumn(
+        "_legacy", F.from_json(F.col("value").cast("string"), LEGACY_ENVELOPE_STRUCT)
+    )
+    has_header = F.col("_hdr_meta").isNotNull()
+    legacy = F.col("_legacy")
+    legacy_ok = legacy["metadata"].isNotNull() & legacy["serialized_task"].isNotNull()
+
+    meta = F.when(has_header, F.col("_hdr_meta")).when(legacy_ok, legacy["metadata"])
+    out = (
+        df.withColumn(
+            "task_format",
+            F.when(has_header, F.lit("header"))
+            .when(legacy_ok, F.lit("legacy"))
+            .otherwise(F.lit("raw")),
+        )
+        .withColumn(
+            "value",
+            F.when(~has_header & legacy_ok, legacy["serialized_task"]).otherwise(
+                F.col("value")
+            ),
+        )
+        .withColumn(
+            "meta_timestamp_millis",
+            F.coalesce(meta["timestamp_millis"], F.unix_millis(F.col("timestamp"))),
+        )
+        .withColumn("meta_source_application_id", meta["source_application_id"])
+        .withColumn("meta_source_instance_id", meta["source_instance_id"])
+        .withColumn("meta_retry_count", F.coalesce(meta["retry_count"], F.lit(0)))
+        .withColumn(
+            "meta_scheduled_time_millis",
+            F.coalesce(meta["scheduled_time_millis"], F.lit(0)),
+        )
+    )
+    return out.drop("_hdr_meta", "_legacy")
+
+
 def parse_header_metadata(df: DataFrame, headers_col: str = "headers") -> DataFrame:
     """Decode ``dt_meta`` JSON header back into flat ``meta_*`` columns.
 

@@ -30,6 +30,54 @@ def _struct_type(df: DataFrame, cols: Sequence[str]) -> T.StructType:
     return T.StructType([fields[c] for c in cols])
 
 
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    lower_ms: int,
+    upper_ms: int,
+) -> DataFrame:
+    """Interval join: pairs where ``right_ts`` falls in
+    ``[left_ts + lower_ms, left_ts + upper_ms)`` within the same key.
+
+    The scale-correct construction is a **bucketed equi-join**, not an
+    inequality join (which Catalyst can only run as a nested-loop /
+    cartesian): with bucket width = the interval length, each left
+    row's window overlaps at most 2 buckets, so the left side explodes
+    to ≤2 probe rows, the right side maps to exactly 1 bucket, and the
+    join is a plain hash equi-join on (key, bucket) plus a residual
+    range filter. Each qualifying pair appears exactly once (a right
+    row owns one bucket), so no dedup pass is needed. One shuffle per
+    side; skew follows the key distribution like any hash join (AQE
+    skew-split applies).
+
+    Both inputs must have disjoint non-key column names (rename before
+    calling); ``on``/timestamps are referenced by column name.
+    """
+    width = upper_ms - lower_ms
+    if width <= 0:
+        raise ValueError("upper_ms must be > lower_ms")
+    lo = F.unix_millis(F.col(left_ts)) + F.lit(lower_ms)
+    hi = lo + F.lit(width)
+    l_buckets = F.array_distinct(
+        F.array(F.floor(lo / width), F.floor((hi - 1) / width))
+    )
+    l = left.withColumn("_rjb", F.explode(l_buckets))
+    r = right.withColumn("_rjb", F.floor(F.unix_millis(F.col(right_ts)) / width))
+    r_ms = F.unix_millis(F.col(right_ts))
+    return (
+        l.join(r, [on, "_rjb"])
+        .filter(
+            (r_ms >= F.unix_millis(F.col(left_ts)) + F.lit(lower_ms))
+            & (r_ms < F.unix_millis(F.col(left_ts)) + F.lit(upper_ms))
+        )
+        .drop("_rjb")
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

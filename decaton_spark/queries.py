@@ -320,6 +320,63 @@ def s8_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s8_legacy_envelope",
+    f"""
+    WITH {TASKS_CTE}
+    SELECT CASE CAST("offset" % 3 AS INT) WHEN 0 THEN 'header'
+                WHEN 1 THEN 'legacy' ELSE 'raw' END AS task_format,
+           CASE CAST("offset" % 3 AS INT) WHEN 0 THEN 'app-header'
+                WHEN 1 THEN 'app-legacy' ELSE NULL END AS app_id,
+           count(*) AS n,
+           CAST(sum(CASE CAST("offset" % 3 AS INT) WHEN 0 THEN 7
+                    WHEN 1 THEN 3 ELSE 0 END) AS BIGINT) AS sum_retry,
+           CAST(sum(meta_timestamp_millis) AS BIGINT) AS sum_meta_ts
+    FROM tasks GROUP BY 1, 2
+    """,
+)
+def s8_legacy_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 fallback chain (DefaultTaskExtractor.java:40-77 + legacy
+    DecatonTaskRequest, decaton_internal.proto:13-18): three producer
+    cohorts — dt_meta header, legacy envelope-in-value, raw — are
+    re-extracted by the unified extractor; metadata must round-trip."""
+    from decaton_spark.envelope import (
+        extract_task,
+        metadata_to_header_json,
+        wrap_legacy_envelope,
+    )
+
+    tasks = _tasks(spark, sf_dir)
+    common = ["key", "value", "topic", "partition", "offset", "timestamp", "headers"]
+    no_headers = F.array().cast("array<struct<key:string,value:binary>>")
+
+    hdr = metadata_to_header_json(
+        tasks.filter(F.col("offset") % 3 == 0)
+        .withColumn("meta_source_application_id", F.lit("app-header"))
+        .withColumn("meta_retry_count", F.lit(7).cast("long"))
+    ).select(*common)
+    leg = wrap_legacy_envelope(
+        tasks.filter(F.col("offset") % 3 == 1)
+        .withColumn("meta_source_application_id", F.lit("app-legacy"))
+        .withColumn("meta_retry_count", F.lit(3).cast("long"))
+    ).select(*common)
+    raw = (
+        tasks.filter(F.col("offset") % 3 == 2)
+        .withColumn("headers", no_headers)
+        .select(*common)
+    )
+
+    wire = hdr.unionByName(leg).unionByName(raw)  # metadata only on the wire
+    out = extract_task(wire)
+    return out.groupBy(
+        "task_format", F.col("meta_source_application_id").alias("app_id")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("meta_retry_count").alias("sum_retry"),
+        F.sum("meta_timestamp_millis").alias("sum_meta_ts"),
+    )
+
+
+@register(
     "t13_pipeline_chain",
     f"""
     WITH {TASKS_CTE},
@@ -1029,6 +1086,97 @@ def rollup_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "hypertable_rollup",
+    f"""
+    WITH hourly AS (
+        SELECT CAST(floor(epoch_ms(ts) / {HOUR_MS}) AS BIGINT) * {HOUR_MS} AS hour_ms,
+               event_type,
+               count(*) AS n,
+               sum(CAST(value AS DECIMAL(18,6))) AS v
+        FROM events GROUP BY 1, 2)
+    SELECT CAST(floor(hour_ms / {DAY_MS}) AS BIGINT) * {DAY_MS} AS day_ms,
+           event_type,
+           CAST(sum(n) AS BIGINT) AS n_events,
+           CAST(sum(v) AS DOUBLE) AS total_value
+    FROM hourly GROUP BY 1, 2
+    """,
+)
+def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: hourly partials
+    re-aggregated to daily. At scale the hourly level is a persisted,
+    time-partitioned table; the daily level reads only the partials
+    (decimal sums re-aggregate exactly — double sums wouldn't)."""
+    ev = load_table(spark, "events", sf_dir)
+    hourly = ev.groupBy(
+        (
+            F.floor(F.unix_millis("ts") / HOUR_MS).cast("long") * HOUR_MS
+        ).alias("hour_ms"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("v"),
+    )
+    return hourly.groupBy(
+        (F.floor(F.col("hour_ms") / DAY_MS).cast("long") * DAY_MS).alias("day_ms"),
+        "event_type",
+    ).agg(
+        F.sum("n").cast("long").alias("n_events"),
+        F.sum("v").cast("double").alias("total_value"),
+    )
+
+
+@register(
+    "cube_order_stats",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation (free surface) with grouping-id disambiguation
+    of rolled-up vs real NULL levels."""
+    o = load_table(spark, "orders", sf_dir)
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        (F.grouping("o_orderstatus") * 2 + F.grouping("o_orderpriority"))
+        .cast("long")
+        .alias("gid"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_price"),
+    )
+
+
+@register(
+    "grouping_sets_order_stats",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def grouping_sets_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS (free surface): disjoint marginals plus grand
+    total in one pass — Catalyst expands to a single Expand+Aggregate."""
+    o = load_table(spark, "orders", sf_dir)
+    o.createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register(
     "topk_parts_by_revenue",
     """
     SELECT p.p_brand, p.p_type,
@@ -1164,6 +1312,51 @@ def asof_join_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(
             F.date_format("o_orderdate", "yyyy-MM-dd"), F.lit("none")
         ).alias("last_orderdate"),
+    )
+
+
+@register(
+    "range_join_errors",
+    """
+    WITH p AS (SELECT user_id, ts AS p_ts, event_id AS p_id
+               FROM events WHERE event_type = 'purchase'),
+    e AS (SELECT user_id, ts AS e_ts, event_id AS e_id
+          FROM events WHERE event_type = 'error'),
+    pairs AS (
+        SELECT p.user_id, p.p_id
+        FROM p JOIN e ON p.user_id = e.user_id
+         AND epoch_ms(e.e_ts) >= epoch_ms(p.p_ts) - 600000
+         AND epoch_ms(e.e_ts) <  epoch_ms(p.p_ts))
+    SELECT user_id, count(*) AS n_pairs,
+           count(DISTINCT p_id) AS n_purchases
+    FROM pairs GROUP BY user_id
+    """,
+)
+def range_join_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: errors in the 10 minutes before each
+    purchase by the same user. Bucketed equi-join construction (see
+    operators/asof.range_join) — no inequality nested-loop join."""
+    from decaton_spark.operators.asof import range_join
+
+    ev = load_table(spark, "events", sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("p_id")
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("ts").alias("e_ts"), F.col("event_id").alias("e_id")
+    )
+    pairs = range_join(
+        purchases,
+        errors,
+        on="user_id",
+        left_ts="p_ts",
+        right_ts="e_ts",
+        lower_ms=-600_000,
+        upper_ms=0,
+    )
+    return pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("p_id").alias("n_purchases"),
     )
 
 
