@@ -47,11 +47,20 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
-    # throughput framing vs the reference's tasks/s baseline: the full
-    # operator suite re-processes the events task-stream many times over
-    tasks_processed = n_rows_events * sum(
-        1 for n in QUERIES if n.startswith(("t", "f", "p", "s", "cm"))
-    )
+    # throughput framing vs the reference's 23k tasks/s baseline: the
+    # task-operator queries each re-process the full events task stream;
+    # rows/s is measured over exactly those queries' wall time (the
+    # LLM-pipeline and relational queries are a different workload and
+    # are reported in `queries` / `value`).
+    task_ops = [
+        n
+        for n in QUERIES
+        if n.split("_")[0]
+        in {"t1", "t2", "t3", "t4", "t5", "t6", "t13", "f1", "f2", "f3",
+            "p1", "s7", "s8", "cm"}
+    ]
+    task_time = sum(timings[n] for n in task_ops)
+    tasks_processed = n_rows_events * len(task_ops)
     result = {
         "metric": "total wall seconds for the full operator-suite run",
         "value": total,
@@ -59,7 +68,11 @@ def main() -> None:
         "queries": timings,
         "sf": sf_from_dir(SF_DIR),
         "events_rows": n_rows_events,
-        "task_ops_rows_per_sec": round(tasks_processed / total) if total else None,
+        "task_ops": len(task_ops),
+        "task_ops_sec": round(task_time, 3),
+        "task_ops_rows_per_sec": round(tasks_processed / task_time)
+        if task_time
+        else None,
     }
     print(json.dumps(result))
 

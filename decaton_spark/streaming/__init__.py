@@ -1,8 +1,15 @@
 from decaton_spark.streaming.subscription import Subscription
+from decaton_spark.streaming.event_time import event_time_compact
 from decaton_spark.streaming.stateful import (
     ordered_process,
     streaming_compact,
     streaming_quota,
 )
 
-__all__ = ["Subscription", "ordered_process", "streaming_compact", "streaming_quota"]
+__all__ = [
+    "Subscription",
+    "event_time_compact",
+    "ordered_process",
+    "streaming_compact",
+    "streaming_quota",
+]

@@ -185,3 +185,87 @@ def test_streaming_compaction_survives_restart(spark, sf_dir, tmp_path):
     got = got.sort_values(key, ignore_index=True)
     expected = expected.sort_values(key, ignore_index=True)
     assert got.equals(expected), "restart lost or corrupted compaction state"
+def test_event_time_compact_drops_late_rows(spark, tmp_path):
+    """Watermark semantics (SURVEY §2.6 event-time upgrade): a row
+    arriving after the watermark passed its window is dropped; the
+    closed window's survivor is unaffected by it.
+
+    Note: the aggregation operator's late filter uses the watermark
+    committed one batch earlier, so the late row must arrive ≥2
+    batches after the watermark-advancing event (empirically pinned
+    here — this is the cross-batch contract pipelines must design for).
+    """
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from decaton_spark.streaming import event_time_compact
+
+    d = tmp_path / "stream"
+    d.mkdir()
+    h = 3_600_000
+    base = 1_699_999_200_000  # epoch-aligned to the hour => window [base, base+h)
+
+    def write(name, rows, mtime):
+        tbl = pa.table(
+            {
+                "key": pa.array([r[0] for r in rows], pa.string()),
+                "timestamp": pa.array(
+                    [r[1] * 1000 for r in rows], pa.timestamp("us")
+                ),
+                "offset": pa.array([r[2] for r in rows], pa.int64()),
+                "meta_timestamp_millis": pa.array(
+                    [r[1] for r in rows], pa.int64()
+                ),
+                "value": pa.array([r[3] for r in rows], pa.string()),
+            }
+        )
+        path = str(d / name)
+        pq.write_table(tbl, path)
+        os.utime(path, (mtime, mtime))
+
+    now = time.time()
+    # A: survivor candidate in W0=[base, base+h) + watermark-advancing row
+    write("00-a.parquet", [("k1", base + 1000, 1, "first"),
+                           ("k2", base + 3 * h, 2, "advance")], now - 40)
+    # B: settles the advanced watermark into the operator threshold
+    write("01-b.parquet", [("k2", base + 3 * h + 1, 3, "settle")], now - 30)
+    # C: LATE k1 row inside W0 with larger ts (would win were it on time)
+    write("02-c.parquet", [("k1", base + 2000, 4, "late-would-win")], now - 20)
+    # D: far-future row flushes all remaining windows
+    write("03-d.parquet", [("k2", base + 9 * h, 5, "flush")], now - 10)
+
+    schema = (
+        "key string, timestamp timestamp, offset long, "
+        "meta_timestamp_millis long, value string"
+    )
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(str(d))
+    )
+    out = event_time_compact(stream, linger="1 hour", watermark="30 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("etc_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    dropped = sum(
+        op.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for op in p["stateOperators"]
+    )
+    q.stop()
+
+    rows = spark.sql("SELECT * FROM etc_out").collect()
+    by_kw = {(r["key"], r["window_start_ms"]): r for r in rows}
+    assert len(rows) == len(by_kw), "append mode must emit each window once"
+    w0 = by_kw[("k1", base)]
+    assert w0["value"] == "first", "late row must not replace the closed survivor"
+    assert w0["offset"] == 1
+    assert not any(r["value"] == "late-would-win" for r in rows), "late row dropped"
+    assert dropped == 1, "exactly the late row counted as watermark-dropped"
