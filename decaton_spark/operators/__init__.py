@@ -7,6 +7,7 @@ from decaton_spark.operators.quota import apply_key_quota, split_shaping
 from decaton_spark.operators.rate_limit import rate_limit
 from decaton_spark.operators.retry import retry_tasks
 from decaton_spark.operators.scheduling import split_due
+from decaton_spark.operators.skew import salted_agg
 
 __all__ = [
     "Pipeline",
@@ -19,6 +20,7 @@ __all__ = [
     "project_task_view",
     "rate_limit",
     "retry_tasks",
+    "salted_agg",
     "split_due",
     "split_shaping",
     "sub_partition",

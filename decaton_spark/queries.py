@@ -1086,6 +1086,40 @@ def rollup_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "salted_agg_events",
+    """
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+           min(event_id) AS first_id,
+           max(event_id) AS last_id
+    FROM events GROUP BY event_type
+    """,
+)
+def salted_agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-defused aggregation: event_type has ~5 distinct values (a
+    pathologically hot-key distribution at scale), so the two-phase
+    salted decomposition (operators/skew.salted_agg) spreads each key
+    over 16 reducers. Result is exactly the single-phase groupBy."""
+    from decaton_spark.operators import salted_agg
+
+    ev = load_table(spark, "events", sf_dir)
+    out = salted_agg(
+        ev,
+        key_cols=["event_type"],
+        aggs=[
+            ("count", F.lit(1), "n_events"),
+            ("sum", F.col("value").cast("decimal(18,6)"), "total_value"),
+            ("min", "event_id", "first_id"),
+            ("max", "event_id", "last_id"),
+        ],
+        salt_col="event_id",
+        n_salts=16,
+    )
+    return out.withColumn("total_value", F.col("total_value").cast("double"))
+
+
+@register(
     "hypertable_rollup",
     f"""
     WITH hourly AS (
@@ -1122,6 +1156,143 @@ def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.sum("n").cast("long").alias("n_events"),
         F.sum("v").cast("double").alias("total_value"),
+    )
+
+
+@register(
+    "q10_returned_customers",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+)
+def q10_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue by customer, top 20.
+    customer/nation broadcast; the lineitem fact is filtered before the
+    join so the returnflag predicate reaches the scan."""
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir).filter(F.col("l_returnflag") == "R")
+    n = load_table(spark, "nation", sf_dir)
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(24,6)"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    """
+    WITH sums AS (
+        SELECT CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                        THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(24,6))
+                        ELSE CAST(0 AS DECIMAL(24,6)) END) AS DOUBLE) AS promo_revenue,
+               CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS total_revenue
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey)
+    SELECT promo_revenue, total_revenue,
+           round(100.0 * promo_revenue / total_revenue, 4) AS promo_pct
+    FROM sums
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share. Exact decimal sums; the
+    single float division happens once, after aggregation."""
+    li = load_table(spark, "lineitem", sf_dir)
+    p = load_table(spark, "part", sf_dir)
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(24,6)")
+    zero = F.lit(0).cast("decimal(24,6)")
+    sums = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero))
+            .cast("double")
+            .alias("promo_revenue"),
+            F.sum(rev).cast("double").alias("total_revenue"),
+        )
+    )
+    return sums.select(
+        "promo_revenue",
+        "total_revenue",
+        F.round(
+            F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue"), 4
+        ).alias("promo_pct"),
+    )
+
+
+@register(
+    "q4_priority_exists",
+    """
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS decorrelated to a left-semi join (the
+    plan Catalyst and every serious optimizer pick)."""
+    o = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir).filter(F.col("l_returnflag") == "R")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@register(
+    "scalar_functions_bridge",
+    """
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(month(o_orderdate) AS INT) AS mo,
+           CAST(day(o_orderdate) AS INT) AS dom,
+           upper(substr(o_orderpriority, 1, 3)) AS pri3,
+           CAST(length(o_orderstatus) AS INT) AS status_len,
+           concat(o_orderstatus, '-', o_orderpriority) AS tag,
+           CAST(floor(o_totalprice) AS BIGINT) AS price_floor,
+           CAST(ceil(o_totalprice) AS BIGINT) AS price_ceil,
+           abs(-o_totalprice) AS price_abs,
+           greatest(o_orderkey, o_custkey) AS max_key,
+           coalesce(nullif(o_orderstatus, 'F'), 'final') AS status_or_final
+    FROM orders WHERE o_orderkey < 500
+    """,
+)
+def scalar_functions_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar function library parity (free surface): date parts,
+    string ops, exact math, conditionals — engine-identical results."""
+    o = load_table(spark, "orders", sf_dir).filter(F.col("o_orderkey") < 500)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.month("o_orderdate").cast("int").alias("mo"),
+        F.dayofmonth("o_orderdate").cast("int").alias("dom"),
+        F.upper(F.substring("o_orderpriority", 1, 3)).alias("pri3"),
+        F.length("o_orderstatus").cast("int").alias("status_len"),
+        F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias("tag"),
+        F.floor("o_totalprice").alias("price_floor"),
+        F.ceil("o_totalprice").alias("price_ceil"),
+        F.abs(-F.col("o_totalprice")).alias("price_abs"),
+        F.greatest("o_orderkey", "o_custkey").alias("max_key"),
+        F.coalesce(
+            F.nullif(F.col("o_orderstatus"), F.lit("F")), F.lit("final")
+        ).alias("status_or_final"),
     )
 
 

@@ -103,3 +103,50 @@ def test_wholestage_codegen_everywhere(spark, sf_dir):
     for q in ("q1_pricing_summary", "text_fingerprint", "t1_compaction_windowed"):
         p = plan_of(QUERIES[q].fn(spark, sf_dir), mode="codegen")
         assert "WholeStageCodegen" in p, f"{q} fell out of codegen entirely"
+
+
+def test_range_join_is_hash_equi_join(spark, sf_dir):
+    """range_join must plan as a hash equi-join on (key, bucket) —
+    never a cartesian/nested-loop inequality join."""
+    p = plan_of(QUERIES["range_join_errors"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "Join" in p  # the bucketed equi-join is a real join node
+
+
+def test_ivf_cell_assignment_is_projection(spark, sf_dir):
+    """IVF corpus-side cell assignment must not shuffle or join: the
+    centroid fold is inlined. Only the probe join + top-k shuffle."""
+    from decaton_spark.functions import similarity as sim
+    from decaton_spark.sources import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    c_side = emb.select(
+        emb.vec_id,
+        sim._argmax_cell(
+            sim._cell_scores(
+                "embedding",
+                sim._centroid_literals(
+                    [
+                        (r["vec_id"], r["embedding"])
+                        for r in emb.filter(emb.vec_id < 16).orderBy("vec_id").collect()
+                    ]
+                ),
+                4,
+            )
+        ).alias("cell"),
+    )
+    assert "Exchange" not in plan_of(c_side), "cell assignment must be narrow"
+    # full query: probe-side broadcast join, no sort-merge of the corpus
+    p = plan_of(QUERIES["ann_ivf_topk"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_salted_agg_two_phase(spark, sf_dir):
+    """Salted aggregation: two aggregation phases, each with map-side
+    partials (4 HashAggregate levels), salt column absent from output."""
+    df = QUERIES["salted_agg_events"].fn(spark, sf_dir)
+    p = plan_of(df)
+    assert p.count("HashAggregate") >= 4, "expected partial+final × 2 phases"
+    assert "_salt" not in df.columns
