@@ -3,6 +3,7 @@ from decaton_spark.multimodal.columns import (
     attach_media_meta,
     decode_images,
     extract_features,
+    resize_images,
     sample_frames,
 )
 
@@ -11,5 +12,6 @@ __all__ = [
     "attach_media_meta",
     "decode_images",
     "extract_features",
+    "resize_images",
     "sample_frames",
 ]

@@ -140,3 +140,51 @@ def sample_frames(
             yield pd.DataFrame({id_col: ids, "frame_idx": idxs, "frame": frames})
 
     return df.select(id_col, payload_col).mapInPandas(run, out_schema)
+
+
+def resize_images(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    *,
+    target_w: int = 224,
+    target_h: int = 224,
+    backend: str = "fake",
+) -> DataFrame:
+    """Resize stage: (id, width, height, payload) at the target size.
+
+    Real pipelines drop a PIL/libvips call into the batch loop; the
+    fake backend emits a deterministic payload (digest-seeded, length
+    ∝ target area) so downstream schema/partitioning logic is testable.
+    Output partitioning mirrors the input — no shuffle is introduced;
+    at 100 TB this stage is pure map work whose cost is the codec, not
+    the engine.
+    """
+    if backend not in ("fake", "pil"):
+        raise ValueError(f"unknown backend {backend!r}")
+
+    out_schema = f"{id_col} long, width int, height int, payload binary"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if backend == "pil":
+            raise NotImplementedError(
+                "PIL is not available in this container; plug the real "
+                "resize into this batch loop"
+            )
+        for pdf in batches:
+            payloads = []
+            for p in pdf[payload_col]:
+                digest = hashlib.sha1(bytes(p)).digest()
+                # deterministic fake pixel buffer: digest tiled to area/64
+                reps = max(1, (target_w * target_h) // (64 * len(digest)))
+                payloads.append(digest * reps)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].astype("int64"),
+                    "width": target_w,
+                    "height": target_h,
+                    "payload": payloads,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, out_schema)

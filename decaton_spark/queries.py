@@ -1086,6 +1086,41 @@ def rollup_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sliding_window_activity",
+    """
+    WITH ev AS (SELECT epoch_ms(ts) AS ms, user_id FROM events),
+    expanded AS (
+        SELECT CAST(floor(ms / 1800000) AS BIGINT) * 1800000 - k.k * 1800000
+                   AS window_start_ms,
+               user_id
+        FROM ev CROSS JOIN (SELECT 0 AS k UNION ALL SELECT 1) k)
+    SELECT window_start_ms,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users
+    FROM expanded GROUP BY 1
+    """,
+)
+def sliding_window_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) windows — 1 h width, 30 min slide: every event
+    lands in exactly 2 overlapping windows (Spark expands map-side
+    before the shuffle; the oracle expands with an explicit 2-bucket
+    cross join)."""
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.unix_millis("w.start").alias("window_start_ms"),
+            "n_events",
+            "n_users",
+        )
+    )
+
+
+@register(
     "salted_agg_events",
     """
     SELECT event_type,

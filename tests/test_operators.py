@@ -167,3 +167,53 @@ def test_multimodal_plumbing(spark, sf_dir):
 
     with pytest.raises(Exception):
         decode_images(docs, backend="pil").collect()
+
+    from decaton_spark.multimodal import resize_images
+
+    rs = resize_images(docs, target_w=32, target_h=32).collect()
+    assert len(rs) == 50
+    assert all(r["width"] == 32 and r["height"] == 32 for r in rs)
+    assert all(len(bytes(r["payload"])) > 0 for r in rs)
+    with pytest.raises(Exception):
+        resize_images(docs, backend="pil").collect()
+
+
+def test_approx_aggregates_within_bounds(spark, sf_dir):
+    """Approximate aggregation surface (the bounded-memory cousins of
+    T6's Count-Min sketch): HLL++ distinct counts and approximate
+    quantiles must land within their documented error bounds — the
+    100 TB substitutes for exact countDistinct / sort-based median."""
+    from pyspark.sql import functions as F
+
+    from decaton_spark.sources import load_table
+
+    ev = load_table(spark, "events", sf_dir)
+    exact = ev.select(F.countDistinct("user_id").alias("n")).collect()[0]["n"]
+    approx = ev.select(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("n")
+    ).collect()[0]["n"]
+    assert abs(approx - exact) <= max(3 * 0.02 * exact, 1)
+
+    [med_approx] = ev.approxQuantile("value", [0.5], 0.01)
+    exact_med = ev.selectExpr("percentile(value, 0.5) AS m").collect()[0]["m"]
+    # relativeError=0.01 => rank within ±1% of the median rank
+    lo, hi = ev.approxQuantile("value", [0.49, 0.51], 0.0)
+    assert lo <= med_approx <= hi, (med_approx, exact_med)
+
+
+def test_simulated_latency_throughput(spark):
+    """Reference-benchmark mirror (docs/runtime.adoc:42-99): tasks with
+    20 ms simulated I/O must process at high sustained throughput —
+    the engine keeps every I/O slot full, like Decaton's 300-thread
+    sub-partitions."""
+    from decaton_spark.benchmark import latency_tasks, run_simulated_latency
+
+    warm = latency_tasks(spark, n_tasks=256, latency_ms=1, latency_count=1)
+    run_simulated_latency(warm, partitions=8, concurrency=32)  # spin up workers
+
+    tasks = latency_tasks(spark, n_tasks=20_000, latency_ms=4, latency_count=5)
+    r = run_simulated_latency(tasks, partitions=8, concurrency=128)
+    # 20k×20ms = 400 thread-seconds over 1024 I/O slots => ~0.4 s floor;
+    # >10k tasks/s leaves headroom for the ~0.5 s fixed job overhead
+    assert r["tasks"] == 20_000
+    assert r["tasks_per_sec"] > 10_000, r
