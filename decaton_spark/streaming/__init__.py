@@ -4,6 +4,7 @@ from decaton_spark.streaming.stateful import (
     ordered_process,
     streaming_compact,
     streaming_quota,
+    streaming_scheduled,
 )
 
 __all__ = [
@@ -12,4 +13,5 @@ __all__ = [
     "ordered_process",
     "streaming_compact",
     "streaming_quota",
+    "streaming_scheduled",
 ]

@@ -243,3 +243,84 @@ def streaming_quota(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_scheduled(
+    tasks: DataFrame,
+    *,
+    key_col: str = "key",
+) -> DataFrame:
+    """Streaming T4 — scheduled execution via stateful timers.
+
+    Decaton delays a task by *blocking its sub-partition queue* until
+    ``scheduled_time_millis`` (``ExecutionScheduler.java:55-90``). The
+    Spark-native form holds not-yet-due tasks in per-key state and
+    registers a processing-time timeout for the earliest pending due
+    time — no head-of-line blocking: due tasks of the same key flow
+    while later-scheduled ones wait (the strict improvement noted in
+    SURVEY §7.3). Emission: (key, offset, scheduled_time_millis,
+    emitted_at_millis) with ``emitted_at_millis >= scheduled_time``
+    always (the at-least-after contract; T3's retry consumer is this
+    operator pointed at the retry topic).
+
+    Requires no-data microbatches (Spark default) so timeouts fire
+    without new input.
+    """
+    import time as _time
+
+    out_schema = (
+        f"{key_col} string, offset long, scheduled_time_millis long, "
+        "emitted_at_millis long"
+    )
+    state_schema = "offs array<long>, scheds array<long>"
+
+    def update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        offs: list[int] = []
+        scheds: list[int] = []
+        if state.exists:
+            st_offs, st_scheds = state.get
+            offs.extend(int(x) for x in st_offs)
+            scheds.extend(int(x) for x in st_scheds)
+        for pdf in pdfs:
+            offs.extend(int(x) for x in pdf["offset"])
+            scheds.extend(int(x) for x in pdf["meta_scheduled_time_millis"])
+
+        now_ms = int(_time.time() * 1000)
+        due = [(o, s) for o, s in zip(offs, scheds) if s <= now_ms]
+        pending = [(o, s) for o, s in zip(offs, scheds) if s > now_ms]
+
+        if pending:
+            state.update(
+                ([o for o, _ in pending], [s for _, s in pending])
+            )
+            # fire again when the earliest pending task is due
+            state.setTimeoutDuration(max(1, min(s for _, s in pending) - now_ms))
+        elif state.exists:
+            state.remove()
+
+        if due:
+            due.sort(key=lambda t: (t[1], t[0]))  # due-time order per key
+            yield pd.DataFrame(
+                {
+                    key_col: key[0],
+                    "offset": [o for o, _ in due],
+                    "scheduled_time_millis": [s for _, s in due],
+                    "emitted_at_millis": now_ms,
+                }
+            )
+
+    return (
+        tasks.select(key_col, "offset", "meta_scheduled_time_millis")
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

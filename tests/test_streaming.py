@@ -269,3 +269,68 @@ def test_event_time_compact_drops_late_rows(spark, tmp_path):
     assert w0["offset"] == 1
     assert not any(r["value"] == "late-would-win" for r in rows), "late row dropped"
     assert dropped == 1, "exactly the late row counted as watermark-dropped"
+
+
+def test_streaming_scheduled_holds_until_due(spark, tmp_path):
+    """T4 streaming form: tasks with a future scheduled_time are held in
+    state and released by a processing-time timer at/after their due
+    time; due tasks of the same key are never blocked behind them."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from decaton_spark.streaming import streaming_scheduled
+
+    d = tmp_path / "stream"
+    d.mkdir()
+    now_ms = int(time.time() * 1000)
+    rows = [
+        ("k1", 1, now_ms - 1000),      # already due
+        ("k1", 2, now_ms + 12_000),    # due in 12 s — must wait
+        ("k2", 3, now_ms - 1000),      # due, different key
+    ]
+    tbl = pa.table(
+        {
+            "key": pa.array([r[0] for r in rows], pa.string()),
+            "offset": pa.array([r[1] for r in rows], pa.int64()),
+            "meta_scheduled_time_millis": pa.array(
+                [r[2] for r in rows], pa.int64()
+            ),
+        }
+    )
+    pq.write_table(tbl, str(d / "00.parquet"))
+
+    schema = "key string, offset long, meta_scheduled_time_millis long"
+    stream = spark.readStream.schema(schema).parquet(str(d))
+    out = streaming_scheduled(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sched_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 45
+        got = {}
+        while time.time() < deadline:
+            got = {
+                r["offset"]: r
+                for r in spark.sql("SELECT * FROM sched_out").collect()
+            }
+            if len(got) == 3:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+
+    assert set(got) == {1, 2, 3}, f"all tasks eventually emitted, got {set(got)}"
+    for off, r in got.items():
+        assert r["emitted_at_millis"] >= r["scheduled_time_millis"], (
+            f"offset {off} emitted before its scheduled time"
+        )
+    # the due k1 task was not blocked behind the scheduled one
+    assert got[1]["emitted_at_millis"] < got[2]["scheduled_time_millis"]
