@@ -1,0 +1,197 @@
+"""Property-style invariant tests (hypothesis) — the engine analog of
+the reference's ProcessorTestSuite semantics properties (SURVEY §5
+layer 2): for arbitrary generated task sets, each operator must equal
+an independently-written reference implementation.
+
+Sizes are kept small (Spark job per example is the cost); hypothesis
+still explores ties, duplicates, empty groups, and boundary times far
+better than fixed fixtures.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+SET = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+KEYS = st.sampled_from(["a", "b", "c"])
+TS = st.integers(min_value=0, max_value=10_000)
+
+tasks_strategy = st.lists(
+    st.tuples(KEYS, TS, st.integers(0, 10_000)), min_size=1, max_size=40
+).map(
+    # unique offsets: zip with index (offset is the Kafka total order)
+    lambda rows: [
+        (k, ts, i, v) for i, (k, ts, v) in enumerate(rows)
+    ]
+)
+
+
+@given(rows=tasks_strategy)
+@SET
+def test_compaction_matches_pandas_reference(spark, rows):
+    """T1 global compaction == pandas idxmax over (ts, offset)."""
+    from decaton_spark.operators import compact_tasks
+
+    pdf = pd.DataFrame(
+        rows, columns=["key", "meta_timestamp_millis", "offset", "v"]
+    )
+    df = spark.createDataFrame(pdf).withColumn(
+        "timestamp", F.timestamp_millis(F.col("meta_timestamp_millis"))
+    )
+    got = (
+        compact_tasks(df, linger=None)
+        .select("key", "offset")
+        .toPandas()
+        .sort_values("key")
+        .reset_index(drop=True)
+    )
+    ref = (
+        pdf.sort_values(["meta_timestamp_millis", "offset"])
+        .groupby("key", as_index=False)
+        .last()[["key", "offset"]]
+        .sort_values("key")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, ref)
+
+
+@given(rows=tasks_strategy)
+@SET
+def test_salted_agg_equals_plain_groupby(spark, rows):
+    """Two-phase salted aggregation ≡ single-phase groupBy, always."""
+    from decaton_spark.operators import salted_agg
+
+    pdf = pd.DataFrame(rows, columns=["key", "ts", "offset", "v"])
+    df = spark.createDataFrame(pdf)
+    got = (
+        salted_agg(
+            df,
+            key_cols=["key"],
+            aggs=[
+                ("count", F.lit(1), "n"),
+                ("sum", "v", "sum_v"),
+                ("min", "ts", "min_ts"),
+                ("max", "ts", "max_ts"),
+            ],
+            salt_col="offset",
+            n_salts=4,
+        )
+        .toPandas()
+        .sort_values("key")
+        .reset_index(drop=True)
+    )
+    ref = (
+        pdf.groupby("key")
+        .agg(n=("v", "size"), sum_v=("v", "sum"), min_ts=("ts", "min"), max_ts=("ts", "max"))
+        .reset_index()
+        .sort_values("key")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.astype({"n": "int64", "sum_v": "int64"}), ref.astype({"n": "int64"})
+    )
+
+
+@given(
+    left=st.lists(st.tuples(KEYS, TS), min_size=1, max_size=20),
+    right=st.lists(st.tuples(KEYS, TS), min_size=1, max_size=20),
+)
+@SET
+def test_range_join_equals_bruteforce(spark, left, right):
+    """Bucketed range join ≡ brute-force inequality filter."""
+    from decaton_spark.operators.asof import range_join
+
+    lower_ms, upper_ms = -2000, 1000
+    lp = pd.DataFrame(
+        [(k, ts, i) for i, (k, ts) in enumerate(left)],
+        columns=["key", "l_ms", "l_id"],
+    )
+    rp = pd.DataFrame(
+        [(k, ts, i) for i, (k, ts) in enumerate(right)],
+        columns=["key", "r_ms", "r_id"],
+    )
+    ldf = spark.createDataFrame(lp).withColumn(
+        "l_ts", F.timestamp_millis("l_ms")
+    )
+    rdf = spark.createDataFrame(rp).withColumn(
+        "r_ts", F.timestamp_millis("r_ms")
+    )
+    got = (
+        range_join(
+            ldf, rdf, on="key", left_ts="l_ts", right_ts="r_ts",
+            lower_ms=lower_ms, upper_ms=upper_ms,
+        )
+        .select("l_id", "r_id")
+        .toPandas()
+        .sort_values(["l_id", "r_id"])
+        .reset_index(drop=True)
+    )
+    merged = lp.merge(rp, on="key")
+    mask = (merged.r_ms >= merged.l_ms + lower_ms) & (
+        merged.r_ms < merged.l_ms + upper_ms
+    )
+    ref = (
+        merged[mask][["l_id", "r_id"]]
+        .sort_values(["l_id", "r_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, ref)
+
+
+@given(
+    left=st.lists(st.tuples(KEYS, TS), min_size=1, max_size=15),
+    right=st.lists(st.tuples(KEYS, TS), min_size=1, max_size=15),
+)
+@SET
+def test_asof_join_equals_pandas_merge_asof(spark, left, right):
+    """Union-sort as-of join ≡ pandas merge_asof (backward)."""
+    from decaton_spark.operators.asof import asof_join
+
+    lp = pd.DataFrame(
+        [(k, ts, i) for i, (k, ts) in enumerate(left)],
+        columns=["key", "ms", "l_id"],
+    )
+    rp = (
+        pd.DataFrame(
+            [(k, ts, i) for i, (k, ts) in enumerate(right)],
+            columns=["key", "r_ms", "r_id"],
+        )
+        # merge_asof picks the LAST right row at equal ts; make the
+        # right side unique per (key, ts) so both definitions agree
+        .sort_values("r_id")
+        .drop_duplicates(["key", "r_ms"], keep="last")
+    )
+    ldf = spark.createDataFrame(lp).withColumn("l_ts", F.timestamp_millis("ms"))
+    rdf = spark.createDataFrame(rp).withColumn("r_ts", F.timestamp_millis("r_ms"))
+    got = (
+        asof_join(
+            ldf, rdf, on="key", left_ts="l_ts", right_ts="r_ts",
+            right_cols=["r_id"], how="left",
+        )
+        .select("l_id", "r_id")
+        .toPandas()
+        .sort_values("l_id")
+        .reset_index(drop=True)
+    )
+    ref = (
+        pd.merge_asof(
+            lp.sort_values("ms", kind="stable"),
+            rp.sort_values("r_ms", kind="stable").rename(columns={"r_ms": "ms"}),
+            on="ms",
+            by="key",
+            direction="backward",
+        )[["l_id", "r_id"]]
+        .sort_values("l_id")
+        .reset_index(drop=True)
+    )
+    got["r_id"] = got["r_id"].astype("float64")
+    ref["r_id"] = ref["r_id"].astype("float64")
+    pd.testing.assert_frame_equal(got, ref)
