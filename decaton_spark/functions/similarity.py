@@ -379,6 +379,108 @@ def ivf_topk(
     )
 
 
+def ivf_topk_vectorized(
+    df: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = EMB,
+    round_digits: int = 4,
+) -> DataFrame:
+    """IVF ANN, BLAS path: same algorithm/results as ``ivf_topk`` with
+    cell assignment + probe scoring fused into one numpy pass.
+
+    Per Arrow batch: one (batch × nlist) matmul assigns cells (argmax
+    cosine, ties to lowest centroid id), then each query scores only
+    the batch rows in its probed cells and emits a local top-k — so,
+    as with the vectorized brute force, the shuffle carries k rows per
+    (query, partition) and the corpus never moves.
+    """
+    import numpy as np
+
+    cent_rows = (
+        df.select(id_col, vec_col)
+        .filter(F.col(id_col) < nlist)
+        .orderBy(id_col)
+        .collect()
+    )
+    c_ids = np.array([r[id_col] for r in cent_rows], dtype=np.int64)
+    c_mat = np.array([r[vec_col] for r in cent_rows], dtype=np.float64)
+    c_norm = np.linalg.norm(c_mat, axis=1)
+
+    def cell_scores(mat: "np.ndarray") -> "np.ndarray":
+        norms = np.linalg.norm(mat, axis=1)
+        cos = (mat @ c_mat.T) / np.outer(norms, c_norm)
+        return np.round(cos, round_digits) + 0.0
+
+    def assign(mat: "np.ndarray") -> "np.ndarray":
+        # argmax returns the FIRST max => lowest centroid id on ties
+        # (c_ids are sorted ascending), matching the expression fold
+        return c_ids[np.argmax(cell_scores(mat), axis=1)]
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
+    q_norm = np.linalg.norm(q_mat, axis=1)
+    # per query: nprobe best cells, cos desc / cid asc (stable argsort
+    # over (-cos, cid) == lexsort on (cid, -cos))
+    qs = cell_scores(q_mat)
+    probes = []
+    for i in range(len(q_ids)):
+        order = np.lexsort((c_ids, -qs[i]))
+        probes.append(set(c_ids[order[:nprobe]].tolist()))
+    bc = df.sparkSession.sparkContext.broadcast(
+        (q_ids, q_mat, q_norm, probes)
+    )
+
+    out_schema = "query_id long, neighbor_id long, cosine double"
+
+    def score(batches):
+        import pandas as pd
+
+        ids, mat, norms, probe_sets = bc.value
+        for pdf in batches:
+            n_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            n_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            n_norm = np.linalg.norm(n_mat, axis=1)
+            cells = assign(n_mat)
+            cos = (
+                np.round((n_mat @ mat.T) / np.outer(n_norm, norms), round_digits)
+                + 0.0
+            )
+            parts = []
+            for j, qid in enumerate(ids):
+                mask = np.isin(cells, list(probe_sets[j])) & (n_ids != qid)
+                cand_ids, cand_cos = n_ids[mask], cos[mask, j]
+                if len(cand_ids) > k:
+                    idx = np.lexsort((cand_ids, -cand_cos))[:k]
+                else:
+                    idx = np.lexsort((cand_ids, -cand_cos))
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "neighbor_id": cand_ids[idx],
+                            "cosine": cand_cos[idx],
+                        }
+                    )
+                )
+            yield pd.concat(parts, ignore_index=True)
+
+    scored = df.select(id_col, vec_col).mapInPandas(score, out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
 def embedding_near_dups(
     df: DataFrame,
     *,

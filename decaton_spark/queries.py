@@ -847,6 +847,14 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivf_topk(emb, q, k=5, nlist=16, nprobe=4)
 
 
+@register("ann_ivf_topk_vec", QUERIES["ann_ivf_topk"].oracle)
+def ann_ivf_topk_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN, fused BLAS kernel — same algorithm and oracle."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") < 8)
+    return sim.ivf_topk_vectorized(emb, q, k=5, nlist=16, nprobe=4)
+
+
 _BUCKET = (
     "(CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END "
     "+ 2 * CASE WHEN embedding[2] > 0 THEN 1 ELSE 0 END "
