@@ -61,6 +61,23 @@ def main() -> None:
     ]
     task_time = sum(timings[n] for n in task_ops)
     tasks_processed = n_rows_events * len(task_ops)
+
+    # reference-workload mirror (benchmark/ module semantics): tasks
+    # with 4 ms × 5 simulated I/Os, concurrency 300/partition — the
+    # config behind the reference's ~23k tasks/s baseline
+    from decaton_spark.benchmark import latency_tasks, run_simulated_latency
+
+    run_simulated_latency(  # warm python workers
+        latency_tasks(spark, n_tasks=512, latency_ms=1, latency_count=1),
+        partitions=32,
+        concurrency=32,
+    )
+    ref = run_simulated_latency(
+        latency_tasks(spark, n_tasks=100_000, latency_ms=4, latency_count=5),
+        partitions=32,
+        concurrency=300,
+    )
+
     result = {
         "metric": "total wall seconds for the full operator-suite run",
         "value": total,
@@ -73,6 +90,7 @@ def main() -> None:
         "task_ops_rows_per_sec": round(tasks_processed / task_time)
         if task_time
         else None,
+        "ref_workload_tasks_per_sec": ref["tasks_per_sec"],
     }
     print(json.dumps(result))
 

@@ -588,6 +588,35 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_filtered_corpus",
+    """
+    WITH h AS (SELECT doc_id, md5(text) AS hh FROM documents),
+    keep AS (SELECT min(doc_id) AS doc_id FROM h GROUP BY hh)
+    SELECT d.lang, count(*) AS n_kept, CAST(sum(d.n_chars) AS BIGINT) AS kept_chars
+    FROM documents d JOIN keep k ON d.doc_id = k.doc_id
+    GROUP BY d.lang
+    """,
+)
+def dedup_filtered_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialization step a training pipeline actually runs:
+    keep one canonical doc per exact-duplicate group (min doc_id) and
+    emit the filtered corpus — here summarized per language. Survivor
+    ids broadcast back as a left-semi join, so the corpus scan is
+    filtered without a second shuffle of document bodies."""
+    docs = load_table(spark, "documents", sf_dir)
+    keep = (
+        docs.groupBy(F.md5(F.col("text").cast("binary")).alias("hh"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    kept = docs.join(F.broadcast(keep), "doc_id", "left_semi")
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").cast("long").alias("kept_chars"),
+    )
+
+
+@register(
     "dedup_ngram_jaccard",
     """
     WITH sets AS (
