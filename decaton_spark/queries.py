@@ -20,7 +20,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from decaton_spark.envelope import events_to_tasks
@@ -585,6 +585,69 @@ def events_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     return dd.exact_dups(docs)
+
+
+#: same md5-bucket fragment, dialect-specific string cast
+_SPLIT_BUCKET_ORACLE = md5_bucket("CAST(doc_id AS VARCHAR)", 100)
+_SPLIT_BUCKET_SPARK = md5_bucket("CAST(doc_id AS STRING)", 100)
+
+
+@register(
+    "deterministic_split",
+    f"""
+    WITH t AS (SELECT lang, {_SPLIT_BUCKET_ORACLE} AS bucket FROM documents)
+    SELECT lang,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+           count(*) AS n_docs
+    FROM t GROUP BY 1, 2
+    """,
+)
+def deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible train/val/test assignment by content-stable hash
+    bucket (the split every training pipeline needs to survive re-runs
+    and backfills — no RNG, no seed drift, any engine recomputes it).
+    80/10/10 by md5(doc_id) % 100."""
+    docs = load_table(spark, "documents", sf_dir)
+    bucket = F.expr(_SPLIT_BUCKET_SPARK)
+    split = (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return docs.groupBy("lang", split.alias("split")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+@register(
+    "group_topn_orders",
+    """
+    SELECT c_custkey, o_orderkey, o_totalprice, rn FROM (
+        SELECT o_custkey AS c_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders)
+    WHERE rn <= 3
+    """,
+)
+def group_topn_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-N (each customer's 3 largest orders): one shuffle
+    on the group key; rank is computed within groups, never a global
+    sort."""
+    o = load_table(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.select(
+            F.col("o_custkey").alias("c_custkey"),
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
 
 
 @register(
