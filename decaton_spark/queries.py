@@ -620,6 +620,40 @@ def deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: per-language keep-rates for corpus rebalancing (percent of md5 buckets)
+_MIX_RATES = {"en": 40, "fr": 80, "es": 80, "zh": 100, "de": 100}
+_MIX_CASE = (
+    "CASE lang "
+    + " ".join(f"WHEN '{k}' THEN {v}" for k, v in _MIX_RATES.items())
+    + " ELSE 0 END"
+)
+
+
+@register(
+    "deterministic_mixture",
+    f"""
+    WITH t AS (SELECT lang, {_SPLIT_BUCKET_ORACLE} AS bucket FROM documents)
+    SELECT lang, count(*) AS n_kept
+    FROM t WHERE bucket < {_MIX_CASE}
+    GROUP BY lang
+    """,
+)
+def deterministic_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture rebalancing: downsample over-represented
+    languages by a per-language keep-rate, applied on the same
+    content-stable hash bucket as the split — so mixture decisions are
+    reproducible, composable with the split, and never resample a
+    document differently across runs."""
+    docs = load_table(spark, "documents", sf_dir)
+    bucket = F.expr(_SPLIT_BUCKET_SPARK)
+    rate = F.expr(_MIX_CASE)
+    return (
+        docs.filter(bucket < rate)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+
+
 @register(
     "group_topn_orders",
     """
