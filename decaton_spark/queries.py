@@ -1779,6 +1779,439 @@ def range_join_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Remaining TPC-H query shapes, adapted to the driver's reduced schema
+# (no partsupp/shipmode/commitdate/phone columns; part<->supplier links
+# derive from lineitem). Completes the relational surface: correlated
+# min, multi-join agg, scalar-subquery HAVING, conditional agg, outer
+# join distribution, distinct-count agg, correlated avg, disjunctive
+# predicates, nested semi-join, anti-join + global scalar.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q2_min_acctbal_supplier",
+    """
+    WITH links AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    ranked AS (
+        SELECT p.p_partkey, p.p_name, s.s_acctbal, s.s_suppkey,
+               row_number() OVER (PARTITION BY p.p_partkey
+                                  ORDER BY s.s_acctbal, s.s_suppkey) AS rn
+        FROM links j
+        JOIN part p ON p.p_partkey = j.l_partkey
+        JOIN supplier s ON s.s_suppkey = j.l_suppkey
+        WHERE p.p_type = 'STANDARD' AND p.p_size <= 10)
+    SELECT p_partkey, p_name, s_acctbal AS best_acctbal,
+           s_suppkey AS best_suppkey
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q2_min_acctbal_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (correlated min): for each STANDARD small part, the
+    lowest-balance supplier that ever shipped it. The correlated subquery
+    is decorrelated to min(struct(...)) — a partial-aggregatable
+    map-side combine, no window sort — with (acctbal, suppkey) as the
+    deterministic tiebreak."""
+    li = load_table(spark, "lineitem", sf_dir)
+    p = load_table(spark, "part", sf_dir).filter(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 10)
+    )
+    s = load_table(spark, "supplier", sf_dir)
+    links = li.select("l_partkey", "l_suppkey").distinct()
+    best = (
+        links.join(F.broadcast(p), links.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), links.l_suppkey == s.s_suppkey)
+        .groupBy("p_partkey", "p_name")
+        .agg(F.min(F.struct("s_acctbal", "s_suppkey")).alias("m"))
+    )
+    return best.select(
+        "p_partkey",
+        "p_name",
+        F.col("m.s_acctbal").alias("best_acctbal"),
+        F.col("m.s_suppkey").alias("best_suppkey"),
+    )
+
+
+@register(
+    "q9_nation_year_profit",
+    """
+    SELECT n.n_name,
+           CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+           CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS profit
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY 1, 2
+    """,
+)
+def q9_nation_year_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation × order year for widget
+    parts. part/supplier/nation broadcast; the part-name predicate is
+    applied before the join so only matching partkeys reach the fact
+    shuffle."""
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    p = load_table(spark, "part", sf_dir).filter(F.col("p_name").contains("widget"))
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(24,6)")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            "n_name", F.year("o_orderdate").cast("long").alias("o_year")
+        )
+        .agg(F.sum(rev).cast("double").alias("profit"))
+    )
+
+
+@register(
+    "q11_revenue_concentration",
+    """
+    WITH pr AS (
+        SELECT l_partkey,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS part_rev
+        FROM lineitem GROUP BY l_partkey),
+    tot AS (SELECT sum(part_rev) AS total_rev, count(*) AS n_parts FROM pr)
+    SELECT pr.l_partkey, pr.part_rev
+    FROM pr, tot
+    WHERE pr.part_rev * tot.n_parts > tot.total_rev * 1.5
+    """,
+)
+def q11_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (scalar-subquery HAVING): parts holding more than
+    1.5x the mean per-part revenue share — a scale-invariant threshold,
+    meaningful at any SF. The global total is a 1-row aggregate
+    broadcast into the filter — no second scan of the fact table.
+
+    The per-part sums are exact decimals cast to double, so the double
+    total and threshold are bit-identical across engines."""
+    li = load_table(spark, "lineitem", sf_dir)
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(24,6)")
+    pr = li.groupBy("l_partkey").agg(F.sum(rev).cast("double").alias("part_rev"))
+    tot = pr.agg(
+        F.sum("part_rev").alias("total_rev"), F.count(F.lit(1)).alias("n_parts")
+    )
+    return (
+        pr.crossJoin(F.broadcast(tot))
+        .filter(F.col("part_rev") * F.col("n_parts") > F.col("total_rev") * 1.5)
+        .select("l_partkey", "part_rev")
+    )
+
+
+@register(
+    "q12_priority_by_returnflag",
+    """
+    SELECT l.l_returnflag,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= o.o_orderdate
+    GROUP BY l.l_returnflag
+    """,
+)
+def q12_priority_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (conditional aggregation): high- vs low-priority
+    line counts per return flag (the reduced schema has no shipmode, so
+    returnflag is the category)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q13_order_count_distribution",
+    """
+    WITH per_cust AS (
+        SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey)
+    SELECT c_count, count(*) AS custdist
+    FROM per_cust GROUP BY c_count
+    """,
+)
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of orders-per-customer, including
+    zero-order customers via the left outer join."""
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "q16_supplier_variety",
+    """
+    WITH links AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+    SELECT p.p_brand, p.p_type, p.p_size,
+           count(DISTINCT j.l_suppkey) AS supplier_cnt
+    FROM links j JOIN part p ON p.p_partkey = j.l_partkey
+    WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+    GROUP BY 1, 2, 3
+    """,
+)
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier count per (brand, type, size),
+    with NOT-predicates on the dimension. The part filter is applied
+    before the broadcast join; distinct-count partial-aggregates."""
+    li = load_table(spark, "lineitem", sf_dir)
+    p = load_table(spark, "part", sf_dir).filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    )
+    links = li.select("l_partkey", "l_suppkey").distinct()
+    return (
+        links.join(F.broadcast(p), links.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q17_small_qty_revenue",
+    """
+    WITH pq AS (
+        SELECT l_partkey,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty
+        FROM lineitem GROUP BY l_partkey)
+    SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+           count(*) AS n
+    FROM lineitem l
+    JOIN pq ON pq.l_partkey = l.l_partkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#3' AND l.l_quantity < 0.2 * pq.avg_qty
+    """,
+)
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (correlated avg): revenue from orders far below a
+    part's mean quantity. The correlated subquery is decorrelated into a
+    per-part aggregate joined back to the fact — one extra shuffle of the
+    (partkey, avg) pairs only; the per-part mean is an exact decimal sum
+    divided once, engine-identical at any partition order."""
+    li = load_table(spark, "lineitem", sf_dir)
+    p = load_table(spark, "part", sf_dir).filter(F.col("p_brand") == "Brand#3")
+    pq = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(pq, li.l_partkey == pq.pk)
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+                / 7.0
+            ).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "q18_large_volume_customers",
+    """
+    WITH big AS (
+        SELECT l_orderkey,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 250)
+    SELECT c.c_custkey, c.c_name, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           o.o_totalprice, b.total_qty
+    FROM big b
+    JOIN orders o ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (HAVING over grouped fact, joined back to dims):
+    orders with total quantity > 250 (top ~1%) and their customers. The HAVING
+    shrinks the fact to a handful of orderkeys before any join, so both
+    joins broadcast the small side."""
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    qty = F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(qty.alias("qty_dec"))
+        .filter(F.col("qty_dec") > 250)
+        .select("l_orderkey", F.col("qty_dec").cast("double").alias("total_qty"))
+    )
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_totalprice",
+            "total_qty",
+        )
+    )
+
+
+@register(
+    "q19_disjunctive_revenue",
+    """
+    SELECT CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS revenue,
+           count(*) AS n
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunctive mixed-table predicates. The
+    brand/size disjunction prunes the broadcast part side; the combined
+    OR is evaluated post-join inside codegen (no UDF)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    p = load_table(spark, "part", sf_dir).filter(
+        (
+            (F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
+        )
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 25))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 35))
+    )
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(24,6)")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "q20_qualified_suppliers",
+    """
+    WITH shipped AS (
+        SELECT l.l_suppkey,
+               CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS red_qty
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_name LIKE 'red%'
+        GROUP BY l.l_suppkey)
+    SELECT s.s_suppkey, s.s_name, sh.red_qty
+    FROM supplier s JOIN shipped sh ON sh.l_suppkey = s.s_suppkey
+    WHERE sh.red_qty > 50
+    """,
+)
+def q20_qualified_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (nested semi-join): suppliers who moved > 50 units
+    of red parts. The inner aggregate runs over the part-filtered fact;
+    its result (≤ |supplier| rows) broadcasts into the outer join."""
+    li = load_table(spark, "lineitem", sf_dir)
+    p = load_table(spark, "part", sf_dir).filter(F.col("p_name").startswith("red"))
+    s = load_table(spark, "supplier", sf_dir)
+    shipped = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("red_qty")
+        )
+        .filter(F.col("red_qty") > 50)
+    )
+    return s.join(F.broadcast(shipped), s.s_suppkey == shipped.l_suppkey).select(
+        "s_suppkey", "s_name", "red_qty"
+    )
+
+
+@register(
+    "q22_idle_wealthy_customers",
+    """
+    WITH avg_bal AS (
+        SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS ab
+        FROM customer WHERE c_acctbal > 0)
+    SELECT c.c_mktsegment, count(*) AS numcust,
+           CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM customer c, avg_bal
+    WHERE c.c_acctbal > avg_bal.ab
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderdate >= DATE '2000-01-01')
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q22_idle_wealthy_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with no recent
+    orders (none since 2000-01-01), by market segment. NOT EXISTS is a
+    left-anti join on the filtered orders custkey projection (the date
+    predicate pushes to the orders scan); the global mean is a broadcast
+    1-row aggregate."""
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir).filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("ab")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(o.select("o_custkey"), c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("totacctbal"),
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the Decaton pipeline (blocklist → validate → compact →
     per-key stats) over sf0.001, end-to-end through the operator chain."""
