@@ -50,29 +50,33 @@ def word_shingles(text_col: str = "text", k: int = 3) -> Column:
     return F.array_distinct(F.transform(idx, shingle_at))
 
 
-def minhash_signature(shingles_col: str, bands: int = 4) -> list[Column]:
-    """One min-hash per band: min over shingles of an 8-hex-digit slice
-    of the shingle's md5 (band b reads digits 8b+1..8b+8, so up to 4
-    bands come from ONE md5 per shingle — 4× fewer digests than
-    hashing per band).
+def minhash_signature(hashes_col: str, bands: int = 4) -> list[Column]:
+    """One min-hash per band over a PRE-COMPUTED md5-hex array column:
+    band b is the min over shingles of the 8-hex-digit slice at digits
+    8b+1..8b+8 of the shingle's md5, so up to 4 bands read ONE digest
+    per shingle.
+
+    The md5 array must be hoisted into its own projection
+    (``transform(shingles, s -> md5(s))``) rather than inlined per band:
+    Catalyst does not CSE across lambda scopes, so an inlined form
+    re-hashes every shingle once per band (4× the digest work).
+    CollapseProject keeps the hoisted projection as a barrier because
+    the transform is non-cheap and referenced ``bands`` times.
 
     With one hash per band this is LSH banding with r=1 rows/band —
     candidate pairs share the min-hash in at least one band. Hash text
-    is engine-portable (md5 hex arithmetic); built as one SQL lambda so
-    the same fragment runs in the DuckDB oracle.
+    is engine-portable (md5 hex arithmetic); the DuckDB oracle uses the
+    same ``hex_to_long`` fragment.
     """
     if bands > 4:
         raise ValueError("md5 yields 32 hex digits = at most 4 8-digit bands")
-    sigs = []
-    for b in range(bands):
-        slice_int = hex_to_long("h", start=1 + 8 * b, ndigits=8)
-        sigs.append(
-            F.expr(
-                f"array_min(transform(transform({shingles_col}, s -> md5(s)), "
-                f"h -> {slice_int}))"
-            ).alias(f"minhash_{b}")
-        )
-    return sigs
+    return [
+        F.expr(
+            f"array_min(transform({hashes_col}, "
+            f"h -> {hex_to_long('h', start=1 + 8 * b, ndigits=8)}))"
+        ).alias(f"minhash_{b}")
+        for b in range(bands)
+    ]
 
 
 def minhash_buckets(
@@ -82,13 +86,23 @@ def minhash_buckets(
     id_col: str = "doc_id",
     k: int = 3,
     bands: int = 4,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """(band, signature, bucket_size, min_id): LSH buckets with ≥2 docs —
     each bucket is a near-duplicate candidate group. The downstream
-    pair-join only ever happens within buckets (the 100 TB-safe path)."""
-    sh = word_shingles(text_col, k)
-    sig = df.withColumn("shingles", sh).select(
-        F.col(id_col), *minhash_signature("shingles", bands)
+    pair-join only ever happens within buckets (the 100 TB-safe path).
+
+    ``num_partitions``: optional pre-hash repartition. The shingle+md5
+    stage is CPU-bound; when the source is a few large files (fewer
+    splits than cores), pass ``spark.sparkContext.defaultParallelism``
+    to spread the hashing — the extra shuffle moves only the raw text
+    once and is repaid ~cores-fold on the hash stage."""
+    if num_partitions:
+        df = df.repartition(num_partitions)
+    sig = (
+        df.withColumn("shingles", word_shingles(text_col, k))
+        .withColumn("hashes", F.expr("transform(shingles, s -> md5(s))"))
+        .select(F.col(id_col), *minhash_signature("hashes", bands))
     )
     stacked = sig.select(
         F.col(id_col),

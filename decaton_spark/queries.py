@@ -757,7 +757,10 @@ def _minhash_oracle(bands: int = 4, k: int = 3) -> str:
 @register("dedup_minhash_lsh", _minhash_oracle())
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
-    return dd.minhash_buckets(docs, k=3, bands=4)
+    return dd.minhash_buckets(
+        docs, k=3, bands=4,
+        num_partitions=spark.sparkContext.defaultParallelism,
+    )
 
 
 def _simhash_oracle(bits: int = 16) -> str:
