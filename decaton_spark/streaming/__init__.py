@@ -2,6 +2,7 @@ from decaton_spark.streaming.subscription import Subscription
 from decaton_spark.streaming.event_time import event_time_compact
 from decaton_spark.streaming.stateful import (
     ordered_process,
+    streaming_batch,
     streaming_compact,
     streaming_quota,
     streaming_scheduled,
@@ -11,6 +12,7 @@ __all__ = [
     "Subscription",
     "event_time_compact",
     "ordered_process",
+    "streaming_batch",
     "streaming_compact",
     "streaming_quota",
     "streaming_scheduled",

@@ -245,6 +245,104 @@ def streaming_quota(
     )
 
 
+def streaming_batch(
+    tasks: DataFrame,
+    *,
+    capacity: int = 100,
+    linger_ms: int = 1_000,
+) -> DataFrame:
+    """Streaming T2 — size+time microbatching with BatchingProcessor
+    semantics (``BatchingProcessor.java:126-163``): buffer tasks per
+    Kafka partition (the reference buffers per processor instance = per
+    sub-partition; partition is the stable superset scope), flush a
+    batch the moment ``capacity`` tasks are buffered, and flush whatever
+    is buffered once ``linger_ms`` has elapsed since the oldest buffered
+    task — whichever comes first.
+
+    Emission is one row per FLUSHED batch: (partition, batch_seq,
+    batch_size, first_offset, last_offset, reason) with reason
+    'size' | 'linger'. Unlike the reference's in-memory ``windowMap``,
+    the buffer lives in the checkpointed state store, so a restart
+    re-flushes instead of losing the pending batch (at-least-once).
+
+    Requires no-data microbatches (Spark default) so linger flushes
+    fire without new input.
+    """
+    import time as _time
+
+    out_schema = (
+        "partition int, batch_seq long, batch_size long, "
+        "first_offset long, last_offset long, reason string"
+    )
+    state_schema = "offs array<long>, first_buffered_ms long, batch_seq long"
+
+    def update(
+        pkey: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            st_offs, first_ms, seq = state.get
+            pending = [int(x) for x in st_offs]
+            first_ms = int(first_ms)
+            seq = int(seq)
+        else:
+            pending, first_ms, seq = [], 0, 0
+
+        new = pd.concat(list(pdfs), ignore_index=True)
+        if len(new):
+            new = new.sort_values("offset")
+            if not pending:
+                first_ms = int(_time.time() * 1000)
+            pending.extend(int(x) for x in new["offset"])
+
+        now_ms = int(_time.time() * 1000)
+        flushed = {
+            "partition": [], "batch_seq": [], "batch_size": [],
+            "first_offset": [], "last_offset": [], "reason": [],
+        }
+
+        def emit(batch: list[int], reason: str) -> None:
+            nonlocal seq
+            flushed["partition"].append(pkey[0])
+            flushed["batch_seq"].append(seq)
+            flushed["batch_size"].append(len(batch))
+            flushed["first_offset"].append(batch[0])
+            flushed["last_offset"].append(batch[-1])
+            flushed["reason"].append(reason)
+            seq += 1
+
+        while len(pending) >= capacity:  # size flushes first, full batches
+            emit(pending[:capacity], "size")
+            pending = pending[capacity:]
+            first_ms = now_ms  # remainder restarts its linger clock
+        if pending and now_ms - first_ms >= linger_ms:
+            emit(pending, "linger")
+            pending = []
+
+        if pending:
+            state.update((pending, first_ms, seq))
+            state.setTimeoutDuration(max(1, first_ms + linger_ms - now_ms))
+        elif state.exists:
+            state.update(([], 0, seq))  # keep batch_seq monotonic
+            state.setTimeoutDuration(24 * 3_600_000)
+
+        if flushed["partition"]:
+            yield pd.DataFrame(flushed)
+
+    return (
+        tasks.select("partition", "offset")
+        .groupBy("partition")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
 def streaming_scheduled(
     tasks: DataFrame,
     *,

@@ -271,6 +271,69 @@ def test_event_time_compact_drops_late_rows(spark, tmp_path):
     assert dropped == 1, "exactly the late row counted as watermark-dropped"
 
 
+def test_streaming_batch_size_and_linger_flush(spark, tmp_path):
+    """T2 streaming form (BatchingProcessor.java:126-163): a partition
+    with >= capacity tasks flushes full 'size' batches immediately; the
+    remainder (and any under-capacity partition) flushes via the linger
+    timer. Every input row lands in exactly one flushed batch."""
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from decaton_spark.streaming import streaming_batch
+
+    d = tmp_path / "stream"
+    d.mkdir()
+    # partition 0: 23 tasks (capacity 10 => two size flushes + linger 3)
+    # partition 1: 4 tasks (=> one linger flush)
+    parts = [0] * 23 + [1] * 4
+    offs = list(range(23)) + list(range(4))
+    tbl = pa.table(
+        {
+            "partition": pa.array(parts, pa.int32()),
+            "offset": pa.array(offs, pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(d / "00.parquet"))
+
+    schema = "partition int, offset long"
+    stream = spark.readStream.schema(schema).parquet(str(d))
+    out = streaming_batch(stream, capacity=10, linger_ms=2_000)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("batch_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 45
+        rows = []
+        while time.time() < deadline:
+            rows = spark.sql(
+                "SELECT * FROM batch_out ORDER BY partition, batch_seq"
+            ).collect()
+            if sum(r["batch_size"] for r in rows) == 27:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+
+    assert sum(r["batch_size"] for r in rows) == 27, f"all rows flushed: {rows}"
+    p0 = [r for r in rows if r["partition"] == 0]
+    p1 = [r for r in rows if r["partition"] == 1]
+    assert [r["reason"] for r in p0] == ["size", "size", "linger"]
+    assert [r["batch_size"] for r in p0] == [10, 10, 3]
+    # batches partition an ordered offset range, no overlap, no gap
+    assert [(r["first_offset"], r["last_offset"]) for r in p0] == [
+        (0, 9), (10, 19), (20, 22)
+    ]
+    assert [(r["reason"], r["batch_size"]) for r in p1] == [("linger", 4)]
+    assert [r["batch_seq"] for r in p0] == [0, 1, 2]
+
+
 def test_streaming_scheduled_holds_until_due(spark, tmp_path):
     """T4 streaming form: tasks with a future scheduled_time are held in
     state and released by a processing-time timer at/after their due
