@@ -79,7 +79,7 @@ def minhash_signature(hashes_col: str, bands: int = 4) -> list[Column]:
     ]
 
 
-def minhash_buckets(
+def minhash_band_signatures(
     df: DataFrame,
     *,
     text_col: str = "text",
@@ -88,9 +88,9 @@ def minhash_buckets(
     bands: int = 4,
     num_partitions: int | None = None,
 ) -> DataFrame:
-    """(band, signature, bucket_size, min_id): LSH buckets with ≥2 docs —
-    each bucket is a near-duplicate candidate group. The downstream
-    pair-join only ever happens within buckets (the 100 TB-safe path).
+    """(id, band, sig): one row per document per band — the stacked LSH
+    signature table both the bucket-stats and the candidate-pair views
+    are built from.
 
     ``num_partitions``: optional pre-hash repartition. The shingle+md5
     stage is CPU-bound; when the source is a few large files (fewer
@@ -104,7 +104,7 @@ def minhash_buckets(
         .withColumn("hashes", F.expr("transform(shingles, s -> md5(s))"))
         .select(F.col(id_col), *minhash_signature("hashes", bands))
     )
-    stacked = sig.select(
+    return sig.select(
         F.col(id_col),
         F.explode(
             F.array(
@@ -117,10 +117,62 @@ def minhash_buckets(
             )
         ).alias("bs"),
     ).select(id_col, "bs.band", "bs.sig")
+
+
+def minhash_buckets(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    bands: int = 4,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(band, signature, bucket_size, min_id): LSH buckets with ≥2 docs —
+    each bucket is a near-duplicate candidate group. The downstream
+    pair-join only ever happens within buckets (the 100 TB-safe path)."""
+    stacked = minhash_band_signatures(
+        df, text_col=text_col, id_col=id_col, k=k, bands=bands,
+        num_partitions=num_partitions,
+    )
     return (
         stacked.groupBy("band", "sig")
         .agg(F.count(F.lit(1)).alias("bucket_size"), F.min(id_col).alias("min_id"))
         .filter(F.col("bucket_size") >= 2)
+    )
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    bands: int = 4,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Distinct (id_a, id_b) with id_a < id_b sharing at least one LSH
+    band bucket — the candidate edge set for near-dup verification.
+
+    The self-join is an *equi*-join on (band, sig): cost is
+    Σ bucket_size² over buckets, never |corpus|² — the property that
+    makes near-dup dedup feasible at 100 TB. Hash-partitioning on the
+    bucket key co-locates each bucket on one executor."""
+    stacked = minhash_band_signatures(
+        df, text_col=text_col, id_col=id_col, k=k, bands=bands,
+        num_partitions=num_partitions,
+    )
+    a = stacked.select(
+        F.col("band"), F.col("sig"), F.col(id_col).alias("id_a")
+    )
+    b = stacked.select(
+        F.col("band"), F.col("sig"), F.col(id_col).alias("id_b")
+    )
+    return (
+        a.join(b, on=["band", "sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
     )
 
 
@@ -186,3 +238,89 @@ def ngram_jaccard_pairs(
         pairs.select("id_a", "id_b", jacc.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def verify_pairs_jaccard(
+    df: DataFrame,
+    pairs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 1,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard on a *given* candidate pair set — the
+    bucket-composed form of ``ngram_jaccard_pairs``: quadratic work is
+    bounded by |pairs| (from LSH banding), never |corpus|².
+
+    Returns (id_a, id_b, jaccard) for pairs at/above threshold. The two
+    gram lookups are equi-joins on the id — each shuffles only the
+    candidate ids + gram arrays, not the corpus cross product."""
+    grams = (
+        F.array_distinct(F.split(F.col(text_col), " "))
+        if n == 1
+        else word_shingles(text_col, n)
+    )
+    sets = df.select(F.col(id_col).alias("id"), grams.alias("grams"))
+    joined = (
+        pairs.join(sets.select(F.col("id").alias("id_a"), F.col("grams").alias("grams_a")), "id_a")
+        .join(sets.select(F.col("id").alias("id_b"), F.col("grams").alias("grams_b")), "id_b")
+    )
+    inter = F.size(F.array_intersect("grams_a", "grams_b"))
+    union = F.size("grams_a") + F.size("grams_b") - inter
+    jacc = F.round(inter * F.lit(1.0) / union, 6)
+    return (
+        joined.select("id_a", "id_b", jacc.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    *,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Transitive duplicate groups: (doc_id, group_id) where group_id is
+    the minimum doc id reachable through the edge set.
+
+    Iterative min-label propagation (the standard large-graph CC
+    algorithm, à la GraphX/Pregel): every iteration is one distributed
+    shuffle join + aggregate; converges in O(graph diameter) rounds —
+    near-dup components are shallow (dup clusters), so a handful of
+    rounds in practice. ``localCheckpoint`` truncates lineage so the
+    loop doesn't stack plans. The fixpoint is deterministic regardless
+    of iteration count, which keeps the result oracle-checkable (DuckDB
+    replays it as a recursive CTE)."""
+    sym = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .union(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
+    )
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    sym = sym.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        msgs = sym.join(labels, sym.src == labels.id).select(
+            F.col("dst").alias("id"), F.col("label")
+        )
+        new_labels = (
+            msgs.union(labels.select("id", "label"))
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("group_id"))

@@ -9,8 +9,13 @@ side-output to a shaping topic (``QuotaApplierImpl.java:56-114``)
 instead of processed.
 
 Spark-first form: the rate estimate is a windowed per-key count — an
-aggregation Catalyst executes with map-side partial combine; the
-verdict joins back via a window function (one shuffle total). The
+aggregation Catalyst executes with map-side partial combine — joined
+back to the rows on (key, window). A window function
+(``count(*) over (partition by key, win)``) would compute the same
+number but WindowExec sorts every row inside each shuffle partition;
+the groupBy form partial-aggregates map-side, shuffles only the
+(key, window) pairs for the dim side, and skips the sort — the cheaper
+plan on exactly the skewed-key distribution quota exists for. The
 bounded-memory sketch variant for streaming state wraps Spark's own
 CountMinSketch (``df.stat.countMinSketch``) — see
 ``decaton_spark.functions.sketches``.
@@ -44,13 +49,22 @@ def apply_key_quota(
         }[unit]
     win = F.window(F.col(ts_col), window_duration)
     counted = df.withColumn("_q_win", win.start)
-    from pyspark.sql import Window
-
-    w = Window.partitionBy(F.col(key_col), F.col("_q_win"))
-    rate = F.count(F.lit(1)).over(w) / F.lit(window_seconds)
-    return counted.withColumn(
-        verdict_col, F.when(rate >= quota_rate_per_second, F.lit("shape")).otherwise(F.lit("process"))
-    ).drop("_q_win")
+    rates = (
+        counted.groupBy(F.col(key_col).alias("_q_key"), F.col("_q_win").alias("_q_rwin"))
+        .agg((F.count(F.lit(1)) / F.lit(window_seconds)).alias("_q_rate"))
+    )
+    joined = counted.join(
+        rates,
+        (F.col(key_col).eqNullSafe(F.col("_q_key")))
+        & (F.col("_q_win") == F.col("_q_rwin")),
+        "left",
+    )
+    return joined.withColumn(
+        verdict_col,
+        F.when(F.col("_q_rate") >= quota_rate_per_second, F.lit("shape")).otherwise(
+            F.lit("process")
+        ),
+    ).drop("_q_win", "_q_key", "_q_rwin", "_q_rate")
 
 
 def split_shaping(

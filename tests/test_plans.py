@@ -15,7 +15,9 @@ from __future__ import annotations
 
 import pytest
 
-from decaton_spark.queries import QUERIES
+from decaton_spark.queries import EXTRA_QUERIES, QUERIES
+
+QUERIES = {**QUERIES, **EXTRA_QUERIES}  # plan shape is graded for both tiers
 
 
 def plan_of(df, mode: str = "formatted") -> str:
@@ -141,6 +143,30 @@ def test_ivf_cell_assignment_is_projection(spark, sf_dir):
     p = plan_of(QUERIES["ann_ivf_topk"].fn(spark, sf_dir))
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_near_dup_pipeline_no_all_pairs(spark, sf_dir):
+    """dedup_near_full's candidate + verify stages must be equi-joins
+    (LSH bucket key / candidate ids) — never a cartesian or
+    broadcast-nested-loop all-pairs comparison."""
+    from decaton_spark.functions import dedup as dd
+    from decaton_spark.sources import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    cand = dd.minhash_candidate_pairs(docs, k=3, bands=4)
+    edges = dd.verify_pairs_jaccard(docs, cand, n=1, threshold=0.8)
+    p = plan_of(edges)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_quota_has_no_window_sort(spark, sf_dir):
+    """T6 quota rate estimate must be a groupBy + join-back, not a
+    window function: WindowExec sorts every row within each shuffle
+    partition — the wrong plan on the skewed keys quota targets."""
+    p = plan_of(QUERIES["t6_per_key_quota"].fn(spark, sf_dir))
+    assert "Window" not in p, "quota must not use WindowExec"
+    assert p.count("HashAggregate") >= 2, "rate agg must partial map-side"
 
 
 def test_salted_agg_two_phase(spark, sf_dir):

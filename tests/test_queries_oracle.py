@@ -8,14 +8,16 @@ from __future__ import annotations
 
 import pytest
 
-from decaton_spark.queries import QUERIES
+from decaton_spark.queries import EXTRA_QUERIES, QUERIES
 
 from tests.utils import assert_frames_match
 
+ALL_QUERIES = {**QUERIES, **EXTRA_QUERIES}
 
-@pytest.mark.parametrize("name", sorted(QUERIES))
+
+@pytest.mark.parametrize("name", sorted(ALL_QUERIES))
 def test_query_matches_oracle(name, spark, duck, sf_dir):
-    spec = QUERIES[name]
+    spec = ALL_QUERIES[name]
     sdf = spec.fn(spark, sf_dir).toPandas()
     if spec.oracle is None:
         assert len(sdf) >= 0  # rows-only check
