@@ -376,6 +376,74 @@ def s8_legacy_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pb_oracle() -> str:
+    from decaton_spark import protocol as pb
+
+    meta_hex = pb.task_metadata_hex(
+        timestamp_millis="meta_timestamp_millis",
+        source_application_id="'app-pb'",
+        source_instance_id="concat('i-', pcol)",
+        retry_count="rc",
+        scheduled_time_millis="CAST(0 AS BIGINT)",
+    )
+    return f"""
+    WITH {TASKS_CTE},
+    base AS (
+        SELECT key, "offset", value, meta_timestamp_millis,
+               CAST("partition" AS VARCHAR) AS pcol,
+               CAST("offset" % 5 AS BIGINT) AS rc
+        FROM tasks WHERE "offset" < 100)
+    SELECT key, "offset",
+           {pb.task_request_hex(meta_hex, "value")} AS wire_hex,
+           meta_timestamp_millis AS pb_timestamp_millis,
+           'app-pb' AS pb_source_application_id,
+           concat('i-', pcol) AS pb_source_instance_id,
+           rc AS pb_retry_count,
+           CAST(0 AS BIGINT) AS pb_scheduled_time_millis,
+           value AS task_json
+    FROM base
+    """
+
+
+@register("s8_protobuf_envelope", _pb_oracle())
+def s8_protobuf_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7/S8 protobuf wire format (decaton.proto:9-25,
+    decaton_internal.proto:13-18, ProtocolBuffersDeserializer.java):
+    metadata + task encoded to real protobuf bytes by the cross-engine
+    SQL encoder, decoded back by the dependency-free wire parser
+    (Arrow-batched mapInPandas). The oracle replays the encoder hex
+    byte-for-byte and asserts the decode is the identity — so both
+    directions of the codec are driver-verified."""
+    from decaton_spark import protocol as pb
+
+    tasks = (
+        _tasks(spark, sf_dir)
+        .filter(F.col("offset") < 100)
+        .withColumn("pcol", F.col("partition").cast("string"))
+        .withColumn("rc", (F.col("offset") % 5).cast("long"))
+    )
+    meta_hex = pb.task_metadata_hex(
+        timestamp_millis="meta_timestamp_millis",
+        source_application_id="'app-pb'",
+        source_instance_id="concat('i-', pcol)",
+        retry_count="rc",
+        scheduled_time_millis="CAST(0 AS BIGINT)",
+    )
+    wire = tasks.select(
+        "key",
+        "offset",
+        F.expr(pb.task_request_hex(meta_hex, "value")).alias("wire_hex"),
+    ).withColumn("wire", F.unhex(F.col("wire_hex")))
+    decoded = pb.decode_task_requests(wire, "wire")
+    return decoded.select(
+        "key", "offset", "wire_hex",
+        "pb_timestamp_millis", "pb_source_application_id",
+        "pb_source_instance_id", "pb_retry_count",
+        "pb_scheduled_time_millis",
+        F.col("serialized_task").cast("string").alias("task_json"),
+    )
+
+
 @register(
     "t13_pipeline_chain",
     f"""
@@ -2370,6 +2438,7 @@ _DRIVER_TIER = [
     # -- new this round --
     "text_suite",
     "dedup_near_full",
+    "s8_protobuf_envelope",
     # -- green driver rows in round 1, re-verified every round --
     "t1_compaction_windowed",
     "f1_ignore_keys",
@@ -2393,7 +2462,9 @@ _DRIVER_TIER = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "dedup_embedding_cosine",
+    # dedup_embedding_cosine -> EXTRA tier: bounded-cohort quadratic
+    # verifier, superseded as a scale path by dedup_near_full; keeps its
+    # r01 driver row + the pytest oracle gate.
     "ann_brute_force_topk",
     "ann_ivf_topk",
     "multimodal_binary_meta",
