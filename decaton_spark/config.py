@@ -51,6 +51,9 @@ class StaticPropertySupplier:
     def get(self, name: str) -> Any:
         return self._props.get(name, PROPERTY_DEFS[name][0])
 
+    def defines(self, name: str) -> bool:
+        return name in self._props
+
     def snapshot(self) -> dict[str, Any]:
         return {k: self.get(k) for k in PROPERTY_DEFS}
 
@@ -80,6 +83,10 @@ class FilePropertySupplier:
         self._load()
         return self._cache.get(name, PROPERTY_DEFS[name][0])
 
+    def defines(self, name: str) -> bool:
+        self._load()
+        return name in self._cache
+
     def snapshot(self) -> dict[str, Any]:
         self._load()
         return {k: self.get(k) for k in PROPERTY_DEFS}
@@ -87,13 +94,15 @@ class FilePropertySupplier:
 
 def chain(*suppliers) -> Callable[[str], Any]:
     """First-supplier-wins lookup across several suppliers — mirrors
-    SubscriptionBuilder.properties(supplier...) precedence."""
+    SubscriptionBuilder.properties(supplier...) precedence
+    (``ProcessorProperties.Builder.setBySupplier``): the first supplier
+    that *defines* the property wins, even when it explicitly sets the
+    default value — definedness, not value, decides precedence."""
 
     def get(name: str) -> Any:
         for s in suppliers:
-            v = s.get(name)
-            if v != PROPERTY_DEFS[name][0]:
-                return v
+            if s.defines(name):
+                return s.get(name)
         return PROPERTY_DEFS[name][0]
 
     return get

@@ -32,8 +32,7 @@ def subscription_topics(topic: str, retry: bool = True, shaping: bool = False) -
     return ",".join(topics)
 
 
-def read_task_stream(
-    spark: SparkSession,
+def task_stream_options(
     bootstrap_servers: str,
     topic: str,
     *,
@@ -41,29 +40,44 @@ def read_task_stream(
     shaping: bool = False,
     max_offsets_per_trigger: int | None = 10_000,
     starting_offsets: str = "latest",
-) -> DataFrame:
-    """S1/S2: the streaming task envelope from Kafka.
-
-    ``maxOffsetsPerTrigger`` plays Decaton's max.pending.records
-    backpressure (T9, ``PartitionContext.java:175-177``).
-    """
-    reader = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("subscribe", subscription_topics(topic, retry, shaping))
-        .option("includeHeaders", "true")
-        .option("startingOffsets", starting_offsets)
-        .option("failOnDataLoss", "false")
-    )
+) -> dict[str, str]:
+    """The engine-owned reader configuration, as the exact option map
+    handed to the Kafka connector — pure data, unit-testable without a
+    broker. ``maxOffsetsPerTrigger`` plays Decaton's
+    max.pending.records backpressure (T9, PartitionContext.java:175-177);
+    ``includeHeaders`` carries the ``dt_meta`` task metadata header."""
+    opts = {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": subscription_topics(topic, retry, shaping),
+        "includeHeaders": "true",
+        "startingOffsets": starting_offsets,
+        "failOnDataLoss": "false",
+    }
     if max_offsets_per_trigger:
-        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    return opts
+
+
+def read_task_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    **kwargs,
+) -> DataFrame:
+    """S1/S2: the streaming task envelope from Kafka."""
+    reader = spark.readStream.format("kafka")
+    for k, v in task_stream_options(bootstrap_servers, topic, **kwargs).items():
+        reader = reader.option(k, v)
     raw = reader.load()
     return parse_header_metadata(raw)
 
 
-def write_task_stream(df: DataFrame, bootstrap_servers: str, default_topic: str | None = None):
-    """S3/S5/S6 producer: key/value/headers (+ per-row topic column for
-    retry/shaping routing) to Kafka. Returns the DataStreamWriter."""
+def task_sink_frame(df: DataFrame) -> DataFrame:
+    """S3: project a task frame onto the Kafka sink contract — binary
+    key/value, ``headers array<struct<key:string,value:binary>>``
+    carrying ``dt_meta`` (DecatonClientImpl.java:124-146), plus the
+    per-row ``topic`` column when present (retry/shaping routing).
+    Batch- and stream-agnostic, so it is testable without a broker."""
     out = metadata_to_header_json(df)
     cols = [
         F.col("key").cast("binary").alias("key"),
@@ -72,8 +86,14 @@ def write_task_stream(df: DataFrame, bootstrap_servers: str, default_topic: str 
     ]
     if "topic" in out.columns:
         cols.append(F.col("topic"))
+    return out.select(*cols)
+
+
+def write_task_stream(df: DataFrame, bootstrap_servers: str, default_topic: str | None = None):
+    """S3/S5/S6 producer: the sink frame to Kafka. Returns the
+    DataStreamWriter."""
     writer = (
-        out.select(*cols)
+        task_sink_frame(df)
         .writeStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)
     )

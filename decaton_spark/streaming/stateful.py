@@ -185,12 +185,19 @@ def streaming_quota(
 
     Grouping is by Kafka partition — one bounded sketch (depth×width
     longs) per partition, exactly Decaton's PerKeyQuotaManager scope.
-    The sketch rotates when the observation window advances
-    (WindowedKeyStat.java:74-111 keeps 2 windows; we keep the active
-    one per state entry, which shapes identically for tumbling checks).
+
+    Two ROTATING windows, matching WindowedKeyStat.java:74-111: the
+    estimate is the sum over the current + previous window sketches (a
+    sliding ~2-window view), so a burst straddling a window boundary is
+    still caught. When event time crosses into a new window the current
+    sketch rotates into the previous slot (or both clear after a gap
+    ≥2 windows). Rotation is FORWARD-ONLY: a late row whose timestamp
+    belongs to the previous window updates the previous sketch instead
+    of wiping the active one (arrival order within a microbatch is
+    offset order, not timestamp order).
     """
     out_schema = "key string, offset long, estimate long, quota_verdict string"
-    state_schema = "win long, counts array<long>"
+    state_schema = "win long, counts array<long>, prev_counts array<long>"
 
     def _buckets(key: str) -> list[int]:
         import hashlib
@@ -201,35 +208,50 @@ def streaming_quota(
         ]
 
     def update(pkey, pdfs, state: GroupState):
+        zeros = [0] * (depth * width)
         if state.exists:
-            win, counts = state.get
-            counts = list(counts)
+            win, counts, prev = state.get
+            counts, prev = list(counts), list(prev)
         else:
-            win, counts = -1, [0] * (depth * width)
+            win, counts, prev = -1, list(zeros), list(zeros)
         batch = pd.concat(list(pdfs), ignore_index=True)
         if not len(batch):
             return
         batch = batch.sort_values("offset")
         out_rows = {"key": [], "offset": [], "estimate": [], "quota_verdict": []}
+
+        def _estimate(sketch: list[int], bks: list[int]) -> int:
+            return min(sketch[d * width + b] for d, b in enumerate(bks))
+
+        def _bump(sketch: list[int], bks: list[int]) -> int:
+            new = _estimate(sketch, bks) + 1
+            for d, b in enumerate(bks):  # conservative update
+                idx = d * width + b
+                sketch[idx] = max(sketch[idx], new)
+            return new
+
         for key, off, ts in zip(
             batch["key"], batch["offset"], batch["meta_timestamp_millis"]
         ):
             w = (int(ts) // window_ms) * window_ms
-            if w != win:  # window rotation: fresh sketch
-                win, counts = w, [0] * (depth * width)
+            if w > win:  # forward rotation only
+                if win >= 0 and w == win + window_ms:
+                    prev = counts  # current becomes previous
+                else:
+                    prev = list(zeros)  # gap >= 2 windows: both stale
+                counts, win = list(zeros), w
             bks = _buckets(key)
-            est = min(counts[d * width + b] for d, b in enumerate(bks))
-            new_est = est + 1
-            for d, b in enumerate(bks):  # conservative update
-                idx = d * width + b
-                counts[idx] = max(counts[idx], new_est)
+            if w == win:
+                est = _bump(counts, bks) + _estimate(prev, bks)
+            else:  # late row: belongs to (or before) the previous window
+                est = _bump(prev, bks) + _estimate(counts, bks)
             out_rows["key"].append(key)
             out_rows["offset"].append(int(off))
-            out_rows["estimate"].append(new_est)
+            out_rows["estimate"].append(est)
             out_rows["quota_verdict"].append(
-                "shape" if new_est >= quota_per_window else "process"
+                "shape" if est >= quota_per_window else "process"
             )
-        state.update((win, counts))
+        state.update((win, counts, prev))
         yield pd.DataFrame(out_rows)
 
     return (

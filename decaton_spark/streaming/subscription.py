@@ -71,13 +71,30 @@ class Subscription:
         self.config_supplier = config_supplier
         self._query: StreamingQuery | None = None
         self._bucket: TokenBucket | None = None
-        if self.config.rate_limit_per_second >= 0:
-            self._bucket = TokenBucket(self.config.rate_limit_per_second)
+        self._bucket_rate: int | None = None
+        self._rebuild_bucket(self.config.rate_limit_per_second)
+
+    def _rebuild_bucket(self, rate: int) -> None:
+        if rate != self._bucket_rate:
+            self._bucket = TokenBucket(rate) if rate >= 0 else None
+            self._bucket_rate = rate
 
     # -- lifecycle (maps SubscriptionStateListener states) -----------------
 
     def _foreach_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         cfg = self.config_supplier() if self.config_supplier else self.config
+        # rate 0 = Decaton PAUSED (ProcessorProperties rate semantics:
+        # 0 "stops processing", RateLimiter.PAUSED): hold the trigger,
+        # re-reading the dynamic config until unpaused — records stay
+        # unprocessed, the microbatch does not complete. With a static
+        # config (nothing can ever unpause) skip the processor instead
+        # of wedging the query; the skip is observable in progress.
+        while cfg.rate_limit_per_second == 0 and self.config_supplier is not None:
+            time.sleep(0.25)
+            cfg = self.config_supplier()
+        if cfg.rate_limit_per_second == 0:
+            return  # statically paused: processor never runs
+        self._rebuild_bucket(cfg.rate_limit_per_second)
         df = batch_df
         if cfg.ignore_keys:
             from decaton_spark.operators.filters import ignore_keys as _ik

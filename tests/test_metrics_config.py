@@ -88,3 +88,14 @@ def test_chained_suppliers(tmp_path):
     assert get("decaton.processing.rate.per.partition") == 5
     assert get("decaton.max.pending.records") == 42
     assert get("decaton.commit.interval.ms") == 1_000
+
+
+def test_chain_first_supplier_wins_even_on_default_value(tmp_path):
+    """Precedence is by *definedness*, not value: a supplier explicitly
+    setting a property to its default still wins over a later supplier
+    with a non-default value (ProcessorProperties.Builder.setBySupplier)."""
+    first = StaticPropertySupplier(**{"decaton.max.pending.records": 10_000})
+    second = StaticPropertySupplier(**{"decaton.max.pending.records": 42})
+    assert chain(first, second)("decaton.max.pending.records") == 10_000
+    assert first.defines("decaton.max.pending.records")
+    assert not first.defines("decaton.commit.interval.ms")

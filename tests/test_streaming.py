@@ -78,6 +78,54 @@ def test_subscription_reloadable_config(spark, task_stream_dir):
     assert sum(calls[1:]) > 0, "after reload, key 1 flows again"
 
 
+def test_subscription_paused_static_skips_processor(spark, task_stream_dir):
+    """rate=0 is Decaton PAUSED (RateLimiter.PAUSED): with a static
+    config the processor must never run."""
+    path, schema = task_stream_dir
+    stream = spark.readStream.schema(schema).parquet(path)
+    seen: list[int] = []
+    sub = Subscription(
+        spark, stream,
+        process_fn=lambda df, bid: seen.append(df.count()),
+        config=SubscriptionConfig(
+            rate_limit_per_second=0, trigger={"availableNow": True}
+        ),
+    )
+    sub.start("test-paused")
+    sub.await_termination(120)
+    sub.stop()
+    assert seen == [], "PAUSED subscription must not process any batch"
+
+
+def test_subscription_paused_then_unpaused_resumes(spark, task_stream_dir):
+    """PAUSED holds the trigger; when the dynamic property changes the
+    held batch processes (nothing is lost)."""
+    path, schema = task_stream_dir
+    stream = spark.readStream.schema(schema).parquet(path)
+    seen: list[int] = []
+    polls: list[int] = []
+
+    def supplier():
+        polls.append(1)
+        # paused for the first few polls, then unpaused
+        rate = 0 if len(polls) < 3 else -1
+        return SubscriptionConfig(
+            rate_limit_per_second=rate, trigger={"availableNow": True}
+        )
+
+    sub = Subscription(
+        spark, stream,
+        process_fn=lambda df, bid: seen.append(df.count()),
+        config_supplier=supplier,
+        config=SubscriptionConfig(trigger={"availableNow": True}),
+    )
+    sub.start("test-unpause")
+    sub.await_termination(120)
+    sub.stop()
+    assert len(polls) >= 3, "pause loop must have re-read the config"
+    assert sum(seen) > 0, "held batch must process after unpause"
+
+
 def _final_survivors(spark, table: str):
     """Survivors are monotone under (ts, offset): the final survivor per
     (key, window) is the max over all update-mode emissions."""

@@ -122,6 +122,66 @@ def test_streaming_quota_cm_guarantees(spark, stream_parts, tmp_path):
             assert k in shaped_keys, f"key {k} with count {n} escaped shaping"
 
 
+def test_quota_two_window_catches_boundary_straddling_burst(spark, tmp_path):
+    """WindowedKeyStat.java:74-111 semantics: the rate estimate spans
+    TWO rotating windows, so a burst of 2×(quota-1) events straddling a
+    window boundary is shaped even though each tumbling window alone
+    stays under quota. Also: a late row from the previous window must
+    update the previous sketch, never wipe the active one."""
+    import pandas as pd
+
+    window_ms = 10_000
+    quota = 8
+    rows_spec = []
+    off = 0
+    # burst key: 7 events at the end of window 0, 7 at the start of
+    # window 1 (7 < quota per window; 14 >= quota across the boundary)
+    for i in range(7):
+        rows_spec.append(("burst", off, 9_000 + i))
+        off += 1
+    for i in range(7):
+        rows_spec.append(("burst", off, 10_100 + i))
+        off += 1
+    # a late row (window 0 timestamp) arriving after window 1 opened:
+    # must not reset window 1's counts
+    rows_spec.append(("burst", off, 9_999))
+    off += 1
+    # quiet key: 2 events per window, never shaped
+    for ts in (1_000, 11_000):
+        rows_spec.append(("quiet", off, ts))
+        off += 1
+
+    pdf = pd.DataFrame(
+        [(0, k, o, ts) for k, o, ts in rows_spec],
+        columns=["partition", "key", "offset", "meta_timestamp_millis"],
+    )
+    src = tmp_path / "burst-src"
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(str(src))
+    schema = spark.read.parquet(str(src)).schema
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    out = _run(
+        streaming_quota(stream, quota_per_window=quota, window_ms=window_ms),
+        tmp_path,
+        "quota-straddle",
+    )
+    by_offset = {r["offset"]: r for r in out}
+    # tumbling check would pass every event (7 < 8 per window); the
+    # 2-window estimate reaches quota inside window 1
+    burst_verdicts = [by_offset[o]["quota_verdict"] for o in range(14)]
+    assert "shape" in burst_verdicts[7:], "straddling burst escaped shaping"
+    assert all(v == "process" for v in burst_verdicts[:7]), "window 0 under quota"
+    # the late row adds to the *previous* window: estimate accounts for
+    # all 15 burst events (8 prev + 7 cur), and window 1's sketch
+    # survives (no backwards rotation)
+    late = by_offset[14]
+    assert late["estimate"] == 15
+    assert late["quota_verdict"] == "shape"
+    # quiet key never shaped
+    assert all(
+        r["quota_verdict"] == "process" for r in out if r["key"] == "quiet"
+    )
+
+
 def test_quota_extremes(spark, stream_parts, tmp_path):
     path, schema, tasks = stream_parts
     stream = spark.readStream.schema(schema).parquet(path)
