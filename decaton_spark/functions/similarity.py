@@ -296,6 +296,94 @@ def _argmax_cell(scores: Column) -> Column:
     return best["cid"]
 
 
+def _lowest_id_centroids(
+    df: DataFrame, nlist: int, id_col: str, vec_col: str
+) -> list[tuple[int, list[float]]]:
+    """Deterministic seed centroids: the ``nlist`` lowest-id vectors."""
+    rows = (
+        df.select(id_col, vec_col)
+        .filter(F.col(id_col) < nlist)
+        .orderBy(id_col)
+        .collect()
+    )
+    return [(r[id_col], list(r[vec_col])) for r in rows]
+
+
+def train_centroids(
+    df: DataFrame,
+    *,
+    nlist: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = EMB,
+    round_digits: int = 4,
+    coord_digits: int = 7,
+) -> list[tuple[int, list[float]]]:
+    """Lloyd k-means over an embedding column, as DataFrame aggregations.
+
+    Every step is engine-exact so a SQL oracle can replay training
+    bit-for-bit:
+
+    - **seed**: the ``nlist`` lowest-id vectors (no RNG);
+    - **assign**: argmax of cosine rounded to ``round_digits``, ties to
+      the lowest centroid id — the very same expression used for
+      search-time cell assignment (``_argmax_cell``), a narrow
+      projection over the inlined centroid literals;
+    - **update**: elementwise mean computed exactly — coordinates are
+      scaled to integer units of ``10^-coord_digits`` (``round(v*1e7)``
+      — scale-0 rounding of an identical IEEE product, which both
+      engines resolve identically, unlike fractional ``round(v, 7)``
+      whose multiply-vs-BigDecimal implementations can disagree by one
+      ulp at a digit boundary), summed as DECIMAL (associative,
+      order-independent, no float summation-order hazard), divided by
+      the member count and re-rounded at scale 0. Empty cells keep
+      their old centroid.
+
+    Per iteration: one narrow projection + one partial-aggregable
+    groupBy with at most ``nlist * dim`` groups, so the shuffle carries
+    kilobytes regardless of corpus size. At 100 TB you train on a
+    sample (pass ``df.sample(...)``) and broadcast the resulting tiny
+    centroid list into the search plan; assignment of the full corpus
+    stays a projection.
+    """
+    cents_list = _lowest_id_centroids(df, nlist, id_col, vec_col)
+    dim = len(cents_list[0][1])
+    unit = float(10**coord_digits)
+    for _ in range(iters):
+        cents = _centroid_literals(cents_list)
+        # two selects: mixing a generator (posexplode) with the lambda
+        # struct expressions in one projection loses the lambda's field
+        # aliases during generator rewrite (Spark analyzer quirk)
+        assigned = df.select(
+            _argmax_cell(_cell_scores(vec_col, cents, round_digits)).alias("cell"),
+            F.col(vec_col).alias("_v"),
+        ).select("cell", F.posexplode(F.col("_v")).alias("pos", "val"))
+        v7 = F.round(F.col("val").cast("double") * F.lit(unit)).cast("long")
+        means = (
+            assigned.groupBy("cell", "pos")
+            .agg(
+                (
+                    F.round(
+                        F.sum(v7.cast("decimal(38,0)")).cast("double")
+                        / F.count(F.lit(1))
+                    )
+                    .cast("long")
+                    .cast("double")
+                    / F.lit(unit)
+                ).alias("m")
+            )
+            .collect()
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cell.setdefault(r["cell"], {})[r["pos"]] = r["m"]
+        cents_list = [
+            (cid, [by_cell[cid][p] for p in range(dim)]) if cid in by_cell else (cid, old)
+            for cid, old in cents_list
+        ]
+    return cents_list
+
+
 def ivf_topk(
     df: DataFrame,
     queries: DataFrame,
@@ -306,12 +394,14 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = EMB,
     round_digits: int = 4,
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN top-k: probe the ``nprobe`` nearest cells.
 
-    Centroids are the ``nlist`` lowest-id corpus vectors — deterministic
-    and oracle-expressible; a k-means refinement would only move the
-    centroid literals, not the plan shape. The scale story:
+    ``centroids`` defaults to the ``nlist`` lowest-id corpus vectors —
+    deterministic and oracle-expressible; pass ``train_centroids(...)``
+    output for k-means-refined cells (moves only the centroid literals,
+    never the plan shape). The scale story:
 
     - **cell assignment is a projection** (fold over an inlined centroid
       array) — the corpus is never shuffled or joined to assign cells;
@@ -320,13 +410,9 @@ def ivf_topk(
       probed cells — at 100 TB the cell id becomes the storage partition
       key so unprobed cells are partition-pruned at the scan.
     """
-    cent_rows = (
-        df.select(id_col, vec_col)
-        .filter(F.col(id_col) < nlist)
-        .orderBy(id_col)
-        .collect()
-    )
-    cents = _centroid_literals([(r[id_col], r[vec_col]) for r in cent_rows])
+    if centroids is None:
+        centroids = _lowest_id_centroids(df, nlist, id_col, vec_col)
+    cents = _centroid_literals(centroids)
 
     c = df.select(
         F.col(id_col).alias("neighbor_id"),
@@ -389,6 +475,7 @@ def ivf_topk_vectorized(
     id_col: str = "vec_id",
     vec_col: str = EMB,
     round_digits: int = 4,
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """IVF ANN, BLAS path: same algorithm/results as ``ivf_topk`` with
     cell assignment + probe scoring fused into one numpy pass.
@@ -401,14 +488,10 @@ def ivf_topk_vectorized(
     """
     import numpy as np
 
-    cent_rows = (
-        df.select(id_col, vec_col)
-        .filter(F.col(id_col) < nlist)
-        .orderBy(id_col)
-        .collect()
-    )
-    c_ids = np.array([r[id_col] for r in cent_rows], dtype=np.int64)
-    c_mat = np.array([r[vec_col] for r in cent_rows], dtype=np.float64)
+    if centroids is None:
+        centroids = _lowest_id_centroids(df, nlist, id_col, vec_col)
+    c_ids = np.array([cid for cid, _ in centroids], dtype=np.int64)
+    c_mat = np.array([vec for _, vec in centroids], dtype=np.float64)
     c_norm = np.linalg.norm(c_mat, axis=1)
 
     def cell_scores(mat: "np.ndarray") -> "np.ndarray":

@@ -1111,10 +1111,44 @@ def _dot64(a: str, b: str) -> str:
     )
 
 
+def _kmeans_iter_sql(prev: str, out: str) -> str:
+    """One DuckDB Lloyd iteration mirroring ``sim.train_centroids``:
+    assign cells by rounded-cosine argmax vs ``prev``, then the
+    decimal-exact elementwise mean in integer units of 1e-7."""
+    return f"""
+    score_{out} AS (
+        SELECT e.vec_id, e.embedding, c.cid,
+               round({_dot64('e.embedding', 'c.cv')}
+                     / ({_NORM.format(v='e.embedding')} * {_NORM.format(v='c.cv')}), 4) + 0.0 AS cos
+        FROM embeddings e CROSS JOIN {prev} c),
+    assign_{out} AS (
+        SELECT vec_id, embedding, cid AS cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+        FROM score_{out}),
+    expl_{out} AS (
+        SELECT cell, UNNEST(list_transform(range(64),
+                 i -> {{'pos': i, 'val': CAST(round(CAST(embedding[i + 1] AS DOUBLE) * 10000000.0) AS BIGINT)}})) AS u
+        FROM assign_{out} WHERE rn = 1),
+    mean_{out} AS (
+        SELECT cell, u.pos AS pos,
+               CAST(CAST(round(CAST(sum(CAST(u.val AS DECIMAL(38,0))) AS DOUBLE)
+                    / count(*)) AS BIGINT) AS DOUBLE) / 10000000.0 AS m
+        FROM expl_{out} GROUP BY cell, u.pos),
+    {out} AS (
+        SELECT c.cid, coalesce(nl.cv, c.cv) AS cv
+        FROM {prev} c LEFT JOIN
+             (SELECT cell, list(m ORDER BY pos) AS cv FROM mean_{out} GROUP BY cell) nl
+        ON c.cid = nl.cell)"""
+
+
 @register(
     "ann_ivf_topk",
     f"""
-    WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+    WITH c0 AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+                FROM embeddings WHERE vec_id < 16),
+    {_kmeans_iter_sql('c0', 'c1')},
+    {_kmeans_iter_sql('c1', 'c2')},
+    cent AS (SELECT cid, cv FROM c2),
     ascore AS (
         SELECT e.vec_id, c.cid,
                round({_dot64('e.embedding', 'c.cv')}
@@ -1147,18 +1181,25 @@ def _dot64(a: str, b: str) -> str:
     """,
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: nlist=16 lowest-id centroids, nprobe=4 probed cells."""
+    """IVF ANN: nlist=16 k-means centroids (2 Lloyd iterations, seeded
+    from the lowest-id vectors), nprobe=4 probed cells. Training is
+    engine-exact (see ``sim.train_centroids``) so the DuckDB oracle
+    replays it bit-for-bit."""
     emb = load_table(spark, "embeddings", sf_dir)
     q = emb.filter(F.col("vec_id") < 8)
-    return sim.ivf_topk(emb, q, k=5, nlist=16, nprobe=4)
+    cents = sim.train_centroids(emb, nlist=16, iters=2)
+    return sim.ivf_topk(emb, q, k=5, nlist=16, nprobe=4, centroids=cents)
 
 
 @register("ann_ivf_topk_vec", QUERIES["ann_ivf_topk"].oracle)
 def ann_ivf_topk_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN, fused BLAS kernel — same algorithm and oracle."""
+    """IVF ANN, fused BLAS kernel — same trained centroids and oracle."""
     emb = load_table(spark, "embeddings", sf_dir)
     q = emb.filter(F.col("vec_id") < 8)
-    return sim.ivf_topk_vectorized(emb, q, k=5, nlist=16, nprobe=4)
+    cents = sim.train_centroids(emb, nlist=16, iters=2)
+    return sim.ivf_topk_vectorized(
+        emb, q, k=5, nlist=16, nprobe=4, centroids=cents
+    )
 
 
 _BUCKET = (

@@ -1,0 +1,62 @@
+"""ANN quality gates: trained-IVF recall vs the exact brute force.
+
+The oracle suite (test_queries_oracle) proves the IVF queries compute
+what they claim; these tests prove what they claim is *good* — the
+k-means-refined cells recall most true neighbors at nprobe=4/16.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from decaton_spark.functions import similarity as sim
+from decaton_spark.sources import load_table
+
+
+def _pairs(df):
+    return {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, "embeddings", sf_dir).cache()
+
+
+@pytest.fixture(scope="module")
+def queries(emb):
+    return emb.filter(F.col("vec_id") < 8)
+
+
+@pytest.fixture(scope="module")
+def exact(emb, queries):
+    return _pairs(sim.brute_force_topk(emb, queries, k=5))
+
+
+def test_train_centroids_deterministic_and_well_formed(emb):
+    a = sim.train_centroids(emb, nlist=16, iters=2)
+    b = sim.train_centroids(emb, nlist=16, iters=2)
+    assert a == b, "training must be bit-deterministic across runs"
+    assert [cid for cid, _ in a] == list(range(16))
+    assert all(len(v) == 64 for _, v in a)
+    # training moved at least one centroid off its seed vector
+    seed = sim._lowest_id_centroids(emb, 16, "vec_id", "embedding")
+    assert any(v != s for (_, v), (_, s) in zip(a, seed))
+
+
+def test_ivf_kmeans_recall_vs_brute_force(emb, queries, exact):
+    cents = sim.train_centroids(emb, nlist=16, iters=2)
+    approx = _pairs(
+        sim.ivf_topk(emb, queries, k=5, nlist=16, nprobe=4, centroids=cents)
+    )
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"trained-IVF recall@5 too low: {recall:.2f}"
+
+
+def test_ivf_kmeans_matches_vectorized(emb, queries):
+    cents = sim.train_centroids(emb, nlist=16, iters=2)
+    expr = sim.ivf_topk(emb, queries, k=5, nlist=16, nprobe=4, centroids=cents)
+    blas = sim.ivf_topk_vectorized(
+        emb, queries, k=5, nlist=16, nprobe=4, centroids=cents
+    )
+    assert sorted(map(tuple, expr.collect())) == sorted(map(tuple, blas.collect()))
