@@ -23,6 +23,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
+from decaton_spark.meters import Metrics
 from decaton_spark.operators.pipeline import Pipeline
 from decaton_spark.operators.rate_limit import TokenBucket
 
@@ -62,6 +63,7 @@ class Subscription:
         process_fn: Callable[[DataFrame, int], None] | None = None,
         config: SubscriptionConfig | None = None,
         config_supplier: Callable[[], SubscriptionConfig] | None = None,
+        meters: "Metrics | None" = None,
     ) -> None:
         self.spark = spark
         self.stream = stream
@@ -69,6 +71,7 @@ class Subscription:
         self.process_fn = process_fn
         self.config = config or SubscriptionConfig()
         self.config_supplier = config_supplier
+        self.meters = meters
         self._query: StreamingQuery | None = None
         self._bucket: TokenBucket | None = None
         self._bucket_rate: int | None = None
@@ -89,9 +92,19 @@ class Subscription:
         # unprocessed, the microbatch does not complete. With a static
         # config (nothing can ever unpause) skip the processor instead
         # of wedging the query; the skip is observable in progress.
+        pause_started = time.monotonic() if cfg.rate_limit_per_second == 0 else None
+        if pause_started is not None and self.meters is not None:
+            self.meters.partition_state.partition_paused.set(1)
         while cfg.rate_limit_per_second == 0 and self.config_supplier is not None:
             time.sleep(0.25)
             cfg = self.config_supplier()
+        if pause_started is not None and self.meters is not None:
+            self.meters.partition_state.partition_paused_time.record(
+                time.monotonic() - pause_started
+            )
+            self.meters.partition_state.partition_paused.set(
+                1 if cfg.rate_limit_per_second == 0 else 0
+            )
         if cfg.rate_limit_per_second == 0:
             return  # statically paused: processor never runs
         self._rebuild_bucket(cfg.rate_limit_per_second)
@@ -101,13 +114,28 @@ class Subscription:
 
             df = _ik(df, cfg.ignore_keys)
         df = self.pipeline.apply(df)
-        if self._bucket is not None:
+        if self._bucket is not None or self.meters is not None:
             n = df.count()
+            if self.meters is not None:
+                self.meters.thread_util.tasks_queued.increment(n)
+                self.meters.partition_state.tasks_pending.set(n)
+        if self._bucket is not None:
             wait = self._bucket.acquire(n, time.monotonic())
             if wait > 0 and wait != float("inf"):
-                time.sleep(min(wait, 10.0))
+                slept = min(wait, 10.0)
+                time.sleep(slept)
+                if self.meters is not None:
+                    self.meters.scheduler.partition_throttled_time.record(slept)
         if self.process_fn is not None:
+            started = time.monotonic()
             self.process_fn(df, batch_id)
+            if self.meters is not None:
+                took = time.monotonic() - started
+                self.meters.thread_util.processor_processed_time.record(took)
+                self.meters.task.tasks_process_duration.record(took)
+                self.meters.task.tasks_complete_duration.record(took)
+        if self.meters is not None:
+            self.meters.partition_state.tasks_pending.set(0)
 
     def start(self, query_name: str = "decaton-subscription") -> StreamingQuery:
         writer = (
