@@ -33,13 +33,28 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS); Spark reads it only as a
-        # long (ns since epoch) under the legacy flag. Normalize back to a
-        # microsecond TimestampType column so downstream windows/aggs are
-        # uniform. Set session-level so it works on any caller's session.
+        # events.ts is parquet TIMESTAMP(NANOS). Depending on the Spark
+        # build it surfaces either as a long of epoch-nanos (legacy
+        # nanosAsLong flag honored) or as TIMESTAMP_NTZ (4.1+ native
+        # read, truncated to micros). Normalize both to a microsecond
+        # TimestampType column holding the same instant regardless of
+        # the caller session's timezone: the NTZ wall clock IS the UTC
+        # instant, so take a pure NTZ diff from the NTZ epoch (no tz
+        # involved) and rebuild via timestamp_micros (epoch-based).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = df.schema["ts"].dataType.simpleString()
+        if ts_type == "bigint":
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df.withColumn(
+            "ts",
+            F.timestamp_micros(
+                F.expr(
+                    "timestampdiff(MICROSECOND,"
+                    " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+                )
+            ),
+        )
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
