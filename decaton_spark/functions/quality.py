@@ -10,7 +10,19 @@ Scale notes: every function is a narrow per-row projection — no
 shuffle, no Python, no UDFs. On 100 TB the cost is exactly one read of
 the pruned (doc_id, text) columns; the filter verdict then drives a
 partition-local `filter()` before anything downstream shuffles, which
-is the cheapest possible place to drop low-quality documents.
+is the cheapest possible place to drop low-quality documents. The
+most-frequent-token statistic is an O(n log n) sort + O(n) run-scan
+per document (NOT the quadratic distinct×positions formulation), so a
+pathological 100k-token repetitive page costs ~10^5 comparisons, not
+~10^10.
+
+Robustness contract (each point unit-tested in tests/test_quality.py):
+- null documents get verdict 'null' (never 'keep');
+- documents with < 2 tokens produce an empty bigram array (no
+  INVALID_ARRAY_INDEX_IN_ELEMENT_AT);
+- tokenization splits on runs of whitespace and drops empty tokens, so
+  '  a  b ' is 2 tokens, and mean token length comes from the token
+  array itself (not a single-space closed form).
 
 Reference parity note: the reference engine (line/decaton) has no text
 operators — this module is part of the beyond-reference LLM-pipeline
@@ -24,22 +36,57 @@ from pyspark.sql import functions as F
 
 # deliberately simple, RE2/Java-compatible patterns so the DuckDB
 # oracle replays them byte-for-byte ('g' flag on the DuckDB side)
-EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
-IPV4_RE = "[0-9][0-9]?[0-9]?\\.[0-9][0-9]?[0-9]?\\.[0-9][0-9]?[0-9]?\\.[0-9][0-9]?[0-9]?"
-PHONE_RE = "\\+[0-9][0-9]?[0-9]?-[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]"
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"
+IPV4_RE = r"[0-9][0-9]?[0-9]?\.[0-9][0-9]?[0-9]?\.[0-9][0-9]?[0-9]?\.[0-9][0-9]?[0-9]?"
+# +CC-NNN-NNNN, +CC-NNN-NNN-NNNN, +CC-NNNN-NNNN, ... (2 or 3 dash groups
+# of 3-4 digits, so both +81-3-style trunk-less and +1-555-123-4567 match)
+PHONE_RE = r"\+[0-9][0-9]?[0-9]?(-[0-9][0-9][0-9][0-9]?)(-[0-9][0-9][0-9][0-9]?)(-[0-9][0-9][0-9][0-9]?)?"
 
 
 def _toks(text_col: str) -> Column:
-    return F.split(F.col(text_col), " ")
+    """Whitespace-run tokenization with empty tokens dropped.
+
+    split(trim(t), '\\s+') still yields [''] for an empty/all-space
+    document; the filter turns that into [] so n_tokens is 0, not 1.
+    NULL text propagates to a NULL token array (size() -> NULL).
+    """
+    return F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != F.lit("")
+    )
+
+
+def _top_token_count(toks: Column) -> Column:
+    """Count of the single most frequent token, via array_sort + a
+    linear run-length scan (O(n log n), vs the naive O(n_distinct * n)
+    transform+filter which is quadratic on exactly the repetitive
+    documents this module exists to catch)."""
+    return F.aggregate(
+        F.array_sort(toks),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
 
 
 def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document repetition features (Gopher §A1.1 analogues).
 
     - ``dup_token_frac``: 1 - distinct/total unigrams — high for
-      boilerplate and keyword-stuffed pages.
+      boilerplate and keyword-stuffed pages. NULL when n_tokens = 0.
     - ``dup_bigram_frac``: 1 - distinct/total bigrams — catches looped
-      phrases that unigram stats miss.
+      phrases that unigram stats miss. 0.0 when the document has < 2
+      tokens (no bigrams => no duplication), NULL for NULL text.
     - ``top_token_frac``: share of the single most frequent token.
 
     All integer combinatorics with one final rounded division so the
@@ -48,32 +95,35 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     toks = _toks(text_col)
     n = F.size(toks)
     n_distinct = F.size(F.array_distinct(toks))
-    # bigrams via an index sequence: [t0 t1, t1 t2, ...]
-    bigrams = F.transform(
-        F.sequence(F.lit(0), n - F.lit(2)),
-        lambda i: F.concat_ws(" ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)),
-    )
+    # bigrams [t1 t2, t2 t3, ...]; guarded so n<2 yields [] instead of
+    # sequence(0,-1) feeding element_at(toks, 0) (a runtime error)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     n_bi = F.size(bigrams)
     n_bi_distinct = F.size(F.array_distinct(bigrams))
-    # most-frequent-token count: max over distinct tokens of the
-    # number of positions holding that token (array combinatorics,
-    # no explode → no shuffle)
-    top_cnt = F.array_max(
-        F.transform(
-            F.array_distinct(toks),
-            lambda t: F.size(F.filter(toks, lambda x: x == t)),
-        )
-    )
+    top_cnt = _top_token_count(toks)
     return (
         df.withColumn("n_tokens", n.cast("long"))
-        .withColumn("dup_token_frac", F.round((n - n_distinct) * 1.0 / n, 6))
+        .withColumn(
+            "dup_token_frac",
+            F.when(n > 0, F.round((n - n_distinct) * 1.0 / n, 6)),
+        )
         .withColumn(
             "dup_bigram_frac",
-            F.when(n_bi > 0, F.round((n_bi - n_bi_distinct) * 1.0 / n_bi, 6)).otherwise(
-                F.lit(0.0)
-            ),
+            F.when(n_bi > 0, F.round((n_bi - n_bi_distinct) * 1.0 / n_bi, 6))
+            .when(n.isNotNull(), F.lit(0.0)),
         )
-        .withColumn("top_token_frac", F.round(top_cnt * 1.0 / n, 6))
+        .withColumn(
+            "top_token_frac",
+            F.when(n > 0, F.round(top_cnt * 1.0 / n, 6)),
+        )
     )
 
 
@@ -90,17 +140,28 @@ def gopher_filter(
 ) -> DataFrame:
     """Label each document keep/drop with the first failing rule
     (C4/Gopher-style battery). Emits ``quality_verdict`` in
-    {'keep','too_short','too_long','token_len','repetitive','dominated'}.
+    {'keep','null','too_short','too_long','token_len','repetitive',
+    'dominated'} plus a rounded ``mean_token_len`` column.
 
     The rule order is fixed so the verdict is deterministic and the
-    oracle can replay it as a CASE chain.
+    oracle can replay it as a CASE chain. NULL text gets its own
+    leading rule — NULL predicates are non-true, so without it a null
+    document would fall through every when() into 'keep'.
     """
     toks = _toks(text_col)
     n = F.size(toks)
-    mean_len = (F.length(F.col(text_col)) - n + 1) * 1.0 / n
-    with_stats = repetition_stats(df, text_col)
+    # mean token length from the token array itself; the closed form
+    # (length - n + 1) / n only holds for exactly-single-space text
+    total_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    mean_len = F.when(n > 0, total_len * 1.0 / n)
+    with_stats = repetition_stats(df, text_col).withColumn(
+        "mean_token_len", F.round(mean_len, 6)
+    )
     verdict = (
-        F.when(n < min_tokens, F.lit("too_short"))
+        F.when(F.col(text_col).isNull(), F.lit("null"))
+        .when(n < min_tokens, F.lit("too_short"))
         .when(n > max_tokens, F.lit("too_long"))
         .when(
             (mean_len < min_mean_token_len) | (mean_len > max_mean_token_len),

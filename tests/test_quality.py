@@ -1,0 +1,119 @@
+"""Unit + plan tests for functions/quality.py (Gopher/C4 filters, PII).
+
+The DuckDB oracle replay is covered by tests/test_queries_oracle.py via
+the docs_gopher_filter / docs_pii_redact registrations; these tests pin
+the edge-case semantics the oracle data may not hit, and the plan shape
+(one shuffle-free scan).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from decaton_spark.functions import quality as ql
+
+from tests.test_plans import plan_of
+
+
+@pytest.fixture(scope="module")
+def verdicts(spark):
+    rows = [
+        (1, None),
+        (2, ""),
+        (3, "   "),
+        (4, "lonetoken"),
+        (5, "a b"),  # 2 tokens: bigram path, too_short
+        (6, "the quick brown fox jumps over the lazy dog again tonight ok"),
+        (7, "spam " * 30),  # trailing space; 30 tokens, repetitive
+        (8, "aa aa aa bb cc dd ee ff gg hh"),  # dominated
+        (9, "a b c d e f g h i j k l"),  # token_len (mean 1.0)
+        (10, "  pad   ded    tokens " + "word " * 9),  # whitespace runs
+    ]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+    out = ql.gopher_filter(df)
+    return {r["doc_id"]: r.asDict() for r in out.collect()}
+
+
+def test_null_document_gets_null_verdict(verdicts):
+    v = verdicts[1]
+    assert v["quality_verdict"] == "null"
+    assert v["n_tokens"] is None
+    assert v["dup_token_frac"] is None
+    assert v["dup_bigram_frac"] is None
+    assert v["top_token_frac"] is None
+    assert v["mean_token_len"] is None
+
+
+def test_empty_and_whitespace_docs_are_zero_tokens(verdicts):
+    for doc in (2, 3):
+        assert verdicts[doc]["n_tokens"] == 0
+        assert verdicts[doc]["quality_verdict"] == "too_short"
+        # no bigrams, no dup — and no crash from sequence(1, -1)
+        assert verdicts[doc]["dup_bigram_frac"] == 0.0
+
+
+def test_single_token_doc_does_not_crash_bigrams(verdicts):
+    v = verdicts[4]
+    assert v["n_tokens"] == 1
+    assert v["quality_verdict"] == "too_short"
+    assert v["dup_bigram_frac"] == 0.0
+    assert v["top_token_frac"] == 1.0
+
+
+def test_verdict_battery(verdicts):
+    assert verdicts[5]["quality_verdict"] == "too_short"
+    assert verdicts[6]["quality_verdict"] == "keep"
+    assert verdicts[7]["quality_verdict"] == "repetitive"
+    assert verdicts[8]["quality_verdict"] == "dominated"
+    assert verdicts[9]["quality_verdict"] == "token_len"
+
+
+def test_whitespace_runs_do_not_inflate_counts(verdicts):
+    # 'spam ' * 30 has a trailing space: exactly 30 tokens, not 31
+    assert verdicts[7]["n_tokens"] == 30
+    assert verdicts[7]["dup_token_frac"] == round(29 / 30, 6)
+    # doc 10: runs of spaces collapse; 3 + 9 = 12 tokens
+    assert verdicts[10]["n_tokens"] == 12
+    # mean token length from the token array (pad=3,ded=3,tokens=6,word=4*9)
+    assert verdicts[10]["mean_token_len"] == round((3 + 3 + 6 + 4 * 9) / 12, 6)
+
+
+def test_top_token_frac_values(verdicts):
+    # doc 8: 'aa' appears 3 times in 10 tokens
+    assert verdicts[8]["top_token_frac"] == 0.3
+    assert verdicts[8]["dup_token_frac"] == 0.2
+    # doc 7: all 30 tokens identical
+    assert verdicts[7]["top_token_frac"] == 1.0
+
+
+def test_pii_redaction_counts_and_text(spark):
+    rows = [
+        (1, "mail a@b.co and c.d+e@f-g.org now"),
+        (2, "ip 8.8.8.8 and 255.255.255.255"),
+        (3, "tel +1-555-123-4567 or +82-1234-5678 end"),
+        (4, "no pii here"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in ql.pii_redact(df).collect()}
+    assert (out[1]["n_emails"], out[1]["n_ips"], out[1]["n_phones"]) == (2, 0, 0)
+    assert out[1]["redacted"] == "mail <EMAIL> and <EMAIL> now"
+    assert out[2]["n_ips"] == 2
+    assert out[2]["redacted"] == "ip <IP> and <IP>"
+    # both 3-group and 2-group international formats redact
+    assert out[3]["n_phones"] == 2
+    assert out[3]["redacted"] == "tel <PHONE> or <PHONE> end"
+    assert (out[4]["n_emails"], out[4]["n_ips"], out[4]["n_phones"]) == (0, 0, 0)
+    assert out[5]["n_emails"] is None and out[5]["redacted"] is None
+
+
+def test_quality_battery_is_one_shuffle_free_scan(spark, sf_dir):
+    """100 TB contract: the whole filter battery (stats + verdict) is a
+    narrow projection — no Exchange, no Python UDF in the plan."""
+    from decaton_spark.queries import EXTRA_QUERIES, QUERIES
+
+    all_q = {**QUERIES, **EXTRA_QUERIES}
+    for name in ("docs_gopher_filter", "docs_pii_redact"):
+        p = plan_of(all_q[name].fn(spark, sf_dir))
+        assert "Exchange" not in p, f"{name} must not shuffle:\n{p}"
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, name
