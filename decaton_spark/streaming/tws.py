@@ -1,0 +1,293 @@
+"""Spark 4 ``transformWithStateInPandas`` forms of the stateful
+operators (SURVEY §2.7's named target primitive).
+
+These are the forward-looking implementations of the operators in
+``stateful.py``: ``StatefulProcessor`` classes with typed value/list
+state and **native per-key timers** — ``handle.registerTimer`` replaces
+the ``GroupStateTimeout`` emulation, so T4 scheduled execution releases
+each key exactly at its earliest pending due time (the semantics of the
+reference's ``ExecutionScheduler.java:55-90``) instead of "whenever the
+per-key timeout happens to fire".
+
+Availability gate: the TWS Python state server speaks protobuf to the
+JVM, so the engine path needs the ``google.protobuf`` package (absent
+in this container — ``pip install protobuf`` on a real cluster). The
+public builders in ``stateful.py`` take ``api="auto"`` and dispatch
+here when ``tws_available()`` is true, else fall back to the
+``applyInPandasWithState`` forms, which are semantically equivalent
+minus timer exactness. The processor *logic* is engine-independent and
+is unit-tested in-process with fake handles
+(``tests/test_tws_processors.py``), so the gated path is still covered.
+
+Requires ``spark.sql.streaming.stateStore.providerClass`` =
+RocksDBStateStoreProvider (set by ``configure_tws``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def tws_available() -> bool:
+    """True when the transformWithStateInPandas engine path can run:
+    the API exists (Spark 4) and its protobuf state protocol has its
+    Python half installed."""
+    try:
+        import google.protobuf  # noqa: F401  (state-server wire format)
+    except ImportError:
+        return False
+    from pyspark.sql.pandas.group_ops import PandasGroupedOpsMixin
+
+    return hasattr(PandasGroupedOpsMixin, "transformWithStateInPandas")
+
+
+def configure_tws(spark) -> None:
+    """TWS requires the RocksDB state store provider."""
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+
+
+class CompactProcessor(StatefulProcessor):
+    """T1 streaming compaction: last-wins survivor per (key, linger
+    window); state is one ListState row per open window. Emits the
+    updated survivor rows each microbatch (update-mode semantics),
+    matching ``stateful.streaming_compact`` output exactly."""
+
+    def __init__(self, window_ms: int, key_col: str = "key"):
+        self.window_ms = window_ms
+        self.key_col = key_col
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self.surv = handle.getListState(
+            "survivors", "win long, off long, ts long, val string"
+        )
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+        held: dict[int, tuple[int, int, str]] = {}
+        if self.surv.exists():
+            for r in self.surv.get():
+                held[int(r[0])] = (int(r[1]), int(r[2]), r[3])
+        changed = False
+        for pdf in rows:
+            for ts, off, val in zip(
+                pdf["meta_timestamp_millis"], pdf["offset"], pdf["value"]
+            ):
+                ts, off = int(ts), int(off)
+                win = (ts // self.window_ms) * self.window_ms
+                cur = held.get(win)
+                # last-wins: max (ts, offset), the batch operator's order
+                if cur is None or (ts, off) > (cur[1], cur[0]):
+                    held[win] = (off, ts, val)
+                    changed = True
+        if changed:
+            self.surv.clear()
+            for win in sorted(held):
+                off, ts, val = held[win]
+                self.surv.appendValue((win, off, ts, val))
+        wins = sorted(held)
+        yield pd.DataFrame(
+            {
+                self.key_col: key[0],
+                "window_start_ms": wins,
+                "offset": [held[w][0] for w in wins],
+                "meta_timestamp_millis": [held[w][1] for w in wins],
+                "value": [held[w][2] for w in wins],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+class ScheduledProcessor(StatefulProcessor):
+    """T4 scheduled execution with NATIVE timers: hold not-yet-due
+    tasks in list state and register a per-key timer for the earliest
+    pending due time. ``handleExpiredTimer`` releases everything due at
+    that instant and re-arms for the next pending task — per-key release
+    at exactly the scheduled time, the ``ExecutionScheduler.java:55-90``
+    contract (the legacy form can only approximate this with timeouts).
+    """
+
+    def __init__(self, key_col: str = "key"):
+        self.key_col = key_col
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self.handle = handle
+        self.pending = handle.getListState("pending", "off long, sched long")
+
+    def _release(self, key, now_ms: int) -> Iterator[pd.DataFrame]:
+        items: list[tuple[int, int]] = []
+        if self.pending.exists():
+            items = [(int(r[0]), int(r[1])) for r in self.pending.get()]
+        due = sorted((s, o) for o, s in items if s <= now_ms)
+        left = [(o, s) for o, s in items if s > now_ms]
+        self.pending.clear()
+        if left:
+            for o, s in left:
+                self.pending.appendValue((o, s))
+            self.handle.registerTimer(min(s for _, s in left))
+        if due:
+            yield pd.DataFrame(
+                {
+                    self.key_col: key[0],
+                    "offset": [o for _, o in due],
+                    "scheduled_time_millis": [s for s, _ in due],
+                    "emitted_at_millis": now_ms,
+                }
+            )
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+        for pdf in rows:
+            for off, sched in zip(pdf["offset"], pdf["meta_scheduled_time_millis"]):
+                self.pending.appendValue((int(off), int(sched)))
+        yield from self._release(key, timerValues.getCurrentProcessingTimeInMs())
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        yield from self._release(key, expiredTimerInfo.getExpiryTimeInMs())
+
+    def close(self) -> None:
+        pass
+
+
+class BatchingProcessor(StatefulProcessor):
+    """T2 size+linger batching (``BatchingProcessor.java:126-163``)
+    with a native linger timer per partition: size flushes happen
+    inline; the linger flush fires via ``handleExpiredTimer`` exactly
+    ``linger_ms`` after the oldest buffered task arrived."""
+
+    def __init__(self, capacity: int, linger_ms: int):
+        self.capacity = capacity
+        self.linger_ms = linger_ms
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self.handle = handle
+        self.buf = handle.getValueState(
+            "buf", "offs array<long>, first_ms long, seq long"
+        )
+
+    def _flush(self, pkey, pending, first_ms, seq, now_ms, force_linger):
+        out = {
+            "partition": [], "batch_seq": [], "batch_size": [],
+            "first_offset": [], "last_offset": [], "reason": [],
+        }
+
+        def emit(batch, reason):
+            nonlocal seq
+            out["partition"].append(pkey[0])
+            out["batch_seq"].append(seq)
+            out["batch_size"].append(len(batch))
+            out["first_offset"].append(batch[0])
+            out["last_offset"].append(batch[-1])
+            out["reason"].append(reason)
+            seq += 1
+
+        while len(pending) >= self.capacity:
+            emit(pending[: self.capacity], "size")
+            pending = pending[self.capacity:]
+            first_ms = now_ms
+        if pending and (force_linger or now_ms - first_ms >= self.linger_ms):
+            emit(pending, "linger")
+            pending = []
+        self.buf.update((pending, first_ms, seq))
+        if pending:
+            self.handle.registerTimer(first_ms + self.linger_ms)
+        return out, pending
+
+    def handleInputRows(self, pkey, rows, timerValues) -> Iterator[pd.DataFrame]:
+        if self.buf.exists():
+            offs, first_ms, seq = self.buf.get()
+            pending = [int(x) for x in offs]
+            first_ms, seq = int(first_ms), int(seq)
+        else:
+            pending, first_ms, seq = [], 0, 0
+        now_ms = timerValues.getCurrentProcessingTimeInMs()
+        added = []
+        for pdf in rows:
+            added.extend(int(x) for x in pdf["offset"])
+        if added:
+            added.sort()
+            if not pending:
+                first_ms = now_ms
+            pending.extend(added)
+        out, _ = self._flush(pkey, pending, first_ms, seq, now_ms, False)
+        if out["partition"]:
+            yield pd.DataFrame(out)
+
+    def handleExpiredTimer(self, pkey, timerValues, expiredTimerInfo):
+        if not self.buf.exists():
+            return
+        offs, first_ms, seq = self.buf.get()
+        pending = [int(x) for x in offs]
+        if not pending:
+            return
+        out, _ = self._flush(
+            pkey, pending, int(first_ms), int(seq),
+            expiredTimerInfo.getExpiryTimeInMs(), True,
+        )
+        if out["partition"]:
+            yield pd.DataFrame(out)
+
+    def close(self) -> None:
+        pass
+
+
+def tws_compact(
+    tasks: DataFrame, *, window_ms: int = 3_600_000, key_col: str = "key"
+) -> DataFrame:
+    out_schema = (
+        f"{key_col} string, window_start_ms long, offset long, "
+        "meta_timestamp_millis long, value string"
+    )
+    return (
+        tasks.select(key_col, "meta_timestamp_millis", "offset", "value")
+        .groupBy(key_col)
+        .transformWithStateInPandas(
+            CompactProcessor(window_ms, key_col),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="ProcessingTime",
+        )
+    )
+
+
+def tws_scheduled(tasks: DataFrame, *, key_col: str = "key") -> DataFrame:
+    out_schema = (
+        f"{key_col} string, offset long, scheduled_time_millis long, "
+        "emitted_at_millis long"
+    )
+    return (
+        tasks.select(key_col, "offset", "meta_scheduled_time_millis")
+        .groupBy(key_col)
+        .transformWithStateInPandas(
+            ScheduledProcessor(key_col),
+            outputStructType=out_schema,
+            outputMode="Append",
+            timeMode="ProcessingTime",
+        )
+    )
+
+
+def tws_batch(
+    tasks: DataFrame, *, capacity: int = 100, linger_ms: int = 1_000
+) -> DataFrame:
+    out_schema = (
+        "partition int, batch_seq long, batch_size long, "
+        "first_offset long, last_offset long, reason string"
+    )
+    return (
+        tasks.select("partition", "offset")
+        .groupBy("partition")
+        .transformWithStateInPandas(
+            BatchingProcessor(capacity, linger_ms),
+            outputStructType=out_schema,
+            outputMode="Append",
+            timeMode="ProcessingTime",
+        )
+    )
