@@ -26,8 +26,16 @@ encoding spec (https://protobuf.dev/programming-guides/encoding/):
 Shared-dialect constraints: ``>> & |`` bit ops, ``hex``/``unhex``,
 ``lpad``, ``concat`` behave identically in Spark 4 and DuckDB; byte
 lengths come from ``length(hex)/2`` (DuckDB's ``octet_length`` is
-BLOB-only). Supported range: non-negative int64 (all Decaton metadata
-values); negative would need the 10-byte two's-complement form.
+BLOB-only). Full int64 range: negative values take the canonical
+10-byte two's-complement varint (both engines arithmetic-shift
+negative BIGINTs, so one ``CASE`` covers it), and the decoder folds
+the unsigned wire value back to signed int64 per the spec.
+
+When the ``spark-protobuf`` jar is on the classpath (real cluster —
+not this container), ``decode_task_requests(engine="auto")`` switches
+to JVM-side ``from_protobuf`` driven by a ``FileDescriptorSet`` that
+:func:`descriptor_set_bytes` builds from the same two proto schemas
+(no protoc needed); the Arrow decoder remains the fallback.
 """
 
 from __future__ import annotations
@@ -47,9 +55,15 @@ _MAX_VARINT_BYTES = 9  # non-negative int64 => at most ceil(63/7) bytes
 
 
 def pb_varint_hex(expr: str) -> str:
-    """Hex of the protobuf base-128 varint encoding of a non-negative
-    BIGINT expression. Byte i carries bits 7i..7i+6, continuation bit
-    set while higher bits remain."""
+    """Hex of the protobuf base-128 varint encoding of a BIGINT
+    expression. Non-negative: byte i carries bits 7i..7i+6,
+    continuation bit set while higher bits remain. Negative: the
+    canonical 10-byte form — the unsigned reinterpretation of the
+    two's-complement bits. Bytes 0..8 come straight from arithmetic
+    shift (sign-fill keeps every ``(expr >> 7i) & 127`` correct for
+    bit positions < 63) with continuation always set; byte 9 carries
+    bit 63 alone, which is 1 for every negative, so it is the literal
+    ``01`` terminator."""
     parts = []
     for i in range(_MAX_VARINT_BYTES):
         lo = f"(({expr}) >> {7 * i}) & 127"
@@ -60,7 +74,13 @@ def pb_varint_hex(expr: str) -> str:
             parts.append(hx)
         else:
             parts.append(f"CASE WHEN ({expr}) >= {128 ** i} THEN {hx} ELSE '' END")
-    return "concat(" + ", ".join(parts) + ")"
+    nonneg = "concat(" + ", ".join(parts) + ")"
+    neg_bytes = [
+        f"lpad(lower(hex(((({expr}) >> {7 * i}) & 127) | 128)), 2, '0')"
+        for i in range(9)
+    ]
+    neg = "concat(" + ", ".join(neg_bytes) + ", '01')"
+    return f"CASE WHEN ({expr}) < 0 THEN {neg} ELSE {nonneg} END"
 
 
 def pb_int64_field_hex(field_number: int, expr: str) -> str:
@@ -132,7 +152,10 @@ def task_request_hex(metadata_hex_expr: str, serialized_task: str = "value") -> 
 
 
 def read_varint(buf: bytes, pos: int) -> tuple[int, int]:
-    """(value, next_pos); raises on truncation or >10 bytes."""
+    """(unsigned value, next_pos); raises on truncation or >10 bytes.
+    The result is masked to 64 bits per spec (a 10th byte may carry
+    dead bits above bit 63); signedness is a per-field interpretation
+    applied by the message parsers, not here."""
     result = 0
     shift = 0
     while True:
@@ -144,8 +167,13 @@ def read_varint(buf: bytes, pos: int) -> tuple[int, int]:
         result |= (b & 0x7F) << shift
         pos += 1
         if not b & 0x80:
-            return result, pos
+            return result & 0xFFFFFFFFFFFFFFFF, pos
         shift += 7
+
+
+def _as_int64(unsigned: int) -> int:
+    """Reinterpret an unsigned 64-bit wire value as signed int64."""
+    return unsigned - (1 << 64) if unsigned >= (1 << 63) else unsigned
 
 
 def parse_fields(buf: bytes) -> Iterator[tuple[int, int, object]]:
@@ -195,7 +223,7 @@ def parse_task_metadata(buf: bytes) -> dict:
     for field, _wtype, val in parse_fields(buf):
         if field in _META_FIELDS:
             name, kind = _META_FIELDS[field]
-            out[name] = val.decode("utf-8") if kind is bytes else val
+            out[name] = val.decode("utf-8") if kind is bytes else _as_int64(val)
     return out
 
 
@@ -211,10 +239,179 @@ def parse_task_request(buf: bytes) -> tuple[dict, bytes]:
     return meta, task
 
 
-def decode_task_requests(df: "DataFrame", wire_col: str = "wire") -> "DataFrame":
+# ---------------------------------------------------------------------------
+# FileDescriptorSet builder + gated spark-protobuf (JVM) decode path
+# ---------------------------------------------------------------------------
+
+TASK_REQUEST_MESSAGE = "com.linecorp.decaton.protocol.internal.DecatonTaskRequest"
+TASK_METADATA_MESSAGE = "com.linecorp.decaton.protocol.TaskMetadataProto"
+
+# FieldDescriptorProto.Type / .Label enum values (descriptor.proto)
+_TYPE_INT64, _TYPE_STRING, _TYPE_MESSAGE, _TYPE_BYTES = 3, 9, 11, 12
+_LABEL_OPTIONAL = 1
+
+
+def _venc(n: int) -> bytes:
+    """Unsigned varint encoder (descriptor values are all small)."""
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        out.append(b | 0x80 if n else b)
+        if not n:
+            return bytes(out)
+
+
+def _ld(field_number: int, data: bytes) -> bytes:
+    """Length-delimited field: tag + len + payload."""
+    return _venc((field_number << 3) | 2) + _venc(len(data)) + data
+
+
+def _vi(field_number: int, value: int) -> bytes:
+    """Varint field: tag + value."""
+    return _venc(field_number << 3) + _venc(value)
+
+
+def _field_desc(name: str, number: int, ftype: int, type_name: str = "") -> bytes:
+    """FieldDescriptorProto: 1=name 3=number 4=label 5=type 6=type_name."""
+    out = _ld(1, name.encode()) + _vi(3, number) + _vi(4, _LABEL_OPTIONAL)
+    out += _vi(5, ftype)
+    if type_name:
+        out += _ld(6, ("." + type_name).encode())
+    return out
+
+
+def _message_desc(name: str, fields: list[bytes]) -> bytes:
+    """DescriptorProto: 1=name 2=field (repeated)."""
+    out = _ld(1, name.encode())
+    for f in fields:
+        out += _ld(2, f)
+    return out
+
+
+def _file_desc(
+    name: str, package: str, messages: list[bytes], deps: tuple[str, ...] = ()
+) -> bytes:
+    """FileDescriptorProto: 1=name 2=package 3=dependency 4=message_type
+    12=syntax."""
+    out = _ld(1, name.encode()) + _ld(2, package.encode())
+    for d in deps:
+        out += _ld(3, d.encode())
+    for m in messages:
+        out += _ld(4, m)
+    out += _ld(12, b"proto3")
+    return out
+
+
+def descriptor_set_bytes() -> bytes:
+    """``FileDescriptorSet`` wire bytes for decaton.proto +
+    decaton_internal.proto (``protocol/src/main/proto/decaton.proto:9-25``,
+    ``decaton_internal.proto:13-18``), hand-encoded from the public
+    descriptor.proto schema — this is what ``protoc
+    --descriptor_set_out`` would emit, minus source info. Feeds
+    ``from_protobuf(descFilePath=...)`` on clusters that carry the
+    spark-protobuf jar, so JVM-side decode needs no protoc anywhere."""
+    metadata_msg = _message_desc(
+        "TaskMetadataProto",
+        [
+            _field_desc("timestamp_millis", 1, _TYPE_INT64),
+            _field_desc("source_application_id", 2, _TYPE_STRING),
+            _field_desc("source_instance_id", 3, _TYPE_STRING),
+            _field_desc("retry_count", 4, _TYPE_INT64),
+            _field_desc("scheduled_time_millis", 5, _TYPE_INT64),
+        ],
+    )
+    request_msg = _message_desc(
+        "DecatonTaskRequest",
+        [
+            _field_desc("metadata", 1, _TYPE_MESSAGE, TASK_METADATA_MESSAGE),
+            _field_desc("serialized_task", 2, _TYPE_BYTES),
+        ],
+    )
+    decaton_file = _file_desc(
+        "decaton.proto", "com.linecorp.decaton.protocol", [metadata_msg]
+    )
+    internal_file = _file_desc(
+        "decaton_internal.proto",
+        "com.linecorp.decaton.protocol.internal",
+        [request_msg],
+        deps=("decaton.proto",),
+    )
+    return _ld(1, decaton_file) + _ld(1, internal_file)
+
+
+def write_descriptor_set(path: str) -> str:
+    """Write :func:`descriptor_set_bytes` to ``path`` and return it."""
+    with open(path, "wb") as fh:
+        fh.write(descriptor_set_bytes())
+    return path
+
+
+def _decode_task_requests_jvm(df: "DataFrame", wire_col: str) -> "DataFrame":
+    """JVM-side decode via ``from_protobuf`` + the generated descriptor
+    set. Raises if the spark-protobuf jar is absent (caller gates)."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.protobuf.functions import from_protobuf
+
+    path = os.path.join(
+        tempfile.gettempdir(), "decaton_spark_descriptor_set.desc"
+    )
+    if not os.path.exists(path):
+        write_descriptor_set(path)
+    parsed = df.withColumn(
+        "_req", from_protobuf(F.col(wire_col), TASK_REQUEST_MESSAGE, path)
+    )
+    out = parsed.select(
+        "*",
+        F.coalesce(F.col("_req.metadata.timestamp_millis"), F.lit(0)).alias(
+            "pb_timestamp_millis"
+        ),
+        F.coalesce(F.col("_req.metadata.source_application_id"), F.lit("")).alias(
+            "pb_source_application_id"
+        ),
+        F.coalesce(F.col("_req.metadata.source_instance_id"), F.lit("")).alias(
+            "pb_source_instance_id"
+        ),
+        F.coalesce(F.col("_req.metadata.retry_count"), F.lit(0)).alias(
+            "pb_retry_count"
+        ),
+        F.coalesce(F.col("_req.metadata.scheduled_time_millis"), F.lit(0)).alias(
+            "pb_scheduled_time_millis"
+        ),
+        F.col("_req.serialized_task").alias("serialized_task"),
+    ).drop("_req")
+    out.schema  # force analysis so a missing jar fails here, not lazily
+    return out
+
+
+def decode_task_requests(
+    df: "DataFrame", wire_col: str = "wire", engine: str = "auto"
+) -> "DataFrame":
     """Arrow-batched decode of a binary ``DecatonTaskRequest`` column:
     appends the five metadata columns + ``serialized_task``. Projection
-    only — partitioning is preserved, no shuffle."""
+    only — partitioning is preserved, no shuffle.
+
+    ``engine``: ``"auto"`` tries JVM ``from_protobuf`` (whole-stage
+    codegen, no Python workers) and falls back to the Arrow decoder
+    when the spark-protobuf jar is missing; ``"jvm"`` requires it;
+    ``"python"`` forces the dependency-free path (what this container
+    can run)."""
+    if engine not in ("auto", "jvm", "python"):
+        raise ValueError(f"unknown engine {engine!r}")
+    if engine in ("auto", "jvm"):
+        try:
+            return _decode_task_requests_jvm(df, wire_col)
+        except Exception:
+            if engine == "jvm":
+                raise
+    return _decode_task_requests_python(df, wire_col)
+
+
+def _decode_task_requests_python(df: "DataFrame", wire_col: str) -> "DataFrame":
+    """The dependency-free Arrow-batched decoder (see module doc)."""
     import pandas as pd  # local import: decode path only
     from pyspark.sql import types as T
 

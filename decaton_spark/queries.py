@@ -385,14 +385,23 @@ def _pb_oracle() -> str:
         source_application_id="'app-pb'",
         source_instance_id="concat('i-', pcol)",
         retry_count="rc",
-        scheduled_time_millis="CAST(0 AS BIGINT)",
+        scheduled_time_millis="sched",
+    )
+    # sched exercises the full-int64 varint: INT64_MIN-adjacent for
+    # offset%4==0, small negatives (-3..-1), the omitted zero (offset
+    # 3), and small positives — byte-exact in both engines.
+    sched_sql = (
+        'CASE WHEN "offset" % 4 = 0 '
+        'THEN -9223372036854775807 - 1 + "offset" '
+        'ELSE "offset" - 3 END'
     )
     return f"""
     WITH {TASKS_CTE},
     base AS (
         SELECT key, "offset", value, meta_timestamp_millis,
                CAST("partition" AS VARCHAR) AS pcol,
-               CAST("offset" % 5 AS BIGINT) AS rc
+               CAST("offset" % 5 AS BIGINT) AS rc,
+               CAST({sched_sql} AS BIGINT) AS sched
         FROM tasks WHERE "offset" < 100)
     SELECT key, "offset",
            {pb.task_request_hex(meta_hex, "value")} AS wire_hex,
@@ -400,7 +409,7 @@ def _pb_oracle() -> str:
            'app-pb' AS pb_source_application_id,
            concat('i-', pcol) AS pb_source_instance_id,
            rc AS pb_retry_count,
-           CAST(0 AS BIGINT) AS pb_scheduled_time_millis,
+           sched AS pb_scheduled_time_millis,
            value AS task_json
     FROM base
     """
@@ -422,13 +431,21 @@ def s8_protobuf_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("offset") < 100)
         .withColumn("pcol", F.col("partition").cast("string"))
         .withColumn("rc", (F.col("offset") % 5).cast("long"))
+        .withColumn(
+            "sched",
+            F.expr(
+                "CASE WHEN offset % 4 = 0 "
+                "THEN -9223372036854775807 - 1 + offset "
+                "ELSE offset - 3 END"
+            ).cast("long"),
+        )
     )
     meta_hex = pb.task_metadata_hex(
         timestamp_millis="meta_timestamp_millis",
         source_application_id="'app-pb'",
         source_instance_id="concat('i-', pcol)",
         retry_count="rc",
-        scheduled_time_millis="CAST(0 AS BIGINT)",
+        scheduled_time_millis="sched",
     )
     wire = tasks.select(
         "key",

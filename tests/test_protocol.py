@@ -96,6 +96,97 @@ def test_task_request_round_trip(spark):
     assert task == b'{"k": 1}'
 
 
+NEGATIVES = [-1, -3, -128, -1_704_412_800_000, -(1 << 63)]
+
+
+@pytest.mark.parametrize("value", NEGATIVES)
+def test_negative_varint_both_engines(spark, duck, value):
+    """Negative int64 → canonical 10-byte two's-complement varint,
+    byte-identical in Spark, DuckDB, and the unsigned reference
+    encoding; parser folds it back to signed."""
+    frag = pb.pb_varint_hex(f"CAST({value} AS BIGINT)")
+    want = py_varint(value & 0xFFFFFFFFFFFFFFFF).hex()
+    assert len(want) == 20  # 10 bytes
+    assert spark.sql(f"SELECT {frag} AS h").collect()[0]["h"] == want
+    assert duck.sql(f"SELECT {frag} AS h").fetchone()[0] == want
+    unsigned, end = pb.read_varint(bytes.fromhex(want), 0)
+    assert end == 10
+    assert pb._as_int64(unsigned) == value
+
+
+def test_negative_metadata_round_trip(spark):
+    """Negative scheduled_time/timestamp survive encode→decode (the
+    int64 fields are signed per decaton.proto:9-25)."""
+    meta = pb.task_metadata_hex(
+        timestamp_millis="CAST(-1 AS BIGINT)",
+        source_application_id="'svc'",
+        source_instance_id="''",
+        retry_count="CAST(0 AS BIGINT)",
+        scheduled_time_millis="CAST(-9223372036854775807 - 1 AS BIGINT)",
+    )
+    hx = spark.sql(f"SELECT {meta} AS h").collect()[0]["h"]
+    got = pb.parse_task_metadata(bytes.fromhex(hx))
+    assert got["timestamp_millis"] == -1
+    assert got["scheduled_time_millis"] == -(1 << 63)
+
+
+def test_descriptor_set_structure():
+    """The hand-built FileDescriptorSet is itself valid wire format:
+    two FileDescriptorProto entries carrying the right file, package,
+    and message names (checked with our own spec parser)."""
+    files = [
+        val
+        for field, _w, val in pb.parse_fields(pb.descriptor_set_bytes())
+        if field == 1
+    ]
+    assert len(files) == 2
+    parsed = []
+    for f in files:
+        name = pkg = None
+        msgs = []
+        for field, _w, val in pb.parse_fields(f):
+            if field == 1:
+                name = val.decode()
+            elif field == 2:
+                pkg = val.decode()
+            elif field == 4:
+                msgs.append(
+                    next(v for fl, _x, v in pb.parse_fields(val) if fl == 1).decode()
+                )
+        parsed.append((name, pkg, msgs))
+    assert parsed[0] == (
+        "decaton.proto", "com.linecorp.decaton.protocol", ["TaskMetadataProto"]
+    )
+    assert parsed[1] == (
+        "decaton_internal.proto",
+        "com.linecorp.decaton.protocol.internal",
+        ["DecatonTaskRequest"],
+    )
+
+
+def test_decode_engine_gating(spark):
+    """engine='python' always works; 'auto' falls back to it when the
+    spark-protobuf jar is absent (this container); 'jvm' raises."""
+    meta = pb.task_metadata_hex(
+        timestamp_millis="CAST(5 AS BIGINT)",
+        source_application_id="'a'",
+        source_instance_id="''",
+        retry_count="CAST(-2 AS BIGINT)",
+        scheduled_time_millis="CAST(0 AS BIGINT)",
+    )
+    task_lit = "'t'"
+    df = spark.sql(f"SELECT unhex({pb.task_request_hex(meta, task_lit)}) AS wire")
+    rows = pb.decode_task_requests(df, "wire", engine="auto").collect()
+    assert rows[0]["pb_retry_count"] == -2
+    assert bytes(rows[0]["serialized_task"]) == b"t"
+    rows_py = pb.decode_task_requests(df, "wire", engine="python").collect()
+    assert rows_py[0]["pb_timestamp_millis"] == 5
+    with pytest.raises(Exception):
+        pb.decode_task_requests(df, "wire", engine="jvm").collect()
+    with pytest.raises(ValueError):
+        pb.decode_task_requests(df, "wire", engine="nope")
+
+
 def test_parser_skips_unknown_fields():
     """Forward compatibility: unknown field numbers are skipped, known
     ones still decode (spec's unknown-field rule)."""
