@@ -281,18 +281,27 @@ def connected_components(
     src_col: str = "id_a",
     dst_col: str = "id_b",
     max_iter: int = 25,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Transitive duplicate groups: (doc_id, group_id) where group_id is
     the minimum doc id reachable through the edge set.
 
-    Iterative min-label propagation (the standard large-graph CC
-    algorithm, à la GraphX/Pregel): every iteration is one distributed
-    shuffle join + aggregate; converges in O(graph diameter) rounds —
-    near-dup components are shallow (dup clusters), so a handful of
-    rounds in practice. ``localCheckpoint`` truncates lineage so the
-    loop doesn't stack plans. The fixpoint is deterministic regardless
-    of iteration count, which keeps the result oracle-checkable (DuckDB
-    replays it as a recursive CTE)."""
+    Min-label propagation with POINTER DOUBLING (path shortcutting, the
+    GraphX/Pregel-era accelerant): each round does one hop of
+    propagation and then composes the label map with itself
+    (``label ← label(label)``), so the explored radius r grows as
+    ``2r+1`` per round — convergence in O(log diameter) shuffle rounds,
+    not O(diameter). A pathological 10⁵-node chain closes in ~17
+    rounds; plain propagation would need 10⁵ and silently truncate at
+    ``max_iter``. Every round is a fixed number of equi-joins +
+    partial-agg min on checkpointed inputs; ``localCheckpoint``
+    truncates lineage so the plan stays O(1) across rounds. The
+    fixpoint (min reachable id per node) is identical to plain
+    propagation, which keeps the result oracle-checkable (DuckDB
+    replays it as a recursive CTE).
+
+    ``stats`` (optional dict) receives ``{"rounds": n}`` for
+    convergence tests."""
     sym = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .union(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
@@ -304,14 +313,30 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     sym = sym.localCheckpoint(eager=True)
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         msgs = sym.join(labels, sym.src == labels.id).select(
             F.col("dst").alias("id"), F.col("label")
         )
-        new_labels = (
+        prop = (
             msgs.union(labels.select("id", "label"))
             .groupBy("id")
             .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        # shortcut: label(label). Every label value is itself a node id
+        # of the same component, so the left join only misses when the
+        # label is already a component root pointing at itself.
+        parents = prop.select(
+            F.col("id").alias("pid"), F.col("label").alias("plabel")
+        )
+        new_labels = (
+            prop.join(parents, prop.label == parents.pid, "left")
+            .select(
+                "id",
+                F.coalesce(F.col("plabel"), F.col("label")).alias("label"),
+            )
             .localCheckpoint(eager=True)
         )
         changed = (
@@ -323,4 +348,6 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if stats is not None:
+        stats["rounds"] = rounds
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("group_id"))

@@ -217,3 +217,38 @@ def test_simulated_latency_throughput(spark):
     # >10k tasks/s leaves headroom for the ~0.5 s fixed job overhead
     assert r["tasks"] == 20_000
     assert r["tasks_per_sec"] > 10_000, r
+
+
+def test_connected_components_long_chain(spark):
+    """Scale robustness (VERDICT r2 #7): a 10^5-edge chain is the
+    worst-case diameter for min-label propagation. Pointer doubling
+    must close it in O(log diameter) rounds — ~17 for 10^5 — and the
+    returned plan must stay O(1) (localCheckpoint truncating lineage),
+    not grow with round count."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from decaton_spark.functions.dedup import connected_components
+
+    n_edges = 100_000
+    edges = spark.range(n_edges).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    stats: dict = {}
+    labels = connected_components(edges, max_iter=40, stats=stats)
+    # fixpoint: every node labeled with the component min (node 0)
+    agg = labels.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("group_id").alias("groups"),
+        F.max("group_id").alias("max_g"),
+    ).collect()[0]
+    assert agg["n"] == n_edges + 1
+    assert agg["groups"] == 1 and agg["max_g"] == 0
+    # O(log d) convergence: 2^k - 1 >= d at k=17, +1 no-change round
+    bound = math.ceil(math.log2(n_edges + 1)) + 2
+    assert stats["rounds"] <= bound, stats
+    # bounded plan: the result reads from the checkpoint, not 17 rounds
+    # of stacked joins
+    plan = labels._jdf.queryExecution().optimizedPlan().toString()
+    assert len(plan) < 4_000 and "LogicalRDD" in plan
