@@ -54,18 +54,23 @@ if TYPE_CHECKING:  # pragma: no cover
 _MAX_VARINT_BYTES = 9  # non-negative int64 => at most ceil(63/7) bytes
 
 
-def pb_varint_hex(expr: str) -> str:
+def pb_varint_hex(expr: str, *, max_bytes: int = _MAX_VARINT_BYTES, signed: bool = True) -> str:
     """Hex of the protobuf base-128 varint encoding of a BIGINT
     expression. Non-negative: byte i carries bits 7i..7i+6,
-    continuation bit set while higher bits remain. Negative: the
-    canonical 10-byte form — the unsigned reinterpretation of the
-    two's-complement bits. Bytes 0..8 come straight from arithmetic
-    shift (sign-fill keeps every ``(expr >> 7i) & 127`` correct for
-    bit positions < 63) with continuation always set; byte 9 carries
-    bit 63 alone, which is 1 for every negative, so it is the literal
-    ``01`` terminator."""
+    continuation bit set while higher bits remain. Negative (only when
+    ``signed``): the canonical 10-byte form — the unsigned
+    reinterpretation of the two's-complement bits. Bytes 0..8 come
+    straight from arithmetic shift (sign-fill keeps every
+    ``(expr >> 7i) & 127`` correct for bit positions < 63) with
+    continuation always set; byte 9 carries bit 63 alone, which is 1
+    for every negative, so it is the literal ``01`` terminator.
+
+    ``expr`` is textually substituted ~3× per byte, so callers whose
+    value has a known bound (length prefixes) pass a smaller
+    ``max_bytes``/``signed=False`` to keep the expression tree — and
+    therefore whole-stage-codegen compile time — small."""
     parts = []
-    for i in range(_MAX_VARINT_BYTES):
+    for i in range(max_bytes):
         lo = f"(({expr}) >> {7 * i}) & 127"
         cont = 128 ** (i + 1)
         byte = f"CASE WHEN ({expr}) >= {cont} THEN ({lo}) | 128 ELSE ({lo}) END"
@@ -75,6 +80,8 @@ def pb_varint_hex(expr: str) -> str:
         else:
             parts.append(f"CASE WHEN ({expr}) >= {128 ** i} THEN {hx} ELSE '' END")
     nonneg = "concat(" + ", ".join(parts) + ")"
+    if not signed:
+        return nonneg
     neg_bytes = [
         f"lpad(lower(hex(((({expr}) >> {7 * i}) & 127) | 128)), 2, '0')"
         for i in range(9)
@@ -92,14 +99,20 @@ def pb_int64_field_hex(field_number: int, expr: str) -> str:
     )
 
 
+# Length prefixes are unsigned and bounded: 5 varint bytes cover
+# 2^35-1 (34 GB), far past any Kafka record.
+_LEN_VARINT_BYTES = 5
+
+
 def pb_string_field_hex(field_number: int, expr: str) -> str:
     """``tag len bytes`` hex for a string/bytes field; omits empty."""
     tag = f"{(field_number << 3) | 2:02x}"  # wire type 2 (len-delimited)
     hx = f"lower(hex({expr}))"
     blen = f"CAST(length({hx}) / 2 AS BIGINT)"
+    length_varint = pb_varint_hex(blen, max_bytes=_LEN_VARINT_BYTES, signed=False)
     return (
         f"CASE WHEN length({hx}) > 0 "
-        f"THEN concat('{tag}', {pb_varint_hex(blen)}, {hx}) ELSE '' END"
+        f"THEN concat('{tag}', {length_varint}, {hx}) ELSE '' END"
     )
 
 
@@ -107,10 +120,15 @@ def pb_submessage_field_hex(field_number: int, hex_expr: str) -> str:
     """``tag len bytes`` hex for an embedded message whose wire bytes
     are already available as a hex-string expression. Always emitted
     (proto3 omits only *unset* messages, and Decaton always sets
-    metadata — DefaultTaskExtractor requires it)."""
+    metadata — DefaultTaskExtractor requires it).
+
+    ``hex_expr`` is substituted ~16× into the length varint — pass a
+    staged COLUMN NAME (``withColumn("meta_hex", ...)``) rather than a
+    nested encoder expression, or codegen compile time explodes."""
     tag = f"{(field_number << 3) | 2:02x}"
     blen = f"CAST(length({hex_expr}) / 2 AS BIGINT)"
-    return f"concat('{tag}', {pb_varint_hex(blen)}, {hex_expr})"
+    length_varint = pb_varint_hex(blen, max_bytes=_LEN_VARINT_BYTES, signed=False)
+    return f"concat('{tag}', {length_varint}, {hex_expr})"
 
 
 def task_metadata_hex(

@@ -402,16 +402,18 @@ def _pb_oracle() -> str:
                CAST("partition" AS VARCHAR) AS pcol,
                CAST("offset" % 5 AS BIGINT) AS rc,
                CAST({sched_sql} AS BIGINT) AS sched
-        FROM tasks WHERE "offset" < 100)
+        FROM tasks WHERE "offset" < 100),
+    enc AS (
+        SELECT *, {meta_hex} AS meta_hex FROM base)
     SELECT key, "offset",
-           {pb.task_request_hex(meta_hex, "value")} AS wire_hex,
+           {pb.task_request_hex("meta_hex", "value")} AS wire_hex,
            meta_timestamp_millis AS pb_timestamp_millis,
            'app-pb' AS pb_source_application_id,
            concat('i-', pcol) AS pb_source_instance_id,
            rc AS pb_retry_count,
            sched AS pb_scheduled_time_millis,
            value AS task_json
-    FROM base
+    FROM enc
     """
 
 
@@ -447,11 +449,19 @@ def s8_protobuf_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
         retry_count="rc",
         scheduled_time_millis="sched",
     )
-    wire = tasks.select(
-        "key",
-        "offset",
-        F.expr(pb.task_request_hex(meta_hex, "value")).alias("wire_hex"),
-    ).withColumn("wire", F.unhex(F.col("wire_hex")))
+    # meta_hex staged as a column: the submessage length varint
+    # references the column name instead of re-inlining the whole
+    # metadata expression tree (codegen compile time, see
+    # pb_submessage_field_hex).
+    wire = (
+        tasks.withColumn("meta_hex", F.expr(meta_hex))
+        .select(
+            "key",
+            "offset",
+            F.expr(pb.task_request_hex("meta_hex", "value")).alias("wire_hex"),
+        )
+        .withColumn("wire", F.unhex(F.col("wire_hex")))
+    )
     decoded = pb.decode_task_requests(wire, "wire")
     return decoded.select(
         "key", "offset", "wire_hex",
