@@ -35,7 +35,13 @@ def sub_partition(
     if method == "hash":
         assign = F.pmod(F.xxhash64(F.col(key_col)), F.lit(num_partitions))
     elif method == "round_robin":
-        assign = F.spark_partition_id() % num_partitions
+        # Row-level rotation, matching the reference's monotonic
+        # counter % bound (RoundRobinSubPartitioner.java:40-43):
+        # monotonically_increasing_id is (partitionId << 33) + row
+        # index, so consecutive rows of a partition cycle through all
+        # num_partitions residues — no cross-partition coordination,
+        # like the reference's per-consumer counter.
+        assign = F.pmod(F.monotonically_increasing_id(), F.lit(num_partitions))
     elif method == "custom":
         if expr is None:
             raise ValueError("custom method requires expr")

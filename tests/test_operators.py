@@ -123,6 +123,13 @@ def test_sub_partition_methods(tasks):
     )
     rr = sub_partition(tasks, 8, method="round_robin")
     assert rr.count() == n
+    # row-level rotation: a run of consecutive rows inside one input
+    # partition spreads across ALL sub-partitions, and the overall
+    # spread is near-uniform (the reference's counter % bound)
+    sizes = rr.groupBy("sub_partition").count().collect()
+    assert len(sizes) == 8
+    counts = [r["count"] for r in sizes]
+    assert max(counts) - min(counts) <= rr.rdd.getNumPartitions()
 
 
 def test_shaping_split_topic_suffix(tasks):
