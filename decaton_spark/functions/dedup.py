@@ -351,3 +351,80 @@ def connected_components(
     if stats is not None:
         stats["rounds"] = rounds
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("group_id"))
+
+
+def span_dedup(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_words: int = 16,
+) -> DataFrame:
+    """Corpus-level duplicate-SPAN removal — the C4/RefinedWeb "line
+    dedup" pattern generalized to fixed word windows (the fixture
+    corpus is single-line): every document is cut into consecutive
+    ``span_words``-word spans, any span whose text already occurred
+    anywhere in the corpus (first occurrence = smallest (doc_id,
+    span_idx)) is dropped, and surviving spans are stitched back per
+    document.
+
+    Scale shape (the C4 recipe at 100 TB):
+      1. span explode — narrow, no shuffle;
+      2. first-occurrence election: groupBy(span md5) with a
+         partial-aggregatable ``min(struct(doc_id, span_idx))`` —
+         map-side combine absorbs hot spans (boilerplate lines are the
+         classic skew case; a window row_number here would sort every
+         hot bucket on one task instead);
+      3. keeper join-back on the hash — equi-join, AQE skew-split
+         eligible;
+      4. per-document reassembly — one groupBy on doc_id.
+    No UDFs; md5 is cross-engine so the DuckDB oracle replays the
+    election bit-for-bit.
+
+    Returns (doc_id, n_spans_kept, dedup_text) for every input
+    document (fully-duplicate documents keep 0 spans and an empty
+    text).
+    """
+    toks = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+    n_spans = F.ceil(F.size(toks) / F.lit(float(span_words))).cast("int")
+    spans = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_spans - 1),
+                lambda i: F.array_join(
+                    F.slice(toks, i * span_words + 1, span_words), " "
+                ),
+            )
+        ).alias("span_idx", "span_text"),
+    ).withColumn("h", F.md5(F.col("span_text").cast("binary")))
+    keepers = spans.groupBy("h").agg(
+        F.min(F.struct("doc_id", "span_idx")).alias("keep")
+    )
+    kept = (
+        spans.join(keepers, "h")
+        .filter(
+            (F.col("doc_id") == F.col("keep.doc_id"))
+            & (F.col("span_idx") == F.col("keep.span_idx"))
+        )
+        .select("doc_id", "span_idx", "span_text")
+    )
+    reassembled = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("span_idx", "span_text"))),
+                lambda s: s.span_text,
+            ),
+            " ",
+        ).alias("dedup_text"),
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(reassembled, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_spans_kept"), F.lit(0)).alias("n_spans_kept"),
+            F.coalesce(F.col("dedup_text"), F.lit("")).alias("dedup_text"),
+        )
+    )

@@ -683,6 +683,57 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.exact_dups(docs)
 
 
+_SPAN_WORDS = 16
+
+
+@register(
+    "dedup_spans",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t
+        FROM documents),
+    nums AS (
+        SELECT doc_id, t,
+               unnest(generate_series(1,
+                   CAST(ceil(len(t) / {_SPAN_WORDS}.0) AS BIGINT))) AS i
+        FROM toks),
+    spans AS (
+        SELECT doc_id, i - 1 AS span_idx,
+               array_to_string(
+                   list_slice(t, (i - 1) * {_SPAN_WORDS} + 1,
+                              (i - 1) * {_SPAN_WORDS} + {_SPAN_WORDS}),
+                   ' ') AS span_text
+        FROM nums),
+    hashed AS (SELECT *, md5(span_text) AS h FROM spans),
+    kept AS (
+        SELECT doc_id, span_idx, span_text FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY h ORDER BY doc_id, span_idx) AS rn
+            FROM hashed)
+        WHERE rn = 1),
+    agg AS (
+        SELECT doc_id, count(*) AS n_spans_kept,
+               string_agg(span_text, ' ' ORDER BY span_idx) AS dedup_text
+        FROM kept GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(a.n_spans_kept, 0) AS BIGINT) AS n_spans_kept,
+           coalesce(a.dedup_text, '') AS dedup_text
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level duplicate-span removal (C4/RefinedWeb line dedup
+    generalized to fixed word windows): every 16-word span that already
+    occurred anywhere in the corpus is dropped, survivors re-stitched
+    per document. First occurrence = smallest (doc_id, span_idx),
+    elected by a partial-aggregatable min(struct) per span hash — the
+    skew-safe form of the election (hot boilerplate spans combine
+    map-side). The oracle replays the election with a window
+    row_number; both pick the identical keeper set."""
+    docs = load_table(spark, "documents", sf_dir)
+    return dd.span_dedup(docs, span_words=_SPAN_WORDS)
+
+
 #: same md5-bucket fragment, dialect-specific string cast
 _SPLIT_BUCKET_ORACLE = md5_bucket("CAST(doc_id AS VARCHAR)", 100)
 _SPLIT_BUCKET_SPARK = md5_bucket("CAST(doc_id AS STRING)", 100)
@@ -747,6 +798,70 @@ def deterministic_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(bucket < rate)
         .groupBy("lang")
         .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+
+
+#: per-source token budget for mixture construction
+_TOKEN_BUDGET = 3_000
+_SAMPLE_HASH_ORACLE = md5_long("CAST(doc_id AS VARCHAR)", 8, salt="tb|")
+_SAMPLE_HASH_SPARK = md5_long("CAST(doc_id AS STRING)", 8, salt="tb|")
+
+
+@register(
+    "token_budget_sample",
+    f"""
+    WITH doc_tokens AS (
+        SELECT doc_id, source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               {_SAMPLE_HASH_ORACLE} AS hv
+        FROM documents),
+    totals AS (
+        SELECT source, CAST(sum(n_tokens) AS DOUBLE) AS total_tokens
+        FROM doc_tokens GROUP BY source),
+    frac AS (
+        SELECT source,
+               least(1.0, {_TOKEN_BUDGET}.0 / total_tokens) AS keep_frac
+        FROM totals)
+    SELECT d.source,
+           count(*) AS n_docs_kept,
+           CAST(sum(d.n_tokens) AS BIGINT) AS tokens_kept
+    FROM doc_tokens d JOIN frac f USING (source)
+    WHERE d.hv < f.keep_frac * 4294967296.0
+    GROUP BY d.source
+    """,
+)
+def token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample each source down to a token budget — the mixture-builder
+    op of a training-data pipeline ("give me ≤N tokens per source,
+    reproducibly"). Two-pass, sort-free: (1) per-source token totals
+    (partial agg, rows = |sources|); (2) keep fraction
+    budget/total broadcast back and applied as a deterministic
+    md5-threshold test per document. No RNG, no global sort, no
+    windowed cumulative sum — the plan is two scans + a broadcast
+    equi-join, unchanged at 100 TB. Hash and IEEE double arithmetic
+    are cross-engine, so DuckDB reproduces the exact kept set."""
+    docs = load_table(spark, "documents", sf_dir)
+    d = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+        F.expr(_SAMPLE_HASH_SPARK).alias("hv"),
+    )
+    totals = d.groupBy("source").agg(
+        F.sum("n_tokens").cast("double").alias("total_tokens")
+    )
+    frac = totals.select(
+        "source",
+        F.least(
+            F.lit(1.0), F.lit(float(_TOKEN_BUDGET)) / F.col("total_tokens")
+        ).alias("keep_frac"),
+    )
+    kept = d.join(F.broadcast(frac), "source").filter(
+        F.col("hv") < F.col("keep_frac") * F.lit(4294967296.0)
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs_kept"),
+        F.sum("n_tokens").alias("tokens_kept"),
     )
 
 
@@ -2718,6 +2833,8 @@ _DRIVER_TIER = [
     # -- priority 3: newly registered this round --
     "docs_gopher_filter",
     "docs_pii_redact",
+    "dedup_spans",
+    "token_budget_sample",
     # -- priority 4a: implementation changed this round --
     "ann_ivf_topk",
     "ann_brute_force_topk",
@@ -2736,12 +2853,12 @@ _DRIVER_TIER = [
     "range_join_errors",
     "docs_source_quality",
     "text_suite",
-    "dedup_exact",
     "dedup_minhash_lsh",
     "multimodal_binary_meta",
     "t6_per_key_quota",
     "t13_pipeline_chain",
-    "s7_serde_roundtrip",
+    # dedup_exact and s7_serde_roundtrip rotated to EXTRA (fresh r2
+    # rows) to make room for the two queries new this round.
 ]
 
 _ALL_QUERIES = dict(QUERIES)

@@ -259,3 +259,30 @@ def test_connected_components_long_chain(spark):
     # of stacked joins
     plan = labels._jdf.queryExecution().optimizedPlan().toString()
     assert len(plan) < 4_000 and "LogicalRDD" in plan
+
+
+def test_span_dedup_semantics(spark):
+    """First occurrence wins corpus-wide; later copies of a span are cut
+    from their documents; a fully-duplicate document keeps 0 spans."""
+    from decaton_spark.functions.dedup import span_dedup
+
+    a = " ".join(f"a{i}" for i in range(16))
+    b = " ".join(f"b{i}" for i in range(16))
+    c = " ".join(f"c{i}" for i in range(16))
+    docs = spark.createDataFrame(
+        [
+            (1, f"{a} {b}"),       # original: keeps both spans
+            (2, f"{b} {c}"),       # b already seen -> keeps only c
+            (3, f"{a} {b}"),       # fully duplicate -> keeps nothing
+            (4, "short tail"),     # sub-span-width doc, unique -> kept
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_spans_kept"], r["dedup_text"])
+        for r in span_dedup(docs, span_words=16).collect()
+    }
+    assert out[1] == (2, f"{a} {b}")
+    assert out[2] == (1, c)
+    assert out[3] == (0, "")
+    assert out[4] == (1, "short tail")

@@ -176,3 +176,25 @@ def test_salted_agg_two_phase(spark, sf_dir):
     p = plan_of(df)
     assert p.count("HashAggregate") >= 4, "expected partial+final × 2 phases"
     assert "_salt" not in df.columns
+
+
+def test_span_dedup_election_is_partial_agg(spark, sf_dir):
+    """dedup_spans' first-occurrence election must be a partial-
+    aggregatable min(struct) (map-side combine absorbs hot boilerplate
+    spans) — never a window sort — and the keeper join-back must be an
+    equi-join, not a cartesian."""
+    p = plan_of(QUERIES["dedup_spans"].fn(spark, sf_dir))
+    assert "Window" not in p, "election must not be a window row_number"
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert p.count("HashAggregate") >= 2, "election must partial map-side"
+
+
+def test_token_budget_sample_broadcasts_fractions(spark, sf_dir):
+    """token_budget_sample: per-source fractions broadcast back to the
+    corpus (rows = |sources|); the corpus itself is never sort-merge
+    joined or globally sorted."""
+    p = plan_of(QUERIES["token_budget_sample"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "Window" not in p
