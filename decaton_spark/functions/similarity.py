@@ -658,3 +658,196 @@ def embedding_near_dups(
     return pairs.select("id_a", "id_b", sim.alias("cosine")).filter(
         F.col("cosine") >= threshold
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — compressed-domain ANN
+# ---------------------------------------------------------------------------
+
+
+def pq_seed_codebooks(
+    df: DataFrame,
+    *,
+    m: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = EMB,
+) -> list[list[list[float]]]:
+    """``[subspace j][code k] -> sub-centroid`` seeded from the ``ksub``
+    lowest-id vectors' sub-vectors (deterministic, oracle-expressible —
+    the same no-RNG seeding rule as IVF's ``_lowest_id_centroids``).
+    Lloyd refinement per subspace plugs in exactly like
+    ``trained_centroids`` does for IVF (an offline index build that
+    only changes these literals, never the query plan); the seed books
+    keep the whole pipeline replayable by the SQL oracle."""
+    rows = (
+        df.select(id_col, vec_col)
+        .filter(F.col(id_col) < ksub)
+        .orderBy(id_col)
+        .collect()
+    )
+    dim = len(rows[0][vec_col])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    return [
+        [[float(x) for x in r[vec_col][j * dsub : (j + 1) * dsub]] for r in rows]
+        for j in range(m)
+    ]
+
+
+def _pq_cb_literal(codebooks: list[list[list[float]]]) -> Column:
+    """Nested literal array<array<array<double>>> [j][k][i]."""
+    return F.array(
+        *[
+            F.array(*[F.array(*[F.lit(float(x)) for x in cv]) for cv in book])
+            for book in codebooks
+        ]
+    )
+
+
+def pq_norm2(codebooks: list[list[list[float]]]) -> list[list[float]]:
+    """|c_{j,k}|² per sub-centroid, summed sequentially (IEEE order
+    matches the engines' left folds — and being literals, both engines
+    necessarily agree)."""
+    out = []
+    for book in codebooks:
+        row = []
+        for cv in book:
+            acc = 0.0
+            for x in cv:
+                acc += float(x) * float(x)
+            row.append(acc)
+        out.append(row)
+    return out
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = EMB,
+    encode_digits: int = 6,
+) -> DataFrame:
+    """Encode each vector to ``m`` sub-codes: code_j = argmin over k of
+    L2²(sub-vector_j, c_{j,k}), ties to the lowest k (strict-< left
+    fold == ``row_number() ORDER BY d2, k`` in the oracle).
+
+    This is the PQ compression step: at 100 TB the corpus column
+    shrinks from 64 floats (256 B) to m bytes — the entire index fits
+    two orders of magnitude more vectors per node. Pure projection:
+    codebook literals are inlined, nothing shuffles.
+
+    Returns (id, pq_codes array<int>, recon_norm double) where
+    recon_norm = |reconstruction| = sqrt(Σ_j |c_{j,code_j}|²), used to
+    normalize asymmetric-distance cosine."""
+    m = len(codebooks)
+    ksub = len(codebooks[0])
+    dsub = len(codebooks[0][0])
+    cb = _pq_cb_literal(codebooks)
+    nb = F.array(
+        *[F.array(*[F.lit(v) for v in row]) for row in pq_norm2(codebooks)]
+    )
+    v = F.col(vec_col)
+
+    def code_for(j: int) -> Column:
+        sub = F.slice(v, j * dsub + 1, dsub)
+        book = F.element_at(cb, j + 1)
+        scores = F.transform(
+            F.sequence(F.lit(0), F.lit(ksub - 1)),
+            lambda kk: F.struct(
+                (
+                    F.round(
+                        F.aggregate(
+                            F.zip_with(
+                                sub,
+                                F.element_at(book, kk + 1),
+                                lambda a, b: (a.cast("double") - b)
+                                * (a.cast("double") - b),
+                            ),
+                            F.lit(0.0),
+                            lambda acc, x: acc + x,
+                        ),
+                        encode_digits,
+                    )
+                    + F.lit(0.0)
+                ).alias("d2"),
+                kk.cast("int").alias("code"),
+            ),
+        )
+        init = F.struct(
+            F.lit(float("inf")).alias("d2"), F.lit(-1).cast("int").alias("code")
+        )
+        best = F.aggregate(
+            scores, init, lambda acc, s: F.when(s["d2"] < acc["d2"], s).otherwise(acc)
+        )
+        return best["code"]
+
+    coded = df.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.array(*[code_for(j) for j in range(m)]).alias("pq_codes"),
+    )
+    acc = F.lit(0.0)
+    for j in range(m):
+        acc = acc + F.element_at(
+            F.element_at(nb, j + 1), F.element_at(F.col("pq_codes"), j + 1) + 1
+        )
+    return coded.select("neighbor_id", "pq_codes", F.sqrt(acc).alias("recon_norm"))
+
+
+def pq_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = EMB,
+    round_digits: int = 4,
+    encode_digits: int = 6,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over the PQ-encoded corpus:
+    approx dot(q, x) = Σ_j dot(q_j, c_{j,code_j}) — m codebook lookups
+    per candidate instead of a 64-float multiply; approx cosine divides
+    by |q|·|reconstruction|.
+
+    Plan shape: encode is a projection; the tiny query set broadcasts;
+    the only shuffle is the per-query top-k. At 100 TB this composes
+    with IVF (probe cells, then ADC-scan only probed partitions) — the
+    standard IVF+PQ stack; here the ADC linear scan is the registered,
+    oracle-verified baseline."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    cb = _pq_cb_literal(codebooks)
+    enc = pq_encode(
+        df, codebooks, id_col=id_col, vec_col=vec_col, encode_digits=encode_digits
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_norm"),
+    )
+    pairs = enc.crossJoin(F.broadcast(q)).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    adot = F.lit(0.0)
+    for j in range(m):
+        sub_q = F.slice(F.col("q_vec"), j * dsub + 1, dsub)
+        cv = F.element_at(
+            F.element_at(cb, j + 1), F.element_at(F.col("pq_codes"), j + 1) + 1
+        )
+        adot = adot + dot(sub_q, cv)
+    sim = (
+        F.round(adot / (F.col("q_norm") * F.col("recon_norm")), round_digits)
+        + F.lit(0.0)
+    )
+    scored = pairs.select("query_id", "neighbor_id", sim.alias("pq_cosine"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("pq_cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "pq_cosine")
+    )

@@ -1352,6 +1352,91 @@ def ann_ivf_topk_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PQ_M, _PQ_KSUB, _PQ_DSUB = 8, 16, 8  # 64 dims = 8 subspaces × 8
+
+
+def _pq_oracle() -> str:
+    m, ksub, dsub = _PQ_M, _PQ_KSUB, _PQ_DSUB
+    l2 = (
+        f"list_reduce(list_prepend(0.0, list_transform(range({dsub}), i -> "
+        f"(CAST(e.embedding[c.j*{dsub} + i + 1] AS DOUBLE) - c.cv[i+1]) * "
+        f"(CAST(e.embedding[c.j*{dsub} + i + 1] AS DOUBLE) - c.cv[i+1]))), "
+        "(x,y) -> x + y)"
+    )
+    return f"""
+    WITH cb AS (
+        SELECT g.j, e.vec_id AS k,
+               list_transform(range({dsub}),
+                   i -> CAST(e.embedding[g.j*{dsub} + i + 1] AS DOUBLE)) AS cv
+        FROM embeddings e
+        CROSS JOIN (SELECT unnest(range({m})) AS j) g
+        WHERE e.vec_id < {ksub}),
+    cbn AS (
+        SELECT j, k, cv,
+               list_reduce(list_prepend(0.0, list_transform(range({dsub}),
+                   i -> cv[i+1] * cv[i+1])), (x,y) -> x + y) AS n2
+        FROM cb),
+    enc_scored AS (
+        SELECT e.vec_id, c.j, c.k, c.n2,
+               round({l2}, 6) + 0.0 AS d2
+        FROM embeddings e CROSS JOIN cbn c),
+    enc AS (
+        SELECT vec_id, j, k AS code, n2 FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id, j ORDER BY d2, k) AS rn
+            FROM enc_scored) WHERE rn = 1),
+    vecenc AS (
+        SELECT vec_id,
+               sqrt(list_reduce(list_prepend(0.0, list(n2 ORDER BY j)),
+                    (x,y) -> x + y)) AS recon_norm
+        FROM enc GROUP BY vec_id),
+    q AS (SELECT vec_id AS query_id, embedding AS qv,
+                 {_NORM.format(v='embedding')} AS q_norm
+          FROM embeddings WHERE vec_id < 8),
+    contrib AS (
+        SELECT q.query_id, en.vec_id AS neighbor_id, en.j,
+               list_reduce(list_prepend(0.0, list_transform(range({dsub}), i ->
+                   CAST(q.qv[en.j*{dsub} + i + 1] AS DOUBLE) * en.cv[i + 1])),
+                   (x,y) -> x + y) AS c
+        FROM (SELECT e2.vec_id, e2.j, cb2.cv
+              FROM enc e2 JOIN cbn cb2 ON cb2.j = e2.j AND cb2.k = e2.code) en
+        CROSS JOIN q),
+    approx AS (
+        SELECT query_id, neighbor_id,
+               list_reduce(list_prepend(0.0, list(c ORDER BY j)),
+                   (x,y) -> x + y) AS adot
+        FROM contrib GROUP BY query_id, neighbor_id),
+    scored AS (
+        SELECT a.query_id, a.neighbor_id,
+               round(a.adot / (q.q_norm * v.recon_norm), 4) + 0.0 AS pq_cosine
+        FROM approx a
+        JOIN q USING (query_id)
+        JOIN vecenc v ON v.vec_id = a.neighbor_id
+        WHERE a.neighbor_id <> a.query_id),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY pq_cosine DESC, neighbor_id) AS rank
+        FROM scored)
+    SELECT query_id, rank, neighbor_id, pq_cosine FROM ranked WHERE rank <= 5
+    """
+
+
+@register("ann_pq_topk", _pq_oracle())
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (the compression half of the standard
+    IVF+PQ 100 TB stack): the corpus is encoded to 8 sub-codes (8 bytes
+    per vector instead of 256), queries score candidates by asymmetric
+    distance — 8 codebook lookups per candidate, folded in the same
+    sequential order as the oracle's ordered-list reduce. Codebooks are
+    seeded from the 16 lowest-id vectors (no RNG) so DuckDB replays
+    encode + ADC bit-for-bit; k-means-refined codebooks drop in as
+    literals exactly like IVF's trained_centroids."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") < 8)
+    books = sim.pq_seed_codebooks(emb, m=_PQ_M, ksub=_PQ_KSUB)
+    return sim.pq_topk(emb, q, books, k=5)
+
+
 _BUCKET = (
     "(CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END "
     "+ 2 * CASE WHEN embedding[2] > 0 THEN 1 ELSE 0 END "
@@ -2835,6 +2920,7 @@ _DRIVER_TIER = [
     "docs_pii_redact",
     "dedup_spans",
     "token_budget_sample",
+    "ann_pq_topk",
     # -- priority 4a: implementation changed this round --
     "ann_ivf_topk",
     "ann_brute_force_topk",
@@ -2848,7 +2934,6 @@ _DRIVER_TIER = [
     "grouping_sets_order_stats",
     "topk_parts_by_revenue",
     "semi_anti_customers",
-    "pivot_event_types",
     "asof_join_enrichment",
     "range_join_errors",
     "docs_source_quality",
@@ -2857,8 +2942,8 @@ _DRIVER_TIER = [
     "multimodal_binary_meta",
     "t6_per_key_quota",
     "t13_pipeline_chain",
-    # dedup_exact and s7_serde_roundtrip rotated to EXTRA (fresh r2
-    # rows) to make room for the two queries new this round.
+    # dedup_exact, s7_serde_roundtrip and pivot_event_types rotated to
+    # EXTRA (fresh r2 rows) to make room for the queries new this round.
 ]
 
 _ALL_QUERIES = dict(QUERIES)

@@ -198,3 +198,19 @@ def test_token_budget_sample_broadcasts_fractions(spark, sf_dir):
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
     assert "Window" not in p
+
+
+def test_pq_encode_is_projection(spark, sf_dir):
+    """PQ encode must be a pure projection (codebook literals inlined,
+    no shuffle), and the ADC scan must broadcast the query set — never
+    sort-merge or shuffle the corpus."""
+    from decaton_spark.functions import similarity as sim
+    from decaton_spark.sources import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    books = sim.pq_seed_codebooks(emb, m=8, ksub=16)
+    enc_plan = plan_of(sim.pq_encode(emb, books))
+    assert "Exchange" not in enc_plan, "encode must not shuffle"
+    p = plan_of(QUERIES["ann_pq_topk"].fn(spark, sf_dir))
+    assert "SortMergeJoin" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p

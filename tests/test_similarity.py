@@ -60,3 +60,27 @@ def test_ivf_kmeans_matches_vectorized(emb, queries):
         emb, queries, k=5, nlist=16, nprobe=4, centroids=cents
     )
     assert sorted(map(tuple, expr.collect())) == sorted(map(tuple, blas.collect()))
+
+
+def test_pq_encode_shape_and_determinism(emb):
+    books = sim.pq_seed_codebooks(emb, m=8, ksub=16)
+    assert len(books) == 8 and len(books[0]) == 16 and len(books[0][0]) == 8
+    enc = sim.pq_encode(emb, books)
+    rows = enc.orderBy("neighbor_id").limit(20).collect()
+    assert all(len(r["pq_codes"]) == 8 for r in rows)
+    assert all(0 <= c <= 15 for r in rows for c in r["pq_codes"])
+    assert all(r["recon_norm"] > 0 for r in rows)
+    # codebook row k IS sub-vector k: a codebook vector encodes to itself
+    own = {r["neighbor_id"]: r["pq_codes"] for r in rows if r["neighbor_id"] < 16}
+    for vid, codes in own.items():
+        assert list(codes) == [vid] * 8, f"vec {vid} must self-encode"
+
+
+def test_pq_recall_vs_brute_force(emb, queries, exact):
+    """8-byte codes lose information by design; seeded codebooks must
+    still put a usable share of the true top-5 in the PQ top-5 (k-means
+    refinement raises this further, as with IVF)."""
+    books = sim.pq_seed_codebooks(emb, m=8, ksub=16)
+    approx = _pairs(sim.pq_topk(emb, queries, books, k=5))
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"PQ recall@5 too low: {recall:.2f}"
