@@ -696,14 +696,28 @@ def pq_seed_codebooks(
     ]
 
 
-def _pq_cb_literal(codebooks: list[list[list[float]]]) -> Column:
-    """Nested literal array<array<array<double>>> [j][k][i]."""
-    return F.array(
-        *[
-            F.array(*[F.array(*[F.lit(float(x)) for x in cv]) for cv in book])
-            for book in codebooks
-        ]
+def _pq_book_sql(book: list[list[float]]) -> str:
+    """SQL literal array<array<double>> for ONE subspace's codebook.
+
+    All PQ expressions are generated as SQL text and parsed in a single
+    ``expr`` call per output column: composing them from
+    F.lit/F.array/lambda Columns costs a py4j round-trip per node
+    (thousands for 8×16×8 literals plus folds — seconds of driver-side
+    RPC before the query even analyzes). ``repr(float)`` is
+    shortest-round-trip decimal, which Double.parseDouble returns to
+    the identical IEEE value."""
+    return (
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(f"{float(x)!r}D" for x in cv) + ")" for cv in book
+        )
+        + ")"
     )
+
+
+def _pq_n2row_sql(row: list[float]) -> str:
+    """SQL literal array<double> of |c_{j,k}|² for one subspace."""
+    return "array(" + ", ".join(f"{v!r}D" for v in row) + ")"
 
 
 def pq_norm2(codebooks: list[list[list[float]]]) -> list[list[float]]:
@@ -745,55 +759,48 @@ def pq_encode(
     m = len(codebooks)
     ksub = len(codebooks[0])
     dsub = len(codebooks[0][0])
-    cb = _pq_cb_literal(codebooks)
-    nb = F.array(
-        *[F.array(*[F.lit(v) for v in row]) for row in pq_norm2(codebooks)]
-    )
-    v = F.col(vec_col)
+    n2 = pq_norm2(codebooks)
 
-    def code_for(j: int) -> Column:
-        sub = F.slice(v, j * dsub + 1, dsub)
-        book = F.element_at(cb, j + 1)
-        scores = F.transform(
-            F.sequence(F.lit(0), F.lit(ksub - 1)),
-            lambda kk: F.struct(
-                (
-                    F.round(
-                        F.aggregate(
-                            F.zip_with(
-                                sub,
-                                F.element_at(book, kk + 1),
-                                lambda a, b: (a.cast("double") - b)
-                                * (a.cast("double") - b),
-                            ),
-                            F.lit(0.0),
-                            lambda acc, x: acc + x,
-                        ),
-                        encode_digits,
-                    )
-                    + F.lit(0.0)
-                ).alias("d2"),
-                kk.cast("int").alias("code"),
-            ),
+    # Assignment score is |c|² − 2·dot(sub, c): the |sub|² term is
+    # constant across candidates so the argmin is identical to L2², and
+    # each candidate costs ONE dot fold instead of a per-candidate
+    # zip_with allocation + subtract-square (Catalyst does not CSE into
+    # lambda scopes, so work inside the candidate lambda is paid 16×).
+    # Sub-vector slices are hoisted to their own projection for the
+    # same reason.
+    def code_sql(j: int) -> str:
+        book = _pq_book_sql(codebooks[j])
+        n2row = _pq_n2row_sql(n2[j])
+        d2 = (
+            f"round(element_at({n2row}, k + 1) - 2.0D * "
+            f"aggregate(zip_with(_sub_{j}, element_at({book}, k + 1), "
+            "(a, b) -> CAST(a AS DOUBLE) * b), 0.0D, (acc, x) -> acc + x), "
+            f"{encode_digits}) + 0.0D"
         )
-        init = F.struct(
-            F.lit(float("inf")).alias("d2"), F.lit(-1).cast("int").alias("code")
+        return (
+            f"(aggregate(transform(sequence(0, {ksub - 1}), "
+            f"k -> named_struct('d2', {d2}, 'code', CAST(k AS INT))), "
+            "named_struct('d2', CAST('Infinity' AS DOUBLE), 'code', -1), "
+            "(acc, s) -> CASE WHEN s.d2 < acc.d2 THEN s ELSE acc END)).code"
         )
-        best = F.aggregate(
-            scores, init, lambda acc, s: F.when(s["d2"] < acc["d2"], s).otherwise(acc)
-        )
-        return best["code"]
 
-    coded = df.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.array(*[code_for(j) for j in range(m)]).alias("pq_codes"),
+    subs = df.selectExpr(
+        f"{id_col} AS neighbor_id",
+        *[f"slice({vec_col}, {j * dsub + 1}, {dsub}) AS _sub_{j}" for j in range(m)],
     )
-    acc = F.lit(0.0)
+    coded = subs.selectExpr(
+        "neighbor_id",
+        "array(" + ", ".join(code_sql(j) for j in range(m)) + ") AS pq_codes",
+    )
+    recon2 = "0.0D"
     for j in range(m):
-        acc = acc + F.element_at(
-            F.element_at(nb, j + 1), F.element_at(F.col("pq_codes"), j + 1) + 1
+        recon2 = (
+            f"({recon2} + element_at({_pq_n2row_sql(n2[j])}, "
+            f"element_at(pq_codes, {j + 1}) + 1))"
         )
-    return coded.select("neighbor_id", "pq_codes", F.sqrt(acc).alias("recon_norm"))
+    return coded.selectExpr(
+        "neighbor_id", "pq_codes", f"sqrt({recon2}) AS recon_norm"
+    )
 
 
 def pq_topk(
@@ -819,7 +826,6 @@ def pq_topk(
     oracle-verified baseline."""
     m = len(codebooks)
     dsub = len(codebooks[0][0])
-    cb = _pq_cb_literal(codebooks)
     enc = pq_encode(
         df, codebooks, id_col=id_col, vec_col=vec_col, encode_digits=encode_digits
     )
@@ -831,18 +837,22 @@ def pq_topk(
     pairs = enc.crossJoin(F.broadcast(q)).filter(
         F.col("neighbor_id") != F.col("query_id")
     )
-    adot = F.lit(0.0)
+    adot = "0.0D"
     for j in range(m):
-        sub_q = F.slice(F.col("q_vec"), j * dsub + 1, dsub)
-        cv = F.element_at(
-            F.element_at(cb, j + 1), F.element_at(F.col("pq_codes"), j + 1) + 1
+        cv = (
+            f"element_at({_pq_book_sql(codebooks[j])}, "
+            f"element_at(pq_codes, {j + 1}) + 1)"
         )
-        adot = adot + dot(sub_q, cv)
-    sim = (
-        F.round(adot / (F.col("q_norm") * F.col("recon_norm")), round_digits)
-        + F.lit(0.0)
+        adot = (
+            f"({adot} + aggregate(zip_with("
+            f"slice(q_vec, {j * dsub + 1}, {dsub}), {cv}, "
+            "(a, b) -> CAST(a AS DOUBLE) * b), 0.0D, (acc, x) -> acc + x))"
+        )
+    scored = pairs.selectExpr(
+        "query_id",
+        "neighbor_id",
+        f"round({adot} / (q_norm * recon_norm), {round_digits}) + 0.0D AS pq_cosine",
     )
-    scored = pairs.select("query_id", "neighbor_id", sim.alias("pq_cosine"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("pq_cosine").desc(), F.col("neighbor_id").asc()
     )

@@ -1357,10 +1357,11 @@ _PQ_M, _PQ_KSUB, _PQ_DSUB = 8, 16, 8  # 64 dims = 8 subspaces × 8
 
 def _pq_oracle() -> str:
     m, ksub, dsub = _PQ_M, _PQ_KSUB, _PQ_DSUB
+    # assignment score |c|² − 2·dot (the constant |sub|² term dropped —
+    # same argmin as L2², mirrored exactly by the Spark encode)
     l2 = (
-        f"list_reduce(list_prepend(0.0, list_transform(range({dsub}), i -> "
-        f"(CAST(e.embedding[c.j*{dsub} + i + 1] AS DOUBLE) - c.cv[i+1]) * "
-        f"(CAST(e.embedding[c.j*{dsub} + i + 1] AS DOUBLE) - c.cv[i+1]))), "
+        f"c.n2 - 2.0 * list_reduce(list_prepend(0.0, list_transform(range({dsub}), "
+        f"i -> CAST(e.embedding[c.j*{dsub} + i + 1] AS DOUBLE) * c.cv[i+1])), "
         "(x,y) -> x + y)"
     )
     return f"""
@@ -1421,6 +1422,19 @@ def _pq_oracle() -> str:
     """
 
 
+_PQ_BOOK_CACHE: dict[str, list[list[list[float]]]] = {}
+
+
+def _pq_books(emb: DataFrame, sf_dir: str) -> list[list[list[float]]]:
+    """Seed codebooks once per dataset (a tiny 16-row collect, but no
+    reason to re-run it every query invocation)."""
+    if sf_dir not in _PQ_BOOK_CACHE:
+        _PQ_BOOK_CACHE[sf_dir] = sim.pq_seed_codebooks(
+            emb, m=_PQ_M, ksub=_PQ_KSUB
+        )
+    return _PQ_BOOK_CACHE[sf_dir]
+
+
 @register("ann_pq_topk", _pq_oracle())
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (the compression half of the standard
@@ -1433,8 +1447,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     literals exactly like IVF's trained_centroids."""
     emb = load_table(spark, "embeddings", sf_dir)
     q = emb.filter(F.col("vec_id") < 8)
-    books = sim.pq_seed_codebooks(emb, m=_PQ_M, ksub=_PQ_KSUB)
-    return sim.pq_topk(emb, q, books, k=5)
+    return sim.pq_topk(emb, q, _pq_books(emb, sf_dir), k=5)
 
 
 _BUCKET = (
