@@ -12,7 +12,7 @@ work parallelizes embarrassingly across row groups.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from decaton_spark.functions.hashing import token_fingerprint
@@ -94,3 +94,66 @@ def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fingerpri
     that, unlike md5(text), survives re-serialization of whitespace
     (tokens are the unit, not raw bytes)."""
     return df.withColumn(out_col, F.expr(token_fingerprint(f"split({text_col}, ' ')")))
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_n: int = 3,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-document top-N terms by tf·idf — corpus-statistics keyword
+    extraction (the signal behind boilerplate detection and topical
+    tagging in training-data curation).
+
+    idf = ln(N / df) on IEEE doubles. Plan shape at 100 TB:
+      1. per-(doc, term) tf — partial-aggregatable groupBy over the
+         single corpus explode, MATERIALIZED once (localCheckpoint;
+         at cluster scale: persisted to storage). Spark has no
+         DAG-level subplan sharing, so without materialization the
+         scan+explode+aggregate would run twice — once for tf, once
+         for document frequency (verified: no ReusedExchange fires);
+      2. document frequency — groupBy term over the materialized tf
+         rows (no second explode, no second scan);
+      3. tf ⋈ df on term — equi-join (stop words are the hot keys, AQE
+         skew-split eligible); corpus size N rides along as a
+         broadcast 1-row aggregate, never a driver-side collect;
+      4. per-doc top-N — bounded window over doc_id.
+    Returns (doc_id, rank, term, score).
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    )
+    tf = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = df.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf").cast("double")
+                * F.log(
+                    F.col("n_docs").cast("double") / F.col("df").cast("double")
+                ),
+                round_digits,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+        .select("doc_id", "rank", "term", "score")
+    )

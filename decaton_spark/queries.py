@@ -767,6 +767,36 @@ def deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_tfidf_top_terms",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT t.doc_id, t.term,
+               round(CAST(t.tf AS DOUBLE)
+                     * ln(CAST(n.n_docs AS DOUBLE) / CAST(d.df AS DOUBLE)),
+                     6) AS score
+        FROM tf t JOIN dfreq d USING (term) CROSS JOIN n),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                      ORDER BY score DESC, term) AS rank
+        FROM scored)
+    SELECT doc_id, rank, term, score FROM ranked WHERE rank <= 3
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-statistics keyword extraction: top-3 terms per document
+    by tf·idf (idf = ln(N/df)). See ``text.tfidf_top_terms`` for the
+    100 TB plan shape (partial-agg tf, df from tf's per-doc rows,
+    equi-join, bounded per-doc window)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return tx.tfidf_top_terms(docs, top_n=3)
+
+
 #: per-language keep-rates for corpus rebalancing (percent of md5 buckets)
 _MIX_RATES = {"en": 40, "fr": 80, "es": 80, "zh": 100, "de": 100}
 _MIX_CASE = (
@@ -2934,6 +2964,7 @@ _DRIVER_TIER = [
     "dedup_spans",
     "token_budget_sample",
     "ann_pq_topk",
+    "text_tfidf_top_terms",
     # -- priority 4a: implementation changed this round --
     "ann_ivf_topk",
     "ann_brute_force_topk",
@@ -2946,7 +2977,6 @@ _DRIVER_TIER = [
     "q18_large_volume_customers",
     "grouping_sets_order_stats",
     "topk_parts_by_revenue",
-    "semi_anti_customers",
     "asof_join_enrichment",
     "range_join_errors",
     "docs_source_quality",
@@ -2955,8 +2985,9 @@ _DRIVER_TIER = [
     "multimodal_binary_meta",
     "t6_per_key_quota",
     "t13_pipeline_chain",
-    # dedup_exact, s7_serde_roundtrip and pivot_event_types rotated to
-    # EXTRA (fresh r2 rows) to make room for the queries new this round.
+    # dedup_exact, s7_serde_roundtrip, pivot_event_types and
+    # semi_anti_customers rotated to EXTRA (fresh r2 rows) to make room
+    # for the queries new this round.
 ]
 
 _ALL_QUERIES = dict(QUERIES)

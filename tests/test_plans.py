@@ -214,3 +214,18 @@ def test_pq_encode_is_projection(spark, sf_dir):
     p = plan_of(QUERIES["ann_pq_topk"].fn(spark, sf_dir))
     assert "SortMergeJoin" not in p
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_tfidf_single_scan_and_partial_agg(spark, sf_dir):
+    """The corpus is scanned+exploded exactly once: tf is materialized
+    (localCheckpoint) and BOTH the df aggregation and the score join
+    read the materialized rows (Spark has no DAG-level subplan sharing
+    — without this the explode runs twice). df stays a partial-
+    aggregatable groupBy; no cartesian over the corpus."""
+    df = QUERIES["text_tfidf_top_terms"].fn(spark, sf_dir)
+    p = plan_of(df)
+    assert "Generate" not in p, "explode must be behind the materialized tf"
+    simple = plan_of(df, "simple")
+    assert simple.count("Scan ExistingRDD") == 2, "both branches reuse tf"
+    assert p.count("HashAggregate") >= 2, "df agg must be partial"
+    assert "CartesianProduct" not in p
