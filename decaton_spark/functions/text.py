@@ -157,3 +157,50 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= top_n)
         .select("doc_id", "rank", "term", "score")
     )
+
+
+def doc_chunks(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 32,
+    overlap: int = 8,
+) -> DataFrame:
+    """Sliding-window chunking: split each document into windows of
+    ``chunk_tokens`` whitespace tokens advancing by ``chunk_tokens −
+    overlap`` — the context-window preparation step of a training/RAG
+    pipeline (every chunk shares ``overlap`` tokens with its
+    predecessor so no span is ever cut mid-context).
+
+    A document with n ≤ chunk_tokens tokens yields one chunk;
+    otherwise ceil((n − chunk_tokens)/stride) + 1, so the final chunk
+    always reaches the last token. Pure narrow projection + generator:
+    no shuffle, no UDF — at 100 TB this runs entirely map-side at scan
+    parallelism.
+
+    Returns (doc_id, chunk_idx, n_tokens, chunk_text).
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+    n = F.size(toks)
+    n_chunks = F.when(n <= chunk_tokens, F.lit(1)).otherwise(
+        F.ceil((n - F.lit(chunk_tokens)) / F.lit(float(stride))).cast("int") + 1
+    )
+    chunk = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.slice(toks, i * stride + 1, chunk_tokens),
+            )
+        ).alias("chunk_idx", "chunk_toks"),
+    )
+    return chunk.select(
+        "doc_id",
+        "chunk_idx",
+        F.size(F.col("chunk_toks")).cast("long").alias("n_tokens"),
+        F.array_join(F.col("chunk_toks"), " ").alias("chunk_text"),
+    )

@@ -797,6 +797,46 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.tfidf_top_terms(docs, top_n=3)
 
 
+_CHUNK_TOKENS, _CHUNK_OVERLAP = 32, 8
+_CHUNK_STRIDE = _CHUNK_TOKENS - _CHUNK_OVERLAP
+
+
+@register(
+    "text_doc_chunks",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t FROM documents),
+    sized AS (
+        SELECT doc_id, t,
+               CASE WHEN len(t) <= {_CHUNK_TOKENS} THEN 1
+                    ELSE CAST(ceil((len(t) - {_CHUNK_TOKENS})
+                              / {_CHUNK_STRIDE}.0) AS INT) + 1 END AS n_chunks
+        FROM toks),
+    nums AS (
+        SELECT doc_id, t,
+               unnest(generate_series(0, n_chunks - 1)) AS i
+        FROM sized),
+    chunks AS (
+        SELECT doc_id, i AS chunk_idx,
+               list_slice(t, i * {_CHUNK_STRIDE} + 1,
+                          i * {_CHUNK_STRIDE} + {_CHUNK_TOKENS}) AS c
+        FROM nums)
+    SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+           CAST(len(c) AS BIGINT) AS n_tokens,
+           array_to_string(c, ' ') AS chunk_text
+    FROM chunks
+    """,
+)
+def text_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window preparation: sliding 32-token chunks with 8-token
+    overlap per document (see ``text.doc_chunks`` — shuffle-free narrow
+    generator, the chunking step before tokenize-and-pack)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return tx.doc_chunks(
+        docs, chunk_tokens=_CHUNK_TOKENS, overlap=_CHUNK_OVERLAP
+    )
+
+
 #: per-language keep-rates for corpus rebalancing (percent of md5 buckets)
 _MIX_RATES = {"en": 40, "fr": 80, "es": 80, "zh": 100, "de": 100}
 _MIX_CASE = (
@@ -2965,6 +3005,7 @@ _DRIVER_TIER = [
     "token_budget_sample",
     "ann_pq_topk",
     "text_tfidf_top_terms",
+    "text_doc_chunks",
     # -- priority 4a: implementation changed this round --
     "ann_ivf_topk",
     "ann_brute_force_topk",
@@ -2979,15 +3020,14 @@ _DRIVER_TIER = [
     "topk_parts_by_revenue",
     "asof_join_enrichment",
     "range_join_errors",
-    "docs_source_quality",
     "text_suite",
     "dedup_minhash_lsh",
     "multimodal_binary_meta",
     "t6_per_key_quota",
     "t13_pipeline_chain",
-    # dedup_exact, s7_serde_roundtrip, pivot_event_types and
-    # semi_anti_customers rotated to EXTRA (fresh r2 rows) to make room
-    # for the queries new this round.
+    # dedup_exact, s7_serde_roundtrip, pivot_event_types,
+    # semi_anti_customers and docs_source_quality rotated to EXTRA
+    # (fresh r2 rows) to make room for the queries new this round.
 ]
 
 _ALL_QUERIES = dict(QUERIES)

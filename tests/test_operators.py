@@ -286,3 +286,37 @@ def test_span_dedup_semantics(spark):
     assert out[2] == (1, c)
     assert out[3] == (0, "")
     assert out[4] == (1, "short tail")
+
+
+def test_doc_chunks_boundaries(spark):
+    """Chunk windows: stride = chunk-overlap, every consecutive pair of
+    a doc's chunks shares exactly the overlap tokens, the last chunk
+    reaches the final token, short docs yield one chunk."""
+    from decaton_spark.functions.text import doc_chunks
+
+    def mk(n):
+        return " ".join(f"t{i}" for i in range(n))
+
+    docs = spark.createDataFrame(
+        [(1, mk(100)), (2, mk(32)), (3, mk(33)), (4, mk(5)), (5, "")],
+        "doc_id long, text string",
+    )
+    out = doc_chunks(docs, chunk_tokens=32, overlap=8)
+    rows = {}
+    for r in out.collect():
+        rows.setdefault(r["doc_id"], []).append(r)
+    for v in rows.values():
+        v.sort(key=lambda r: r["chunk_idx"])
+    # counts: 100 -> ceil(68/24)+1 = 4; 32 -> 1; 33 -> 2; 5 -> 1; "" -> 1
+    assert [len(rows[d]) for d in (1, 2, 3, 4, 5)] == [4, 1, 2, 1, 1]
+    # overlap invariant on the long doc
+    for a, b in zip(rows[1], rows[1][1:]):
+        assert a["chunk_text"].split()[-8:] == b["chunk_text"].split()[:8]
+    # last chunk reaches the final token
+    assert rows[1][-1]["chunk_text"].split()[-1] == "t99"
+    assert rows[3][-1]["chunk_text"].split()[-1] == "t32"
+    # full coverage in order: stitching de-overlapped chunks == doc
+    stitched = rows[1][0]["chunk_text"].split()
+    for b in rows[1][1:]:
+        stitched += b["chunk_text"].split()[8:]
+    assert stitched == mk(100).split()
