@@ -204,3 +204,59 @@ def doc_chunks(
         F.size(F.col("chunk_toks")).cast("long").alias("n_tokens"),
         F.array_join(F.col("chunk_toks"), " ").alias("chunk_text"),
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    budget_tokens: int = 256,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Linear sequence packing: assign documents to fixed-token-budget
+    training packs — the step that turns a shuffled corpus into
+    constant-length training sequences.
+
+    Distributed shape: documents are first routed to ``n_buckets``
+    streams by a content-stable hash (so packing is reproducible and
+    embarrassingly parallel — each bucket packs independently, exactly
+    how multi-worker packers shard), then packed greedily in doc-id
+    order by a running token sum; pack boundary = the budget overflow
+    (classic linear packing, not NP-hard bin packing). A document
+    longer than the budget becomes its own (oversized) pack, matching
+    what packers do before chunking.
+
+    Plan: one window cumsum per bucket — a single shuffle on the
+    bucket key; within-bucket sort is bounded by corpus/n_buckets, and
+    at 100 TB you raise ``n_buckets`` to the write parallelism you
+    want. Integer-only arithmetic, so the oracle replays it exactly.
+
+    Returns one row per pack: (bucket, pack_id, n_docs, pack_tokens,
+    first_doc, last_doc).
+    """
+    toks = F.size(F.split(F.coalesce(F.col(text_col), F.lit("")), " ")).cast("long")
+    from decaton_spark.functions.hashing import md5_bucket
+
+    bucket = F.expr(
+        md5_bucket(f"CAST({id_col} AS STRING)", n_buckets, salt="pack|")
+    )
+    d = df.select(
+        F.col(id_col).alias("doc_id"), toks.alias("n_tokens"), bucket.alias("bucket")
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # pack_id = floor((cumsum - 1) / budget): a doc whose tokens cross
+    # the boundary closes the pack it started in (greedy linear rule)
+    packed = d.withColumn("cum", F.sum("n_tokens").over(w)).withColumn(
+        "pack_id", F.floor((F.col("cum") - 1) / F.lit(float(budget_tokens))).cast("long")
+    )
+    return packed.groupBy("bucket", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("pack_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )

@@ -837,6 +837,47 @@ def text_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PACK_BUDGET, _PACK_BUCKETS = 256, 32
+_PACK_BUCKET_ORACLE = md5_bucket(
+    "CAST(doc_id AS VARCHAR)", _PACK_BUCKETS, salt="pack|"
+)
+
+
+@register(
+    "text_pack_sequences",
+    f"""
+    WITH d AS (
+        SELECT doc_id,
+               CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT)
+                   AS n_tokens,
+               {_PACK_BUCKET_ORACLE} AS bucket
+        FROM documents),
+    c AS (
+        SELECT *, sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) AS cum
+        FROM d),
+    p AS (
+        SELECT bucket,
+               CAST(floor((cum - 1) / {_PACK_BUDGET}.0) AS BIGINT) AS pack_id,
+               doc_id, n_tokens
+        FROM c)
+    SELECT bucket, pack_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM p GROUP BY bucket, pack_id
+    """,
+)
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear sequence packing into 256-token training packs across 32
+    hash-sharded streams (see ``text.pack_sequences`` — one bounded
+    window cumsum per bucket, reproducible, integer-exact)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return tx.pack_sequences(
+        docs, budget_tokens=_PACK_BUDGET, n_buckets=_PACK_BUCKETS
+    )
+
+
 #: per-language keep-rates for corpus rebalancing (percent of md5 buckets)
 _MIX_RATES = {"en": 40, "fr": 80, "es": 80, "zh": 100, "de": 100}
 _MIX_CASE = (
@@ -3006,6 +3047,7 @@ _DRIVER_TIER = [
     "ann_pq_topk",
     "text_tfidf_top_terms",
     "text_doc_chunks",
+    "text_pack_sequences",
     # -- priority 4a: implementation changed this round --
     "ann_ivf_topk",
     "ann_brute_force_topk",
@@ -3019,15 +3061,15 @@ _DRIVER_TIER = [
     "grouping_sets_order_stats",
     "topk_parts_by_revenue",
     "asof_join_enrichment",
-    "range_join_errors",
     "text_suite",
     "dedup_minhash_lsh",
     "multimodal_binary_meta",
     "t6_per_key_quota",
     "t13_pipeline_chain",
     # dedup_exact, s7_serde_roundtrip, pivot_event_types,
-    # semi_anti_customers and docs_source_quality rotated to EXTRA
-    # (fresh r2 rows) to make room for the queries new this round.
+    # semi_anti_customers, docs_source_quality and range_join_errors
+    # rotated to EXTRA (fresh r2 rows) to make room for the queries
+    # new this round.
 ]
 
 _ALL_QUERIES = dict(QUERIES)

@@ -320,3 +320,24 @@ def test_doc_chunks_boundaries(spark):
     for b in rows[1][1:]:
         stitched += b["chunk_text"].split()[8:]
     assert stitched == mk(100).split()
+
+
+def test_pack_sequences_linear_rule(spark):
+    """Stream-position packing: cumsum boundaries at the budget; a doc
+    crossing the boundary closes the pack it started in; token totals
+    are preserved; pack ids are contiguous per bucket."""
+    from decaton_spark.functions.text import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * 100)) for i in range(5)],
+        "doc_id long, text string",
+    )
+    out = pack_sequences(docs, budget_tokens=256, n_buckets=1).collect()
+    packs = {r["pack_id"]: r for r in out}
+    # cums 100..500 -> packs: 0:[d0,d1] 200t, 1:[d2,d3,d4] 300t? No:
+    # floor((100-1)/256)=0, (200-1)->0, (300-1)->1, (400-1)->1, (500-1)->1
+    assert packs[0]["n_docs"] == 2 and packs[0]["pack_tokens"] == 200
+    assert packs[1]["n_docs"] == 3 and packs[1]["pack_tokens"] == 300
+    assert packs[0]["last_doc"] < packs[1]["first_doc"]
+    assert sum(r["pack_tokens"] for r in out) == 500
+    assert sorted(packs) == list(range(len(packs)))
