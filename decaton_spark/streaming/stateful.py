@@ -32,6 +32,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from decaton_spark.streaming.tws import tws_available
@@ -490,3 +491,31 @@ def streaming_scheduled(
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+def streaming_dedup(
+    tasks: DataFrame,
+    *,
+    identity: list[str] | None = None,
+    within: str = "1 hour",
+    ts_col: str = "meta_timestamp_millis",
+) -> DataFrame:
+    """Streaming exact dedup — the ingest-time form of
+    ``functions.dedup.exact_dups``: drop any record whose identity
+    columns were already seen, with the seen-set held in the keyed
+    state store and BOUNDED by the watermark horizon
+    (``dropDuplicatesWithinWatermark`` — a duplicate arriving within
+    ``within`` of the original's event time is dropped; state for
+    identities older than the horizon is evicted, so memory is
+    O(identities per horizon), not O(stream)).
+
+    ``identity`` defaults to ``["value"]`` (payload-content dedup; pass
+    a content-hash column for large payloads). At cluster scale the
+    state store is RocksDB-backed and checkpointed — this is the
+    100 TB ingest-dedup front door that keeps re-delivered Kafka
+    records out of the corpus before any batch dedup pass runs."""
+    cols = identity or ["value"]
+    out = tasks.withColumn(
+        "_event_time", F.timestamp_millis(F.col(ts_col))
+    ).withWatermark("_event_time", within)
+    return out.dropDuplicatesWithinWatermark(cols).drop("_event_time")

@@ -200,3 +200,44 @@ def test_parser_rejects_truncation():
         pb.read_varint(bytes.fromhex("80"), 0)  # continuation, no next byte
     with pytest.raises(ValueError):
         pb.parse_task_metadata(bytes.fromhex("1205" + "6161"))  # len 5, 2 bytes
+
+
+def test_varint_property_roundtrip(duck):
+    """Property test over the full int64 domain: the SQL encoder
+    (evaluated in DuckDB — same fragment Spark runs) must equal the
+    reference unsigned-reinterpretation encoding, and the Python
+    parser must invert it, for random and adversarial values."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=-(2**63), max_value=2**63 - 1)
+            | st.sampled_from(
+                [0, 1, 127, 128, -1, -128, 2**63 - 1, -(2**63), 300]
+            ),
+            min_size=1,
+            max_size=20,
+        )
+    )
+    def check(values):
+        # INT64_MIN can't be written as a literal (the magnitude parses
+        # as INT128 before negation) — same workaround the queries use
+        rows = ", ".join(
+            "((-9223372036854775807 - 1)::BIGINT)"
+            if v == -(2**63)
+            else f"({v}::BIGINT)"
+            for v in values
+        )
+        frag = pb.pb_varint_hex("v")
+        got = duck.sql(
+            f"SELECT {frag} AS h FROM (VALUES {rows}) t(v)"
+        ).fetchall()
+        for v, (h,) in zip(values, got):
+            want = py_varint(v & 0xFFFFFFFFFFFFFFFF).hex()
+            assert h == want, f"encode({v})"
+            unsigned, end = pb.read_varint(bytes.fromhex(h), 0)
+            assert end == len(h) // 2
+            assert pb._as_int64(unsigned) == v, f"roundtrip({v})"
+
+    check()

@@ -521,3 +521,41 @@ def test_full_topology_end_to_end(spark, sf_dir, task_stream_dir, tmp_path):
     # per-key per-window compaction: ≤1 main row per (key, hour, batch)
     for r in sinks["main"]:
         assert r["key"] not in blocked_keys
+
+
+def test_streaming_dedup_across_microbatches(spark, tmp_path):
+    """dropDuplicatesWithinWatermark state survives microbatch
+    boundaries: a payload re-delivered in a later file is dropped,
+    fresh payloads pass (the ingest-time form of dedup_exact)."""
+    from decaton_spark.streaming.stateful import streaming_dedup
+
+    src = tmp_path / "dedup_src"
+    schema = "key string, value string, meta_timestamp_millis long"
+    base = 1_700_000_000_000
+    spark.createDataFrame(
+        [("k1", "payload-A", base), ("k2", "payload-B", base + 1000)], schema
+    ).write.mode("append").parquet(str(src))
+    spark.createDataFrame(
+        [("k1", "payload-A", base + 5000),  # re-delivery: must drop
+         ("k3", "payload-C", base + 6000)], schema
+    ).write.mode("append").parquet(str(src))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = streaming_dedup(stream, within="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    got = {r["value"] for r in spark.table("dedup_stream").collect()}
+    assert got == {"payload-A", "payload-B", "payload-C"}
+    assert spark.table("dedup_stream").count() == 3, "duplicate must drop"
