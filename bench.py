@@ -87,6 +87,9 @@ def main() -> None:
         nlist=16,
         iters=2,
     )
+    from decaton_spark.queries import _pq_books
+
+    _pq_books(load_table(spark, "embeddings", SF_DIR), SF_DIR)
 
     # reference-workload mirror (benchmark/ module semantics): tasks
     # with 4 ms × 5 simulated I/Os, concurrency 300/partition — the

@@ -861,3 +861,167 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "pq_cosine")
     )
+
+
+def train_pq_codebooks(
+    df: DataFrame,
+    *,
+    dataset: str,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 8,
+    sample: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = EMB,
+) -> list[list[list[float]]]:
+    """Lloyd-refined PQ codebooks — the offline index build that
+    replaces the seed books for real recall. Mirrors
+    ``trained_centroids``' shape exactly: train once per
+    (dataset, m, ksub, iters) on a bounded sample (the ``sample``
+    lowest-id vectors — deterministic, no RNG), persist the kilobyte
+    codebook JSON, and every query inlines the literals; nothing about
+    the query plan changes. Per subspace: k-means under L2 on the
+    sub-vectors, seeded from the ksub lowest-id sub-vectors (empty
+    cells keep their centroid). Training math is local numpy float64 —
+    at 100 TB the sample is still a driver-sized matrix; the full
+    corpus is only ever touched by the (distributed, shuffle-free)
+    encode.
+
+    Measured caveat: on the driver's near-uniform synthetic embeddings
+    Lloyd refinement does NOT beat data-point seed books (means of
+    near-random points collapse toward the centroid of the space and
+    discriminate less than actual data points) — the registered query
+    therefore keeps the seeded, oracle-exact books; this builder is
+    the index path for real clustered embeddings."""
+    import numpy as np
+
+    key = ("pq", dataset, m, ksub, iters)
+    if key in _CENTROID_CACHE:
+        return _CENTROID_CACHE[key]
+    tag = hashlib.md5(f"pq|{dataset}".encode()).hexdigest()[:16]
+    path = os.path.join(_CENTROID_DIR, f"{tag}_pq_m{m}_k{ksub}_i{iters}.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            books = json.load(f)
+        books = [[[float(x) for x in cv] for cv in book] for book in books]
+    else:
+        rows = (
+            df.select(id_col, vec_col)
+            .filter(F.col(id_col) < sample)
+            .orderBy(id_col)
+            .collect()
+        )
+        mat = np.array([list(r[vec_col]) for r in rows], dtype=np.float64)
+        dim = mat.shape[1]
+        if dim % m:
+            raise ValueError(f"dim {dim} not divisible by m {m}")
+        dsub = dim // m
+        books = []
+        for j in range(m):
+            sub = mat[:, j * dsub : (j + 1) * dsub]
+            cents = sub[:ksub].copy()
+            for _ in range(iters):
+                d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+                assign = d2.argmin(axis=1)
+                for k in range(ksub):
+                    members = sub[assign == k]
+                    if len(members):
+                        cents[k] = members.mean(axis=0)
+            books.append([[float(x) for x in cv] for cv in cents])
+        os.makedirs(_CENTROID_DIR, exist_ok=True)
+        tmp = f"{path}.{os.getpid()}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(books, f)
+        os.replace(tmp, path)
+    _CENTROID_CACHE[key] = books
+    return books
+
+
+def ivf_pq_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    *,
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = EMB,
+    round_digits: int = 4,
+    centroids: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """The composed IVF+PQ stack — coarse quantizer prunes the corpus
+    to ``nprobe`` cells, PQ codes score the survivors by asymmetric
+    distance: at 100 TB the cell id is the storage partition key
+    (unprobed cells partition-pruned at the scan) and each scanned
+    candidate costs m LUT lookups over an 8-byte code instead of a
+    256-byte float read. This is the standard billion-vector serving
+    shape (FAISS IVFPQ) expressed as two narrow projections + one
+    broadcast equi-join + one bounded top-k.
+
+    Exactness caveat (honest): scores are PQ approximations, so this
+    is the recall-tested scale path; the oracle-verified baselines are
+    ``ann_pq_topk`` (exact same scoring, no cell pruning) and
+    ``ann_ivf_topk`` (exact scoring, same pruning)."""
+    if centroids is None:
+        centroids = _lowest_id_centroids(df, nlist, id_col, vec_col)
+    cents = _centroid_literals(centroids)
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+
+    enc = pq_encode(df, codebooks, id_col=id_col, vec_col=vec_col)
+    cells = df.select(
+        F.col(id_col).alias("neighbor_id"),
+        _argmax_cell(_cell_scores(vec_col, cents, round_digits)).alias("cell"),
+    )
+    corpus = enc.join(cells, "neighbor_id")
+
+    probe_cells = F.transform(
+        F.slice(
+            F.sort_array(
+                F.transform(
+                    _cell_scores(vec_col, cents, round_digits),
+                    lambda s: F.struct(
+                        s["cos"].alias("cos"), (-s["cid"]).alias("negcid")
+                    ),
+                ),
+                asc=False,
+            ),
+            1,
+            nprobe,
+        ),
+        lambda s: -s["negcid"],
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_norm"),
+        F.explode(probe_cells).alias("cell"),
+    )
+    pairs = corpus.join(F.broadcast(q), "cell").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    adot = "0.0D"
+    for j in range(m):
+        cv = (
+            f"element_at({_pq_book_sql(codebooks[j])}, "
+            f"element_at(pq_codes, {j + 1}) + 1)"
+        )
+        adot = (
+            f"({adot} + aggregate(zip_with("
+            f"slice(q_vec, {j * dsub + 1}, {dsub}), {cv}, "
+            "(a, b) -> CAST(a AS DOUBLE) * b), 0.0D, (acc, x) -> acc + x))"
+        )
+    scored = pairs.selectExpr(
+        "query_id",
+        "neighbor_id",
+        f"round({adot} / (q_norm * recon_norm), {round_digits}) + 0.0D AS pq_cosine",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("pq_cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "pq_cosine")
+    )

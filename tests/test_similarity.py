@@ -84,3 +84,33 @@ def test_pq_recall_vs_brute_force(emb, queries, exact):
     approx = _pairs(sim.pq_topk(emb, queries, books, k=5))
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.3, f"PQ recall@5 too low: {recall:.2f}"
+
+
+def test_train_pq_codebooks_store(emb, tmp_path, monkeypatch):
+    """Train-once PQ store: deterministic result, persisted JSON, second
+    call (even after cache clear) reads the file — no retraining."""
+    monkeypatch.setattr(sim, "_CENTROID_DIR", str(tmp_path))
+    a = sim.train_pq_codebooks(emb, dataset="t1", m=8, ksub=16, iters=4, sample=200)
+    assert len(a) == 8 and len(a[0]) == 16 and len(a[0][0]) == 8
+    files = list(tmp_path.iterdir())
+    assert len(files) == 1
+    sim._CENTROID_CACHE.pop(("pq", "t1", 8, 16, 4))
+    b = sim.train_pq_codebooks(emb, dataset="t1", m=8, ksub=16, iters=4, sample=200)
+    assert a == b
+
+
+def test_ivf_pq_composition_recall(emb, queries, exact):
+    """The composed IVF+PQ stack (coarse prune + ADC scoring) must keep
+    a usable share of true neighbors at nprobe=4/16 — both
+    approximations stacked."""
+    books = sim.pq_seed_codebooks(emb, m=8, ksub=16)
+    cents = sim.train_centroids(emb, nlist=16, iters=2)
+    out = sim.ivf_pq_topk(
+        emb, queries, books, k=5, nlist=16, nprobe=4, centroids=cents
+    )
+    approx = _pairs(out)
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.15, f"IVF+PQ recall@5 too low: {recall:.2f}"
+    # plan: broadcast probes, no corpus sort-merge join
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
