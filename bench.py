@@ -157,6 +157,10 @@ def main() -> None:
     # full ratio map (all queries) stays in BENCH_DETAIL.json
     substantial = {n: r for n, r in ratios.items() if oracle_sec[n] >= 0.05}
     worst = max(substantial.items(), key=lambda kv: kv[1]) if substantial else None
+    best = min(substantial.items(), key=lambda kv: kv[1]) if substantial else None
+    med = (
+        sorted(substantial.values())[len(substantial) // 2] if substantial else None
+    )
 
     detail = {
         "sf": sf_from_dir(SF_DIR),
@@ -166,6 +170,8 @@ def main() -> None:
         "oracle_sec": oracle_sec,
         "spark_over_oracle_ratio": ratios,
         "worst_ratio": {"query": worst[0], "ratio": worst[1]} if worst else None,
+        "best_ratio": {"query": best[0], "ratio": best[1]} if best else None,
+        "median_ratio_substantial": med,
         "events_rows": n_rows_events,
         "task_ops": task_ops,
         "task_ops_sec": round(task_time, 3),
@@ -190,6 +196,12 @@ def main() -> None:
         "ref_workload_tasks_per_sec": ref["tasks_per_sec"],
         "worst_spark_over_oracle": {"query": worst[0], "ratio": worst[1]}
         if worst
+        else None,
+        # fixed per-query JVM overhead dominates sub-second oracles at
+        # toy scale; the median + best tell the throughput story
+        "median_spark_over_oracle": med,
+        "best_spark_over_oracle": {"query": best[0], "ratio": best[1]}
+        if best
         else None,
     }
     print(json.dumps(result))

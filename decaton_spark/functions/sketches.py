@@ -94,3 +94,20 @@ def spark_cms(df: DataFrame, key_col: str = "key", eps: float = 5e-5, delta: flo
     """Spark's JVM CountMinSketch over a column — the streaming-state
     form (serializable, mergeable across microbatches)."""
     return df.stat.countMinSketch(key_col, eps=eps, confidence=1 - delta, seed=seed)
+
+
+def cm_params(epsilon: float = 5e-5, delta: float = 1e-5) -> tuple[int, int]:
+    """(depth, width) from the accuracy contract, exactly the
+    reference's derivation (``PerKeyQuotaManager.java:36-51``,
+    ``KeyCounter.java:76-130``): width = first power of two larger
+    than e/ε (power of two so bucket routing is a bitmask), depth =
+    ceil(ln(1/δ)). The reference defaults (ε=5e-5, δ=1e-5) give
+    (12, 65536) — a ~12 MB long[] per window, the bound that makes
+    per-key counting memory-safe at any key cardinality."""
+    import math
+
+    width = 1
+    while width <= math.e / epsilon:
+        width <<= 1
+    depth = math.ceil(math.log(1.0 / delta))
+    return depth, width

@@ -341,3 +341,12 @@ def test_pack_sequences_linear_rule(spark):
     assert packs[0]["last_doc"] < packs[1]["first_doc"]
     assert sum(r["pack_tokens"] for r in out) == 500
     assert sorted(packs) == list(range(len(packs)))
+
+
+def test_cm_params_match_reference():
+    """ε=5e-5, δ=1e-5 ⇒ width 65536, depth 12 — the documented values
+    in PerKeyQuotaManager.java:46-47."""
+    from decaton_spark.functions.sketches import cm_params
+
+    assert cm_params() == (12, 65536)
+    assert cm_params(epsilon=0.01, delta=0.01) == (5, 512)
