@@ -195,3 +195,42 @@ def pii_redact(df: DataFrame, text_col: str = "text", out_col: str = "redacted")
         .withColumn("n_phones", n_phones.cast("long"))
         .withColumn(out_col, scrubbed)
     )
+
+
+def decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination — flag corpus documents that share any
+    ``n``-gram with an evaluation set (the filter every serious
+    training pipeline runs so eval questions don't leak into training
+    data; 8–13-gram overlap is the published practice, scaled down to
+    the fixture corpus).
+
+    Plan shape at 100 TB: the benchmark's distinct n-grams are SMALL
+    (eval sets are thousands of documents) and broadcast; the corpus
+    explodes its distinct per-doc shingles once (narrow) and the hit
+    count is one partial-aggregatable groupBy after the broadcast
+    equi-join — the corpus is never shuffled by gram.
+
+    Returns (doc_id, n_contaminated_ngrams) for flagged documents
+    only; anti-join the result against the corpus to drop them.
+    """
+    from decaton_spark.functions.dedup import word_shingles
+
+    bg = benchmark.select(
+        F.explode(word_shingles(text_col, n)).alias("gram")
+    ).distinct()
+    dg = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(text_col, n)).alias("gram"),
+    )
+    return (
+        dg.join(F.broadcast(bg), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated_ngrams"))
+    )

@@ -797,6 +797,46 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.tfidf_top_terms(docs, top_n=3)
 
 
+_DECON_N = 3  # n-gram width scaled to the ~100-token fixture docs
+# (published practice is 8-13 grams on web-scale text; 3 gives the
+# fixture a dense enough overlap signal to verify counts, not just
+# empty-set agreement)
+
+
+def _decon_shingles_sql(n: int = _DECON_N) -> str:
+    toks = "string_split(text, ' ')"
+    shingle = f"array_to_string({toks}[i + 1 : i + {n}], chr(31))"
+    return (
+        f"list_distinct(list_transform(range(greatest(len({toks}) - {n - 1}, 1)), "
+        f"i -> {shingle}))"
+    )
+
+
+@register(
+    "docs_decontaminate",
+    f"""
+    WITH bg AS (
+        SELECT DISTINCT unnest({_decon_shingles_sql()}) AS gram
+        FROM documents WHERE doc_id % 97 = 0),
+    dg AS (
+        SELECT doc_id, unnest({_decon_shingles_sql()}) AS gram
+        FROM documents WHERE doc_id % 97 <> 0)
+    SELECT doc_id, count(*) AS n_contaminated_ngrams
+    FROM dg JOIN bg USING (gram)
+    GROUP BY doc_id
+    """,
+)
+def docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: every 97th document stands in for the
+    held-out eval set; corpus documents sharing any 3-gram with it are
+    flagged with their overlap count (see ``quality.decontaminate`` -
+    broadcast eval grams, single corpus explode, partial-agg count)."""
+    docs = load_table(spark, "documents", sf_dir)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return ql.decontaminate(corpus, bench, n=_DECON_N)
+
+
 _CHUNK_TOKENS, _CHUNK_OVERLAP = 32, 8
 _CHUNK_STRIDE = _CHUNK_TOKENS - _CHUNK_OVERLAP
 
@@ -3048,6 +3088,7 @@ _DRIVER_TIER = [
     "text_tfidf_top_terms",
     "text_doc_chunks",
     "text_pack_sequences",
+    "docs_decontaminate",
     # -- priority 4a: implementation changed this round --
     "ann_ivf_topk",
     "ann_brute_force_topk",
@@ -3060,16 +3101,15 @@ _DRIVER_TIER = [
     "q18_large_volume_customers",
     "grouping_sets_order_stats",
     "topk_parts_by_revenue",
-    "asof_join_enrichment",
     "text_suite",
     "dedup_minhash_lsh",
     "multimodal_binary_meta",
     "t6_per_key_quota",
     "t13_pipeline_chain",
     # dedup_exact, s7_serde_roundtrip, pivot_event_types,
-    # semi_anti_customers, docs_source_quality and range_join_errors
-    # rotated to EXTRA (fresh r2 rows) to make room for the queries
-    # new this round.
+    # semi_anti_customers, docs_source_quality, range_join_errors and
+    # asof_join_enrichment rotated to EXTRA (fresh r2 rows) to make
+    # room for the queries new this round.
 ]
 
 _ALL_QUERIES = dict(QUERIES)

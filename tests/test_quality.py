@@ -117,3 +117,26 @@ def test_quality_battery_is_one_shuffle_free_scan(spark, sf_dir):
         p = plan_of(all_q[name].fn(spark, sf_dir))
         assert "Exchange" not in p, f"{name} must not shuffle:\n{p}"
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, name
+
+
+def test_decontaminate_flags_ngram_overlap(spark):
+    """Docs sharing an n-gram with the benchmark are flagged with the
+    DISTINCT overlapping gram count; clean docs are absent."""
+    from decaton_spark.functions.quality import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "a the quick brown fox runs"),   # shares 'the quick brown' + 'quick brown fox'
+            (2, "totally clean document here"),
+            (3, "the quick brown the quick brown"),  # dup gram counts once
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["n_contaminated_ngrams"]
+        for r in decontaminate(corpus, bench, n=3).collect()
+    }
+    assert out == {1: 2, 3: 1}
