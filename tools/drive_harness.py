@@ -36,6 +36,14 @@ def vhash(pdf):
     return hashlib.md5(pdf.to_csv(index=False).encode()).hexdigest()
 
 qs, oracles = e.queries(), e.oracle_sql()
+if "--all" in sys.argv:  # sweep the EXTRA tier too (full registry)
+    from decaton_spark.queries import EXTRA_QUERIES
+
+    qs = dict(qs)
+    for name, spec in EXTRA_QUERIES.items():
+        qs[name] = spec.fn
+        if spec.oracle is not None:
+            oracles[name] = spec.oracle
 results = {}
 for name, fn in sorted(qs.items()):
     try:
