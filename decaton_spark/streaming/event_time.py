@@ -55,3 +55,36 @@ def event_time_compact(
             F.col("survivor.value").alias("value"),
         )
     )
+
+
+def session_windows(
+    tasks: DataFrame,
+    *,
+    gap: str = "30 seconds",
+    key_col: str = "key",
+    ts_col: str = "meta_timestamp_millis",
+    watermark: str = "1 minute",
+) -> DataFrame:
+    """Per-key session aggregation over event time — the windowed
+    grouping the reference's README delegates to Kafka Streams
+    (``README.md:27-29``) and Structured Streaming provides natively:
+    a session extends while records arrive within ``gap`` of the last
+    one; the watermark closes sessions so state is bounded and append
+    output is exact-once per closed session.
+
+    Works identically on batch DataFrames (deterministic form for
+    tests/oracles) and streams. Returns (key, session_start_ms,
+    session_end_ms, n_events)."""
+    out = tasks.withColumn("_event_time", F.timestamp_millis(F.col(ts_col)))
+    if out.isStreaming:
+        out = out.withWatermark("_event_time", watermark)
+    return (
+        out.groupBy(F.col(key_col), F.session_window("_event_time", gap))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            key_col,
+            F.unix_millis(F.col("session_window.start")).alias("session_start_ms"),
+            F.unix_millis(F.col("session_window.end")).alias("session_end_ms"),
+            "n_events",
+        )
+    )

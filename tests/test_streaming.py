@@ -559,3 +559,45 @@ def test_streaming_dedup_across_microbatches(spark, tmp_path):
     got = {r["value"] for r in spark.table("dedup_stream").collect()}
     assert got == {"payload-A", "payload-B", "payload-C"}
     assert spark.table("dedup_stream").count() == 3, "duplicate must drop"
+
+
+def test_streaming_session_windows(spark, tmp_path):
+    """session_window over a file stream: records within the gap merge
+    into one session per key; a gap larger than `gap` starts a new
+    session; the watermark closes sessions for append output."""
+    from decaton_spark.streaming.event_time import session_windows
+
+    src = tmp_path / "sess_src"
+    schema = "key string, meta_timestamp_millis long"
+    base = 1_700_000_000_000
+    spark.createDataFrame(
+        [("a", base), ("a", base + 10_000), ("a", base + 120_000),
+         ("b", base + 5_000),
+         # watermark sentinel: advances event time far enough that every
+         # real session closes before the stream ends (open sessions are
+         # correctly NOT flushed by availableNow termination)
+         ("zz", base + 600_000)],
+        schema,
+    ).write.mode("append").parquet(str(src))
+
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    out = session_windows(stream, gap="30 seconds", watermark="10 seconds")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    got = {
+        (r["key"], r["session_start_ms"], r["n_events"])
+        for r in spark.table("sessions").collect()
+    }
+    # 'a': one 2-event session + one later singleton; 'b': singleton.
+    # availableNow ends the stream, so the final watermark closes all.
+    assert ("a", base, 2) in got
+    assert ("a", base + 120_000, 1) in got
+    assert ("b", base + 5_000, 1) in got
