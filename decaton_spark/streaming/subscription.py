@@ -163,3 +163,30 @@ class Subscription:
     @property
     def last_progress(self):
         return self._query.lastProgress if self._query else None
+
+
+def idempotent_parquet_sink(path: str):
+    """Effectively-once file sink for ``foreachBatch``: each microbatch
+    writes to ``{path}/batch_id=N`` and a batch already present is
+    skipped, so the at-least-once replay after a restart (Structured
+    Streaming re-runs the last uncommitted batch) cannot duplicate
+    rows — the sink-side half of the delivery contract; the reference
+    reaches at-least-once only and documents dedup as the consumer's
+    job (``ProcessorProperties.java:117-128``), while a deterministic
+    batch-id keyed write upgrades it to effectively-once.
+
+    Returns a ``(df, batch_id) -> None`` callable for
+    ``foreachBatch`` / ``Subscription(process_fn=...)``. Directory
+    existence is the commit marker because parquet writes land under a
+    temporary ``_temporary`` dir until committed; a half-written batch
+    from a crash is overwritten (mode="overwrite" per batch dir)."""
+    import os
+
+    def write(df: DataFrame, batch_id: int) -> None:
+        target = os.path.join(path, f"batch_id={batch_id}")
+        marker = os.path.join(target, "_SUCCESS")
+        if os.path.exists(marker):
+            return  # replayed batch: already durable
+        df.write.mode("overwrite").parquet(target)
+
+    return write

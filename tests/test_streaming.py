@@ -601,3 +601,19 @@ def test_streaming_session_windows(spark, tmp_path):
     assert ("a", base, 2) in got
     assert ("a", base + 120_000, 1) in got
     assert ("b", base + 5_000, 1) in got
+
+
+def test_idempotent_sink_survives_replay(spark, tmp_path):
+    """Replaying a batch id (what Structured Streaming does after an
+    uncommitted-batch crash) must not duplicate rows in the sink."""
+    from decaton_spark.streaming.subscription import idempotent_parquet_sink
+
+    sink_dir = str(tmp_path / "sink")
+    write = idempotent_parquet_sink(sink_dir)
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    write(df1, 0)
+    write(df1, 0)  # replay of the same batch: skipped
+    write(spark.createDataFrame([(3, "c")], "id long, v string"), 1)
+    got = spark.read.parquet(sink_dir)
+    assert got.count() == 3
+    assert {r["id"] for r in got.collect()} == {1, 2, 3}
