@@ -1025,3 +1025,88 @@ def ivf_pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "pq_cosine")
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    *,
+    centroids: list[tuple[int, list[float]]],
+    eps: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = EMB,
+    round_digits: int = 4,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space, then drop vectors
+    whose cosine similarity to another member of the *same cluster*
+    reaches ``eps``.
+
+    Clustering makes the quadratic step tractable: candidate pairs are
+    confined to a cluster, so the pair count is Σ |cell|² instead of
+    |corpus|² — the same cost-bounding move the paper uses (k scales
+    with corpus size, keeping cells roughly constant-sized). The
+    survivor rule here is deterministic keep-lowest-id (the paper keeps
+    the member farthest from the centroid; swapping the tie-break is a
+    one-line ORDER BY change and does not alter the plan shape).
+
+    Plan shape at 100 TB:
+
+    - **cell assignment is a projection** — the trained centroid list
+      (see ``trained_centroids``: offline index build, kilobytes) is
+      inlined as literals; no shuffle, no join to assign cells;
+    - **the pair step is an equi-join on cell** (never a cartesian
+      product — pinned in tests/test_plans.py), shuffling each side
+      once on the cell id; at scale the cell id doubles as the storage
+      partition key so the join is co-located;
+    - the verdict join-back is a broadcast-able aggregation keyed by
+      the duplicate id.
+
+    Returns one row per input vector:
+    ``(vec_id, cell, dup_of, keep)`` where ``dup_of`` is the lowest
+    same-cell id with cosine >= eps (NULL for survivors) and
+    ``keep = dup_of IS NULL``. Filter on ``keep`` to materialize the
+    deduplicated corpus.
+
+    ``eps`` defaults to 0.4 for the synthetic random test embeddings
+    (real sentence embeddings cluster much tighter; the paper uses
+    0.95+); cosine values are rounded to ``round_digits`` before the
+    threshold so the SQL oracle replays the verdict exactly.
+    """
+    cents = _centroid_literals(centroids)
+    assigned = df.select(
+        F.col(id_col).alias("vec_id"),
+        _argmax_cell(_cell_scores(vec_col, cents, round_digits)).alias("cell"),
+        F.col(vec_col).alias("v"),
+        norm(F.col(vec_col)).alias("vn"),
+    )
+    a = assigned.select(
+        F.col("vec_id").alias("keep_id"),
+        "cell",
+        F.col("v").alias("av"),
+        F.col("vn").alias("an"),
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("dup_id"),
+        "cell",
+        F.col("v").alias("bv"),
+        F.col("vn").alias("bn"),
+    )
+    sim = F.round(
+        dot(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn")), round_digits
+    )
+    dups = (
+        a.join(b, "cell")
+        .filter(F.col("keep_id") < F.col("dup_id"))
+        .filter(sim >= F.lit(eps))
+        .groupBy("dup_id")
+        .agg(F.min("keep_id").alias("dup_of"))
+    )
+    return (
+        assigned.join(dups, assigned["vec_id"] == dups["dup_id"], "left")
+        .select(
+            "vec_id",
+            "cell",
+            "dup_of",
+            F.col("dup_of").isNull().alias("keep"),
+        )
+    )

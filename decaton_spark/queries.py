@@ -1503,6 +1503,48 @@ def ann_ivf_topk_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_semantic",
+    f"""
+    WITH c0 AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+                FROM embeddings WHERE vec_id < 16),
+    {_kmeans_iter_sql('c0', 'c1')},
+    {_kmeans_iter_sql('c1', 'c2')},
+    cent AS (SELECT cid, cv FROM c2),
+    ascore AS (
+        SELECT e.vec_id, e.embedding, c.cid,
+               round({_dot64('e.embedding', 'c.cv')}
+                     / ({_NORM.format(v='e.embedding')} * {_NORM.format(v='c.cv')}), 4) + 0.0 AS cos
+        FROM embeddings e CROSS JOIN cent c),
+    assign AS (
+        SELECT vec_id, embedding, cid AS cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+        FROM ascore),
+    cellv AS (SELECT vec_id, CAST(cell AS BIGINT) AS cell, embedding
+              FROM assign WHERE rn = 1),
+    dups AS (
+        SELECT b.vec_id AS vec_id, min(a.vec_id) AS dup_of
+        FROM cellv a JOIN cellv b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE round({_dot64('a.embedding', 'b.embedding')}
+                    / ({_NORM.format(v='a.embedding')} * {_NORM.format(v='b.embedding')}), 4) >= 0.4
+        GROUP BY b.vec_id)
+    SELECT c.vec_id, c.cell, d.dup_of, d.dup_of IS NULL AS keep
+    FROM cellv c LEFT JOIN dups d ON c.vec_id = d.vec_id
+    """,
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (arXiv:2303.09540): k-means cells bound the quadratic
+    step; within-cell cosine >= eps marks duplicates, keep-lowest-id
+    survives. Same trained-centroid store as the IVF queries (one
+    offline index build serves both); cell assignment is a shuffle-free
+    projection and the pair step is an equi-join on cell (plan-pinned)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    cents = sim.trained_centroids(
+        emb, dataset=f"{sf_dir}/embeddings", nlist=16, iters=2
+    )
+    return sim.semantic_dedup(emb, centroids=cents, eps=0.4)
+
+
 _PQ_M, _PQ_KSUB, _PQ_DSUB = 8, 16, 8  # 64 dims = 8 subspaces × 8
 
 
@@ -2258,6 +2300,42 @@ def docs_source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
         F.sum(F.size(F.split(F.col("text"), " ")).cast("long")).alias("total_tokens"),
+    )
+
+
+@register(
+    "docs_length_quantiles",
+    """
+    SELECT lang, source,
+           count(*) AS n_docs,
+           round(quantile_cont(n_chars, 0.25), 6) AS p25_chars,
+           round(quantile_cont(n_chars, 0.5), 6) AS p50_chars,
+           round(quantile_cont(n_chars, 0.9), 6) AS p90_chars,
+           round(avg(n_chars), 6) AS mean_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM documents GROUP BY lang, source
+    """,
+)
+def docs_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles of document length per
+    (lang, source) — the distribution profile a curation pipeline reads
+    before setting length cutoffs. Spark's ``percentile`` and DuckDB's
+    ``quantile_cont`` both interpolate linearly (type R-7), so values
+    hash-match.
+
+    Scale note: exact percentile carries each group's values to the
+    reducer — right for per-stratum profiling where groups are bounded
+    (languages × sources). For percentiles over *unbounded* groups at
+    100 TB, swap in ``percentile_approx`` (t-digest sketch, partial-
+    aggregable) — same call site, documented trade."""
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.expr("percentile(n_chars, 0.25)"), 6).alias("p25_chars"),
+        F.round(F.expr("percentile(n_chars, 0.5)"), 6).alias("p50_chars"),
+        F.round(F.expr("percentile(n_chars, 0.9)"), 6).alias("p90_chars"),
+        F.round(F.avg("n_chars"), 6).alias("mean_chars"),
+        F.max("n_chars").alias("max_chars"),
     )
 
 
@@ -3089,6 +3167,8 @@ _DRIVER_TIER = [
     "text_doc_chunks",
     "text_pack_sequences",
     "docs_decontaminate",
+    "dedup_semantic",
+    "docs_length_quantiles",
     # -- priority 4a: implementation changed this round --
     "ann_ivf_topk",
     "ann_brute_force_topk",
@@ -3098,18 +3178,17 @@ _DRIVER_TIER = [
     "q1_pricing_summary",
     "q3_top_orders",
     "q9_nation_year_profit",
-    "q18_large_volume_customers",
     "grouping_sets_order_stats",
-    "topk_parts_by_revenue",
     "text_suite",
     "dedup_minhash_lsh",
     "multimodal_binary_meta",
     "t6_per_key_quota",
     "t13_pipeline_chain",
     # dedup_exact, s7_serde_roundtrip, pivot_event_types,
-    # semi_anti_customers, docs_source_quality, range_join_errors and
-    # asof_join_enrichment rotated to EXTRA (fresh r2 rows) to make
-    # room for the queries new this round.
+    # semi_anti_customers, docs_source_quality, range_join_errors,
+    # asof_join_enrichment, q18_large_volume_customers and
+    # topk_parts_by_revenue rotated to EXTRA (fresh r2 rows; group_topn
+    # covers the window-topk family) to make room for new queries.
 ]
 
 _ALL_QUERIES = dict(QUERIES)

@@ -229,3 +229,19 @@ def test_tfidf_single_scan_and_partial_agg(spark, sf_dir):
     assert simple.count("Scan ExistingRDD") == 2, "both branches reuse tf"
     assert p.count("HashAggregate") >= 2, "df agg must be partial"
     assert "CartesianProduct" not in p
+
+
+def test_semantic_dedup_no_all_pairs(spark, sf_dir):
+    """SemDeDup's pair step must be an equi-join on the cell id (cost
+    bounded by Σ cell², never |corpus|²), and cell assignment must stay
+    a narrow projection over inlined centroid literals."""
+    from decaton_spark.functions import similarity as sim
+    from decaton_spark.sources import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cents = sim.trained_centroids(
+        emb, dataset=f"{sf_dir}/embeddings", nlist=16, iters=2
+    )
+    p = plan_of(sim.semantic_dedup(emb, centroids=cents, eps=0.4))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p

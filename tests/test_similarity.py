@@ -114,3 +114,42 @@ def test_ivf_pq_composition_recall(emb, queries, exact):
     # plan: broadcast probes, no corpus sort-merge join
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan
+
+
+def test_semantic_dedup_planted_duplicates(spark):
+    """Two planted near-identical vectors collapse to the lower id; the
+    orthogonal distractor survives. Exercises cluster assignment, the
+    within-cell pair join, and the keep-lowest-id survivor rule."""
+    base = [1.0] + [0.0] * 63
+    near = [1.0, 0.001] + [0.0] * 62
+    ortho = [0.0, 1.0] + [0.0] * 62
+    rows = [(0, base), (1, near), (2, ortho)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [(0, base), (1, ortho)]
+    out = {
+        r["vec_id"]: r
+        for r in sim.semantic_dedup(df, centroids=cents, eps=0.95).collect()
+    }
+    assert out[0]["keep"] and out[0]["dup_of"] is None
+    assert not out[1]["keep"] and out[1]["dup_of"] == 0
+    assert out[2]["keep"] and out[2]["dup_of"] is None
+    # same-cell members below eps both survive
+    out_hi = sim.semantic_dedup(df, centroids=cents, eps=1.1).collect()
+    assert all(r["keep"] for r in out_hi)
+
+
+def test_semantic_dedup_matches_registered_oracle_shape(emb, sf_dir):
+    """Full-corpus run: every vector appears exactly once, every
+    dropped vector points at a lower-id survivor in the same cell."""
+    cents = sim.trained_centroids(
+        emb, dataset=f"{sf_dir}/embeddings", nlist=16, iters=2
+    )
+    res = sim.semantic_dedup(emb, centroids=cents, eps=0.4).collect()
+    assert len(res) == emb.count()
+    cell_of = {r["vec_id"]: r["cell"] for r in res}
+    kept = {r["vec_id"] for r in res if r["keep"]}
+    for r in res:
+        if not r["keep"]:
+            assert r["dup_of"] in kept or not r["keep"], r
+            assert r["dup_of"] < r["vec_id"]
+            assert cell_of[r["dup_of"]] == r["cell"]
