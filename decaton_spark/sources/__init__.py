@@ -1,3 +1,11 @@
+from decaton_spark.sources.files import FORMATS, read_table, write_table
 from decaton_spark.sources.parquet import TABLES, load_table, load_tables
 
-__all__ = ["TABLES", "load_table", "load_tables"]
+__all__ = [
+    "FORMATS",
+    "TABLES",
+    "load_table",
+    "load_tables",
+    "read_table",
+    "write_table",
+]

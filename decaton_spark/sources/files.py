@@ -1,0 +1,101 @@
+"""Multi-format batch file IO: parquet / ORC / JSON-lines / CSV.
+
+The reference engine ingests exclusively from Kafka
+(`processor/src/main/java/com/linecorp/decaton/processor/runtime/ProcessorSubscription.java`);
+a data-lake engine additionally needs first-class file formats for
+backfills, exports, and interchange. These helpers keep the format
+axis orthogonal to every operator in the engine: any registered query
+runs unchanged over a table materialized in any of the four formats
+(round-trip parity is pinned in tests/test_file_sources.py).
+
+Scale rules encoded here:
+
+- **Schema is always explicit for text formats.** CSV/JSON schema
+  inference is a full extra pass over the data (at 100 TB, a second
+  100 TB scan) and can mis-type sparse columns; ``read_table`` demands
+  a DDL schema for csv/json and disables inference outright.
+- **Columnar in, columnar out.** Parquet/ORC readers keep predicate
+  pushdown + column pruning (text formats can only prune columns after
+  parsing). ``write_table`` defaults to parquet + zstd.
+- **Layout is part of the write.** ``partition_by`` produces
+  hive-partitioned directories so downstream filters become partition
+  pruning (pinned in tests); ``max_records_per_file`` bounds file size
+  so a 1000-executor read parallelizes without small-file explosion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+FORMATS = ("parquet", "orc", "json", "csv")
+
+#: options that make CSV round-trip-safe for free text (embedded
+#: newlines, quotes, commas, leading/trailing spaces)
+_CSV_COMMON = {
+    "header": "true",
+    "quote": '"',
+    "escape": '"',
+    "ignoreLeadingWhiteSpace": "false",
+    "ignoreTrailingWhiteSpace": "false",
+}
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    *,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: tuple[str, ...] = (),
+    compression: str | None = None,
+    max_records_per_file: int | None = None,
+) -> None:
+    """Materialize ``df`` at ``path`` in ``fmt`` with a scale-sane layout."""
+    if fmt not in FORMATS:
+        raise ValueError(f"unknown format {fmt!r}; expected one of {FORMATS}")
+    w = df.write.mode(mode)
+    if compression is None:
+        compression = "zstd" if fmt in ("parquet", "orc") else "none"
+    w = w.option("compression", compression)
+    if max_records_per_file is not None:
+        w = w.option("maxRecordsPerFile", str(max_records_per_file))
+    if fmt == "csv":
+        for k, v in _CSV_COMMON.items():
+            w = w.option(k, v)
+        # free text can embed newlines; quote them rather than corrupt rows
+        w = w.option("multiLine", "true")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    getattr(w, fmt)(path)
+
+
+def read_table(
+    spark: SparkSession,
+    path: str,
+    *,
+    fmt: str = "parquet",
+    schema: StructType | str | None = None,
+) -> DataFrame:
+    """Read a table written by ``write_table``.
+
+    For csv/json a ``schema`` (DDL string or StructType) is REQUIRED:
+    inference is an extra full scan and silently mis-types sparse
+    columns — fail loudly instead.
+    """
+    if fmt not in FORMATS:
+        raise ValueError(f"unknown format {fmt!r}; expected one of {FORMATS}")
+    r = spark.read
+    if fmt in ("json", "csv"):
+        if schema is None:
+            raise ValueError(
+                f"{fmt} requires an explicit schema (inference = extra full scan)"
+            )
+        r = r.schema(schema).option("inferSchema", "false")
+    elif schema is not None:
+        r = r.schema(schema)
+    if fmt == "csv":
+        for k, v in _CSV_COMMON.items():
+            r = r.option(k, v)
+        r = r.option("multiLine", "true")
+    return getattr(r, fmt)(path)
