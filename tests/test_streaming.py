@@ -617,3 +617,78 @@ def test_idempotent_sink_survives_replay(spark, tmp_path):
     got = spark.read.parquet(sink_dir)
     assert got.count() == 3
     assert {r["id"] for r in got.collect()} == {1, 2, 3}
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Retry-origin correlation as a watermarked stream-stream join:
+    each retry pairs with the origin attempt within the backoff
+    horizon; a retry outside the bound never matches. The streaming
+    result over availableNow equals the batch join."""
+    from decaton_spark.streaming.joins import interval_join
+
+    base = 1_700_000_000_000
+    origins = [(str(k), base + k * 1000) for k in range(20)]
+    # retries: keys 0..9 retry 5s after origin (inside the 1m bound);
+    # keys 10..14 "retry" 10 minutes later (outside); 15..19 never retry
+    retries = [(str(k), base + k * 1000 + 5_000) for k in range(10)]
+    retries += [(str(k), base + k * 1000 + 600_000) for k in range(10, 15)]
+    od, rd = str(tmp_path / "o"), str(tmp_path / "r")
+    spark.createDataFrame(
+        [(k, __import__("datetime").datetime.utcfromtimestamp(t / 1000)) for k, t in origins],
+        "key string, origin_ts timestamp",
+    ).write.parquet(od)
+    spark.createDataFrame(
+        [(k, __import__("datetime").datetime.utcfromtimestamp(t / 1000)) for k, t in retries],
+        "key string, retry_ts timestamp",
+    ).write.parquet(rd)
+
+    schema_o = "key string, origin_ts timestamp"
+    schema_r = "key string, retry_ts timestamp"
+    lo = spark.readStream.schema(schema_o).option("maxFilesPerTrigger", 2).parquet(od)
+    rr = spark.readStream.schema(schema_r).option("maxFilesPerTrigger", 2).parquet(rd)
+    joined = interval_join(
+        lo, rr,
+        left_key="key", right_key="key",
+        left_ts="origin_ts", right_ts="retry_ts",
+        # watermarks must cover the full event-time spread of the
+        # fixture (~10 min): files arrive in arbitrary order, and an
+        # early-origin row landing after a late retry advanced the
+        # watermark would find its match already evicted — exactly the
+        # late-data-drop contract, which the tight-watermark case of
+        # test_event_time_compact_drops_late_rows already pins.
+        within="1 minutes", left_watermark="20 minutes", right_watermark="20 minutes",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["key"],) for r in spark.sql("SELECT key FROM ssj_out").collect()
+    }
+    assert got == {(str(k),) for k in range(10)}, got
+
+    # batch parity: the same helper on static frames
+    b = interval_join(
+        spark.read.parquet(od), spark.read.parquet(rd),
+        left_key="key", right_key="key",
+        left_ts="origin_ts", right_ts="retry_ts", within="1 minutes",
+    )
+    assert b.count() == 10
+
+
+def test_interval_join_refuses_ambiguity(spark):
+    from decaton_spark.streaming.joins import interval_join
+
+    l = spark.createDataFrame([], "key string, ts timestamp, v long")
+    r = spark.createDataFrame([], "key string, rts timestamp, v long")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="ambiguous"):
+        interval_join(
+            l, r, left_key="key", right_key="key",
+            left_ts="ts", right_ts="rts",
+        )
