@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from decaton_spark.envelope import events_to_tasks
 from decaton_spark.functions import dedup as dd
+from decaton_spark.functions import dsir
 from decaton_spark.functions import quality as ql
 from decaton_spark.functions import similarity as sim
 from decaton_spark.functions import sketches as sk
@@ -2339,6 +2340,55 @@ def docs_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "docs_domain_importance",
+    """
+    WITH tok AS (
+        SELECT doc_id, lang,
+               list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '') AS l
+        FROM documents),
+    ex AS (SELECT doc_id, (lang = 'zh') AS is_t, unnest(l) AS token FROM tok),
+    bg AS (SELECT token, CAST(count(*) AS BIGINT) AS cb,
+                  CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS ct
+           FROM ex GROUP BY token),
+    st AS (SELECT CAST(count(*) AS BIGINT) AS v, CAST(sum(cb) AS BIGINT) AS nb,
+                  CAST(sum(ct) AS BIGINT) AS nt FROM bg),
+    vocab AS (
+        SELECT token,
+               CAST(round(((ct + 1.0) * (nb + v)) / ((cb + 1.0) * (nt + v))
+                          * 1000000.0) AS BIGINT) AS r6
+        FROM bg, st WHERE cb >= 2),
+    scored AS (
+        SELECT e.doc_id,
+               coalesce(vb.r6, CAST(round((1.0 * (st.nb + st.v))
+                   / (1.0 * (st.nt + st.v)) * 1000000.0) AS BIGINT)) AS r6
+        FROM ex e LEFT JOIN vocab vb USING (token), st),
+    agg AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_scored_tokens,
+               CAST(sum(r6) AS BIGINT) AS s
+        FROM scored GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(a.n_scored_tokens, 0) AS BIGINT) AS n_scored_tokens,
+           CASE WHEN a.n_scored_tokens > 0
+                THEN CAST((2 * a.s + a.n_scored_tokens)
+                          // (2 * a.n_scored_tokens) AS DOUBLE) / 1000000.0
+           END AS importance
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def docs_domain_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (functions/dsir.py): mean Laplace-
+    smoothed token likelihood ratio of each document against a target
+    domain (here lang='zh' exemplars) vs the whole corpus. Vocab build
+    and scoring are two corpus scans, both shuffles partial-aggregable,
+    vocab broadcast with min_count tail pruning (OOV smoothing path
+    exercised by the pruned singletons)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return dsir.domain_importance(
+        docs, F.col("lang") == "zh", min_count=2
+    )
+
+
 #: synthetic edge documents unioned into docs_gopher_filter so the
 #: driver run itself proves the null / empty / 1-token / repetitive /
 #: dominated / short-token paths (not just unit tests): (doc_id, text)
@@ -3169,6 +3219,7 @@ _DRIVER_TIER = [
     "docs_decontaminate",
     "dedup_semantic",
     "docs_length_quantiles",
+    "docs_domain_importance",
     # -- priority 4a: implementation changed this round --
     "ann_ivf_topk",
     "ann_brute_force_topk",
@@ -3179,16 +3230,17 @@ _DRIVER_TIER = [
     "q3_top_orders",
     "q9_nation_year_profit",
     "grouping_sets_order_stats",
-    "text_suite",
     "dedup_minhash_lsh",
     "multimodal_binary_meta",
     "t6_per_key_quota",
     "t13_pipeline_chain",
     # dedup_exact, s7_serde_roundtrip, pivot_event_types,
     # semi_anti_customers, docs_source_quality, range_join_errors,
-    # asof_join_enrichment, q18_large_volume_customers and
-    # topk_parts_by_revenue rotated to EXTRA (fresh r2 rows; group_topn
-    # covers the window-topk family) to make room for new queries.
+    # asof_join_enrichment, q18_large_volume_customers,
+    # topk_parts_by_revenue (group_topn covers window-topk) and
+    # text_suite (its four component queries all hold priority-2
+    # slots this round) rotated to EXTRA (fresh r2 rows) to make room
+    # for the queries new this round.
 ]
 
 _ALL_QUERIES = dict(QUERIES)
