@@ -260,3 +260,41 @@ def pack_sequences(
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+def build_vocab(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    top_k: int = 30000,
+    min_count: int = 1,
+) -> DataFrame:
+    """Frequency-ranked token vocabulary with stable contiguous ids —
+    the vocab-construction step of a tokenizer-training pipeline
+    (BPE/WordPiece trainers start from exactly this corpus count
+    table).
+
+    Returns (token_id, token, n_occurrences) with token_id dense from
+    1 by descending frequency, ties broken by token text so the
+    mapping is deterministic across runs and engines.
+
+    Scale shape: the count is one partial-aggregable groupBy; the
+    ranking is a distributed TakeOrdered of the AGGREGATED table
+    (|distinct tokens| rows, Zipf-bounded) to ``top_k`` rows — the
+    row_number window then runs over that bounded result only, never
+    over the corpus. No full-table single-partition sort anywhere.
+    """
+    counts = (
+        df.select(F.explode(F.filter(
+            F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != F.lit("")
+        )).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .filter(F.col("n_occurrences") >= min_count)
+        .orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
+        .limit(top_k)
+    )
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
+    return counts.select(
+        F.row_number().over(w).alias("token_id"), "token", "n_occurrences"
+    )

@@ -798,6 +798,30 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.tfidf_top_terms(docs, top_n=3)
 
 
+@register(
+    "text_vocab_build",
+    """
+    WITH counts AS (
+        SELECT token, CAST(count(*) AS BIGINT) AS n_occurrences
+        FROM (SELECT unnest(list_filter(
+                  regexp_split_to_array(trim(text), '\\s+'), t -> t <> '')) AS token
+              FROM documents)
+        GROUP BY token HAVING count(*) >= 2
+        ORDER BY n_occurrences DESC, token LIMIT 20)
+    SELECT CAST(row_number() OVER (ORDER BY n_occurrences DESC, token) AS INTEGER)
+               AS token_id,
+           token, n_occurrences
+    FROM counts
+    """,
+)
+def text_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary construction (text.build_vocab): top-20
+    corpus tokens with dense frequency-ranked ids. The rank runs over
+    the aggregated + TakeOrdered-bounded table, never the corpus."""
+    docs = load_table(spark, "documents", sf_dir)
+    return tx.build_vocab(docs, top_k=20, min_count=2)
+
+
 _DECON_N = 3  # n-gram width scaled to the ~100-token fixture docs
 # (published practice is 8-13 grams on web-scale text; 3 gives the
 # fixture a dense enough overlap signal to verify counts, not just
@@ -3220,6 +3244,7 @@ _DRIVER_TIER = [
     "dedup_semantic",
     "docs_length_quantiles",
     "docs_domain_importance",
+    "text_vocab_build",
     # -- priority 4a: implementation changed this round --
     "ann_ivf_topk",
     "ann_brute_force_topk",
@@ -3230,17 +3255,17 @@ _DRIVER_TIER = [
     "q3_top_orders",
     "q9_nation_year_profit",
     "grouping_sets_order_stats",
-    "dedup_minhash_lsh",
     "multimodal_binary_meta",
     "t6_per_key_quota",
     "t13_pipeline_chain",
     # dedup_exact, s7_serde_roundtrip, pivot_event_types,
     # semi_anti_customers, docs_source_quality, range_join_errors,
     # asof_join_enrichment, q18_large_volume_customers,
-    # topk_parts_by_revenue (group_topn covers window-topk) and
+    # topk_parts_by_revenue (group_topn covers window-topk),
     # text_suite (its four component queries all hold priority-2
-    # slots this round) rotated to EXTRA (fresh r2 rows) to make room
-    # for the queries new this round.
+    # slots this round) and dedup_minhash_lsh (dedup_near_full runs
+    # the same LSH banding path end-to-end) rotated to EXTRA (fresh
+    # r2 rows) to make room for the queries new this round.
 ]
 
 _ALL_QUERIES = dict(QUERIES)

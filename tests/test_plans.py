@@ -245,3 +245,16 @@ def test_semantic_dedup_no_all_pairs(spark, sf_dir):
     p = plan_of(sim.semantic_dedup(emb, centroids=cents, eps=0.4))
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_vocab_build_distributed_topk(spark, sf_dir):
+    """build_vocab must rank via distributed TakeOrdered of the
+    aggregated count table — a global Sort of the corpus (or of the
+    full distinct-token table without the limit) is the wrong plan."""
+    from decaton_spark.functions import text as tx
+    from decaton_spark.sources import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    p = plan_of(tx.build_vocab(docs, top_k=20, min_count=2))
+    assert "TakeOrderedAndProject" in p
+    assert p.count("HashAggregate") >= 2, "token count must partial map-side"
