@@ -91,3 +91,69 @@ def test_span_dedup_200k_docs(spark):
     kept = out.filter(F.col("n_spans_kept") > 0).count()
     # unique docs keep their span; of the 20k dup docs only doc 0 survives
     assert kept == n - n // 10 + 1
+
+
+def test_domain_importance_500k_docs(spark):
+    """DSIR scoring at 500k synthetic docs: the vocab groupBy, the
+    broadcast ratio join, and the integer-mean aggregation execute at
+    corpus scale; docs built from target-domain tokens outrank
+    background docs."""
+    from decaton_spark.functions.dsir import domain_importance
+
+    n = 500_000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 5 == 0).alias("is_target_row"),
+        F.when(
+            F.col("id") % 5 == 0,
+            F.lit("tgt alpha tgt beta tgt gamma"),
+        )
+        .otherwise(F.lit("bg one bg two bg three"))
+        .alias("text"),
+    )
+    out = domain_importance(docs, F.col("is_target_row"), min_count=2)
+    rows = out.filter(F.col("doc_id").isin(0, 1)).collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    assert out.count() == n
+    assert by_id[0]["importance"] > by_id[1]["importance"]
+
+
+def test_semantic_dedup_200k_vectors(spark):
+    """SemDeDup at 200k vectors (100x the sf0.1 embedding table):
+    cell assignment stays a projection and the within-cell equi-join
+    executes without an all-pairs blowup. Vectors are near-one-hot in
+    dim (id % 8); a planted exact-duplicate cohort (id % 1000 == 1
+    copies vector 1) collapses to its lowest id."""
+    from decaton_spark.functions.similarity import semantic_dedup
+
+    n = 200_000
+    dims = 8
+    # planted clones take vector-1's id as their content key, so they
+    # are EXACTLY vec 1 (same one-hot dim, same jitter); everyone else
+    # derives content from their own id
+    content = F.when(F.col("id") % 1000 == 1, F.lit(1)).otherwise(F.col("id"))
+    base = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dims - 1)),
+            lambda d: F.when(
+                d == (content % dims).cast("int"),
+                1.0,
+            ).otherwise(
+                # small deterministic jitter so non-planted vectors in a
+                # cell stay below the dup threshold
+                (F.pmod(F.xxhash64(content, d), 1000).cast("double"))
+                / 10_000.0
+            ),
+        ).alias("embedding"),
+    )
+    cents = [
+        (c, [1.0 if d == c else 0.0 for d in range(dims)]) for c in range(dims)
+    ]
+    out = semantic_dedup(base, centroids=cents, eps=0.999)
+    assert out.count() == n
+    planted = out.filter(F.col("vec_id") % 1000 == 1)
+    # vec 1 survives; every later clone (199 of them) collapses onto a
+    # lower-id clone in the same cell
+    assert planted.filter(~F.col("keep")).count() == n // 1000 - 1
+    assert planted.filter(F.col("vec_id") == 1).collect()[0]["keep"]
