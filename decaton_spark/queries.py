@@ -822,6 +822,97 @@ def text_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.build_vocab(docs, top_k=20, min_count=2)
 
 
+@register(
+    "docs_curation_pipeline",
+    """
+    WITH tok AS (
+        SELECT doc_id, text, lang,
+               list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '') AS l
+        FROM documents),
+    stq AS (
+        SELECT doc_id, text, lang, l, len(l) AS n, len(list_distinct(l)) AS nd,
+               CASE WHEN len(l) > 0
+                    THEN list_sum(list_transform(l, t -> length(t))) * 1.0 / len(l)
+               END AS mean_raw
+        FROM tok),
+    topc AS (
+        SELECT doc_id, max(c) AS top_cnt FROM (
+            SELECT doc_id, t, count(*) AS c
+            FROM (SELECT doc_id, unnest(l) AS t FROM stq) GROUP BY doc_id, t)
+        GROUP BY doc_id),
+    kept AS (
+        SELECT stq.doc_id, stq.text, stq.lang, stq.l
+        FROM stq LEFT JOIN topc USING (doc_id)
+        WHERE text IS NOT NULL AND n >= 10 AND n <= 100000
+          AND mean_raw >= 2.0 AND mean_raw <= 12.0
+          AND round((n - nd) * 1.0 / n, 6) <= 0.6
+          AND round(topc.top_cnt * 1.0 / n, 6) <= 0.2),
+    firsts AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY text),
+    base AS (SELECT k.doc_id, k.lang, k.l FROM kept k JOIN firsts USING (doc_id)),
+    ex AS (SELECT doc_id, (lang = 'zh') AS is_t, unnest(l) AS token FROM base),
+    bg AS (SELECT token, CAST(count(*) AS BIGINT) AS cb,
+                  CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS ct
+           FROM ex GROUP BY token),
+    st2 AS (SELECT CAST(count(*) AS BIGINT) AS v, CAST(sum(cb) AS BIGINT) AS nb,
+                   CAST(sum(ct) AS BIGINT) AS nt FROM bg),
+    vocab AS (
+        SELECT token,
+               CAST(round(((ct + 1.0) * (nb + v)) / ((cb + 1.0) * (nt + v))
+                          * 1000000.0) AS BIGINT) AS r6
+        FROM bg, st2 WHERE cb >= 2),
+    scored AS (
+        SELECT e.doc_id,
+               coalesce(vb.r6, CAST(round((1.0 * (st2.nb + st2.v))
+                   / (1.0 * (st2.nt + st2.v)) * 1000000.0) AS BIGINT)) AS r6
+        FROM ex e LEFT JOIN vocab vb USING (token), st2),
+    agg AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_scored_tokens,
+               CAST(sum(r6) AS BIGINT) AS s
+        FROM scored GROUP BY doc_id),
+    sel AS (
+        SELECT doc_id, n_scored_tokens,
+               CAST((2 * s + n_scored_tokens)
+                    // (2 * n_scored_tokens) AS DOUBLE) / 1000000.0 AS importance
+        FROM agg WHERE n_scored_tokens > 0
+        ORDER BY importance DESC, doc_id LIMIT 100)
+    SELECT CAST(row_number() OVER (ORDER BY importance DESC, doc_id) AS INTEGER)
+               AS sel_rank,
+           doc_id, n_scored_tokens, importance
+    FROM sel
+    """,
+)
+def docs_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation: Gopher/C4 quality battery -> exact dedup
+    (keep-lowest-id) -> DSIR domain-importance scoring (vs lang='zh'
+    exemplars, model trained on the SURVIVING corpus) -> top-100
+    selection. The composition the engine exists for: each stage is the
+    registered operator, chained as plain DataFrame transforms; every
+    stage keeps its scale shape (shuffle-free filter scan, one-shuffle
+    dedup, partial-agg vocab + broadcast scoring, distributed
+    TakeOrdered selection with rank over the bounded result)."""
+    docs = load_table(spark, "documents", sf_dir)
+    kept = (
+        ql.gopher_filter(docs)
+        .filter(F.col("quality_verdict") == "keep")
+        .select("doc_id", "text", "lang")
+    )
+    firsts = dd.exact_dups(kept).select(F.col("keep_id").alias("doc_id"))
+    base = kept.join(firsts, "doc_id")
+    imp = dsir.domain_importance(base, F.col("lang") == "zh", min_count=2)
+    sel = (
+        imp.filter(F.col("importance").isNotNull())
+        .orderBy(F.col("importance").desc(), "doc_id")
+        .limit(100)
+    )
+    w = Window.orderBy(F.col("importance").desc(), F.col("doc_id"))
+    return sel.select(
+        F.row_number().over(w).alias("sel_rank"),
+        "doc_id",
+        "n_scored_tokens",
+        "importance",
+    )
+
+
 _DECON_N = 3  # n-gram width scaled to the ~100-token fixture docs
 # (published practice is 8-13 grams on web-scale text; 3 gives the
 # fixture a dense enough overlap signal to verify counts, not just
@@ -3245,6 +3336,7 @@ _DRIVER_TIER = [
     "docs_length_quantiles",
     "docs_domain_importance",
     "text_vocab_build",
+    "docs_curation_pipeline",
     # -- priority 4a: implementation changed this round --
     "ann_ivf_topk",
     "ann_brute_force_topk",
@@ -3254,7 +3346,6 @@ _DRIVER_TIER = [
     "q1_pricing_summary",
     "q3_top_orders",
     "q9_nation_year_profit",
-    "grouping_sets_order_stats",
     "multimodal_binary_meta",
     "t6_per_key_quota",
     "t13_pipeline_chain",
@@ -3263,9 +3354,10 @@ _DRIVER_TIER = [
     # asof_join_enrichment, q18_large_volume_customers,
     # topk_parts_by_revenue (group_topn covers window-topk),
     # text_suite (its four component queries all hold priority-2
-    # slots this round) and dedup_minhash_lsh (dedup_near_full runs
-    # the same LSH banding path end-to-end) rotated to EXTRA (fresh
-    # r2 rows) to make room for the queries new this round.
+    # slots this round), dedup_minhash_lsh (dedup_near_full runs
+    # the same LSH banding path end-to-end) and
+    # grouping_sets_order_stats (rollup + cube both hold slots)
+    # rotated to EXTRA (fresh r2 rows) to make room for new queries.
 ]
 
 _ALL_QUERIES = dict(QUERIES)
