@@ -51,3 +51,16 @@ def test_min_count_prunes_to_oov_ratio(spark):
     kept = _run(spark, rows, min_count=1)
     assert pruned[1]["importance"] == kept[1]["importance"]
     assert pruned[2]["importance"] != kept[2]["importance"]
+
+
+def test_partitioning_invariance(spark):
+    """Results are identical regardless of input partitioning — no
+    hidden order dependence in the scaled-integer aggregation."""
+    rows = [
+        (i, " ".join(["alpha", "beta", "gamma", "delta"][: (i % 4) + 1]), "t" if i % 3 == 0 else "b")
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, dom string")
+    a = domain_importance(df.repartition(1), F.col("dom") == "t").collect()
+    b = domain_importance(df.repartition(16, "doc_id"), F.col("dom") == "t").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

@@ -258,3 +258,22 @@ def test_vocab_build_distributed_topk(spark, sf_dir):
     p = plan_of(tx.build_vocab(docs, top_k=20, min_count=2))
     assert "TakeOrderedAndProject" in p
     assert p.count("HashAggregate") >= 2, "token count must partial map-side"
+
+
+def test_curation_pipeline_plan_shape(spark, sf_dir):
+    """The composed curation pipeline must keep each stage's scale
+    shape: no cartesian/nested-loop joins anywhere, partial aggregation
+    for the dedup + vocab groupBys, and a TakeOrdered selection instead
+    of a global sort of the scored corpus."""
+    from decaton_spark.queries import _ALL_QUERIES
+
+    p = plan_of(_ALL_QUERIES["docs_curation_pipeline"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    # the only nested-loop joins allowed are DSIR's broadcast attach of
+    # the 1-row vocab-stats frame (a scalar, not a relation join)
+    import re
+
+    bnlj = re.findall(r"BroadcastNestedLoopJoin \w+ \w+", p)
+    assert all("Cross BuildRight" in b for b in bnlj), bnlj
+    assert "TakeOrderedAndProject" in p
+    assert p.count("HashAggregate") >= 4, "dedup+vocab aggs must be partial"
