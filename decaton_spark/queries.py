@@ -823,6 +823,39 @@ def text_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "docs_domain_cap",
+    """
+    WITH ranked AS (
+        SELECT doc_id, source,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        FROM documents)
+    SELECT doc_id, source, CAST(rn AS BIGINT) AS cap_rank
+    FROM ranked WHERE rn <= 10
+    """,
+)
+def docs_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (the Common-Crawl curation rule: at most
+    N pages per registered domain, so megasites can't dominate the
+    mixture). Selection inside each domain is by md5(doc_id) — a
+    content-stable uniform shuffle, so the kept set is a deterministic
+    random sample that never changes across runs or engines, unlike
+    rand(). One hash-partition window per domain; group sizes are the
+    per-domain doc counts, so no global sort. A domain hot enough to
+    skew a reducer is exactly the domain the cap truncates."""
+    docs = load_table(spark, "documents", sf_dir)
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select("doc_id", "source")
+        .withColumn("cap_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("cap_rank") <= 10)
+    )
+
+
+@register(
     "docs_curation_pipeline",
     """
     WITH tok AS (
