@@ -65,3 +65,34 @@ def test_max_records_per_file_bounds_files(spark, docs, tmp_path):
     n = docs.count()
     files = glob.glob(f"{path}/*.parquet")
     assert len(files) >= n // 100, files
+
+
+def test_ivf_cell_partitioned_layout_prunes_probes(spark, sf_dir, tmp_path):
+    """The ANN-at-rest claim made concrete: materialize the corpus
+    hive-partitioned by IVF cell id, and a probe-cell filter becomes
+    partition pruning — unprobed cells are never read."""
+    from pyspark.sql import functions as F
+
+    from decaton_spark.functions import similarity as sim
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cents = sim.trained_centroids(
+        emb, dataset=f"{sf_dir}/embeddings", nlist=16, iters=2
+    )
+    lits = sim._centroid_literals(cents)
+    assigned = emb.withColumn(
+        "cell", sim._argmax_cell(sim._cell_scores("embedding", lits, 4))
+    )
+    path = str(tmp_path / "emb_by_cell")
+    write_table(assigned, path, fmt="parquet", partition_by=("cell",))
+
+    probes = [cents[0][0], cents[1][0]]
+    back = read_table(spark, path, fmt="parquet").filter(
+        F.col("cell").isin(probes)
+    )
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "cell" in plan.split("PartitionFilters", 1)[1][:150], plan
+    n_probed = back.count()
+    n_expected = assigned.filter(F.col("cell").isin(probes)).count()
+    assert n_probed == n_expected > 0
