@@ -2953,6 +2953,126 @@ def q9_nation_year_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q8_market_share",
+    """
+    SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+           CAST(sum(CASE WHEN sn.n_name = 'NATION_3'
+                         THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(24,6))
+                         ELSE CAST(0 AS DECIMAL(24,6)) END) AS DOUBLE)
+           / CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(24,6))) AS DOUBLE)
+               AS mkt_share
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = cn.n_regionkey AND r.r_name = 'ASIA'
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+    JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type = 'ECONOMY'
+    GROUP BY 1
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_3 suppliers' share of ECONOMY-part
+    revenue sold to ASIA customers, per order year. Every dimension
+    (part, customer→nation→region chain, supplier→nation) broadcasts;
+    both nation legs reuse one scan under different aliases; the
+    conditional/total revenue pair comes out of ONE fact aggregation
+    (no second pass, no join of two aggregates). Division of two
+    decimal-exact sums — identical doubles on both engines, so no
+    rounding is needed."""
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    r = load_table(spark, "region", sf_dir).filter(F.col("r_name") == "ASIA")
+    p = load_table(spark, "part", sf_dir).filter(F.col("p_type") == "ECONOMY")
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_nationkey"),
+        F.col("n_regionkey").alias("cn_regionkey"),
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_nationkey"),
+        F.col("n_name").alias("sn_name"),
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(24,6)"
+    )
+    nat_rev = F.sum(
+        F.when(F.col("sn_name") == "NATION_3", rev).otherwise(
+            F.lit(0).cast("decimal(24,6)")
+        )
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_nationkey"))
+        .join(F.broadcast(r), F.col("cn_regionkey") == F.col("r_regionkey"))
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_nationkey"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            (nat_rev.cast("double") / F.sum(rev).cast("double")).alias(
+                "mkt_share"
+            )
+        )
+    )
+
+
+@register(
+    "q15_top_supplier",
+    """
+    WITH rev AS (
+        SELECT l_suppkey,
+               sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6)))
+                   AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name, CAST(r.total_revenue AS DOUBLE) AS total_revenue
+    FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) with maximum quarterly revenue.
+    The shipdate predicate is pushed to the scan; per-supplier revenue
+    is one partial-aggregable groupBy; the scalar max broadcasts back
+    onto the (|suppliers|-sized) aggregate — equality on exact DECIMAL,
+    so the tie semantics match the oracle bit-for-bit."""
+    li = load_table(spark, "lineitem", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(24,6)"
+                )
+            ).alias("total_revenue")
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_revenue").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+@register(
     "q11_revenue_concentration",
     """
     WITH pr AS (
@@ -3377,8 +3497,8 @@ _DRIVER_TIER = [
     "dedup_near_full",
     # -- priority 4b: one representative per operator family --
     "q1_pricing_summary",
-    "q3_top_orders",
-    "q9_nation_year_profit",
+    "q8_market_share",
+    "q15_top_supplier",
     "multimodal_binary_meta",
     "t6_per_key_quota",
     "t13_pipeline_chain",
@@ -3389,8 +3509,11 @@ _DRIVER_TIER = [
     # text_suite (its four component queries all hold priority-2
     # slots this round), dedup_minhash_lsh (dedup_near_full runs
     # the same LSH banding path end-to-end) and
-    # grouping_sets_order_stats (rollup + cube both hold slots)
-    # rotated to EXTRA (fresh r2 rows) to make room for new queries.
+    # grouping_sets_order_stats (rollup + cube both hold slots),
+    # q3_top_orders and q9_nation_year_profit (q8_market_share runs a
+    # strictly wider join+conditional-agg shape; both hold fresh r2
+    # rows) rotated to EXTRA to make room for the queries new this
+    # round.
 ]
 
 _ALL_QUERIES = dict(QUERIES)
