@@ -692,3 +692,62 @@ def test_interval_join_refuses_ambiguity(spark):
             l, r, left_key="key", right_key="key",
             left_ts="ts", right_ts="rts",
         )
+
+
+def test_streaming_curation_composition(spark, tmp_path):
+    """The curation front door as ONE streaming topology: quality
+    filter (narrow projections run unchanged on a stream) -> ingest
+    dedup within the watermark horizon -> effectively-once parquet
+    sink. Planted short docs are dropped by the filter, re-delivered
+    texts are dropped by the dedup state, and the sink holds exactly
+    the first-delivery curated corpus."""
+    from pyspark.sql import functions as FX
+
+    from decaton_spark.functions.quality import gopher_filter
+    from decaton_spark.streaming.stateful import streaming_dedup
+    from decaton_spark.streaming.subscription import idempotent_parquet_sink
+
+    good = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    base = 1_700_000_000_000
+    rows = [(i, f"{good} doc{i}", base + i * 1000) for i in range(20)]
+    # re-deliveries of docs 0-4 (same text, later ids/timestamps)
+    rows += [(100 + i, f"{good} doc{i}", base + 500_000 + i) for i in range(5)]
+    # low-quality rows the filter must drop before dedup spends state
+    rows += [(200 + i, "tiny doc", base + i) for i in range(5)]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, meta_timestamp_millis long"
+    ).repartition(3).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, meta_timestamp_millis long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    kept = (
+        gopher_filter(stream)
+        .filter(FX.col("quality_verdict") == "keep")
+        .select("doc_id", "text", "meta_timestamp_millis")
+    )
+    curated = streaming_dedup(kept, identity=["text"], within="1 hour")
+
+    out = str(tmp_path / "curated")
+    q = (
+        curated.writeStream.foreachBatch(idempotent_parquet_sink(out))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    assert got.count() == 20
+    ids = {r["doc_id"] for r in got.select("doc_id").collect()}
+    # every surviving row is a first delivery of a quality doc; which
+    # of (i, 100+i) survives depends on microbatch arrival order, so
+    # assert the text set exactly and the id set structurally
+    assert all(i < 100 or 100 <= i < 105 for i in ids)
+    texts = {r["text"] for r in got.select("text").collect()}
+    assert texts == {f"{good} doc{i}" for i in range(20)}
