@@ -1531,6 +1531,37 @@ _ANN_TOPK_ORACLE = f"""
     """
 
 
+@register(
+    "ann_filtered_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings WHERE label = 3),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               round({{dot}} / ({{qn}} * {{cn}}), 4) AS cosine
+        FROM c, q WHERE neighbor_id <> query_id),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored)
+    SELECT query_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= 5
+    """.format(
+        dot=_DOT_QC, qn=_NORM.format(v="qv"), cn=_NORM.format(v="cv")
+    ),
+)
+def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered ANN (metadata-constrained search — 'top-k among label=3
+    vectors'): the predicate applies BEFORE scoring, so it reaches the
+    parquet scan as a pushed filter and the candidate set shrinks at
+    the source — pre-filtering, not post-filtering (which under-fills
+    k when the filter is selective). Composes identically with the
+    LSH/IVF candidate paths: the filter rides the corpus side of the
+    bucket/cell join."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") < 8)
+    return sim.brute_force_topk(emb.filter(F.col("label") == 3), q, k=5)
+
+
 @register("ann_brute_force_topk", _ANN_TOPK_ORACLE)
 def ann_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)

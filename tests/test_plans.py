@@ -277,3 +277,15 @@ def test_curation_pipeline_plan_shape(spark, sf_dir):
     assert all("Cross BuildRight" in b for b in bnlj), bnlj
     assert "TakeOrderedAndProject" in p
     assert p.count("HashAggregate") >= 4, "dedup+vocab aggs must be partial"
+
+
+def test_filtered_ann_pushes_predicate_to_scan(spark, sf_dir):
+    """Filtered ANN must pre-filter at the source: the label predicate
+    reaches the parquet scan's PushedFilters, shrinking the candidate
+    set before any scoring work."""
+    from decaton_spark.queries import _ALL_QUERIES
+
+    p = plan_of(_ALL_QUERIES["ann_filtered_topk"].fn(spark, sf_dir))
+    assert "PushedFilters" in p
+    seg = p.split("PushedFilters", 2)
+    assert any("label" in s[:200] for s in seg[1:]), "label filter must push"
