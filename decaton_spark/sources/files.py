@@ -48,12 +48,29 @@ def write_table(
     fmt: str = "parquet",
     mode: str = "overwrite",
     partition_by: tuple[str, ...] = (),
+    sort_by: tuple[str, ...] = (),
+    sort_partitions: int | None = None,
     compression: str | None = None,
     max_records_per_file: int | None = None,
 ) -> None:
-    """Materialize ``df`` at ``path`` in ``fmt`` with a scale-sane layout."""
+    """Materialize ``df`` at ``path`` in ``fmt`` with a scale-sane layout.
+
+    ``sort_by`` produces a globally range-partitioned, within-file
+    sorted layout: each output file covers a disjoint key range, so
+    parquet/ORC min-max (zone-map) statistics let a point or range
+    filter skip whole files/row-groups at scan time — the columnar
+    analog of an index. This is a full sort (one range-partitioning
+    shuffle) paid once at write time to make every later selective
+    read cheap.
+    """
     if fmt not in FORMATS:
         raise ValueError(f"unknown format {fmt!r}; expected one of {FORMATS}")
+    if sort_by:
+        # explicit partition count pins the file count (AQE otherwise
+        # coalesces a small write to one file); at scale size it to
+        # target_rows / rows_per_file
+        args = ((sort_partitions,) if sort_partitions else ()) + tuple(sort_by)
+        df = df.repartitionByRange(*args).sortWithinPartitions(*sort_by)
     w = df.write.mode(mode)
     if compression is None:
         compression = "zstd" if fmt in ("parquet", "orc") else "none"

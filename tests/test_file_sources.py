@@ -96,3 +96,30 @@ def test_ivf_cell_partitioned_layout_prunes_probes(spark, sf_dir, tmp_path):
     n_probed = back.count()
     n_expected = assigned.filter(F.col("cell").isin(probes)).count()
     assert n_probed == n_expected > 0
+
+
+def test_sorted_layout_gives_disjoint_file_ranges(spark, sf_dir, tmp_path):
+    """sort_by writes a range-partitioned, within-file-sorted layout:
+    per-file [min, max] key ranges are pairwise disjoint, so parquet
+    zone-map statistics can skip whole files for selective filters."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, "orders", sf_dir)
+    path = str(tmp_path / "orders_sorted")
+    write_table(orders, path, fmt="parquet", sort_by=("o_orderkey",), sort_partitions=4)
+
+    files = sorted(glob.glob(f"{path}/*.parquet"))
+    assert len(files) > 1, "need multiple files to prove disjointness"
+    ranges = []
+    for f in files:
+        r = (
+            spark.read.parquet(f)
+            .agg(F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi"))
+            .collect()[0]
+        )
+        ranges.append((r["lo"], r["hi"]))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, f"overlapping file ranges {(lo1, hi1)} {(lo2, hi2)}"
