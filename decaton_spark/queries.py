@@ -667,6 +667,104 @@ def events_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_funnel",
+    """
+    WITH v AS (
+        SELECT user_id, min(ts) AS t0 FROM events
+        WHERE event_type = 'view' GROUP BY user_id),
+    c AS (
+        SELECT e.user_id, min(e.ts) AS t1
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t0
+        GROUP BY e.user_id),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t1
+        GROUP BY e.user_id)
+    SELECT (SELECT count(*) FROM v) AS n_view,
+           (SELECT count(*) FROM c) AS n_click_after_view,
+           (SELECT count(*) FROM p) AS n_purchase_after_click
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view -> click -> purchase): each stage is the
+    min event time strictly after the previous stage's, per user.
+    Stage frames are per-user partial aggregations (|users| rows) and
+    each refinement is an equi-join on user_id against the previous
+    (shrinking) stage — never a self-join of raw events with
+    inequality-only conditions. The final counts are three tiny
+    aggregates."""
+    ev = load_table(spark, "events", sf_dir)
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click_after_view")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase_after_click")))
+    )
+
+
+@register(
+    "events_cohort_retention",
+    """
+    WITH weeks AS (
+        SELECT user_id,
+               CAST(floor(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) / 7)
+                    AS BIGINT) AS week_idx
+        FROM events),
+    firsts AS (SELECT user_id, min(week_idx) AS cohort_week FROM weeks GROUP BY user_id),
+    activity AS (SELECT DISTINCT user_id, week_idx FROM weeks)
+    SELECT f.cohort_week,
+           CAST(a.week_idx - f.cohort_week AS BIGINT) AS week_offset,
+           count(*) AS n_active_users
+    FROM activity a JOIN firsts f ON a.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity week, counted
+    in each later week they return. Week index is pure epoch-day
+    arithmetic (floor(days/7)) — no calendar week-start semantics to
+    disagree across engines. Plan: first-week per user and distinct
+    (user, week) are both partial-aggregable; the cohort join is a
+    user_id equi-join of two |users|-bounded frames; the final rollup
+    groups a |users × active weeks| frame, far smaller than events."""
+    ev = load_table(spark, "events", sf_dir)
+    week = F.floor(
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")) / 7
+    ).cast("long")
+    weeks = ev.select("user_id", week.alias("week_idx"))
+    firsts = weeks.groupBy("user_id").agg(F.min("week_idx").alias("cohort_week"))
+    activity = weeks.distinct()
+    return (
+        activity.join(firsts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week_idx") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # LLM-data-pipeline operators: dedup / text / similarity / multimodal
 # ---------------------------------------------------------------------------
