@@ -350,3 +350,15 @@ def test_cm_params_match_reference():
 
     assert cm_params() == (12, 65536)
     assert cm_params(epsilon=0.01, delta=0.01) == (5, 512)
+
+
+def test_simulated_latency_async_mode(spark):
+    """Async I/O-slot mode (deferCompletion pattern): same completion
+    contract as threads, at least comparable throughput — one event
+    loop per partition instead of `concurrency` OS threads."""
+    from decaton_spark.benchmark import latency_tasks, run_simulated_latency
+
+    tasks = latency_tasks(spark, n_tasks=20_000, latency_ms=4, latency_count=5)
+    r = run_simulated_latency(tasks, partitions=8, concurrency=128, io_mode="async")
+    assert r["tasks"] == 20_000
+    assert r["tasks_per_sec"] > 10_000, r
