@@ -8,9 +8,13 @@ The Spark-side contract for a 100 TB media pipeline:
   happens on the scan (reject by mime/size/dims without touching bytes);
 - decode / feature-extract / frame-sample run as Arrow-batched
   ``mapInPandas`` stages — the batch shape, schema, and partitioning
-  here are real and tested; the actual codec calls are STUBBED
-  (``decode_backend="fake"`` is deterministic; ``"pil"``/``"ffmpeg"``
-  raise NotImplementedError — those libs aren't in this container).
+  are real and tested, and the BMP path (``decode_images_bmp`` /
+  ``resize_images_bmp`` / ``extract_features_bmp``) is a REAL codec:
+  a dependency-free 24-bit BMP encoder/decoder + numpy nearest-
+  neighbor resampling operating on actual pixel data. Formats needing
+  external libs stay honestly stubbed (``"fake"`` deterministic;
+  ``"pil"``/``"ffmpeg"`` raise NotImplementedError — not in this
+  container).
 """
 
 from __future__ import annotations
@@ -186,5 +190,173 @@ def resize_images(
                     "payload": payloads,
                 }
             )
+
+    return df.select(id_col, payload_col).mapInPandas(run, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Real codec: BMP (24-bit uncompressed), dependency-free.
+#
+# The container has no PIL/libvips/ffmpeg, but BMP's format is simple
+# enough to implement directly with struct + numpy — so the decode /
+# resize / feature stages below are REAL image operations, not stubs:
+# backend="bmp" parses actual pixel data and nearest-neighbor-resamples
+# it. PIL/JPEG/PNG still raise NotImplementedError honestly; their call
+# sites drop into the same batch loops.
+# ---------------------------------------------------------------------------
+
+
+def encode_bmp(pixels) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array as a 24-bit BI_RGB BMP
+    (bottom-up rows, 4-byte row padding). Pure struct/numpy."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = arr.shape
+    stride = (w * 3 + 3) & ~3
+    img_size = stride * h
+    off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", off + img_size, 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    rows = []
+    pad = b"\x00" * (stride - w * 3)
+    for y in range(h - 1, -1, -1):  # bottom-up
+        rows.append(arr[y, :, ::-1].tobytes() + pad)  # RGB -> BGR
+    return header + info + b"".join(rows)
+
+
+def decode_bmp(payload: bytes):
+    """Decode a 24-bit BI_RGB BMP to (width, height, (H, W, 3) uint8
+    RGB array). Raises ValueError on anything else."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP")
+    off = struct.unpack_from("<I", payload, 10)[0]
+    size, w, h, planes, bpp, comp = struct.unpack_from("<IiiHHI", payload, 14)
+    if size < 40 or bpp != 24 or comp != 0 or w <= 0 or h == 0:
+        raise ValueError("unsupported BMP variant")
+    flipped = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    if off + stride * h > len(payload):
+        raise ValueError("truncated pixel array")
+    buf = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=off)
+    rows = buf.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if flipped:
+        rows = rows[::-1]
+    return w, h, rows[:, :, ::-1].copy()  # BGR -> RGB
+
+
+def _nearest_resize(arr, tw: int, th: int):
+    """Nearest-neighbor resample of (H, W, 3) to (th, tw, 3) — index
+    arithmetic only, the numpy analog of a codec's fast path."""
+    import numpy as np
+
+    h, w, _ = arr.shape
+    ys = (np.arange(th) * h) // th
+    xs = (np.arange(tw) * w) // tw
+    return arr[ys][:, xs]
+
+
+def decode_images_bmp(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Real decode stage: parse BMP headers + pixel data. Invalid or
+    non-BMP payloads yield ok=false with null dims (corrupt media must
+    never fail the job at 100 TB — it gets filtered, not thrown)."""
+    out_schema = f"{id_col} long, width int, height int, ok boolean"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, oks = [], [], [], []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                ids.append(int(i))
+                try:
+                    w, h, _ = decode_bmp(bytes(p))
+                    ws.append(w), hs.append(h), oks.append(True)
+                except Exception:
+                    ws.append(None), hs.append(None), oks.append(False)
+            yield pd.DataFrame(
+                {id_col: ids, "width": pd.array(ws, dtype="Int32"),
+                 "height": pd.array(hs, dtype="Int32"), "ok": oks}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, out_schema)
+
+
+def resize_images_bmp(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    *,
+    target_w: int = 224,
+    target_h: int = 224,
+) -> DataFrame:
+    """Real resize stage: decode BMP, nearest-neighbor resample, re-encode.
+    Undecodable payloads are dropped (ok=false rows belong to the decode
+    stage's report, not the resized corpus)."""
+    out_schema = f"{id_col} long, width int, height int, payload binary"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    _, _, arr = decode_bmp(bytes(p))
+                except Exception:
+                    continue
+                ids.append(int(i))
+                payloads.append(encode_bmp(_nearest_resize(arr, target_w, target_h)))
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        id_col: ids,
+                        "width": target_w,
+                        "height": target_h,
+                        "payload": payloads,
+                    }
+                )
+
+    return df.select(id_col, payload_col).mapInPandas(run, out_schema)
+
+
+def extract_features_bmp(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Real feature stage: 8-dim pixel statistics (per-channel mean and
+    std over the decoded image, plus normalized dims) — the shape a
+    CLIP-style embedding call slots into, computed from actual pixels."""
+    out_schema = f"{id_col} long, features array<float>"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, feats = [], []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    w, h, arr = decode_bmp(bytes(p))
+                except Exception:
+                    continue
+                f = arr.reshape(-1, 3).astype(np.float64)
+                ids.append(int(i))
+                feats.append(
+                    [float(x) for x in (*(f.mean(axis=0) / 255.0),
+                                        *(f.std(axis=0) / 255.0))]
+                    + [min(w, 4096) / 4096.0, min(h, 4096) / 4096.0]
+                )
+            if ids:  # an all-corrupt batch yields nothing (an empty
+                # frame's default float64 columns break Arrow's cast
+                # to list<float>/binary)
+                yield pd.DataFrame({id_col: ids, "features": feats})
 
     return df.select(id_col, payload_col).mapInPandas(run, out_schema)
