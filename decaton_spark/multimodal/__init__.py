@@ -1,3 +1,10 @@
+from decaton_spark.multimodal.audio import (
+    audio_features_wav,
+    decode_audio_wav,
+    decode_wav,
+    encode_wav,
+    resample_audio_wav,
+)
 from decaton_spark.multimodal.columns import (
     MEDIA_SCHEMA,
     attach_media_meta,
@@ -14,6 +21,11 @@ from decaton_spark.multimodal.columns import (
 
 __all__ = [
     "MEDIA_SCHEMA",
+    "audio_features_wav",
+    "decode_audio_wav",
+    "decode_wav",
+    "encode_wav",
+    "resample_audio_wav",
     "attach_media_meta",
     "decode_bmp",
     "decode_images",

@@ -1,0 +1,82 @@
+"""Real-codec audio tests: WAV/PCM decode, downmix+resample, and
+loudness features on actual samples."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from decaton_spark.multimodal.audio import (
+    audio_features_wav,
+    decode_audio_wav,
+    decode_wav,
+    encode_wav,
+    resample_audio_wav,
+)
+
+
+def _sine(freq, rate, secs, amp=0.5):
+    t = np.arange(int(rate * secs)) / rate
+    return (amp * 32767 * np.sin(2 * np.pi * freq * t)).astype(np.int16)
+
+
+@pytest.fixture(scope="module")
+def audio(spark):
+    rate = 8000
+    stereo = np.stack([_sine(440, rate, 0.5), _sine(440, rate, 0.5)], axis=1)
+    rows = [
+        (1, encode_wav(_sine(440, rate, 1.0), sample_rate=rate)),
+        (2, encode_wav(stereo, sample_rate=rate)),
+        (3, encode_wav(np.zeros(4000, dtype=np.int16), sample_rate=rate)),
+        (4, b"RIFFjunkWAVEnope"),
+        (5, b"definitely not audio"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, payload binary")
+
+
+def test_decode_rates_channels_duration(audio):
+    out = {r["doc_id"]: r for r in decode_audio_wav(audio).collect()}
+    assert (out[1]["sample_rate"], out[1]["n_channels"], out[1]["duration_ms"]) == (
+        8000, 1, 1000,
+    )
+    assert (out[2]["n_channels"], out[2]["duration_ms"]) == (2, 500)
+    assert out[3]["duration_ms"] == 500
+    assert not out[4]["ok"] and not out[5]["ok"]
+
+
+def test_resample_downmix(audio):
+    out = {
+        r["doc_id"]: r
+        for r in resample_audio_wav(audio, target_rate=4000, mono=True).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    for r in out.values():
+        rate, arr = decode_wav(bytes(r["payload"]))
+        assert rate == 4000 and arr.shape[1] == 1
+    # 1s @8k -> 4000 samples; 0.5s stereo -> 2000 mono samples
+    assert out[1]["n_samples"] == 4000
+    assert out[2]["n_samples"] == 2000
+
+
+def test_loudness_features(audio):
+    out = {r["doc_id"]: r for r in audio_features_wav(audio).collect()}
+    assert set(out) == {1, 2, 3}
+    # 0.5-amplitude sine: rms ~ 0.5/sqrt(2), peak ~0.5, near-zero silence
+    assert out[1]["rms"] == pytest.approx(0.3536, abs=0.01)
+    assert out[1]["peak"] == pytest.approx(0.5, abs=0.01)
+    assert out[1]["silence_ratio"] < 0.05
+    # 440 Hz at 8 kHz: ~880 crossings/s -> rate ~0.11
+    assert out[1]["zero_cross_rate"] == pytest.approx(0.11, abs=0.01)
+    # silence: zero rms/peak, full silence ratio
+    assert out[3]["rms"] == 0.0 and out[3]["silence_ratio"] == 1.0
+
+
+def test_chunk_walk_handles_extra_chunks():
+    """fmt need not be the first chunk; LIST/INFO chunks are skipped."""
+    body = encode_wav(_sine(100, 8000, 0.1), sample_rate=8000)
+    # splice a LIST chunk between WAVE and fmt
+    extra = b"LIST" + (4).to_bytes(4, "little") + b"INFO"
+    spliced = body[:12] + extra + body[12:]
+    # RIFF size field is now stale, but chunk walking doesn't rely on it
+    rate, arr = decode_wav(spliced)
+    assert rate == 8000 and arr.shape[0] == 800
