@@ -5,6 +5,11 @@ from decaton_spark.multimodal.audio import (
     encode_wav,
     resample_audio_wav,
 )
+from decaton_spark.multimodal.video import (
+    decode_avi_dib,
+    encode_avi_dib,
+    sample_frames_avi,
+)
 from decaton_spark.multimodal.columns import (
     MEDIA_SCHEMA,
     attach_media_meta,
@@ -26,6 +31,9 @@ __all__ = [
     "decode_wav",
     "encode_wav",
     "resample_audio_wav",
+    "decode_avi_dib",
+    "encode_avi_dib",
+    "sample_frames_avi",
     "attach_media_meta",
     "decode_bmp",
     "decode_images",

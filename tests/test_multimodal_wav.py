@@ -80,3 +80,36 @@ def test_chunk_walk_handles_extra_chunks():
     # RIFF size field is now stale, but chunk walking doesn't rely on it
     rate, arr = decode_wav(spliced)
     assert rate == 8000 and arr.shape[0] == 800
+
+
+def test_avi_frame_sampling(spark):
+    """Real video path: uncompressed AVI decodes to actual frames, the
+    sampler strides + caps them and emits standalone BMPs the image
+    stages consume directly."""
+    from decaton_spark.multimodal.video import decode_avi_dib, encode_avi_dib
+    from decaton_spark.multimodal.columns import decode_bmp
+
+    frames = np.stack(
+        [np.full((6, 8, 3), i * 10, dtype=np.uint8) for i in range(12)]
+    )
+    rows = [
+        (1, encode_avi_dib(frames, fps=6)),
+        (2, b"RIFFxxxxAVI junk"),
+        (3, b"not a container"),
+    ]
+    media = spark.createDataFrame(rows, "doc_id long, payload binary")
+
+    from decaton_spark.multimodal.video import sample_frames_avi
+
+    out = sample_frames_avi(media, every_n=2, max_frames=4).collect()
+    by_idx = {r["frame_idx"]: r for r in out}
+    assert {r["doc_id"] for r in out} == {1}
+    assert len(out) == 4  # 12 frames / stride 2 = 6, capped at 4
+    for j, r in by_idx.items():
+        w, h, arr = decode_bmp(bytes(r["frame"]))
+        assert (w, h) == (8, 6)
+        # frame j of the sampled stream is source frame 2j (solid 20j)
+        assert (arr == np.uint8(20 * j)).all()
+
+    fps, fs = decode_avi_dib(bytes(rows[0][1]))
+    assert fps == 6 and len(fs) == 12
