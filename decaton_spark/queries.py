@@ -724,6 +724,57 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_conversion_latency",
+    """
+    WITH v AS (
+        SELECT user_id, min(ts) AS t0 FROM events
+        WHERE event_type = 'view' GROUP BY user_id),
+    conv AS (
+        SELECT e.user_id,
+               epoch_us(min(e.ts)) - epoch_us(v.t0) AS lat_us
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > v.t0
+        GROUP BY e.user_id, v.t0)
+    SELECT count(*) AS n_converted,
+           round(quantile_cont(lat_us, 0.5), 6) AS p50_us,
+           round(quantile_cont(lat_us, 0.9), 6) AS p90_us,
+           CAST(max(lat_us) AS BIGINT) AS max_us
+    FROM conv
+    """,
+)
+def events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: first view -> first subsequent
+    purchase per user, exact interpolated latency percentiles. Same
+    shrinking-equi-join funnel shape; the latency is an exact integer
+    epoch-microsecond subtraction on BOTH engines (DuckDB's
+    date_diff counts boundary crossings over its nanosecond
+    timestamps, which disagrees with any truncated-diff by 1 unit),
+    aggregated once."""
+    ev = load_table(spark, "events", sf_dir)
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t0"))
+        .groupBy("user_id", "t0")
+        .agg(F.min("ts").alias("t2"))
+        .select(
+            (F.unix_micros("t2") - F.unix_micros("t0")).alias("lat_us")
+        )
+    )
+    return conv.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(F.expr("percentile(lat_us, 0.5)"), 6).alias("p50_us"),
+        F.round(F.expr("percentile(lat_us, 0.9)"), 6).alias("p90_us"),
+        F.max("lat_us").alias("max_us"),
+    )
+
+
+@register(
     "events_cohort_retention",
     """
     WITH weeks AS (
