@@ -668,6 +668,42 @@ def events_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_props_json",
+    """
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(count(DISTINCT CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS n_distinct_k,
+           CAST(sum(CASE WHEN json_extract(props, '$.missing') IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_field
+    FROM events GROUP BY event_type
+    """,
+)
+def events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read over the semi-structured props column:
+    ``from_json`` with an explicit DDL schema (never inference — one
+    pass, typed nulls for absent fields) projects JSON fields into
+    columns map-side; everything downstream is ordinary partial-agg
+    relational work. The JSON parse is JVM Jackson inside codegen —
+    no Python, no extra scan."""
+    ev = load_table(spark, "events", sf_dir)
+    j = F.from_json(F.col("props"), "k BIGINT, missing STRING")
+    return (
+        ev.select("event_type", j.alias("j"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("j.k").alias("sum_k"),
+            F.countDistinct("j.k").alias("n_distinct_k"),
+            F.sum(
+                F.when(F.col("j.missing").isNull(), 1).otherwise(0)
+            ).alias("n_missing_field"),
+        )
+    )
+
+
+@register(
     "events_funnel",
     """
     WITH v AS (
