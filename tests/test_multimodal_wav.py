@@ -113,3 +113,59 @@ def test_avi_frame_sampling(spark):
 
     fps, fs = decode_avi_dib(bytes(rows[0][1]))
     assert fps == 6 and len(fs) == 12
+
+
+# --- property-based round-trips (no Spark session needed) ---
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(1, 40),
+    h=st.integers(1, 24),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_bmp_roundtrip_property(w, h, seed):
+    from decaton_spark.multimodal.columns import decode_bmp, encode_bmp
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    w2, h2, back = decode_bmp(encode_bmp(px))
+    assert (w2, h2) == (w, h)
+    assert (back == px).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    n=st.integers(1, 5000),
+    ch=st.integers(1, 2),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_wav_roundtrip_property(n, ch, rate, seed):
+    rng = np.random.default_rng(seed)
+    samples = rng.integers(-32768, 32768, size=(n, ch), dtype=np.int16)
+    rate2, back = decode_wav(encode_wav(samples, sample_rate=rate))
+    assert rate2 == rate
+    assert back.shape == (n, ch)
+    assert (back == samples).all()
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    nf=st.integers(1, 6),
+    w=st.integers(1, 16),
+    h=st.integers(1, 12),
+    fps=st.integers(1, 60),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_avi_roundtrip_property(nf, w, h, fps, seed):
+    from decaton_spark.multimodal.video import decode_avi_dib, encode_avi_dib
+
+    rng = np.random.default_rng(seed)
+    frames = rng.integers(0, 256, size=(nf, h, w, 3), dtype=np.uint8)
+    fps2, back = decode_avi_dib(encode_avi_dib(frames, fps=fps))
+    assert fps2 == fps and len(back) == nf
+    assert all((back[i] == frames[i]).all() for i in range(nf))
