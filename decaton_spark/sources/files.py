@@ -93,20 +93,43 @@ def read_table(
     *,
     fmt: str = "parquet",
     schema: StructType | str | None = None,
+    corrupt_col: str | None = None,
 ) -> DataFrame:
     """Read a table written by ``write_table``.
 
     For csv/json a ``schema`` (DDL string or StructType) is REQUIRED:
     inference is an extra full scan and silently mis-types sparse
     columns — fail loudly instead.
+
+    ``corrupt_col`` (text formats only) switches on PERMISSIVE
+    ingestion: malformed records land whole in that extra string
+    column instead of failing the job or being silently dropped —
+    at 100 TB some records WILL be malformed, and the right contract
+    is quarantine-and-continue (filter ``corrupt_col IS NOT NULL``
+    into a dead-letter table, like the task pipeline's F2 discard).
     """
     if fmt not in FORMATS:
         raise ValueError(f"unknown format {fmt!r}; expected one of {FORMATS}")
+    if corrupt_col is not None and fmt not in ("json", "csv"):
+        raise ValueError("corrupt_col applies to text formats only")
     r = spark.read
     if fmt in ("json", "csv"):
         if schema is None:
             raise ValueError(
                 f"{fmt} requires an explicit schema (inference = extra full scan)"
+            )
+        if corrupt_col is not None:
+            if isinstance(schema, str):
+                schema = f"{schema}, {corrupt_col} string"
+            else:
+                from pyspark.sql.types import StringType, StructField
+
+                schema = StructType(
+                    [*schema.fields, StructField(corrupt_col, StringType())]
+                )
+            r = (
+                r.option("mode", "PERMISSIVE")
+                .option("columnNameOfCorruptRecord", corrupt_col)
             )
         r = r.schema(schema).option("inferSchema", "false")
     elif schema is not None:

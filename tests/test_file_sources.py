@@ -123,3 +123,36 @@ def test_sorted_layout_gives_disjoint_file_ranges(spark, sf_dir, tmp_path):
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 < lo2, f"overlapping file ranges {(lo1, hi1)} {(lo2, hi2)}"
+
+
+def test_corrupt_record_quarantine(spark, tmp_path):
+    """PERMISSIVE text ingestion: malformed JSON lines land whole in
+    the corrupt column (quarantine-and-continue, the file-ingest analog
+    of the task pipeline's F2 invalid-task discard); valid rows parse
+    normally; the option is refused for columnar formats."""
+    p = tmp_path / "in.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "good"}\n'
+        "this is not json at all\n"
+        '{"doc_id": 2, "text": "also good"}\n'
+        '{"doc_id": "not-a-number", "text": 3}\n'
+    )
+    got = read_table(
+        spark,
+        str(p),
+        fmt="json",
+        schema="doc_id bigint, text string",
+        corrupt_col="_bad",
+    )
+    rows = got.collect()
+    assert len(rows) == 4
+    ok = [r for r in rows if r["_bad"] is None]
+    bad = [r for r in rows if r["_bad"] is not None]
+    assert {r["doc_id"] for r in ok} == {1, 2}
+    assert len(bad) == 2
+    assert any("not json" in r["_bad"] for r in bad)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="text formats"):
+        read_table(spark, str(p), fmt="parquet", corrupt_col="_bad")
