@@ -139,3 +139,39 @@ def read_table(
             r = r.option(k, v)
         r = r.option("multiLine", "true")
     return getattr(r, fmt)(path)
+
+
+def scale_to_bits(col, lo: float, hi: float, bits: int = 16):
+    """Map a numeric column into [0, 2^bits) by min-max scaling —
+    the normalization step before Z-order interleaving. ``lo``/``hi``
+    come from table statistics (computed once, offline, like any index
+    build); out-of-range values clamp."""
+    from pyspark.sql import functions as F
+
+    n = (1 << bits) - 1
+    scaled = (col.cast("double") - lo) / max(hi - lo, 1e-12) * n
+    return F.least(F.greatest(F.round(scaled).cast("long"), F.lit(0)), F.lit(n))
+
+
+def zorder_key(cols, bits: int = 16):
+    """Morton (Z-order) interleave of up to a few pre-scaled integer
+    columns (see ``scale_to_bits``) — one long key whose sort order
+    clusters rows that are close in EVERY dimension.
+
+    Sorting a write by this key (``write_table(sort_by=("zkey",))``)
+    gives each output file a small bounding box in all participating
+    columns at once, so parquet min-max statistics prune selective
+    filters on ANY of them — the lakehouse Z-ORDER BY, as a plain
+    codegen-able expression (bits × n_cols shift/or ops, no UDF).
+    """
+    from pyspark.sql import functions as F
+
+    key = F.lit(0).cast("long")
+    n = len(cols)
+    if bits * n > 62:
+        raise ValueError("bits * len(cols) must fit in a long")
+    for b in range(bits):
+        for i, c in enumerate(cols):
+            bit = F.shiftright(c.cast("long"), b).bitwiseAND(F.lit(1))
+            key = key.bitwiseOR(F.shiftleft(bit, b * n + i))
+    return key

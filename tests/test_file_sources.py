@@ -156,3 +156,49 @@ def test_corrupt_record_quarantine(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="text formats"):
         read_table(spark, str(p), fmt="parquet", corrupt_col="_bad")
+
+
+def test_zorder_layout_localizes_both_dimensions(spark, sf_dir, tmp_path):
+    """Z-ordered writes give every file a small bounding box in BOTH
+    clustered columns (a 1-D sort can only localize its leading
+    column), so min-max stats prune filters on either dimension."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from decaton_spark.sources.files import scale_to_bits, zorder_key
+
+    orders = load_table(spark, "orders", sf_dir)
+    stats = orders.agg(
+        F.min("o_custkey"), F.max("o_custkey"),
+        F.min("o_totalprice"), F.max("o_totalprice"),
+    ).collect()[0]
+    ck = scale_to_bits(F.col("o_custkey"), stats[0], stats[1], bits=12)
+    tp = scale_to_bits(F.col("o_totalprice"), float(stats[2]), float(stats[3]), bits=12)
+    z = orders.withColumn("zkey", zorder_key([ck, tp], bits=12))
+
+    path = str(tmp_path / "orders_z")
+    write_table(z, path, fmt="parquet", sort_by=("zkey",), sort_partitions=8)
+
+    files = sorted(glob.glob(f"{path}/*.parquet"))
+    assert len(files) >= 4
+    g = orders.agg(
+        (F.max("o_custkey") - F.min("o_custkey")).alias("ck"),
+        (F.max("o_totalprice") - F.min("o_totalprice")).alias("tp"),
+    ).collect()[0]
+    global_area = float(g["ck"]) * float(g["tp"])
+    areas = []
+    for f in files:
+        r = (
+            spark.read.parquet(f)
+            .agg(
+                (F.max("o_custkey") - F.min("o_custkey")).alias("ck"),
+                (F.max("o_totalprice") - F.min("o_totalprice")).alias("tp"),
+            )
+            .collect()[0]
+        )
+        areas.append(float(r["ck"]) * float(r["tp"]) / global_area)
+    # every file's box is a fraction of the global rectangle, and the
+    # average is small — neither holds for an unsorted write
+    assert max(areas) <= 0.6, areas
+    assert sum(areas) / len(areas) <= 0.35, areas
