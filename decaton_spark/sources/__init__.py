@@ -1,5 +1,5 @@
 from decaton_spark.sources.files import FORMATS, read_table, write_table
-from decaton_spark.sources.parquet import TABLES, load_table, load_tables
+from decaton_spark.sources.parquet import TABLES, load_table, load_tables, register_views
 
 __all__ = [
     "FORMATS",
@@ -7,5 +7,6 @@ __all__ = [
     "load_table",
     "load_tables",
     "read_table",
+    "register_views",
     "write_table",
 ]

@@ -60,3 +60,17 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
 
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
     return {name: load_table(spark, name, sf_dir) for name in TABLES}
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, prefix: str = ""
+) -> list[str]:
+    """Register every fixture table as a temp view so users can drive
+    the engine with raw ``spark.sql(...)`` — the full Spark SQL surface
+    (joins, windows, grouping sets, subqueries) over the same data the
+    DataFrame operators read. Returns the registered view names."""
+    names = []
+    for t in TABLES:
+        load_table(spark, t, sf_dir).createOrReplaceTempView(prefix + t)
+        names.append(prefix + t)
+    return names

@@ -202,3 +202,19 @@ def test_zorder_layout_localizes_both_dimensions(spark, sf_dir, tmp_path):
     # average is small — neither holds for an unsorted write
     assert max(areas) <= 0.6, areas
     assert sum(areas) / len(areas) <= 0.35, areas
+
+
+def test_register_views_sql_surface(spark, sf_dir):
+    """Raw spark.sql over the registered views — the SQL front door."""
+    from decaton_spark.sources import register_views
+
+    names = register_views(spark, sf_dir)
+    assert "lineitem" in names
+    out = spark.sql(
+        """
+        SELECT n.n_name, count(*) AS n_suppliers
+        FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+        GROUP BY n.n_name ORDER BY n_suppliers DESC, n_name LIMIT 3
+        """
+    ).collect()
+    assert len(out) == 3 and out[0]["n_suppliers"] >= out[-1]["n_suppliers"]

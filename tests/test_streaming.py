@@ -751,3 +751,33 @@ def test_streaming_curation_composition(spark, tmp_path):
     assert all(i < 100 or 100 <= i < 105 for i in ids)
     texts = {r["text"] for r in got.select("text").collect()}
     assert texts == {f"{good} doc{i}" for i in range(20)}
+
+
+def test_stream_static_enrichment_join(spark, sf_dir, task_stream_dir, tmp_path):
+    """Stream-static join: the task stream enriches against a static
+    dimension (broadcast per microbatch, re-resolvable per batch for
+    slowly-changing dims) with no watermark or join state needed."""
+    path, schema = task_stream_dir
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 2).parquet(path)
+    )
+    dim = spark.createDataFrame(
+        [(str(k), f"tier-{k % 3}") for k in range(64)], "key string, tier string"
+    )
+    enriched = stream.join(F.broadcast(dim), "key", "left")
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("enrich_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    total = spark.table("enrich_out").count()
+    batch = spark.read.schema(schema).parquet(path).count()
+    assert total == batch, "stream-static join must not drop or duplicate rows"
+    assert (
+        spark.table("enrich_out").filter(F.col("tier").isNull()).count()
+        == spark.read.schema(schema).parquet(path)
+        .join(dim, "key", "left_anti").count()
+    )
