@@ -362,3 +362,21 @@ def test_simulated_latency_async_mode(spark):
     r = run_simulated_latency(tasks, partitions=8, concurrency=128, io_mode="async")
     assert r["tasks"] == 20_000
     assert r["tasks_per_sec"] > 10_000, r
+
+
+def test_simulated_latency_flat_wrt_io_latency(spark):
+    """The reference's headline property (docs/runtime.adoc: throughput
+    flat w.r.t. simulated I/O latency, because I/O slots, not CPU, are
+    the resource): quintupling per-task latency must not collapse
+    throughput while in-flight tasks fit the slot budget."""
+    from decaton_spark.benchmark import latency_tasks, run_simulated_latency
+
+    fast = run_simulated_latency(
+        latency_tasks(spark, n_tasks=20_000, latency_ms=4, latency_count=1),
+        partitions=8, concurrency=128, io_mode="async",
+    )
+    slow = run_simulated_latency(
+        latency_tasks(spark, n_tasks=20_000, latency_ms=4, latency_count=5),
+        partitions=8, concurrency=128, io_mode="async",
+    )
+    assert slow["tasks_per_sec"] > 0.4 * fast["tasks_per_sec"], (fast, slow)
