@@ -195,3 +195,57 @@ def test_asof_join_equals_pandas_merge_asof(spark, left, right):
     got["r_id"] = got["r_id"].astype("float64")
     ref["r_id"] = ref["r_id"].astype("float64")
     pd.testing.assert_frame_equal(got, ref)
+
+
+META_STR = st.text(
+    alphabet=st.characters(
+        codec="utf-8", exclude_categories=("Cs",), max_codepoint=0x2FFF
+    ),
+    max_size=24,
+)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            META_STR,  # key, incl. unicode / quotes / empty
+            st.integers(0, 2**62),  # timestamp
+            st.integers(0, 100),  # retry count
+            META_STR,  # source app id
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@SET
+def test_envelope_header_roundtrip_property(spark, rows):
+    """Header metadata survives JSON envelope encode->parse for
+    arbitrary unicode keys and boundary values — the fuzz analog of
+    the reference's ProtocolMigrationTest."""
+    from decaton_spark.envelope import metadata_to_header_json, parse_header_metadata
+
+    df = spark.createDataFrame(
+        [
+            (k, i, ts, rc, src, i * 7, ts + 1, f"v{i}",
+             __import__("datetime").datetime(2024, 1, 1))
+            for i, (k, ts, rc, src) in enumerate(rows)
+        ],
+        "key string, offset long, meta_timestamp_millis long,"
+        " meta_retry_count long, meta_source_application_id string,"
+        " meta_source_instance_id long, meta_scheduled_time_millis long,"
+        " value string, timestamp timestamp",
+    )
+    hdr = metadata_to_header_json(df)
+    stripped = hdr.drop(*[c for c in hdr.columns if c.startswith("meta_")])
+    back = parse_header_metadata(stripped)
+    want = {
+        (r["offset"], r["meta_timestamp_millis"], r["meta_retry_count"],
+         r["meta_source_application_id"])
+        for r in df.collect()
+    }
+    got = {
+        (r["offset"], r["meta_timestamp_millis"], r["meta_retry_count"],
+         r["meta_source_application_id"])
+        for r in back.collect()
+    }
+    assert got == want
