@@ -157,3 +157,29 @@ def test_semantic_dedup_200k_vectors(spark):
     # lower-id clone in the same cell
     assert planted.filter(~F.col("keep")).count() == n // 1000 - 1
     assert planted.filter(F.col("vec_id") == 1).collect()[0]["keep"]
+
+
+def test_skew_join_5m(spark):
+    """A 5M-row fact where one key holds 80% of rows, force-joined as
+    sort-merge (no broadcast escape hatch): AQE's skew-join split must
+    carry it to completion with exact row conservation — the runtime
+    defense for key skew no static plan can predict."""
+    n = 5_000_000
+    fact = spark.range(n).select(
+        F.when(F.col("id") % 5 != 0, F.lit("HOT"))
+        .otherwise((F.col("id") % N_KEYS).cast("string"))
+        .alias("key"),
+        F.col("id").alias("v"),
+    )
+    dim = (
+        spark.range(N_KEYS)
+        .select(F.col("id").cast("string").alias("key"),
+                (F.col("id") * 2).alias("w"))
+        .union(
+            spark.createDataFrame([("HOT", -1)], "key string, w long")
+        )
+    )
+    joined = fact.join(dim.hint("merge"), "key")
+    assert joined.count() == n
+    hot = joined.filter(F.col("key") == "HOT").count()
+    assert hot == n - n // 5
