@@ -1066,8 +1066,21 @@ def docs_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND round((n - nd) * 1.0 / n, 6) <= 0.6
           AND round(topc.top_cnt * 1.0 / n, 6) <= 0.2),
     firsts AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY text),
-    base AS (SELECT k.doc_id, k.lang, k.l FROM kept k JOIN firsts USING (doc_id)),
-    ex AS (SELECT doc_id, (lang = 'zh') AS is_t, unnest(l) AS token FROM base),
+    base AS (SELECT k.doc_id, k.text, k.lang, k.l
+             FROM kept k JOIN firsts USING (doc_id)),
+    bgrams AS (
+        SELECT DISTINCT unnest(list_distinct(list_transform(range(greatest(len(string_split(text, ' ')) - 2, 1)), i -> array_to_string(string_split(text, ' ')[i + 1 : i + 3], chr(31))))) AS gram
+        FROM documents WHERE doc_id % 97 = 0),
+    flagged AS (
+        SELECT DISTINCT doc_id FROM (
+            SELECT doc_id, unnest(list_distinct(list_transform(range(greatest(len(string_split(text, ' ')) - 2, 1)), i -> array_to_string(string_split(text, ' ')[i + 1 : i + 3], chr(31))))) AS gram
+            FROM base WHERE doc_id % 97 <> 0) dg
+        JOIN bgrams USING (gram)),
+    clean AS (
+        SELECT doc_id, lang, l FROM base
+        WHERE doc_id % 97 <> 0
+          AND doc_id NOT IN (SELECT doc_id FROM flagged)),
+    ex AS (SELECT doc_id, (lang = 'zh') AS is_t, unnest(l) AS token FROM clean),
     bg AS (SELECT token, CAST(count(*) AS BIGINT) AS cb,
                   CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS ct
            FROM ex GROUP BY token),
@@ -1101,13 +1114,15 @@ def docs_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def docs_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation: Gopher/C4 quality battery -> exact dedup
-    (keep-lowest-id) -> DSIR domain-importance scoring (vs lang='zh'
-    exemplars, model trained on the SURVIVING corpus) -> top-100
-    selection. The composition the engine exists for: each stage is the
-    registered operator, chained as plain DataFrame transforms; every
-    stage keeps its scale shape (shuffle-free filter scan, one-shuffle
-    dedup, partial-agg vocab + broadcast scoring, distributed
-    TakeOrdered selection with rank over the bounded result)."""
+    (keep-lowest-id) -> benchmark decontamination (anti-join against
+    the eval set's 3-gram inventory) -> DSIR domain-importance scoring
+    (vs lang='zh' exemplars, model trained on the SURVIVING corpus) ->
+    top-100 selection. The composition the engine exists for: each
+    stage is the registered operator, chained as plain DataFrame
+    transforms; every stage keeps its scale shape (shuffle-free filter
+    scan, one-shuffle dedup, broadcast gram join + anti-join,
+    partial-agg vocab + broadcast scoring, distributed TakeOrdered
+    selection with rank over the bounded result)."""
     docs = load_table(spark, "documents", sf_dir)
     # materialize the filtered corpus once: downstream it is scanned
     # four times (dedup election, join-back, DSIR vocab build, DSIR
@@ -1123,7 +1138,14 @@ def docs_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     firsts = dd.exact_dups(kept).select(F.col("keep_id").alias("doc_id"))
     base = kept.join(firsts, "doc_id").localCheckpoint(eager=False)
-    imp = dsir.domain_importance(base, F.col("lang") == "zh", min_count=2)
+    # benchmark decontamination: the held-out eval set (doc_id % 97 == 0
+    # by the fixture convention, same as docs_decontaminate) leaves the
+    # corpus, and so does any document sharing a 3-gram with it
+    benchmark = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = base.filter(F.col("doc_id") % 97 != 0)
+    flagged = ql.decontaminate(corpus, benchmark, n=3).select("doc_id")
+    clean = corpus.join(flagged, "doc_id", "left_anti")
+    imp = dsir.domain_importance(clean, F.col("lang") == "zh", min_count=2)
     sel = (
         imp.filter(F.col("importance").isNotNull())
         .orderBy(F.col("importance").desc(), "doc_id")
