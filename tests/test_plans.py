@@ -289,3 +289,15 @@ def test_filtered_ann_pushes_predicate_to_scan(spark, sf_dir):
     assert "PushedFilters" in p
     seg = p.split("PushedFilters", 2)
     assert any("label" in s[:200] for s in seg[1:]), "label filter must push"
+
+
+def test_funnel_and_cohort_plan_shapes(spark, sf_dir):
+    """Behavioral analytics: the funnel must refine via equi-joins of
+    aggregated (|users|-bounded) frames — no inequality-only self-join
+    of raw events — and the cohort rollup must partial-aggregate."""
+    f = plan_of(QUERIES["events_funnel"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in f
+    assert f.count("HashAggregate") >= 4, "per-user stage aggs must be partial"
+    c = plan_of(QUERIES["events_cohort_retention"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in c
+    assert c.count("HashAggregate") >= 4
