@@ -668,6 +668,48 @@ def events_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_session_gaps",
+    """
+    WITH gaps AS (
+        SELECT user_id,
+               epoch_us(ts) - epoch_us(lag(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+        FROM events)
+    SELECT user_id,
+           count(*) AS n_gaps,
+           CAST(max(gap_us) AS BIGINT) AS max_gap_us,
+           CAST(sum(CASE WHEN gap_us > 1800000000 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_session_breaks
+    FROM gaps WHERE gap_us IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def events_session_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap analysis per user via lag(): the max gap and the
+    number of 30-minute session breaks — the window-function route to
+    sessionization stats (w1_sessionize derives boundaries the same
+    way; session_window() is the native streaming form). One hash
+    exchange on user_id; the per-user sort is bounded by that user's
+    events; gaps are exact epoch-microsecond integers."""
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        (
+            F.unix_micros(F.col("ts"))
+            - F.unix_micros(F.lag("ts").over(w))
+        ).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    return gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.max("gap_us").alias("max_gap_us"),
+        F.sum(
+            F.when(F.col("gap_us") > 1_800_000_000, 1).otherwise(0)
+        ).alias("n_session_breaks"),
+    )
+
+
+@register(
     "events_props_json",
     """
     SELECT event_type,
