@@ -380,3 +380,26 @@ def test_simulated_latency_flat_wrt_io_latency(spark):
         partitions=8, concurrency=128, io_mode="async",
     )
     assert slow["tasks_per_sec"] > 0.4 * fast["tasks_per_sec"], (fast, slow)
+
+
+def test_compact_tasks_hash_matches_default(tasks):
+    """The sort-free (packed-decimal + join-back) compaction must pick
+    exactly the same survivors as the max_by form, windowed and
+    global, and must plan as HashAggregate with no SortAggregate."""
+    from decaton_spark.operators.compaction import compact_tasks, compact_tasks_hash
+
+    for linger in ("1 hour", None):
+        a = compact_tasks(tasks, linger=linger)
+        b = compact_tasks_hash(tasks, linger=linger)
+        cols = ["key", "offset", "meta_timestamp_millis"]
+        sa = sorted(map(tuple, a.select(cols).collect()))
+        sb = sorted(map(tuple, b.select(cols).collect()))
+        assert sa == sb, f"linger={linger}: survivor mismatch"
+    p = (
+        compact_tasks_hash(tasks, linger=None)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SortAggregate" not in p
+    assert "HashAggregate" in p
