@@ -781,3 +781,65 @@ def test_stream_static_enrichment_join(spark, sf_dir, task_stream_dir, tmp_path)
         == spark.read.schema(schema).parquet(path)
         .join(dim, "key", "left_anti").count()
     )
+
+
+def test_interval_join_state_survives_restart(spark, tmp_path):
+    """Stream-stream join state must persist across a query restart:
+    origins consumed before the stop still match retries that arrive
+    only after the restart (same checkpoint)."""
+    import datetime as dt
+
+    from decaton_spark.streaming.joins import interval_join
+
+    base = dt.datetime(2024, 1, 1)
+    od, rd = tmp_path / "o2", tmp_path / "r2"
+    od.mkdir(), rd.mkdir()
+    ckpt = str(tmp_path / "ckpt2")
+    schema_o = "key string, origin_ts timestamp"
+    schema_r = "key string, retry_ts timestamp"
+
+    # phase 1: only origins exist
+    spark.createDataFrame(
+        [(str(k), base) for k in range(10)], schema_o
+    ).coalesce(1).write.mode("append").parquet(str(od))
+    spark.createDataFrame([], schema_r).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(rd))
+
+    out = str(tmp_path / "ssj_out2")
+    from decaton_spark.streaming.subscription import idempotent_parquet_sink
+
+    def run_once():
+        lo = spark.readStream.schema(schema_o).parquet(str(od))
+        rr = spark.readStream.schema(schema_r).parquet(str(rd))
+        j = interval_join(
+            lo, rr, left_key="key", right_key="key",
+            left_ts="origin_ts", right_ts="retry_ts",
+            within="10 minutes", left_watermark="1 hour",
+            right_watermark="1 hour",
+        )
+        q = (
+            j.writeStream.foreachBatch(idempotent_parquet_sink(out))
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def n_out():
+        try:
+            return spark.read.parquet(out).count()
+        except Exception:
+            return 0  # no committed batches yet
+
+    run_once()  # consumes origins; no matches yet
+    assert n_out() == 0
+
+    # phase 2: retries arrive AFTER the restart — matches require the
+    # origin rows to have been retained in checkpointed join state
+    spark.createDataFrame(
+        [(str(k), base + dt.timedelta(minutes=5)) for k in range(10)], schema_r
+    ).coalesce(1).write.mode("append").parquet(str(rd))
+    run_once()
+    assert n_out() == 10, f"expected all 10 post-restart matches, got {n_out()}"
