@@ -183,3 +183,54 @@ def test_skew_join_5m(spark):
     assert joined.count() == n
     hot = joined.filter(F.col("key") == "HOT").count()
     assert hot == n - n // 5
+
+
+def test_curation_pipeline_200k_docs(spark):
+    """The five-stage curation composition at 200k synthetic docs:
+    quality filter (drops planted short docs), exact dedup (collapses a
+    planted 10% clone cohort), decontamination (drops docs sharing
+    3-grams with a held-out eval slice), DSIR scoring, top-100
+    selection — end-to-end at 400x fixture scale."""
+    from decaton_spark.functions import dsir
+    from decaton_spark.functions.dedup import exact_dups
+    from decaton_spark.functions.quality import decontaminate, gopher_filter
+
+    n = 200_000
+    # 12-token docs from md5 material; every 10th doc clones doc 3's
+    # text; every 1000th doc is a 2-token stub the filter must drop
+    content = F.when(F.col("id") % 10 == 3, F.lit(3)).otherwise(F.col("id"))
+    words = F.concat_ws(
+        " ",
+        *[F.substring(F.md5(F.concat(content.cast("string"), F.lit(f"w{j}"))), 1, 6) for j in range(12)],
+    )
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 1000 == 0, F.lit("too short"))
+        .otherwise(words)
+        .alias("text"),
+        F.when(F.col("id") % 7 == 0, F.lit("zh")).otherwise(F.lit("en")).alias("lang"),
+    )
+    kept = (
+        gopher_filter(docs)
+        .filter(F.col("quality_verdict") == "keep")
+        .select("doc_id", "text", "lang")
+        .localCheckpoint(eager=False)
+    )
+    firsts = exact_dups(kept).select(F.col("keep_id").alias("doc_id"))
+    base = kept.join(firsts, "doc_id")
+    benchmark = docs.filter(F.col("doc_id") % 9973 == 0)
+    corpus = base.filter(F.col("doc_id") % 9973 != 0)
+    flagged = decontaminate(corpus, benchmark, n=3).select("doc_id")
+    clean = corpus.join(flagged, "doc_id", "left_anti")
+    imp = dsir.domain_importance(clean, F.col("lang") == "zh", min_count=2)
+    top = (
+        imp.filter(F.col("importance").isNotNull())
+        .orderBy(F.col("importance").desc(), "doc_id")
+        .limit(100)
+    )
+    n_clean = clean.count()
+    # short docs dropped; clone cohort collapsed to one survivor (doc 3);
+    # eval docs + 3-gram sharers gone
+    assert n_clean < n - n // 10 - n // 1000 + 2
+    assert n_clean > n // 2
+    assert top.count() == 100
