@@ -668,6 +668,41 @@ def events_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "customer_balance_quartiles",
+    """
+    WITH q AS (
+        SELECT c_nationkey, c_acctbal,
+               ntile(4) OVER (PARTITION BY c_nationkey
+                              ORDER BY c_acctbal, c_custkey) AS quartile
+        FROM customer)
+    SELECT c_nationkey, CAST(quartile AS INTEGER) AS quartile,
+           count(*) AS n_customers,
+           CAST(min(c_acctbal) AS DOUBLE) AS min_bal,
+           CAST(max(c_acctbal) AS DOUBLE) AS max_bal
+    FROM q GROUP BY c_nationkey, quartile
+    """,
+)
+def customer_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation account-balance quartiles via ntile() — the bucketed
+    ranking window family (deciles/quartiles for monitoring dashboards
+    and stratified sampling). Partitioned by nation so each sort is
+    bounded by one nation's customers — never a global single-partition
+    sort; ties broken by custkey so bucket assignment is deterministic
+    and cross-engine identical."""
+    c = load_table(spark, "customer", sf_dir)
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return (
+        c.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("c_nationkey", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.min("c_acctbal").cast("double").alias("min_bal"),
+            F.max("c_acctbal").cast("double").alias("max_bal"),
+        )
+    )
+
+
+@register(
     "events_session_gaps",
     """
     WITH gaps AS (
