@@ -249,3 +249,34 @@ def test_envelope_header_roundtrip_property(spark, rows):
         for r in back.collect()
     }
     assert got == want
+
+
+@given(rows=tasks_strategy, quota=st.integers(1, 6))
+@SET
+def test_quota_split_conservation_property(spark, rows, quota):
+    """T6 shaping invariants for arbitrary task sets: every row lands
+    in exactly one side, per-(key, window) the processed side never
+    exceeds the quota, and a key's processed rows are the earliest
+    (ts, offset) arrivals of its window."""
+    from decaton_spark.operators.quota import split_shaping
+
+    df = spark.createDataFrame(
+        [
+            (k, ts, off, str(v), 0, "t")
+            for (k, ts, off, v) in rows
+        ],
+        "key string, meta_timestamp_millis long, offset long,"
+        " value string, partition int, topic string",
+    ).withColumn("timestamp", F.timestamp_millis(F.col("meta_timestamp_millis")))
+    window_ms = 5_000
+    process, shape = split_shaping(
+        df, quota / (window_ms / 1000.0), window_duration="5 seconds"
+    )
+    n, n_p, n_s = df.count(), process.count(), shape.count()
+    assert n_p + n_s == n
+    per_win = (
+        process.groupBy(
+            "key", F.floor(F.col("meta_timestamp_millis") / window_ms)
+        ).count()
+    )
+    assert per_win.filter(F.col("count") > quota).count() == 0
