@@ -1,6 +1,7 @@
 from decaton_spark.plans.inspect import (
     count_shuffles,
     plan_of,
+    pushed_filters,
     uses_broadcast_join,
 )
 from decaton_spark.plans.bucketing import bucketize, colocated_join
@@ -10,5 +11,6 @@ __all__ = [
     "colocated_join",
     "count_shuffles",
     "plan_of",
+    "pushed_filters",
     "uses_broadcast_join",
 ]

@@ -80,3 +80,35 @@ def test_s3_header_round_trips_through_extractor(spark, sf_dir):
         for r in back.select("key", "meta_timestamp_millis").collect()
     }
     assert got == orig
+
+
+def test_write_task_stream_builder_carries_sink_contract(spark, sf_dir):
+    """write_task_stream returns a DataStreamWriter over the sink
+    frame; the underlying frame satisfies the Kafka sink contract
+    (binary key/value + headers + routing topic) without a broker."""
+    from decaton_spark.sources.kafka import task_sink_frame, write_task_stream
+
+    tasks = events_to_tasks(load_table(spark, "events", sf_dir)).limit(10)
+    frame = task_sink_frame(tasks)
+    assert dict(frame.dtypes)["key"] == "binary"
+    assert dict(frame.dtypes)["value"] == "binary"
+    assert "headers" in frame.columns and "topic" in frame.columns
+
+    stream = (
+        spark.readStream.schema(tasks.drop("timestamp").schema)
+        .parquet(str(sf_dir))  # never started; builder-shape only
+    )
+    w = write_task_stream(stream, "broker:9092", default_topic="out")
+    assert type(w).__name__ == "DataStreamWriter"
+
+
+def test_read_task_stream_requires_connector(spark):
+    """Without the spark-sql-kafka jar the reader must fail at
+    construction with the connector lookup error — loudly, not by
+    silently returning an empty stream."""
+    import pytest as _pytest
+
+    from decaton_spark.sources.kafka import read_task_stream
+
+    with _pytest.raises(Exception, match="[Kk]afka|DATA_SOURCE"):
+        read_task_stream(spark, "broker:9092", "tasks")

@@ -301,3 +301,32 @@ def test_funnel_and_cohort_plan_shapes(spark, sf_dir):
     c = plan_of(QUERIES["events_cohort_retention"].fn(spark, sf_dir))
     assert "CartesianProduct" not in c
     assert c.count("HashAggregate") >= 4
+
+
+def test_plan_inspection_helpers(spark, sf_dir):
+    """plans.pushed_filters surfaces scan predicates;
+    repartition_by_key produces the requested hash partitioning."""
+    from decaton_spark.operators.partitioner import repartition_by_key
+    from decaton_spark.plans import pushed_filters
+    from decaton_spark.sources import load_table
+
+    li = load_table(spark, "lineitem", sf_dir).filter("l_quantity < 10")
+    pf = pushed_filters(li.select("l_quantity"))
+    assert any("l_quantity" in f for f in pf), pf
+
+    tasks = load_table(spark, "events", sf_dir).selectExpr(
+        "CAST(user_id AS STRING) AS key", "event_id"
+    )
+    rp = repartition_by_key(tasks, 8)
+    assert rp.rdd.getNumPartitions() == 8
+    # co-location: each key's rows land in exactly one partition
+    from pyspark.sql import functions as FX
+
+    spread = (
+        rp.withColumn("pid", FX.spark_partition_id())
+        .groupBy("key")
+        .agg(FX.countDistinct("pid").alias("d"))
+        .filter("d > 1")
+        .count()
+    )
+    assert spread == 0
