@@ -3947,6 +3947,13 @@ _DRIVER_TIER = [
     # ann_brute_force_topk (fresh r2 row; its plan is untouched and
     # its _vec sibling shares the oracle) rotated to EXTRA to make
     # room for the queries new this round.
+    #
+    # ROUND-4 PRIORITY-1 QUEUE (registered late in round 3, no driver
+    # row yet; lead the next rotation with these): docs_domain_cap,
+    # ann_filtered_topk, events_funnel, events_cohort_retention,
+    # events_conversion_latency, events_props_json,
+    # events_session_gaps, customer_balance_quartiles. All are
+    # sf0.01-oracle-green via tools/drive_harness.py --all (round 3).
 ]
 
 _ALL_QUERIES = dict(QUERIES)
