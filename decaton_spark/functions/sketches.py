@@ -111,3 +111,62 @@ def cm_params(epsilon: float = 5e-5, delta: float = 1e-5) -> tuple[int, int]:
         width <<= 1
     depth = math.ceil(math.log(1.0 / delta))
     return depth, width
+
+
+def heavy_hitters(
+    df: DataFrame,
+    key_col: str = "key",
+    *,
+    threshold: int,
+    depth: int = 4,
+    width: int = 64,
+) -> DataFrame:
+    """Exact frequency heavy hitters (keys with count >= threshold)
+    via candidate generation + verification — the batch analog of the
+    reference's burst-key detection (``PerKeyQuotaManager.record()``,
+    ``processor/.../runtime/internal/PerKeyQuotaManager.java:112-135``:
+    a key whose CM-estimated rate crosses the quota is shaped).
+
+    Output is EXACT and partition-invariant; the sketch only prunes.
+
+    Three stages, each with a no-false-negative guarantee:
+
+    1. **Pigeonhole candidates** — count per (input-partition, key)
+       with map-side combine (the partition id confines each group to
+       one mapper, so the partial aggregate is already final and the
+       shuffle carries one row per locally-distinct key). A key with
+       global count >= T must have count >= ceil(T/P) in at least one
+       of P partitions, so filtering local counts < ceil(T/P) cannot
+       drop a true heavy hitter — under ANY partitioning.
+    2. **CM prune** — estimate each candidate against a
+       ``cm_sketch_table`` (depth x width rows, bounded regardless of
+       key cardinality). CM never underestimates, so dropping
+       estimate < T is safe.
+    3. **Exact verify** — count only rows whose key survives (left
+       semi join against the broadcast candidate set), keep
+       count >= T. Removes every false positive.
+
+    At 100 TB: stage 1's shuffle is bounded by per-partition distinct
+    keys after a >=ceil(T/P) filter (tiny for meaningful T); stage 2
+    shuffles depth x width sketch rows; stage 3 shuffles only the
+    heavy keys' rows. No stage materializes the full key dictionary
+    with counts the way a naive groupBy-then-filter would keep it.
+    """
+    n_parts = max(1, df.rdd.getNumPartitions())
+    local_t = max(1, -(-threshold // n_parts))  # ceil(T / P)
+    local = (
+        df.groupBy(F.spark_partition_id().alias("pid"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= local_t)
+        .select(key_col)
+        .distinct()
+    )
+    sketch = cm_sketch_table(df, key_col, depth=depth, width=width)
+    est = cm_estimate(sketch, local, key_col, depth=depth, width=width)
+    candidates = est.filter(F.col("estimate") >= threshold).select(key_col)
+    return (
+        df.join(F.broadcast(candidates), key_col, "left_semi")
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= threshold)
+    )

@@ -298,3 +298,145 @@ def build_vocab(
     return counts.select(
         F.row_number().over(w).alias("token_id"), "token", "n_occurrences"
     )
+
+
+def bm25_search(
+    df: DataFrame,
+    query_terms: list[str],
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Full-text BM25 search: score every document against a bag of
+    query terms and return the top-k — keyword retrieval over a
+    corpus, the lexical half of a RAG / data-curation search stack.
+
+    Uses the Lucene/Okapi formulation with the +1 idf shift (so idf is
+    always positive): idf = ln(1 + (N - df + 0.5)/(df + 0.5)),
+    tf_norm = tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)).
+
+    Cross-engine determinism: each per-(doc, term) contribution is
+    rounded then summed as DECIMAL, so the doc score is independent of
+    aggregation order and bit-identical in the DuckDB oracle; ranking
+    ties break on doc_id.
+
+    Scale shape (100 TB corpus):
+    1. (doc, term, tf) — one explode + partial-agg groupBy,
+       materialized once (localCheckpoint; cluster: persisted) because
+       doc-length, document-frequency AND scoring all read it — Spark
+       has no DAG-level subplan sharing;
+    2. dl (doc length) and df (document frequency) are groupBys over
+       those aggregated rows — never a second corpus scan;
+    3. N and avgdl ride along as a broadcast 1-row aggregate;
+    4. scoring touches only tf rows whose term is in the query — the
+       query-term filter is an isin() literal pushed into the tf scan,
+       so the join explosion is |query terms| x |matching docs|;
+    5. top-k is a TakeOrdered of the per-doc scores (no global sort).
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    )
+    tf = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum(F.col("dl").cast("decimal(28,0)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avgdl"),
+    )
+    matched = (
+        tf.filter(F.col("term").isin(list(query_terms)))
+        .join(dfreq, "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        1.0
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_norm = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    contrib = F.round(idf * tf_norm, round_digits).cast("decimal(38,6)")
+    scored = (
+        matched.groupBy("doc_id")
+        .agg(
+            F.sum(contrib).cast("double").alias("score"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+        # distributed TakeOrdered of the per-doc scores; the ranking
+        # window then runs over <= top_k rows, never the full corpus
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(top_k)
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("rank", "doc_id", "score", "n_terms_hit")
+    )
+
+
+def lm_score(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Corpus-unigram language-model scoring: each document's mean
+    token log-probability under the corpus's own unigram distribution
+    — the CCNet-style "LM perplexity bucket" quality signal (docs full
+    of corpus-rare tokens score low; boilerplate scores high).
+
+    avg_logprob(d) = (1/|d|) * sum over tokens t of tf(d,t)*ln(c(t)/T)
+    with c(t) the corpus count of t and T total corpus tokens.
+
+    Determinism: the per-(doc, term) contribution is rounded then
+    DECIMAL-summed (order-independent), the final division happens
+    once and is rounded — bit-identical in the DuckDB oracle.
+
+    Scale shape: identical skeleton to tf-idf — one corpus explode
+    into a materialized (doc, term, tf) partial aggregate; corpus
+    counts are a groupBy over those rows; T broadcasts as a 1-row
+    aggregate; the join on term is equi (stop words = hot keys, AQE
+    skew-split eligible).
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    )
+    tf = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    corpus = tf.groupBy("term").agg(F.sum("tf").alias("ct"))
+    total = corpus.agg(
+        F.sum(F.col("ct").cast("decimal(28,0)")).cast("double").alias("t_total")
+    )
+    contrib = F.round(
+        F.col("tf") * F.log(F.col("ct") / F.col("t_total")), round_digits
+    ).cast("decimal(38,6)")
+    return (
+        tf.join(corpus, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.round(
+                F.sum(contrib).cast("double") / F.sum("tf"), round_digits
+            ).alias("avg_logprob"),
+        )
+    )

@@ -1,0 +1,104 @@
+"""Time-series resampling with gap-fill over the task/event stream.
+
+Decaton has no time-series surface (its windows are processing-time
+linger buffers, ``CompactionProcessor.java:179-181``); this is
+north-star surface for the analytics engine: regularize an event
+stream onto a fixed grid (hypertable-style ``time_bucket`` +
+``locf``) so downstream joins/aggregations see densely sampled,
+aligned series.
+
+Scale shape (100 TB):
+
+1. per-key span — one partial-aggregatable ``groupBy(key)`` producing
+   (min_bucket, max_bucket); tiny output (one row per key);
+2. grid — ``explode(sequence(min, max, step))`` on those spans: the
+   generated grid is rows-per-key = span/step, produced distributed,
+   never on the driver;
+3. bucket aggregate — one ``groupBy(key, bucket)`` over the raw
+   events (partial agg; epoch arithmetic, codegen-friendly);
+4. gap-fill — left join grid⋈agg on (key, bucket) co-partitioned by
+   key, then one window per key ordered by bucket doing
+   ``last(value, ignorenulls=True)`` forward-fill (a single
+   shuffle+sort reused from the join's partitioning where AQE
+   allows).
+
+Nothing is collected; the only window is per-key and bounded by the
+grid density, and every aggregate is map-side combinable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["resample_gapfill"]
+
+
+def resample_gapfill(
+    df: DataFrame,
+    *,
+    key_col: str = "key",
+    ts_millis_col: str = "meta_timestamp_millis",
+    value_col: str = "event_value",
+    step_ms: int = 3_600_000,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Resample events to a fixed ``step_ms`` grid per key and
+    forward-fill (last-observation-carried-forward) the per-bucket
+    mean of ``value_col`` across empty buckets.
+
+    Returns one row per (key, bucket) on the dense per-key grid
+    between the key's first and last event:
+
+    - ``bucket_ms``   — epoch-aligned bucket start (bigint);
+    - ``n_events``    — events in the bucket (0 for gaps);
+    - ``bucket_value``— mean of ``value_col`` in the bucket, exact
+      decimal sum divided once, rounded; NULL for gaps;
+    - ``filled_value``— ``bucket_value`` with gaps forward-filled
+      from the most recent non-empty bucket.
+
+    Buckets are epoch-floor aligned, identical to the DuckDB oracle's
+    ``floor(epoch_ms(ts)/step)*step`` arithmetic.
+    """
+    bucket = (F.floor(F.col(ts_millis_col) / step_ms) * step_ms).cast("bigint")
+    base = df.select(
+        F.col(key_col).alias("key"),
+        bucket.alias("bucket_ms"),
+        F.col(value_col).alias("v"),
+    )
+    span = base.groupBy("key").agg(
+        F.min("bucket_ms").alias("lo"), F.max("bucket_ms").alias("hi")
+    )
+    grid = span.select(
+        "key",
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.lit(step_ms).cast("bigint"))
+        ).alias("bucket_ms"),
+    )
+    agg = base.groupBy("key", "bucket_ms").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(
+            F.sum(F.col("v").cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1)),
+            round_digits,
+        ).alias("bucket_value"),
+    )
+    w = (
+        Window.partitionBy("key")
+        .orderBy("bucket_ms")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(agg, ["key", "bucket_ms"], "left")
+        .select(
+            "key",
+            "bucket_ms",
+            F.coalesce(F.col("n_events"), F.lit(0)).cast("bigint").alias(
+                "n_events"
+            ),
+            "bucket_value",
+            F.last("bucket_value", ignorenulls=True).over(w).alias(
+                "filled_value"
+            ),
+        )
+    )

@@ -3846,6 +3846,209 @@ def q22_idle_wealthy_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q21_waiting_suppliers",
+    """
+    SELECT s.s_name, count(*) AS numwait
+    FROM lineitem l1
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s.s_name
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (the last of the 22; adapted lateness = shipped
+    >60 days after order date since this lineitem has no commit/receipt
+    dates): suppliers who were the SOLE late supplier on a finalized
+    multi-supplier order.
+
+    The textbook form is a double correlated EXISTS/NOT EXISTS
+    self-join on lineitem; Catalyst would plan that as two extra joins
+    of the full fact against itself. Instead both subqueries
+    decorrelate into ONE per-order aggregate — n_suppliers and
+    n_late_suppliers as countDistinct over the same grouped scan —
+    because for a late line l1: "EXISTS another supplier" ⇔
+    n_suppliers >= 2 and "NOT EXISTS another late supplier" ⇔
+    n_late_suppliers = 1 (l1's own supplier is late, so it is the one).
+    At 100 TB that is one co-partitioned join lineitem⋈orders on
+    orderkey (bucketable), one partial-agg groupBy, one join-back on
+    orderkey, and a broadcast supplier dim — no fact self-join."""
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir).filter(
+        F.col("o_orderstatus") == "F"
+    )
+    s = load_table(spark, "supplier", sf_dir)
+    joined = (
+        li.join(o.select("o_orderkey", "o_orderdate"), li.l_orderkey == F.col("o_orderkey"))
+        .withColumn(
+            "is_late",
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+        )
+        .select("l_orderkey", "l_suppkey", "is_late")
+        .localCheckpoint(eager=True)
+    )
+    per_order = joined.groupBy(F.col("l_orderkey").alias("okey")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("is_late"), F.col("l_suppkey"))
+        ).alias("n_late"),
+    )
+    waiting = (
+        joined.filter(F.col("is_late"))
+        .join(per_order, F.col("l_orderkey") == F.col("okey"))
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+    )
+    return (
+        waiting.join(F.broadcast(s), waiting.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@register(
+    "heavy_hitters_keys",
+    f"""
+    WITH {TASKS_CTE}
+    SELECT key, count(*) AS cnt FROM tasks
+    GROUP BY key HAVING count(*) >= 70
+    """,
+)
+def heavy_hitters_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters over the task stream's keys (count >= 70)
+    via pigeonhole candidates → CM-sketch prune → exact verify — the
+    batch analog of the reference's burst-key detection
+    (PerKeyQuotaManager.record(),
+    processor/.../runtime/internal/PerKeyQuotaManager.java:112-135).
+    The oracle is the plain GROUP BY/HAVING; the Spark plan never
+    materializes the full key dictionary (see
+    functions/sketches.heavy_hitters for the no-false-negative
+    argument and the 100 TB shuffle bounds)."""
+    return sk.heavy_hitters(_tasks(spark, sf_dir), "key", threshold=70)
+
+
+@register(
+    "text_bm25_search",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    stats AS (SELECT count(*) AS n_docs,
+                     CAST(sum(CAST(dl AS DECIMAL(28,0))) AS DOUBLE) / count(*) AS avgdl
+              FROM dl),
+    matched AS (
+        SELECT t.doc_id,
+               round(ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                     * (t.tf * (1.2 + 1))
+                     / (t.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl)),
+                     6) AS contrib
+        FROM tf t JOIN dfreq d USING (term) JOIN dl l USING (doc_id)
+        CROSS JOIN stats s
+        WHERE t.term IN ('spark', 'join', 'window')),
+    scored AS (
+        SELECT doc_id,
+               CAST(sum(CAST(contrib AS DECIMAL(38,6))) AS DOUBLE) AS score,
+               count(*) AS n_terms_hit
+        FROM matched GROUP BY doc_id),
+    ranked AS (
+        SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+        FROM scored)
+    SELECT rank, doc_id, score, n_terms_hit FROM ranked WHERE rank <= 10
+    """,
+)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical full-text retrieval: Okapi BM25 top-10 for the query
+    {spark, join, window} over the documents corpus. See
+    text.bm25_search for the 100 TB plan shape (materialized (doc,
+    term, tf) partial aggregate feeding dl/df/scoring, broadcast
+    corpus stats, query-term isin() pushed to the tf rows, TakeOrdered
+    top-k) and the rounded-DECIMAL order-independent score sum."""
+    docs = load_table(spark, "documents", sf_dir)
+    return tx.bm25_search(docs, ["spark", "join", "window"], top_k=10)
+
+
+@register(
+    "docs_lm_score",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+    corpus AS (SELECT term, CAST(sum(tf) AS BIGINT) AS ct FROM tf GROUP BY term),
+    total AS (SELECT CAST(sum(CAST(ct AS DECIMAL(28,0))) AS DOUBLE) AS t_total
+              FROM corpus),
+    scored AS (
+        SELECT t.doc_id, t.tf,
+               round(t.tf * ln(c.ct / s.t_total), 6) AS contrib
+        FROM tf t JOIN corpus c USING (term) CROSS JOIN total s)
+    SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+           round(CAST(sum(CAST(contrib AS DECIMAL(38,6))) AS DOUBLE)
+                 / sum(tf), 6) AS avg_logprob
+    FROM scored GROUP BY doc_id
+    """,
+)
+def docs_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unigram-LM quality signal: each document's mean
+    token log-probability under the corpus's own unigram distribution
+    (low = rare-token-heavy/noisy, high = boilerplate). See
+    text.lm_score for the plan shape — same materialized-tf skeleton
+    as tf-idf, order-independent rounded-DECIMAL sums."""
+    docs = load_table(spark, "documents", sf_dir)
+    return tx.lm_score(docs)
+
+
+@register(
+    "events_resample_gapfill",
+    f"""
+    WITH {TASKS_CTE},
+    base AS (
+        SELECT key,
+               CAST(floor(meta_timestamp_millis / {HOUR_MS}) * {HOUR_MS} AS BIGINT)
+                   AS bucket_ms,
+               event_value AS v
+        FROM tasks),
+    span AS (SELECT key, min(bucket_ms) AS lo, max(bucket_ms) AS hi
+             FROM base GROUP BY key),
+    grid AS (SELECT key, unnest(range(lo, hi + 1, {HOUR_MS})) AS bucket_ms
+             FROM span),
+    agg AS (SELECT key, bucket_ms, count(*) AS n_events,
+                   round(CAST(sum(CAST(v AS DECIMAL(28,6))) AS DOUBLE)
+                         / count(*), 6) AS bucket_value
+            FROM base GROUP BY key, bucket_ms)
+    SELECT g.key, g.bucket_ms,
+           CAST(COALESCE(a.n_events, 0) AS BIGINT) AS n_events,
+           a.bucket_value,
+           last_value(a.bucket_value IGNORE NULLS) OVER (
+               PARTITION BY g.key ORDER BY g.bucket_ms
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS filled_value
+    FROM grid g LEFT JOIN agg a
+      ON a.key = g.key AND a.bucket_ms = g.bucket_ms
+    """,
+)
+def events_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style resample + gap-fill: the task stream
+    regularized onto a dense per-key hourly grid with the per-bucket
+    mean value forward-filled (LOCF) across empty buckets. See
+    operators/timeseries.resample_gapfill for the 100 TB shape
+    (distributed sequence() grid from per-key spans, partial-agg
+    bucket means, co-partitioned left join, one bounded per-key
+    window)."""
+    from decaton_spark.operators.timeseries import resample_gapfill
+
+    return resample_gapfill(_tasks(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Registry tiers.
 #
@@ -3952,7 +4155,9 @@ _DRIVER_TIER = [
     # row yet; lead the next rotation with these): docs_domain_cap,
     # ann_filtered_topk, events_funnel, events_cohort_retention,
     # events_conversion_latency, events_props_json,
-    # events_session_gaps, customer_balance_quartiles. All are
+    # events_session_gaps, customer_balance_quartiles,
+    # q21_waiting_suppliers, heavy_hitters_keys, text_bm25_search,
+    # docs_lm_score, events_resample_gapfill. All are
     # sf0.01-oracle-green via tools/drive_harness.py --all (round 3).
 ]
 

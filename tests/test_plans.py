@@ -330,3 +330,91 @@ def test_plan_inspection_helpers(spark, sf_dir):
         .count()
     )
     assert spread == 0
+
+
+def test_q21_decorrelates_without_fact_self_join(spark, sf_dir):
+    """The Q21 EXISTS/NOT-EXISTS pair must decorrelate into one
+    per-order aggregate joined back — no cartesian, no second scan of
+    the raw fact (the order-level flags are computed from the single
+    materialized lineitem⋈orders frame), and the supplier dim must
+    broadcast."""
+    df = QUERIES["q21_waiting_suppliers"].fn(spark, sf_dir)
+    p = plan_of(df)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BroadcastHashJoin" in p, "supplier dim must broadcast"
+    simple = plan_of(df, "simple")
+    assert simple.count("Scan ExistingRDD") == 2, (
+        "both the late-line branch and the per-order aggregate must "
+        "reuse the materialized join"
+    )
+
+
+def test_heavy_hitters_verify_is_broadcast_semi(spark, sf_dir):
+    """Heavy hitters: the exact-verify pass must semi-join the stream
+    against the BROADCAST candidate set (candidates are tiny by
+    construction) and every count must be a partial aggregate."""
+    df = QUERIES["heavy_hitters_keys"].fn(spark, sf_dir)
+    p = plan_of(df)
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p
+    assert p.count("HashAggregate") >= 2
+
+
+def test_heavy_hitters_partition_invariant(spark, sf_dir):
+    """The pigeonhole candidate set depends on the input partitioning;
+    the OUTPUT must not (no-false-negative + exact verify)."""
+    from decaton_spark.envelope import events_to_tasks
+    from decaton_spark.functions.sketches import heavy_hitters
+    from decaton_spark.sources import load_table
+
+    tasks = events_to_tasks(load_table(spark, "events", sf_dir))
+    a = {
+        (r["key"], r["cnt"])
+        for r in heavy_hitters(tasks, "key", threshold=70).collect()
+    }
+    b = {
+        (r["key"], r["cnt"])
+        for r in heavy_hitters(
+            tasks.repartition(37), "key", threshold=70
+        ).collect()
+    }
+    c = {
+        (r["key"], r["cnt"])
+        for r in heavy_hitters(
+            tasks.coalesce(1), "key", threshold=70
+        ).collect()
+    }
+    assert a == b == c and len(a) > 0
+
+
+def test_bm25_reuses_materialized_tf(spark, sf_dir):
+    """BM25's dl, df and scoring branches must all read the one
+    materialized (doc, term, tf) frame — one corpus scan total — and
+    the query-term filter must prune the scoring branch before the
+    joins."""
+    df = QUERIES["text_bm25_search"].fn(spark, sf_dir)
+    p = plan_of(df)
+    assert "Generate" not in p, "explode must be behind the materialized tf"
+    assert "CartesianProduct" not in p
+    simple = plan_of(df, "simple")
+    # four reads of the materialized tf: scoring, dfreq, and dl twice
+    # (stats + the length join) — all aggregated frames, zero corpus
+    # re-scans
+    assert simple.count("Scan ExistingRDD") == 4, (
+        "dl, df and the scoring branch all derive from the one tf"
+    )
+    assert " IN (spark,join,window)" in p, "query-term filter must prune tf"
+
+
+def test_resample_gapfill_shape(spark, sf_dir):
+    """Resample+gapfill: the grid generation must stay distributed
+    (Generate over the per-key span aggregate — never a driver-side
+    range), the bucket aggregate must be partial, and the only sort
+    feeds the bounded per-key LOCF window."""
+    df = QUERIES["events_resample_gapfill"].fn(spark, sf_dir)
+    p = plan_of(df)
+    assert "Generate" in p and "sequence" in p
+    assert p.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in p
+    assert "Window" in p
