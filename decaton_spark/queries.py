@@ -4049,6 +4049,111 @@ def events_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resample_gapfill(_tasks(spark, sf_dir))
 
 
+@register(
+    "emb_label_centroid_drift",
+    """
+    WITH comp AS (
+        SELECT label, i AS dim,
+               CAST(round(CAST(embedding[i] AS DOUBLE) * 1e7) AS BIGINT) AS v
+        FROM embeddings, generate_series(1, 64) AS s(i)),
+    lab AS (SELECT label, dim, CAST(sum(v) AS BIGINT) AS lv
+            FROM comp GROUP BY label, dim),
+    gcent AS (SELECT dim, CAST(sum(v) AS BIGINT) AS gv
+             FROM comp GROUP BY dim),
+    n AS (SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY label),
+    dots AS (
+        SELECT l.label,
+               CAST(sum(CAST(l.lv AS HUGEINT) * g.gv) AS DOUBLE) AS dot,
+               CAST(sum(CAST(l.lv AS HUGEINT) * l.lv) AS DOUBLE) AS nl,
+               CAST(sum(CAST(g.gv AS HUGEINT) * g.gv) AS DOUBLE) AS ng
+        FROM lab l JOIN gcent g USING (dim) GROUP BY l.label)
+    SELECT d.label, n.n_vecs,
+           round(d.dot / (sqrt(d.nl) * sqrt(d.ng)), 4) AS cosine_to_global
+    FROM dots d JOIN n USING (label)
+    """,
+)
+def emb_label_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding observability: per-label centroid vs the global corpus
+    centroid (cosine) — the drift/imbalance monitor a training-data
+    pipeline runs over its embedding store (a label/source whose
+    centroid swings away from the corpus signals distribution shift;
+    cosine(mean_l, mean_g) = cosine(sum_l, sum_g) by scale invariance,
+    so no per-dimension division ever happens).
+
+    Cross-engine exactness without float-sum order dependence: each
+    component is snapped to a scaled integer (round(v*1e7) — identical
+    IEEE double → identical bigint in both engines), so every
+    cross-row sum is EXACT integer arithmetic (order-free), and the
+    dot/norm products run in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB)
+    — exact up to ~1e38, far above the ~1e25 worst case here. One
+    double division at the end, rounded.
+
+    Scale shape (10^9 vectors): posexplode is a narrow projection
+    (embedding + label only, scan-pruned); both centroid aggregates
+    are partial-agg groupBys with tiny outputs (|labels|·64 and 64
+    rows); the join broadcasts the 64-row global centroid; the final
+    per-label reduce is 64 rows per label. No UDF, no driver
+    round-trip, no full-vector shuffle."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    comp = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "e")
+    ).select(
+        "label",
+        (F.col("pos") + 1).alias("dim"),
+        F.round(F.col("e").cast("double") * 1e7).cast("bigint").alias("v"),
+    )
+    lab = comp.groupBy("label", "dim").agg(F.sum("v").alias("lv"))
+    glob = comp.groupBy("dim").agg(F.sum("v").alias("gv"))
+    n = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_vecs"))
+    lvd = F.col("lv").cast("decimal(38,0)")
+    gvd = F.col("gv").cast("decimal(38,0)")
+    dots = (
+        lab.join(F.broadcast(glob), "dim")
+        .groupBy("label")
+        .agg(
+            F.sum(lvd * F.col("gv")).cast("double").alias("dot"),
+            F.sum(lvd * F.col("lv")).cast("double").alias("nl"),
+            F.sum(gvd * F.col("gv")).cast("double").alias("ng"),
+        )
+    )
+    return dots.join(F.broadcast(n), "label").select(
+        "label",
+        "n_vecs",
+        F.round(
+            F.col("dot") / (F.sqrt(F.col("nl")) * F.sqrt(F.col("ng"))), 4
+        ).alias("cosine_to_global"),
+    )
+
+
+@register(
+    "events_percent_rank",
+    """
+    SELECT event_id, event_type, value,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY value)
+    """,
+)
+def events_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-standing window functions (percent_rank + cume_dist)
+    per event within its event_type — completes the rank-family window
+    coverage (row_number/rank/ntile/lag already verified elsewhere).
+    No rounding needed: both engines compute the same (rank-1)/(n-1)
+    and peers/n rationals from identical integer counts, giving
+    bit-identical doubles. One shuffle+sort per event_type partition;
+    the window is unbounded-frame rank-only (no running buffers)."""
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("event_type").orderBy("value")
+    return ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry tiers.
 #
@@ -4157,7 +4262,8 @@ _DRIVER_TIER = [
     # events_conversion_latency, events_props_json,
     # events_session_gaps, customer_balance_quartiles,
     # q21_waiting_suppliers, heavy_hitters_keys, text_bm25_search,
-    # docs_lm_score, events_resample_gapfill. All are
+    # docs_lm_score, events_resample_gapfill,
+    # emb_label_centroid_drift, events_percent_rank. All are
     # sf0.01-oracle-green via tools/drive_harness.py --all (round 3).
 ]
 

@@ -418,3 +418,16 @@ def test_resample_gapfill_shape(spark, sf_dir):
     assert p.count("HashAggregate") >= 2
     assert "CartesianProduct" not in p
     assert "Window" in p
+
+
+def test_centroid_drift_broadcasts_global(spark, sf_dir):
+    """Centroid drift: both centroid aggregates must be partial
+    (map-side combinable scaled-integer sums), the 64-row global
+    centroid must broadcast, and the whole plan must stay UDF-free
+    with no cartesian."""
+    df = QUERIES["emb_label_centroid_drift"].fn(spark, sf_dir)
+    p = plan_of(df)
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+    assert p.count("HashAggregate") >= 4, "label+global centroid partial aggs"
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
