@@ -4154,6 +4154,97 @@ def events_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "hybrid_search_rrf",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    stats AS (SELECT count(*) AS n_docs,
+                     CAST(sum(CAST(dl AS DECIMAL(28,0))) AS DOUBLE) / count(*) AS avgdl
+              FROM dl),
+    matched AS (
+        SELECT t.doc_id,
+               round(ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                     * (t.tf * (1.2 + 1))
+                     / (t.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl)),
+                     6) AS contrib
+        FROM tf t JOIN dfreq d USING (term) JOIN dl l USING (doc_id)
+        CROSS JOIN stats s
+        WHERE t.term IN ('spark', 'join', 'window')),
+    lex_scored AS (
+        SELECT doc_id,
+               CAST(sum(CAST(contrib AS DECIMAL(38,6))) AS DOUBLE) AS score
+        FROM matched GROUP BY doc_id),
+    lex AS (
+        SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id)
+                   AS r_lex
+        FROM lex_scored QUALIFY r_lex <= 50),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    sem_scored AS (
+        SELECT c.vec_id AS doc_id,
+               round({_DOT_QC.replace('cv', 'c.embedding')}
+                     / ({_NORM.format(v='qv')}
+                        * {_NORM.format(v='c.embedding')}), 4) AS cosine
+        FROM embeddings c CROSS JOIN q WHERE c.vec_id <> 0),
+    sem AS (
+        SELECT doc_id, row_number() OVER (ORDER BY cosine DESC, doc_id)
+                   AS r_sem
+        FROM sem_scored QUALIFY r_sem <= 50),
+    fused AS (
+        SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id, l.r_lex, s.r_sem,
+               COALESCE(1.0 / (60 + l.r_lex), 0.0)
+               + COALESCE(1.0 / (60 + s.r_sem), 0.0) AS rrf
+        FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id)
+    SELECT doc_id, r_lex, r_sem, rrf,
+           row_number() OVER (ORDER BY rrf DESC, doc_id) AS rank
+    FROM fused QUALIFY rank <= 10
+    """,
+)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion of the lexical (BM25
+    top-50 for {spark, join, window}) and semantic (cosine top-50 for
+    query vector 0) candidate lists — the standard two-tower serving
+    stack composed from two already-verified operators.
+
+    RRF(d) = Σ_lists 1/(60 + rank_list(d)) is pure integer-rank
+    arithmetic evaluated in ONE row-local expression after a full
+    outer join of the two ≤50-row lists, so the fused scores are
+    bit-identical across engines with no rounding and no cross-row
+    float sums. At scale both candidate lists are TakeOrdered top-k
+    outputs (driver-size), the fusion join is trivially broadcast,
+    and each tower keeps its own 100 TB plan (materialized-tf BM25,
+    broadcast-query brute-force/IVF ANN)."""
+    docs = load_table(spark, "documents", sf_dir)
+    emb = load_table(spark, "embeddings", sf_dir)
+    lex = tx.bm25_search(docs, ["spark", "join", "window"], top_k=50).select(
+        "doc_id", F.col("rank").alias("r_lex")
+    )
+    sem = sim.brute_force_topk(emb, emb.filter(F.col("vec_id") == 0), k=50).select(
+        F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("r_sem")
+    )
+    fused = (
+        lex.join(sem, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "r_lex",
+            "r_sem",
+            (
+                F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("r_lex")), F.lit(0.0))
+                + F.coalesce(
+                    F.lit(1.0) / (F.lit(60) + F.col("r_sem")), F.lit(0.0)
+                )
+            ).alias("rrf"),
+        )
+        .orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+    w = Window.orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
+    return fused.withColumn("rank", F.row_number().over(w))
+
+
 # ---------------------------------------------------------------------------
 # Registry tiers.
 #
@@ -4263,7 +4354,8 @@ _DRIVER_TIER = [
     # events_session_gaps, customer_balance_quartiles,
     # q21_waiting_suppliers, heavy_hitters_keys, text_bm25_search,
     # docs_lm_score, events_resample_gapfill,
-    # emb_label_centroid_drift, events_percent_rank. All are
+    # emb_label_centroid_drift, events_percent_rank,
+    # hybrid_search_rrf. All are
     # sf0.01-oracle-green via tools/drive_harness.py --all (round 3).
 ]
 
