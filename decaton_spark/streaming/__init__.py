@@ -4,6 +4,8 @@ from decaton_spark.streaming.stateful import (
     ordered_process,
     streaming_batch,
     streaming_compact,
+    streaming_dedup,
+    streaming_heavy_hitters,
     streaming_quota,
     streaming_scheduled,
 )
@@ -14,6 +16,8 @@ __all__ = [
     "ordered_process",
     "streaming_batch",
     "streaming_compact",
+    "streaming_dedup",
+    "streaming_heavy_hitters",
     "streaming_quota",
     "streaming_scheduled",
 ]

@@ -519,3 +519,76 @@ def streaming_dedup(
         "_event_time", F.timestamp_millis(F.col(ts_col))
     ).withWatermark("_event_time", within)
     return out.dropDuplicatesWithinWatermark(cols).drop("_event_time")
+
+
+def streaming_heavy_hitters(
+    tasks: DataFrame,
+    threshold: int,
+    *,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Streaming heavy-hitter alerts: emit one row the FIRST time a
+    key's Count-Min-estimated count reaches ``threshold`` — the
+    continuous form of ``functions.sketches.heavy_hitters`` and the
+    alerting half of the reference's burst-key detection
+    (``PerKeyQuotaManager.record()``,
+    ``processor/.../runtime/internal/PerKeyQuotaManager.java:112-135``
+    — there a crossing routes traffic to the shaping topic; here it
+    surfaces as an alert row for downstream sinks/dashboards).
+
+    State per Kafka partition (Decaton's sketch scope) is bounded:
+    depth×width sketch longs plus the alerted-key set, which grows
+    only with keys that actually crossed (the alert set IS the
+    output, so it is bounded by the true burst population, not key
+    cardinality). Conservative update keeps estimates tight; CM never
+    underestimates, so no true heavy key is missed — false alerts are
+    possible only via hash collisions and shrink with ``width``
+    (documented accuracy contract, same as the quota path).
+
+    Emits (key, offset, estimate) with ``offset`` = the record that
+    tripped the crossing, in per-partition arrival order.
+    """
+    out_schema = "key string, offset long, estimate long"
+    state_schema = "counts array<long>, alerted array<string>"
+
+    def update(pkey, pdfs, state: GroupState):
+        if state.exists:
+            counts, alerted = state.get
+            counts, seen = list(counts), set(alerted)
+        else:
+            counts, seen = [0] * (depth * width), set()
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if not len(batch):
+            return
+        batch = batch.sort_values("offset")
+        out = {"key": [], "offset": [], "estimate": []}
+        bucket_cache: dict[str, tuple[int, ...]] = {}
+        for key, off in zip(batch["key"], batch["offset"]):
+            bks = bucket_cache.get(key)
+            if bks is None:
+                bks = bucket_cache[key] = _cm_buckets(key, depth, width)
+            est = min(counts[d * width + b] for d, b in enumerate(bks)) + 1
+            for d, b in enumerate(bks):  # conservative update
+                idx = d * width + b
+                counts[idx] = max(counts[idx], est)
+            if est >= threshold and key not in seen:
+                seen.add(key)
+                out["key"].append(key)
+                out["offset"].append(int(off))
+                out["estimate"].append(est)
+        state.update((counts, sorted(seen)))
+        if out["key"]:
+            yield pd.DataFrame(out)
+
+    return (
+        tasks.select("partition", "key", "offset")
+        .groupBy("partition")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

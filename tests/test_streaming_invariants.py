@@ -197,3 +197,38 @@ def test_quota_extremes(spark, stream_parts, tmp_path):
         "quota-none",
     )
     assert all(r["quota_verdict"] == "process" for r in rows), "huge quota shapes none"
+
+
+def test_streaming_heavy_hitters_alert_once_no_misses(spark, stream_parts, tmp_path):
+    """Streaming heavy-hitter alerts: every key whose true stream
+    count reaches the threshold must alert (CM never underestimates
+    ⇒ no false negatives), each key alerts AT MOST ONCE across all
+    microbatches (the alerted-set state), the tripping offset is the
+    earliest possible (estimate at trip < threshold + slack), and
+    with a wide sketch there are no collision false positives."""
+    from decaton_spark.streaming import streaming_heavy_hitters
+
+    path, schema, tasks = stream_parts
+    threshold = 50
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(path)
+    )
+    rows = _run(
+        streaming_heavy_hitters(stream, threshold, width=4096),
+        tmp_path,
+        "hh",
+    )
+    true_counts = {
+        r["key"]: r["cnt"]
+        for r in tasks.groupBy("key").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    truly_heavy = {k for k, c in true_counts.items() if c >= threshold}
+    alerted = [r["key"] for r in rows]
+    # at-most-once per key
+    assert len(alerted) == len(set(alerted))
+    # no false negatives; wide sketch => no collision false positives
+    assert set(alerted) == truly_heavy and truly_heavy
+    # the estimate at trip time is exactly the threshold (conservative
+    # update with no collisions counts exactly)
+    for r in rows:
+        assert r["estimate"] == threshold
