@@ -234,3 +234,65 @@ def test_curation_pipeline_200k_docs(spark):
     assert n_clean < n - n // 10 - n // 1000 + 2
     assert n_clean > n // 2
     assert top.count() == 100
+
+
+def test_heavy_hitters_5m(big_tasks):
+    """Heavy hitters at 5M rows / 10k keys: uniform keys (~500/key)
+    plus one planted hot key; with T above the uniform count only the
+    hot key survives, with exact count — and the candidate stages
+    never materialize the 10k-key dictionary through a full-shuffle
+    count (the point of the pigeonhole+CM pruning)."""
+    from decaton_spark.functions.sketches import heavy_hitters
+
+    hot = big_tasks.sparkSession.range(50_000).select(
+        F.lit("hotkey").alias("key")
+    )
+    df = big_tasks.select("key").unionByName(hot)
+    out = heavy_hitters(df, "key", threshold=10_000, width=4096).collect()
+    assert {(r["key"], r["cnt"]) for r in out} == {("hotkey", 50_000)}
+
+
+def test_bm25_200k_docs(spark):
+    """BM25 at 200k synthetic docs: the inverted-index build, corpus
+    stats, and scoring run at 400x the fixture corpus; the planted
+    uniquely-relevant doc ranks first."""
+    from decaton_spark.functions.text import bm25_search
+
+    docs = (
+        spark.range(200_000)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.lit("filler word common text number "),
+                (F.col("id") % 1000).cast("string"),
+                F.when(F.col("id") == 12345, F.lit(" needle needle needle"))
+                .otherwise(F.lit("")),
+            ).alias("text"),
+        )
+    )
+    out = bm25_search(docs, ["needle", "common"], top_k=5).collect()
+    assert out[0]["doc_id"] == 12345 and out[0]["rank"] == 1
+    assert len(out) == 5
+
+
+def test_resample_gapfill_5m(big_tasks):
+    """Resample+gapfill at 5M rows: the dense grid size must equal the
+    independently-computed sum of per-key bucket spans, and (ids are
+    dense, so every in-span bucket has events) no gap rows exist."""
+    from decaton_spark.operators.timeseries import resample_gapfill
+
+    h = 3_600_000
+    df = big_tasks.withColumn("event_value", (F.col("offset") % 7).cast("double"))
+    expected = (
+        df.select(
+            "key",
+            (F.floor(F.col("meta_timestamp_millis") / h)).alias("b"),
+        )
+        .groupBy("key")
+        .agg(((F.max("b") - F.min("b")) + 1).alias("span"))
+        .agg(F.sum("span"))
+        .collect()[0][0]
+    )
+    out = resample_gapfill(df)
+    assert out.count() == expected
+    assert out.filter(F.col("n_events") == 0).count() == 0
