@@ -1110,3 +1110,63 @@ def semantic_dedup(
             F.col("dup_of").isNull().alias("keep"),
         )
     )
+
+
+def centroid_drift(
+    emb: DataFrame,
+    *,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    dims: int = 64,
+    scale: float = 1e7,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Per-group centroid vs global corpus centroid (cosine) — the
+    embedding-store drift/imbalance monitor. cosine(mean_g, mean_all)
+    = cosine(sum_g, sum_all) by scale invariance, so no per-dimension
+    division happens.
+
+    Determinism without float-sum order dependence: each component is
+    snapped to round(v*scale) (identical IEEE double → identical
+    bigint on every engine/partitioning), so all cross-row sums are
+    EXACT integer arithmetic; the dot/norm products run in
+    DECIMAL(38,0) (exact to ~1e38 ≫ the ~1e25 worst case). One double
+    division at the end, rounded.
+
+    Scale shape (10^9 vectors): posexplode is a narrow projection;
+    both centroid groupBys are partial-agg with tiny outputs
+    (|groups|·dims and dims rows); the dims-row global centroid
+    broadcasts; the final per-group reduce touches dims rows/group.
+    """
+    comp = emb.select(
+        F.col(group_col).alias("grp"),
+        F.posexplode(vec_col).alias("pos", "e"),
+    ).select(
+        "grp",
+        (F.col("pos") + 1).alias("dim"),
+        F.round(F.col("e").cast("double") * scale).cast("bigint").alias("v"),
+    )
+    lab = comp.groupBy("grp", "dim").agg(F.sum("v").alias("lv"))
+    glob = comp.groupBy("dim").agg(F.sum("v").alias("gv"))
+    n = emb.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).alias("n_vecs")
+    )
+    lvd = F.col("lv").cast("decimal(38,0)")
+    gvd = F.col("gv").cast("decimal(38,0)")
+    dots = (
+        lab.join(F.broadcast(glob), "dim")
+        .groupBy("grp")
+        .agg(
+            F.sum(lvd * F.col("gv")).cast("double").alias("dot"),
+            F.sum(lvd * F.col("lv")).cast("double").alias("nl"),
+            F.sum(gvd * F.col("gv")).cast("double").alias("ng"),
+        )
+    )
+    return dots.join(F.broadcast(n), "grp").select(
+        F.col("grp").alias(group_col),
+        "n_vecs",
+        F.round(
+            F.col("dot") / (F.sqrt(F.col("nl")) * F.sqrt(F.col("ng"))),
+            round_digits,
+        ).alias("cosine_to_global"),
+    )

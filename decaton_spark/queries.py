@@ -4095,34 +4095,7 @@ def emb_label_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-label reduce is 64 rows per label. No UDF, no driver
     round-trip, no full-vector shuffle."""
     emb = load_table(spark, "embeddings", sf_dir)
-    comp = emb.select(
-        "label", F.posexplode("embedding").alias("pos", "e")
-    ).select(
-        "label",
-        (F.col("pos") + 1).alias("dim"),
-        F.round(F.col("e").cast("double") * 1e7).cast("bigint").alias("v"),
-    )
-    lab = comp.groupBy("label", "dim").agg(F.sum("v").alias("lv"))
-    glob = comp.groupBy("dim").agg(F.sum("v").alias("gv"))
-    n = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_vecs"))
-    lvd = F.col("lv").cast("decimal(38,0)")
-    gvd = F.col("gv").cast("decimal(38,0)")
-    dots = (
-        lab.join(F.broadcast(glob), "dim")
-        .groupBy("label")
-        .agg(
-            F.sum(lvd * F.col("gv")).cast("double").alias("dot"),
-            F.sum(lvd * F.col("lv")).cast("double").alias("nl"),
-            F.sum(gvd * F.col("gv")).cast("double").alias("ng"),
-        )
-    )
-    return dots.join(F.broadcast(n), "label").select(
-        "label",
-        "n_vecs",
-        F.round(
-            F.col("dot") / (F.sqrt(F.col("nl")) * F.sqrt(F.col("ng"))), 4
-        ).alias("cosine_to_global"),
-    )
+    return sim.centroid_drift(emb)
 
 
 @register(
@@ -4245,6 +4218,58 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused.withColumn("rank", F.row_number().over(w))
 
 
+@register(
+    "array_functions_bridge",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id,
+           CAST(len(toks) AS INT) AS n_tokens,
+           array_to_string(toks[1:3], ' ') AS first3,
+           list_sort(toks)[1] AS min_tok,
+           CAST(len(list_distinct(toks)) AS INT) AS n_distinct,
+           list_contains(toks, 'spark') AS has_spark,
+           CAST(list_position(toks, 'spark') AS BIGINT) AS pos_spark,
+           toks[-1] AS last_tok,
+           array_to_string(list_reverse(toks)[1:2], '|') AS rev2,
+           CAST(list_reduce(list_prepend(0,
+                    list_transform(toks, x -> length(x))),
+                (a, b) -> a + b) AS BIGINT) AS total_chars,
+           CAST(len(list_filter(toks, x -> length(x) > 4)) AS INT) AS n_long,
+           array_to_string(list_transform(toks[1:2], x -> upper(x)), ' ')
+               AS upper2
+    FROM t
+    """,
+)
+def array_functions_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array/lambda function library parity (free surface): slice,
+    sort, distinct, contains/position, negative indexing, reverse,
+    fold (aggregate), filter, transform — engine-identical over the
+    token arrays. All narrow projections (no shuffle); the lambda
+    forms stay JVM-side Catalyst HigherOrderFunctions, never Python."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.array_join(F.slice(toks, 1, 3), " ").alias("first3"),
+        F.element_at(F.array_sort(toks), 1).alias("min_tok"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.array_contains(toks, "spark").alias("has_spark"),
+        F.array_position(toks, "spark").alias("pos_spark"),
+        F.element_at(toks, -1).alias("last_tok"),
+        F.array_join(F.slice(F.reverse(toks), 1, 2), "|").alias("rev2"),
+        F.aggregate(
+            toks,
+            F.lit(0).cast("bigint"),
+            lambda a, x: a + F.length(x).cast("bigint"),
+        ).alias("total_chars"),
+        F.size(F.filter(toks, lambda x: F.length(x) > 4)).alias("n_long"),
+        F.array_join(
+            F.transform(F.slice(toks, 1, 2), F.upper), " "
+        ).alias("upper2"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry tiers.
 #
@@ -4355,7 +4380,7 @@ _DRIVER_TIER = [
     # q21_waiting_suppliers, heavy_hitters_keys, text_bm25_search,
     # docs_lm_score, events_resample_gapfill,
     # emb_label_centroid_drift, events_percent_rank,
-    # hybrid_search_rrf. All are
+    # hybrid_search_rrf, array_functions_bridge. All are
     # sf0.01-oracle-green via tools/drive_harness.py --all (round 3).
 ]
 

@@ -120,3 +120,31 @@ def test_resample_gapfill_fills_interior_gaps(spark):
     assert out[("k1", 3 * h)]["filled_value"] == 40.0
     assert out[("k2", h)]["n_events"] == 1
     assert out[("k2", h)]["filled_value"] == 7.0
+
+
+def test_score_sums_partition_invariant(spark, sf_dir):
+    """The rounded-DECIMAL score sums in BM25 and LM scoring must be
+    independent of partitioning / aggregation order (the reason they
+    are DECIMAL and not float sums)."""
+    from decaton_spark.sources import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    for fn in (
+        lambda d: bm25_search(d, ["spark", "join", "window"], top_k=10),
+        lm_score,
+    ):
+        a = {tuple(r) for r in fn(docs.repartition(1)).collect()}
+        b = {tuple(r) for r in fn(docs.repartition(13)).collect()}
+        assert a == b and a
+
+
+def test_centroid_drift_partition_invariant(spark, sf_dir):
+    """Scaled-integer centroid sums: bit-identical cosines at any
+    partition count (the float-sum-order hazard this design removes)."""
+    from decaton_spark.functions.similarity import centroid_drift
+    from decaton_spark.sources import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    a = {tuple(r) for r in centroid_drift(emb.repartition(1)).collect()}
+    b = {tuple(r) for r in centroid_drift(emb.repartition(17)).collect()}
+    assert a == b and len(a) == 10
