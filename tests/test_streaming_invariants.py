@@ -232,3 +232,68 @@ def test_streaming_heavy_hitters_alert_once_no_misses(spark, stream_parts, tmp_p
     # update with no collisions counts exactly)
     for r in rows:
         assert r["estimate"] == threshold
+
+
+def test_streaming_heavy_hitters_state_survives_restart(spark, sf_dir, tmp_path):
+    """Chaos analog for the heavy-hitter alerts: stop mid-stream and
+    restart on the same checkpoint. The sketch AND the alerted set
+    must carry over — total counts keep accumulating (keys that only
+    cross the threshold across the restart boundary still alert) and
+    no key alerts twice."""
+    from decaton_spark.envelope import events_to_tasks
+    from decaton_spark.sources import load_table
+    from decaton_spark.streaming import streaming_heavy_hitters
+
+    tasks = events_to_tasks(load_table(spark, "events", sf_dir)).drop("timestamp")
+    schema = tasks.schema
+    d = tmp_path / "hh-stream"
+    d.mkdir()
+    ckpt = str(tmp_path / "hh-ckpt")
+    threshold = 40
+    alerts: list = []
+
+    def run_once(qname):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(d))
+        )
+        q = (
+            streaming_heavy_hitters(stream, threshold, width=4096)
+            .writeStream.queryName(qname)
+            .foreachBatch(lambda df, bid: alerts.extend(df.collect()))
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        q.stop()
+
+    # half the offsets, then "crash"; the halves interleave offsets so
+    # most keys only become heavy with BOTH halves counted
+    tasks.filter(F.col("offset") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(d))
+    run_once("hh_r1")
+    n_before = len(alerts)
+    tasks.filter(F.col("offset") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(d))
+    run_once("hh_r2")
+
+    truly_heavy = {
+        r["key"]
+        for r in tasks.groupBy("key")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= threshold)
+        .collect()
+    }
+    alerted = [r["key"] for r in alerts]
+    assert len(alerted) == len(set(alerted)), "a key alerted twice across restart"
+    assert set(alerted) == truly_heavy and truly_heavy
+    # the restart boundary matters: some keys must have crossed only
+    # in the second incarnation (counts accumulated across restart)
+    assert 0 < n_before < len(alerts), (
+        "fixture must exercise crossings in both incarnations"
+    )
