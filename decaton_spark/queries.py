@@ -4270,6 +4270,47 @@ def array_functions_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "map_functions_bridge",
+    """
+    WITH t AS (
+        SELECT event_id,
+               map(['type', 'user'],
+                   [event_type, CAST(user_id AS VARCHAR)]) AS m
+        FROM events WHERE event_id < 500)
+    SELECT event_id,
+           CAST(cardinality(m) AS INT) AS n_entries,
+           array_to_string(list_sort(map_keys(m)), ',') AS keys_sorted,
+           element_at(m, 'type')[1] AS type_val,
+           element_at(m, 'user')[1] AS user_val,
+           array_to_string(list_sort(map_values(m)), ',') AS vals_sorted
+    FROM t
+    """,
+)
+def map_functions_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-type function parity (free surface): construction
+    (create_map), cardinality, key/value enumeration, and per-key
+    extraction — engine-identical over a map column built from the
+    event stream. (DuckDB's element_at on MAP yields a one-element
+    list; the oracle unwraps it with [1].) Narrow projection, no
+    shuffle, no Python."""
+    ev = load_table(spark, "events", sf_dir).filter(F.col("event_id") < 500)
+    m = F.create_map(
+        F.lit("type"),
+        F.col("event_type"),
+        F.lit("user"),
+        F.col("user_id").cast("string"),
+    )
+    return ev.select(
+        "event_id",
+        F.size(m).alias("n_entries"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_sorted"),
+        F.element_at(m, F.lit("type")).alias("type_val"),
+        F.element_at(m, F.lit("user")).alias("user_val"),
+        F.array_join(F.array_sort(F.map_values(m)), ",").alias("vals_sorted"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry tiers.
 #
@@ -4380,7 +4421,8 @@ _DRIVER_TIER = [
     # q21_waiting_suppliers, heavy_hitters_keys, text_bm25_search,
     # docs_lm_score, events_resample_gapfill,
     # emb_label_centroid_drift, events_percent_rank,
-    # hybrid_search_rrf, array_functions_bridge. All are
+    # hybrid_search_rrf, array_functions_bridge,
+    # map_functions_bridge. All are
     # sf0.01-oracle-green via tools/drive_harness.py --all (round 3).
 ]
 
