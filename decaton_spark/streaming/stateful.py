@@ -527,6 +527,7 @@ def streaming_heavy_hitters(
     *,
     depth: int = 4,
     width: int = 1024,
+    api: str = "auto",
 ) -> DataFrame:
     """Streaming heavy-hitter alerts: emit one row the FIRST time a
     key's Count-Min-estimated count reaches ``threshold`` — the
@@ -549,6 +550,10 @@ def streaming_heavy_hitters(
     Emits (key, offset, estimate) with ``offset`` = the record that
     tripped the crossing, in per-partition arrival order.
     """
+    if _use_tws(api):
+        from decaton_spark.streaming.tws import tws_heavy_hitters
+
+        return tws_heavy_hitters(tasks, threshold, depth=depth, width=width)
     out_schema = "key string, offset long, estimate long"
     state_schema = "counts array<long>, alerted array<string>"
 

@@ -291,3 +291,77 @@ def tws_batch(
             timeMode="ProcessingTime",
         )
     )
+
+
+class HeavyHittersProcessor(StatefulProcessor):
+    """Streaming heavy-hitter alerts in TWS form: per-partition
+    conservative-update CM sketch + alerted-key set as typed state
+    (the ``stateful.streaming_heavy_hitters`` semantics on the
+    Spark 4 primitive). Emits (key, offset, estimate) once per key,
+    at its first threshold crossing."""
+
+    def __init__(self, threshold: int, depth: int = 4, width: int = 1024):
+        self.threshold = threshold
+        self.depth = depth
+        self.width = width
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self.sketch = handle.getValueState("sketch", "counts array<long>")
+        self.alerted = handle.getListState("alerted", "key string")
+
+    def handleInputRows(self, pkey, rows, timerValues) -> Iterator[pd.DataFrame]:
+        from decaton_spark.streaming.stateful import _cm_buckets
+
+        depth, width = self.depth, self.width
+        counts = (
+            list(self.sketch.get()[0])
+            if self.sketch.exists()
+            else [0] * (depth * width)
+        )
+        seen = (
+            {r[0] for r in self.alerted.get()} if self.alerted.exists() else set()
+        )
+        out = {"key": [], "offset": [], "estimate": []}
+        cache: dict[str, tuple[int, ...]] = {}
+        for pdf in rows:
+            pdf = pdf.sort_values("offset")
+            for key, off in zip(pdf["key"], pdf["offset"]):
+                bks = cache.get(key)
+                if bks is None:
+                    bks = cache[key] = _cm_buckets(key, depth, width)
+                est = min(counts[d * width + b] for d, b in enumerate(bks)) + 1
+                for d, b in enumerate(bks):  # conservative update
+                    idx = d * width + b
+                    counts[idx] = max(counts[idx], est)
+                if est >= self.threshold and key not in seen:
+                    seen.add(key)
+                    self.alerted.appendValue((key,))
+                    out["key"].append(key)
+                    out["offset"].append(int(off))
+                    out["estimate"].append(est)
+        self.sketch.update((counts,))
+        if out["key"]:
+            yield pd.DataFrame(out)
+
+    def close(self) -> None:
+        pass
+
+
+def tws_heavy_hitters(
+    tasks: DataFrame,
+    threshold: int,
+    *,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    out_schema = "key string, offset long, estimate long"
+    return (
+        tasks.select("partition", "key", "offset")
+        .groupBy("partition")
+        .transformWithStateInPandas(
+            HeavyHittersProcessor(threshold, depth, width),
+            outputStructType=out_schema,
+            outputMode="Append",
+            timeMode="ProcessingTime",
+        )
+    )

@@ -431,3 +431,15 @@ def test_centroid_drift_broadcasts_global(spark, sf_dir):
     assert "BroadcastHashJoin" in p
     assert p.count("HashAggregate") >= 4, "label+global centroid partial aggs"
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_function_bridges_shuffle_free(spark, sf_dir):
+    """The array/map function bridges are narrow projections: no
+    exchange, no Python evaluation (lambdas must stay Catalyst
+    HigherOrderFunctions)."""
+    for q in ("array_functions_bridge", "map_functions_bridge"):
+        p = plan_of(QUERIES[q].fn(spark, sf_dir))
+        assert "Exchange" not in p, f"{q} must not shuffle"
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, (
+            f"{q} must stay JVM-side"
+        )

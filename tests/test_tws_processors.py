@@ -223,3 +223,31 @@ def test_cm_bucket_memoization():
             for d in range(4)
         )
         assert stateful._cm_buckets(k, 4, 64) == expect
+
+
+def test_heavy_hitters_processor_alert_once_across_batches():
+    """TWS heavy hitters: counts accumulate across handleInputRows
+    calls (microbatches), each key alerts exactly once at its first
+    crossing, and the alerted set persists in state."""
+    import pandas as pd
+
+    from decaton_spark.streaming.tws import HeavyHittersProcessor
+
+    p = HeavyHittersProcessor(threshold=5, width=4096)
+    h = FakeHandle()
+    p.init(h)
+    tv = FakeTimerValues(0)
+
+    b1 = pd.DataFrame({"key": ["a"] * 3 + ["b"] * 4, "offset": range(7)})
+    out1 = _collect(p.handleInputRows(("p0",), iter([b1]), tv))
+    assert len(out1) == 0, "no key reaches 5 in batch 1"
+
+    b2 = pd.DataFrame({"key": ["a"] * 2 + ["b"] * 1, "offset": range(7, 10)})
+    rows = _collect(p.handleInputRows(("p0",), iter([b2]), tv))
+    assert sorted(rows["key"]) == ["a", "b"], "both cross only with batch 2"
+    assert set(rows["estimate"]) == {5}
+
+    # a third batch must not re-alert
+    b3 = pd.DataFrame({"key": ["a", "b"], "offset": [10, 11]})
+    out3 = _collect(p.handleInputRows(("p0",), iter([b3]), tv))
+    assert len(out3) == 0
