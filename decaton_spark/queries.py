@@ -4311,6 +4311,95 @@ def map_functions_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "window_functions_bridge",
+    """
+    SELECT event_id, event_type, value,
+           lag(value) OVER wn AS prev_value,
+           lead(value) OVER wn AS next_value,
+           first_value(event_id) OVER wf AS first_id,
+           last_value(event_id) OVER wf AS last_id,
+           nth_value(event_id, 3) OVER wf AS third_id
+    FROM events
+    WINDOW wn AS (PARTITION BY event_type ORDER BY value, event_id),
+           wf AS (PARTITION BY event_type ORDER BY value, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_functions_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Navigation window-function parity (free surface): lag/lead and
+    first/last/nth_value with explicit ROWS frames over a totally
+    ordered (value, event_id) window — completes the window-function
+    family (rank variants verified in events_percent_rank and
+    elsewhere). One shuffle per event_type partition."""
+    ev = load_table(spark, "events", sf_dir)
+    wn = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("value", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.lag("value").over(wn).alias("prev_value"),
+        F.lead("value").over(wn).alias("next_value"),
+        F.first("event_id").over(wf).alias("first_id"),
+        F.last("event_id").over(wf).alias("last_id"),
+        F.nth_value("event_id", 3).over(wf).alias("third_id"),
+    )
+
+
+@register(
+    "docs_weighted_sample",
+    f"""
+    WITH keyed AS (
+        SELECT doc_id, n_chars,
+               ln(({md5_long("CAST(doc_id AS VARCHAR)", 8)} + 1)
+                  / 4294967296.0)
+               / CAST(n_chars AS DOUBLE) AS es_key
+        FROM documents),
+    ranked AS (
+        SELECT doc_id, n_chars,
+               row_number() OVER (ORDER BY es_key DESC, doc_id) AS rank
+        FROM keyed)
+    SELECT rank, doc_id, n_chars FROM ranked WHERE rank <= 100
+    """,
+)
+def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis–Spirakis A-ES): each doc gets key ln(u)/w with
+    u = content-stable md5-uniform in (0,1] and w = n_chars; the
+    top-k by key IS a weighted sample — longer docs proportionally
+    likelier — yet fully reproducible across engines, runs, and
+    partitionings (no RNG, no seed drift). The training-data
+    "sample by quality/length weight" primitive.
+
+    Scale shape: one narrow projection (md5 + ln per row, codegen),
+    then a distributed TakeOrdered top-k — no global sort, no window
+    over the corpus. The ln/division runs on identical IEEE doubles
+    in both engines (identical md5-derived u), so the selected set is
+    bit-stable; the continuous key makes ties measure-zero, with
+    doc_id as the formal tiebreak."""
+    docs = load_table(spark, "documents", sf_dir)
+    u = (
+        F.expr(md5_long("CAST(doc_id AS STRING)", 8)) + F.lit(1)
+    ) / F.lit(4294967296.0)
+    keyed = docs.select(
+        "doc_id",
+        "n_chars",
+        (F.log(u) / F.col("n_chars").cast("double")).alias("es_key"),
+    )
+    top = keyed.orderBy(F.col("es_key").desc(), F.col("doc_id").asc()).limit(100)
+    w = Window.orderBy(F.col("es_key").desc(), F.col("doc_id").asc())
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .select("rank", "doc_id", "n_chars")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry tiers.
 #
@@ -4422,7 +4511,8 @@ _DRIVER_TIER = [
     # docs_lm_score, events_resample_gapfill,
     # emb_label_centroid_drift, events_percent_rank,
     # hybrid_search_rrf, array_functions_bridge,
-    # map_functions_bridge. All are
+    # map_functions_bridge, window_functions_bridge,
+    # docs_weighted_sample. All are
     # sf0.01-oracle-green via tools/drive_harness.py --all (round 3).
 ]
 
