@@ -4477,17 +4477,22 @@ _DRIVER_TIER = [
     "docs_domain_importance",
     "text_vocab_build",
     "docs_curation_pipeline",
+    # -- priority 3 (continued): registered later in round 3 --
+    "q21_waiting_suppliers",
+    "heavy_hitters_keys",
+    "text_bm25_search",
+    "hybrid_search_rrf",
     # -- priority 4a: implementation changed this round --
     "ann_ivf_topk",
     "s8_protobuf_envelope",
     "dedup_near_full",
-    # -- priority 4b: one representative per operator family --
-    "q1_pricing_summary",
+    # -- priority 4b: representatives (others keep 1-round-old rows) --
     "q8_market_share",
     "q15_top_supplier",
-    "multimodal_binary_meta",
-    "t6_per_key_quota",
-    "t13_pipeline_chain",
+    # q1_pricing_summary, t6_per_key_quota, t13_pipeline_chain and
+    # multimodal_binary_meta hold fresh r2 rows and rotated out to
+    # make room for the round-3 retrieval additions (policy: a row at
+    # most 2 rounds old is fresh enough; theirs are 1 round old).
     # dedup_exact, s7_serde_roundtrip, pivot_event_types,
     # semi_anti_customers, docs_source_quality, range_join_errors,
     # asof_join_enrichment, q18_large_volume_customers,
@@ -4507,10 +4512,9 @@ _DRIVER_TIER = [
     # ann_filtered_topk, events_funnel, events_cohort_retention,
     # events_conversion_latency, events_props_json,
     # events_session_gaps, customer_balance_quartiles,
-    # q21_waiting_suppliers, heavy_hitters_keys, text_bm25_search,
     # docs_lm_score, events_resample_gapfill,
     # emb_label_centroid_drift, events_percent_rank,
-    # hybrid_search_rrf, array_functions_bridge,
+    # array_functions_bridge,
     # map_functions_bridge, window_functions_bridge,
     # docs_weighted_sample. All are
     # sf0.01-oracle-green via tools/drive_harness.py --all (round 3).
