@@ -360,3 +360,111 @@ def extract_features_bmp(
                 yield pd.DataFrame({id_col: ids, "features": feats})
 
     return df.select(id_col, payload_col).mapInPandas(run, out_schema)
+
+
+def image_dhash(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Perceptual difference-hash (dHash) over REAL decoded pixels:
+    grayscale → 9×8 nearest resample → 64 horizontal-gradient bits —
+    the standard near-duplicate image fingerprint (robust to resize
+    and mild recompression; visually similar images land within a few
+    Hamming bits). Arrow-batched mapInPandas; undecodable payloads
+    report ok=false rather than failing the job. Returns
+    (id, dhash bigint, ok)."""
+    out_schema = f"{id_col} long, dhash long, ok boolean"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, hashes, oks = [], [], []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                ids.append(int(i))
+                try:
+                    _, _, arr = decode_bmp(bytes(p))
+                    gray = arr.astype(np.uint32).sum(axis=2)  # 3×luma proxy
+                    h, w = gray.shape
+                    ys = (np.arange(8) * h) // 8
+                    xs = (np.arange(9) * w) // 9
+                    g = gray[ys][:, xs]
+                    bits = (g[:, 1:] > g[:, :-1]).flatten()
+                    v = 0
+                    for b in bits:
+                        v = (v << 1) | int(b)
+                    if v >= 1 << 63:  # store as signed 64-bit
+                        v -= 1 << 64
+                    hashes.append(v)
+                    oks.append(True)
+                except Exception:
+                    hashes.append(None)
+                    oks.append(False)
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "dhash": pd.array(hashes, dtype="Int64"),
+                    "ok": oks,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, out_schema)
+
+
+def image_near_dup_pairs(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    *,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate image pairs: dHash → 4×16-bit band buckets →
+    equi-join candidates → exact Hamming verify. The image analog of
+    the MinHash-LSH text pipeline, with the same no-all-pairs scale
+    contract: candidate cost is Σ bucket², never |corpus|², and by
+    pigeonhole a pair within ``max_hamming`` ≤ 3 bits shares at least
+    one of the 4 bands exactly, so banding loses nothing.
+
+    Only the dHash stage runs in Python (it touches pixels); banding,
+    the joins, and ``bit_count(XOR)`` verification are all JVM-side
+    expressions. Returns (id_a, id_b, hamming)."""
+    hashes = (
+        image_dhash(df, payload_col, id_col)
+        .filter(F.col("ok"))
+        .select(F.col(id_col).alias("id"), "dhash")
+    )
+    bands = hashes.select(
+        "id",
+        "dhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col("dhash"), 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", "dhash", "b.band", "b.val")
+    left = bands.select(
+        F.col("id").alias("id_a"), F.col("dhash").alias("ha"), "band", "val"
+    )
+    right = bands.select(
+        F.col("id").alias("id_b"), F.col("dhash").alias("hb"), "band", "val"
+    )
+    pairs = (
+        left.join(right, ["band", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "ha", "hb")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        pairs.select("id_a", "id_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -68,3 +68,48 @@ def test_roundtrip_gradient_exact():
     w, h, back = decode_bmp(encode_bmp(px))
     assert (w, h) == (31, 7)
     assert (back == px).all()
+
+
+def test_image_dhash_near_dup_pairs(spark):
+    """Perceptual dedup over real pixels: a mild perturbation of an
+    image stays within 3 Hamming bits of the original (pair found);
+    a structurally different image does not pair with either; corrupt
+    payloads are excluded via ok=false."""
+    import numpy as np
+
+    from decaton_spark.multimodal.columns import (
+        encode_bmp,
+        image_dhash,
+        image_near_dup_pairs,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 256, size=(32, 48, 3), dtype=np.uint8)
+    # smooth horizontal gradient structure so dhash is stable
+    ramp = np.linspace(0, 200, 48, dtype=np.uint8)[None, :, None]
+    img_a = np.clip(base // 4 + ramp, 0, 255).astype(np.uint8)
+    img_b = img_a.copy()
+    img_b[:2, :2] = 255  # tiny corner change: visually near-identical
+    img_c = img_a[:, ::-1].copy()  # mirrored: different gradient signs
+
+    rows = [
+        (0, bytearray(encode_bmp(img_a))),
+        (1, bytearray(encode_bmp(img_b))),
+        (2, bytearray(encode_bmp(img_c))),
+        (3, bytearray(b"not a bmp at all")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+
+    hashes = {r["doc_id"]: r for r in image_dhash(df).collect()}
+    assert hashes[3]["ok"] is False and hashes[3]["dhash"] is None
+    assert all(hashes[i]["ok"] for i in (0, 1, 2))
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in image_near_dup_pairs(df).collect()
+    }
+    assert (0, 1) in pairs, "perturbed copy must pair with the original"
+    assert pairs[(0, 1)] <= 3
+    assert (0, 2) not in pairs and (1, 2) not in pairs, (
+        "mirrored image must not pair"
+    )
