@@ -187,3 +187,66 @@ def audio_features_wav(
                 )
 
     return df.select(id_col, payload_col).mapInPandas(run, out_schema)
+
+
+def audio_fingerprint_wav(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    *,
+    n_frames: int = 33,
+) -> DataFrame:
+    """Perceptual audio fingerprint over REAL decoded samples: mono
+    downmix → ``n_frames`` equal windows → RMS energy envelope →
+    32 energy-gradient bits (frame i louder than frame i+1) — a
+    chromaprint-style envelope hash robust to small noise, gain
+    changes (gradients compare relative levels), and resampling
+    (envelope shape is duration-relative). Near-identical recordings
+    land within a few Hamming bits; reuse the image pipeline's
+    banding pattern for candidate pairs at corpus scale.
+
+    Arrow-batched mapInPandas; undecodable payloads yield ok=false.
+    Returns (id, afp bigint, n_samples, ok)."""
+    out_schema = f"{id_col} long, afp long, n_samples long, ok boolean"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, fps, ns, oks = [], [], [], []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                ids.append(int(i))
+                try:
+                    _, arr = decode_wav(bytes(p))
+                    mono = arr.astype(np.float64).mean(axis=1)
+                    n = len(mono)
+                    if n < n_frames:
+                        raise ValueError("too short to fingerprint")
+                    edges = (np.arange(n_frames + 1) * n) // n_frames
+                    rms = np.array(
+                        [
+                            np.sqrt(np.mean(mono[edges[k]:edges[k + 1]] ** 2))
+                            for k in range(n_frames)
+                        ]
+                    )
+                    bits = rms[:-1] > rms[1:]
+                    v = 0
+                    for b in bits:
+                        v = (v << 1) | int(b)
+                    fps.append(v)
+                    ns.append(n)
+                    oks.append(True)
+                except Exception:
+                    fps.append(None)
+                    ns.append(None)
+                    oks.append(False)
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "afp": pd.array(fps, dtype="Int64"),
+                    "n_samples": pd.array(ns, dtype="Int64"),
+                    "ok": oks,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, out_schema)

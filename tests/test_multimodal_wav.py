@@ -169,3 +169,40 @@ def test_avi_roundtrip_property(nf, w, h, fps, seed):
     fps2, back = decode_avi_dib(encode_avi_dib(frames, fps=fps))
     assert fps2 == fps and len(back) == nf
     assert all((back[i] == frames[i]).all() for i in range(nf))
+
+
+def test_audio_fingerprint_near_dup_vs_different(spark):
+    """Envelope fingerprint over real samples: a lightly-noised copy of
+    a signal stays within a few Hamming bits; a different envelope
+    (reversed amplitude ramp) lands far away; gain change is invariant;
+    corrupt payloads report ok=false."""
+    import numpy as np
+
+    from decaton_spark.multimodal.audio import (
+        audio_fingerprint_wav,
+        encode_wav,
+    )
+
+    rng = np.random.default_rng(11)
+    t = np.arange(16_000)
+    ramp_up = (t / len(t)) * 12_000
+    base = (np.sin(t * 0.05) * ramp_up).astype(np.int16)
+    noised = (base + rng.integers(-200, 200, len(t))).astype(np.int16)
+    half_gain = (base // 2).astype(np.int16)
+    reversed_env = base[::-1].copy()
+
+    rows = [
+        (0, bytearray(encode_wav(base))),
+        (1, bytearray(encode_wav(noised))),
+        (2, bytearray(encode_wav(half_gain))),
+        (3, bytearray(encode_wav(reversed_env))),
+        (4, bytearray(b"RIFFgarbage")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    fp = {r["doc_id"]: r for r in audio_fingerprint_wav(df).collect()}
+
+    assert fp[4]["ok"] is False
+    ham = lambda a, b: bin((fp[a]["afp"] ^ fp[b]["afp"]) & (2**64 - 1)).count("1")
+    assert ham(0, 1) <= 4, "noise must not move the envelope hash far"
+    assert ham(0, 2) <= 4, "gain change is envelope-invariant"
+    assert ham(0, 3) >= 12, "reversed envelope must be far"
