@@ -19,6 +19,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def encode_avi_dib(frames, fps: int = 10) -> bytes:
@@ -152,3 +153,38 @@ def sample_frames_avi(
                 )
 
     return df.select(id_col, payload_col).mapInPandas(run, out_schema)
+
+
+def video_frame_dhash(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    *,
+    every_n: int = 1,
+    max_frames: int = 8,
+) -> DataFrame:
+    """Frame-level perceptual hashes for a video column: real AVI
+    frame extraction composed with the image dHash stage — the
+    video-dedup primitive (two videos are near-dups when most sampled
+    frames match within a few Hamming bits; join on banded frame
+    hashes exactly like ``image_near_dup_pairs``). Returns
+    (id, frame_idx, dhash, ok)."""
+    from decaton_spark.multimodal.columns import image_dhash
+
+    frames = sample_frames_avi(
+        df, payload_col, id_col, every_n=every_n, max_frames=max_frames
+    )
+    # composite row id keeps (video, frame) addressable through the
+    # single-id image stage; 1e6 frames/video is far above max_frames
+    fid = (F.col(id_col) * 1_000_000 + F.col("frame_idx")).alias("fid")
+    hashed = image_dhash(
+        frames.select(fid, F.col("frame").alias("payload")),
+        payload_col="payload",
+        id_col="fid",
+    )
+    return hashed.select(
+        (F.col("fid") / 1_000_000).cast("long").alias(id_col),
+        (F.col("fid") % 1_000_000).cast("int").alias("frame_idx"),
+        "dhash",
+        "ok",
+    )

@@ -113,3 +113,39 @@ def test_image_dhash_near_dup_pairs(spark):
     assert (0, 2) not in pairs and (1, 2) not in pairs, (
         "mirrored image must not pair"
     )
+
+
+def test_video_frame_dhash_identifies_shared_frames(spark):
+    """Video dedup primitive: two clips sharing their frames (one
+    lightly perturbed) produce frame hashes within 3 Hamming bits
+    per frame; an unrelated clip's frames do not match."""
+    import numpy as np
+
+    from decaton_spark.multimodal.video import encode_avi_dib, video_frame_dhash
+
+    rng = np.random.default_rng(3)
+    ramp = np.linspace(0, 200, 48, dtype=np.uint8)[None, :, None]
+    frames_a = [
+        np.clip(
+            rng.integers(0, 60, size=(32, 48, 3), dtype=np.uint8) + ramp, 0, 255
+        ).astype(np.uint8)
+        for _ in range(3)
+    ]
+    frames_b = [f.copy() for f in frames_a]
+    for f in frames_b:
+        f[:2, :2] = 255  # tiny perturbation per frame
+    frames_c = [f[:, ::-1].copy() for f in frames_a]  # mirrored clip
+
+    rows = [
+        (0, bytearray(encode_avi_dib(frames_a))),
+        (1, bytearray(encode_avi_dib(frames_b))),
+        (2, bytearray(encode_avi_dib(frames_c))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = video_frame_dhash(df).collect()
+    h = {(r["doc_id"], r["frame_idx"]): r["dhash"] for r in out}
+    assert len(h) == 9 and all(r["ok"] for r in out)
+    ham = lambda a, b: bin((a ^ b) & (2**64 - 1)).count("1")
+    for i in range(3):
+        assert ham(h[(0, i)], h[(1, i)]) <= 3, "perturbed frames must match"
+        assert ham(h[(0, i)], h[(2, i)]) >= 8, "mirrored frames must not"
