@@ -4400,6 +4400,33 @@ def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "docs_normalize",
+    """
+    SELECT doc_id,
+           regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS norm_text,
+           CAST(length(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+                AS INT) AS norm_len,
+           md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+               AS norm_md5
+    FROM documents
+    """,
+)
+def docs_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text canonicalization — the normalize step every dedup/quality
+    pipeline runs before hashing (lowercase, trim, whitespace
+    collapse) plus the canonical md5 the exact-dedup stage consumes.
+    Pure shuffle-free projection; regexp stays JVM-side codegen."""
+    docs = load_table(spark, "documents", sf_dir)
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    return docs.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.length(norm).alias("norm_len"),
+        F.md5(norm).alias("norm_md5"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry tiers.
 #
@@ -4514,7 +4541,7 @@ _DRIVER_TIER = [
     # events_session_gaps, customer_balance_quartiles,
     # docs_lm_score, events_resample_gapfill,
     # emb_label_centroid_drift, events_percent_rank,
-    # array_functions_bridge,
+    # array_functions_bridge, docs_normalize,
     # map_functions_bridge, window_functions_bridge,
     # docs_weighted_sample. All are
     # sf0.01-oracle-green via tools/drive_harness.py --all (round 3).
