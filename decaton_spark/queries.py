@@ -4427,6 +4427,79 @@ def docs_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "lineitem_unpivot",
+    """
+    SELECT l_orderkey, l_linenumber, 'quantity' AS measure,
+           l_quantity AS value
+    FROM lineitem WHERE l_orderkey < 100
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice
+    FROM lineitem WHERE l_orderkey < 100
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'discount', l_discount
+    FROM lineitem WHERE l_orderkey < 100
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'tax', l_tax
+    FROM lineitem WHERE l_orderkey < 100
+    """,
+)
+def lineitem_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide→long melt, the inverse of pivot_event_types):
+    four lineitem measures to (measure, value) rows via the native
+    unpivot operator — a narrow 4×-row generator, no shuffle, with
+    the filter still pushed to the scan. Oracle replays it as the
+    portable UNION ALL form."""
+    li = load_table(spark, "lineitem", sf_dir).filter(F.col("l_orderkey") < 100)
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "value",
+    ).withColumn(
+        "measure",
+        F.expr("substring(measure, 3)"),  # l_quantity -> quantity
+    )
+
+
+@register(
+    "set_ops_all_variants",
+    """
+    WITH p AS (SELECT user_id FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT user_id FROM events WHERE event_type = 'click'),
+    ex AS (SELECT user_id FROM p EXCEPT ALL SELECT user_id FROM c),
+    ix AS (SELECT user_id FROM p INTERSECT ALL SELECT user_id FROM c)
+    SELECT 'except_all' AS op, user_id, count(*) AS multiplicity
+    FROM ex GROUP BY user_id
+    UNION ALL
+    SELECT 'intersect_all', user_id, count(*) FROM ix GROUP BY user_id
+    """,
+)
+def set_ops_all_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset set operations (EXCEPT ALL / INTERSECT ALL — the
+    bag-semantics complement to the distinct set ops verified in
+    set_ops_purchasers_no_errors): per-user purchase multiplicities
+    minus / intersected with click multiplicities. Both plan as a
+    single hash aggregation of tagged counts — no sort, partial-agg
+    map-side."""
+    ev = load_table(spark, "events", sf_dir)
+    p = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    c = ev.filter(F.col("event_type") == "click").select("user_id")
+    ex = (
+        p.exceptAll(c)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("multiplicity"))
+        .select(F.lit("except_all").alias("op"), "user_id", "multiplicity")
+    )
+    ix = (
+        p.intersectAll(c)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("multiplicity"))
+        .select(F.lit("intersect_all").alias("op"), "user_id", "multiplicity")
+    )
+    return ex.unionByName(ix)
+
+
 # ---------------------------------------------------------------------------
 # Registry tiers.
 #
@@ -4541,7 +4614,8 @@ _DRIVER_TIER = [
     # events_session_gaps, customer_balance_quartiles,
     # docs_lm_score, events_resample_gapfill,
     # emb_label_centroid_drift, events_percent_rank,
-    # array_functions_bridge, docs_normalize,
+    # array_functions_bridge, docs_normalize, lineitem_unpivot,
+    # set_ops_all_variants,
     # map_functions_bridge, window_functions_bridge,
     # docs_weighted_sample. All are
     # sf0.01-oracle-green via tools/drive_harness.py --all (round 3).
