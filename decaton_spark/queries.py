@@ -4500,6 +4500,51 @@ def set_ops_all_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ex.unionByName(ix)
 
 
+@register(
+    "datetime_functions_bridge",
+    """
+    SELECT o_orderkey,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d')
+               AS month_start,
+           strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d')
+               AS month_end,
+           CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+           CAST(weekofyear(o_orderdate) AS INT) AS iso_week,
+           CAST(quarter(o_orderdate) AS INT) AS qtr,
+           CAST(dayofyear(o_orderdate) AS INT) AS doy,
+           strftime(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH,
+                    '%Y-%m-%d') AS plus3m,
+           CAST(date_diff('day', DATE '2000-01-01',
+                          CAST(o_orderdate AS DATE)) AS INT) AS days_since_y2k
+    FROM orders WHERE o_orderkey < 500
+    """,
+)
+def datetime_functions_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time function parity (free surface): trunc, last_day,
+    day-of-week (Spark's 1=Sunday vs DuckDB's 0=Sunday bridged with
+    +1), ISO week, quarter, day-of-year, add_months, and day diffs
+    from a fixed epoch. Outputs are date-strings/ints (never raw
+    timestamps — cross-engine NANO/timezone hazards); the fixture
+    dates are midnight-aligned so day arithmetic is crossing-free."""
+    o = load_table(spark, "orders", sf_dir).filter(F.col("o_orderkey") < 500)
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.date_format(F.date_trunc("month", d), "yyyy-MM-dd").alias(
+            "month_start"
+        ),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.dayofweek(d).alias("dow"),
+        F.weekofyear(d).alias("iso_week"),
+        F.quarter(d).alias("qtr"),
+        F.dayofyear(d).alias("doy"),
+        F.date_format(F.add_months(d, 3), "yyyy-MM-dd").alias("plus3m"),
+        F.datediff(F.to_date(d), F.lit("2000-01-01").cast("date")).alias(
+            "days_since_y2k"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry tiers.
 #
@@ -4615,7 +4660,7 @@ _DRIVER_TIER = [
     # docs_lm_score, events_resample_gapfill,
     # emb_label_centroid_drift, events_percent_rank,
     # array_functions_bridge, docs_normalize, lineitem_unpivot,
-    # set_ops_all_variants,
+    # set_ops_all_variants, datetime_functions_bridge,
     # map_functions_bridge, window_functions_bridge,
     # docs_weighted_sample. All are
     # sf0.01-oracle-green via tools/drive_harness.py --all (round 3).
