@@ -280,3 +280,51 @@ def test_quota_split_conservation_property(spark, rows, quota):
         ).count()
     )
     assert per_win.filter(F.col("count") > quota).count() == 0
+
+
+@given(
+    v=st.integers(0, 2**64 - 1),
+    flips=st.lists(st.integers(0, 63), min_size=0, max_size=3, unique=True),
+)
+@settings(max_examples=200)
+def test_dhash_banding_pigeonhole_complete(v, flips):
+    """Pure-math property behind image_near_dup_pairs: any two 64-bit
+    hashes within Hamming distance 3 share at least one of the four
+    16-bit bands exactly (4 bands, <=3 differing bits => some band is
+    untouched), so banded candidate generation cannot miss a pair at
+    max_hamming=3."""
+    w = v
+    for b in flips:
+        w ^= 1 << b
+    bands_v = [(v >> (16 * i)) & 0xFFFF for i in range(4)]
+    bands_w = [(w >> (16 * i)) & 0xFFFF for i in range(4)]
+    assert any(a == b for a, b in zip(bands_v, bands_w))
+
+
+@given(
+    counts=st.dictionaries(
+        st.text(alphabet="abcdefgh", min_size=1, max_size=2),
+        st.integers(1, 30),
+        min_size=1,
+        max_size=12,
+    ),
+    threshold=st.integers(1, 25),
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_heavy_hitters_equals_exact_filter(spark, counts, threshold):
+    """heavy_hitters == the exact GROUP BY/HAVING result for ANY key
+    multiset and threshold, including collision-heavy narrow sketches
+    (the sketch prunes, never decides)."""
+    from decaton_spark.functions.sketches import heavy_hitters
+
+    rows = [(k,) for k, n in counts.items() for _ in range(n)]
+    df = spark.createDataFrame(rows, "key string").repartition(3)
+    got = {
+        (r["key"], r["cnt"])
+        for r in heavy_hitters(
+            df, "key", threshold=threshold, depth=2, width=4
+        ).collect()
+    }
+    want = {(k, n) for k, n in counts.items() if n >= threshold}
+    assert got == want
