@@ -4545,6 +4545,38 @@ def datetime_functions_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "lateral_top_orders",
+    """
+    SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+    FROM customer c,
+    LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+             WHERE o.o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+    WHERE c.c_custkey < 50
+    """,
+)
+def lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL join (per-customer top-2 orders by price) —
+    the SQL front door's lateral-subquery surface, decorrelated by
+    Catalyst into a ranked join (the group_topn_orders plan) rather
+    than a per-row re-execution. Uses the engine's register_views +
+    spark.sql path to exercise the SQL text itself."""
+    from decaton_spark.sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        FROM customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        WHERE c.c_custkey < 50
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry tiers.
 #
@@ -4661,6 +4693,7 @@ _DRIVER_TIER = [
     # emb_label_centroid_drift, events_percent_rank,
     # array_functions_bridge, docs_normalize, lineitem_unpivot,
     # set_ops_all_variants, datetime_functions_bridge,
+    # lateral_top_orders,
     # map_functions_bridge, window_functions_bridge,
     # docs_weighted_sample. All are
     # sf0.01-oracle-green via tools/drive_harness.py --all (round 3).
