@@ -6,6 +6,7 @@ from decaton_spark.streaming.stateful import (
     streaming_compact,
     streaming_dedup,
     streaming_heavy_hitters,
+    streaming_lsh_candidates,
     streaming_quota,
     streaming_scheduled,
 )
@@ -18,6 +19,7 @@ __all__ = [
     "streaming_compact",
     "streaming_dedup",
     "streaming_heavy_hitters",
+    "streaming_lsh_candidates",
     "streaming_quota",
     "streaming_scheduled",
 ]

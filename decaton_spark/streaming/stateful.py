@@ -597,3 +597,66 @@ def streaming_heavy_hitters(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_lsh_candidates(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Streaming near-duplicate CANDIDATE pairs: an accumulating LSH
+    index over the document stream. Each arriving doc is banded with
+    the exact same minhash expressions as the batch pipeline
+    (``dedup.minhash_band_signatures``), and a per-(band, signature)
+    bucket held in the keyed state store emits (id_a, id_b) the moment
+    a new doc lands in a bucket that already has members — ingest-time
+    near-dup detection instead of a nightly batch sweep.
+
+    Union of emissions over any microbatch split equals the batch
+    ``minhash_candidate_pairs`` pair set (equivalence-tested); pairs
+    sharing multiple bands may emit once per shared band (at-least-
+    once, exactly like the batch path before its ``.distinct()``) —
+    the downstream Jaccard verify is idempotent so this costs only
+    duplicate verification work, never correctness.
+
+    State per bucket is the member id list: total state = one long per
+    (doc, band) — 4 longs/doc at the defaults, watermark/TTL-evictable
+    at cluster scale if the dedup horizon is bounded."""
+    from decaton_spark.functions.dedup import minhash_band_signatures
+
+    stacked = minhash_band_signatures(
+        docs, text_col=text_col, id_col=id_col, k=k, bands=bands
+    )
+    out_schema = "id_a long, id_b long, band int"
+    state_schema = "members array<long>"
+    id_name = stacked.columns[0]  # plain string: the closure must not
+    # capture the DataFrame itself (unpicklable on workers)
+
+    def update(key, pdfs, state: GroupState):
+        band = int(key[0])
+        members: list[int] = list(state.get[0]) if state.exists else []
+        out = {"id_a": [], "id_b": [], "band": []}
+        for pdf in pdfs:
+            for new_id in pdf[id_name]:
+                new_id = int(new_id)
+                if new_id in members:
+                    continue  # re-delivery: already indexed
+                for m in members:
+                    out["id_a"].append(min(m, new_id))
+                    out["id_b"].append(max(m, new_id))
+                    out["band"].append(band)
+                members.append(new_id)
+        state.update((members,))
+        if out["id_a"]:
+            yield pd.DataFrame(out)
+
+    return stacked.groupBy("band", "sig").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -297,3 +297,38 @@ def test_streaming_heavy_hitters_state_survives_restart(spark, sf_dir, tmp_path)
     assert 0 < n_before < len(alerts), (
         "fixture must exercise crossings in both incarnations"
     )
+
+
+def test_streaming_lsh_candidates_equal_batch_pairs(spark, sf_dir, tmp_path):
+    """The accumulating streaming LSH index must discover exactly the
+    batch pipeline's candidate pair set, regardless of how the corpus
+    is split into microbatches (here: 3 parquet files → 3 batches)."""
+    import time
+
+    from decaton_spark.functions.dedup import minhash_candidate_pairs
+    from decaton_spark.sources import load_table
+    from decaton_spark.streaming import streaming_lsh_candidates
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    d = tmp_path / "docs-stream"
+    d.mkdir()
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(d))
+        time.sleep(1.1)  # FileStreamSource orders by modification time
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    rows = _run(streaming_lsh_candidates(stream), tmp_path, "lsh-cand")
+    got = {(r["id_a"], r["id_b"]) for r in rows}
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_candidate_pairs(docs).collect()
+    }
+    assert got == want and want, (
+        f"streaming index diverged: missing={want - got} extra={got - want}"
+    )
