@@ -1,4 +1,4 @@
-from decaton_spark.sources.files import FORMATS, read_table, write_table
+from decaton_spark.sources.files import FORMATS, compact_small_files, read_table, write_table
 from decaton_spark.sources.parquet import TABLES, load_table, load_tables, register_views
 
 __all__ = [
@@ -6,6 +6,7 @@ __all__ = [
     "TABLES",
     "load_table",
     "load_tables",
+    "compact_small_files",
     "read_table",
     "register_views",
     "write_table",

@@ -175,3 +175,58 @@ def zorder_key(cols, bits: int = 16):
             bit = F.shiftright(c.cast("long"), b).bitwiseAND(F.lit(1))
             key = key.bitwiseOR(F.shiftleft(bit, b * n + i))
     return key
+
+
+def compact_small_files(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    *,
+    fmt: str = "parquet",
+    target_file_mb: int = 128,
+    sort_by: tuple[str, ...] = (),
+) -> dict:
+    """Table maintenance (the OPTIMIZE/rewrite step): coalesce a
+    directory of small files into ~``target_file_mb`` files at
+    ``out_path``. Small files are the silent scan killer at 100 TB —
+    every file costs a task, an open, and a footer read; streaming
+    sinks and fine-grained partitioning both produce them, and this
+    is the compaction pass a table format (Delta/Iceberg) schedules.
+
+    Sizing reads only filesystem metadata (no data scan); the rewrite
+    is one coalesce (narrow, no shuffle) — or, with ``sort_by``, the
+    write_table range-sorted layout (one shuffle that also buys
+    zone-map file skipping). Returns {files_before, files_after,
+    bytes, target_files}."""
+    import math
+    import os
+
+    data_files, total = [], 0
+    for root, _dirs, names in os.walk(path):
+        for n in names:
+            if n.startswith(("_", ".")):
+                continue
+            p = os.path.join(root, n)
+            data_files.append(p)
+            total += os.path.getsize(p)
+    n_target = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+    df = getattr(spark.read, fmt)(path)
+    if sort_by:
+        write_table(
+            df, out_path, fmt=fmt, sort_by=sort_by, sort_partitions=n_target
+        )
+    else:
+        write_table(df.coalesce(n_target), out_path, fmt=fmt)
+    after = sum(
+        1
+        for _r, _d, names in os.walk(out_path)
+        for n in names
+        if not n.startswith(("_", "."))
+        and not n.endswith((".crc", "_SUCCESS"))
+    )
+    return {
+        "files_before": len(data_files),
+        "files_after": after,
+        "bytes": total,
+        "target_files": n_target,
+    }

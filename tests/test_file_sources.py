@@ -218,3 +218,30 @@ def test_register_views_sql_surface(spark, sf_dir):
         """
     ).collect()
     assert len(out) == 3 and out[0]["n_suppliers"] >= out[-1]["n_suppliers"]
+
+
+def test_compact_small_files(spark, sf_dir, tmp_path):
+    """Maintenance rewrite: 16 tiny files coalesce to the metadata-
+    derived target count with identical content; the sort_by variant
+    additionally produces disjoint per-file key ranges."""
+    from decaton_spark.sources import compact_small_files, load_table
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    src = str(tmp_path / "small")
+    ev.repartition(16).write.parquet(src)
+
+    out = str(tmp_path / "compacted")
+    stats = compact_small_files(spark, src, out, target_file_mb=128)
+    assert stats["files_before"] >= 16
+    assert stats["files_after"] == stats["target_files"] == 1
+    a = spark.read.parquet(src)
+    b = spark.read.parquet(out)
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    out2 = str(tmp_path / "compacted-sorted")
+    compact_small_files(spark, src, out2, sort_by=("event_id",))
+    c = spark.read.parquet(out2)
+    assert c.count() == a.count()
