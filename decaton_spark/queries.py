@@ -4577,6 +4577,58 @@ def lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "null_semantics_bridge",
+    """
+    WITH t AS (
+        SELECT event_id, nullif(event_type, 'click') AS maybe_null, value
+        FROM events WHERE event_id < 500)
+    SELECT event_id, maybe_null,
+           (maybe_null IS NOT DISTINCT FROM 'purchase') AS nullsafe_eq,
+           (maybe_null IS DISTINCT FROM 'purchase') AS nullsafe_ne,
+           (maybe_null IS NULL) AS is_null,
+           count(*) OVER (PARTITION BY maybe_null) AS group_size,
+           row_number() OVER (ORDER BY maybe_null ASC NULLS FIRST,
+                              event_id) AS rn_nulls_first,
+           row_number() OVER (ORDER BY maybe_null DESC NULLS LAST,
+                              event_id) AS rn_nulls_last
+    FROM t
+    """,
+)
+def null_semantics_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-semantics parity — the classic cross-engine divergence
+    points made explicit: null-safe equality (Spark ``<=>`` ≡ SQL
+    ``IS NOT DISTINCT FROM``), NULL grouping in window partitions
+    (both engines group NULLs together), and EXPLICIT null ordering
+    (Spark defaults NULLS FIRST on ASC, DuckDB defaults NULLS LAST —
+    any engine-portable sort must spell it out, as these do)."""
+    ev = load_table(spark, "events", sf_dir).filter(F.col("event_id") < 500)
+    t = ev.select(
+        "event_id",
+        F.nullif(F.col("event_type"), F.lit("click")).alias("maybe_null"),
+        "value",
+    )
+    wg = Window.partitionBy("maybe_null")
+    w1 = Window.orderBy(
+        F.col("maybe_null").asc_nulls_first(), F.col("event_id").asc()
+    )
+    w2 = Window.orderBy(
+        F.col("maybe_null").desc_nulls_last(), F.col("event_id").asc()
+    )
+    return t.select(
+        "event_id",
+        "maybe_null",
+        F.col("maybe_null").eqNullSafe(F.lit("purchase")).alias("nullsafe_eq"),
+        (~F.col("maybe_null").eqNullSafe(F.lit("purchase"))).alias(
+            "nullsafe_ne"
+        ),
+        F.col("maybe_null").isNull().alias("is_null"),
+        F.count(F.lit(1)).over(wg).alias("group_size"),
+        F.row_number().over(w1).alias("rn_nulls_first"),
+        F.row_number().over(w2).alias("rn_nulls_last"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry tiers.
 #
@@ -4693,7 +4745,7 @@ _DRIVER_TIER = [
     # emb_label_centroid_drift, events_percent_rank,
     # array_functions_bridge, docs_normalize, lineitem_unpivot,
     # set_ops_all_variants, datetime_functions_bridge,
-    # lateral_top_orders,
+    # lateral_top_orders, null_semantics_bridge,
     # map_functions_bridge, window_functions_bridge,
     # docs_weighted_sample. All are
     # sf0.01-oracle-green via tools/drive_harness.py --all (round 3).
