@@ -151,21 +151,30 @@ def heavy_hitters(
     shuffles depth x width sketch rows; stage 3 shuffles only the
     heavy keys' rows. No stage materializes the full key dictionary
     with counts the way a naive groupBy-then-filter would keep it.
+
+    The key projection is materialized once (lazy localCheckpoint —
+    the persisted key-log at cluster scale): candidates, sketch, and
+    verify all read it, so the source scans once, not three times.
     """
-    n_parts = max(1, df.rdd.getNumPartitions())
+    # narrow projection before the RDD probe: converting the full plan
+    # to an RDD costs ~1 s of py4j/plan work; the key column alone is
+    # ~20x cheaper and has the same partitioning
+    keys = df.select(key_col)
+    n_parts = max(1, keys.rdd.getNumPartitions())
     local_t = max(1, -(-threshold // n_parts))  # ceil(T / P)
+    keys = keys.localCheckpoint(eager=False)
     local = (
-        df.groupBy(F.spark_partition_id().alias("pid"), F.col(key_col))
+        keys.groupBy(F.spark_partition_id().alias("pid"), F.col(key_col))
         .agg(F.count(F.lit(1)).alias("c"))
         .filter(F.col("c") >= local_t)
         .select(key_col)
         .distinct()
     )
-    sketch = cm_sketch_table(df, key_col, depth=depth, width=width)
+    sketch = cm_sketch_table(keys, key_col, depth=depth, width=width)
     est = cm_estimate(sketch, local, key_col, depth=depth, width=width)
     candidates = est.filter(F.col("estimate") >= threshold).select(key_col)
     return (
-        df.join(F.broadcast(candidates), key_col, "left_semi")
+        keys.join(F.broadcast(candidates), key_col, "left_semi")
         .groupBy(key_col)
         .agg(F.count(F.lit(1)).alias("cnt"))
         .filter(F.col("cnt") >= threshold)
