@@ -4629,6 +4629,78 @@ def null_semantics_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_tokenize_ids",
+    """
+    WITH counts AS (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+    vocab AS (
+        SELECT token,
+               row_number() OVER (ORDER BY count(*) DESC, token) AS token_id
+        FROM counts GROUP BY token
+        QUALIFY token_id <= 200),
+    toks AS (
+        SELECT doc_id, u.s.token AS token, u.s.pos AS pos
+        FROM (SELECT doc_id,
+                     unnest(list_transform(string_split(text, ' '),
+                            (x, i) -> {'token': x, 'pos': i})) AS s
+              FROM documents) u),
+    mapped AS (
+        SELECT t.doc_id, t.pos,
+               CAST(COALESCE(v.token_id, 0) AS BIGINT) AS tid
+        FROM toks t LEFT JOIN vocab v USING (token))
+    SELECT doc_id,
+           CAST(count(*) AS INT) AS n_tokens,
+           CAST(count(*) FILTER (WHERE tid = 0) AS INT) AS n_oov,
+           array_to_string(list(tid ORDER BY pos), ' ') AS input_ids
+    FROM mapped GROUP BY doc_id
+    """,
+)
+def text_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus tokenization to input_ids — the vocab-APPLY step between
+    build_vocab and pack_sequences: every document becomes its ordered
+    token-id array under the frequency-ranked top-200 vocabulary, with
+    out-of-vocabulary tokens mapped to id 0 and counted.
+
+    Order preservation without nondeterministic collect_list: ids
+    aggregate as (pos, id) structs through sort_array — identical to
+    the oracle's ``list(... ORDER BY pos)`` at any partitioning.
+
+    Scale shape: the vocab is a bounded TakeOrdered (|top_k| rows)
+    broadcast to the token join (OOV = left-join miss); the per-doc
+    reassembly is one partial-agg groupBy of (pos, id) structs. At
+    100 TB the vocab table is the persisted tokenizer artifact."""
+    docs = load_table(spark, "documents", sf_dir)
+    vocab = tx.build_vocab(docs, top_k=200).select("token", "token_id")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos0", "token"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "token")
+    mapped = toks.join(F.broadcast(vocab), "token", "left").select(
+        "doc_id",
+        "pos",
+        F.coalesce(F.col("token_id"), F.lit(0)).cast("bigint").alias("tid"),
+    )
+    return (
+        mapped.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_tokens"),
+            F.sum(F.when(F.col("tid") == 0, 1).otherwise(0))
+            .cast("int")
+            .alias("n_oov"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct(F.col("pos"), F.col("tid")))
+                    ),
+                    lambda s: s["tid"],
+                ),
+                " ",
+            ).alias("input_ids"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry tiers.
 #
@@ -4745,7 +4817,7 @@ _DRIVER_TIER = [
     # emb_label_centroid_drift, events_percent_rank,
     # array_functions_bridge, docs_normalize, lineitem_unpivot,
     # set_ops_all_variants, datetime_functions_bridge,
-    # lateral_top_orders, null_semantics_bridge,
+    # lateral_top_orders, null_semantics_bridge, text_tokenize_ids,
     # map_functions_bridge, window_functions_bridge,
     # docs_weighted_sample. All are
     # sf0.01-oracle-green via tools/drive_harness.py --all (round 3).
