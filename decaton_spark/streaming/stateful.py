@@ -157,6 +157,7 @@ def ordered_process(
     tasks: DataFrame,
     *,
     key_col: str = "key",
+    api: str = "auto",
 ) -> DataFrame:
     """Per-key ordered, serial, at-least-once processing — the Decaton
     delivery-guarantee core (SURVEY §5 layer 2).
@@ -173,6 +174,10 @@ def ordered_process(
     construction: a key lives in exactly one state-store partition and
     its update function runs single-threaded.
     """
+    if _use_tws(api):
+        from decaton_spark.streaming.tws import tws_ordered
+
+        return tws_ordered(tasks, key_col=key_col)
     out_schema = (
         f"{key_col} string, offset long, prev_offset long, regressed boolean"
     )
@@ -219,6 +224,7 @@ def streaming_quota(
     window_ms: int = 10_000,
     depth: int = 4,
     width: int = 64,
+    api: str = "auto",
 ) -> DataFrame:
     """Streaming T6: per-partition Count-Min sketch state with
     conservative update (the reference's KeyCounter.java:121-142), keys
@@ -237,6 +243,13 @@ def streaming_quota(
     of wiping the active one (arrival order within a microbatch is
     offset order, not timestamp order).
     """
+    if _use_tws(api):
+        from decaton_spark.streaming.tws import tws_quota
+
+        return tws_quota(
+            tasks, quota_per_window, window_ms=window_ms, depth=depth,
+            width=width,
+        )
     out_schema = "key string, offset long, estimate long, quota_verdict string"
     state_schema = "win long, counts array<long>, prev_counts array<long>"
 

@@ -365,3 +365,147 @@ def tws_heavy_hitters(
             timeMode="ProcessingTime",
         )
     )
+
+
+class OrderedProcessor(StatefulProcessor):
+    """Per-key ordered/serial processing (the delivery-guarantee core)
+    in TWS form: ValueState carries the per-key high-watermark offset;
+    each row reports its predecessor so PROCESS_ORDERING stays
+    checkable (``stateful.ordered_process`` semantics)."""
+
+    def __init__(self, key_col: str = "key"):
+        self.key_col = key_col
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self.hw = handle.getValueState("hw", "last_offset long")
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+        last = int(self.hw.get()[0]) if self.hw.exists() else -1
+        for pdf in rows:
+            pdf = pdf.sort_values(["partition", "offset"])
+            prevs, regressed = [], []
+            for off in pdf["offset"]:
+                prevs.append(last)
+                regressed.append(bool(off <= last))
+                last = int(off)
+            yield pd.DataFrame(
+                {
+                    self.key_col: key[0],
+                    "offset": pdf["offset"].astype("int64").values,
+                    "prev_offset": prevs,
+                    "regressed": regressed,
+                }
+            )
+        self.hw.update((last,))
+
+    def close(self) -> None:
+        pass
+
+
+class QuotaProcessor(StatefulProcessor):
+    """T6 per-key quota in TWS form: two ROTATING Count-Min sketches
+    per Kafka partition with conservative update and forward-only
+    rotation — exactly ``stateful.streaming_quota``'s semantics
+    (WindowedKeyStat.java:74-111) on typed ValueState."""
+
+    def __init__(
+        self,
+        quota_per_window: int,
+        window_ms: int = 10_000,
+        depth: int = 4,
+        width: int = 64,
+    ):
+        self.quota = quota_per_window
+        self.window_ms = window_ms
+        self.depth = depth
+        self.width = width
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self.state = handle.getValueState(
+            "wins", "win long, counts array<long>, prev_counts array<long>"
+        )
+
+    def handleInputRows(self, pkey, rows, timerValues) -> Iterator[pd.DataFrame]:
+        from decaton_spark.streaming.stateful import _cm_buckets
+
+        depth, width, window_ms = self.depth, self.width, self.window_ms
+        zeros = [0] * (depth * width)
+        if self.state.exists():
+            win, counts, prev = self.state.get()
+            win, counts, prev = int(win), list(counts), list(prev)
+        else:
+            win, counts, prev = -1, list(zeros), list(zeros)
+
+        def est(sk, bks):
+            return min(sk[d * width + b] for d, b in enumerate(bks))
+
+        def bump(sk, bks):
+            new = est(sk, bks) + 1
+            for d, b in enumerate(bks):
+                i = d * width + b
+                sk[i] = max(sk[i], new)
+            return new
+
+        for pdf in rows:
+            pdf = pdf.sort_values("offset")
+            out = {"key": [], "offset": [], "estimate": [], "quota_verdict": []}
+            for key, off, ts in zip(
+                pdf["key"], pdf["offset"], pdf["meta_timestamp_millis"]
+            ):
+                w = (int(ts) // window_ms) * window_ms
+                if w > win:  # forward rotation only
+                    prev = counts if (win >= 0 and w == win + window_ms) else list(zeros)
+                    counts, win = list(zeros), w
+                bks = _cm_buckets(key, depth, width)
+                if w == win:
+                    e = bump(counts, bks) + est(prev, bks)
+                else:  # late row for the previous window
+                    e = bump(prev, bks) + est(counts, bks)
+                out["key"].append(key)
+                out["offset"].append(int(off))
+                out["estimate"].append(e)
+                out["quota_verdict"].append(
+                    "shape" if e >= self.quota else "process"
+                )
+            yield pd.DataFrame(out)
+        self.state.update((win, counts, prev))
+
+    def close(self) -> None:
+        pass
+
+
+def tws_ordered(tasks: DataFrame, *, key_col: str = "key") -> DataFrame:
+    out_schema = (
+        f"{key_col} string, offset long, prev_offset long, regressed boolean"
+    )
+    return (
+        tasks.select(key_col, "partition", "offset")
+        .groupBy(key_col)
+        .transformWithStateInPandas(
+            OrderedProcessor(key_col),
+            outputStructType=out_schema,
+            outputMode="Append",
+            timeMode="ProcessingTime",
+        )
+    )
+
+
+def tws_quota(
+    tasks: DataFrame,
+    quota_per_window: int,
+    *,
+    window_ms: int = 10_000,
+    depth: int = 4,
+    width: int = 64,
+) -> DataFrame:
+    out_schema = "key string, offset long, estimate long, quota_verdict string"
+    return (
+        tasks.select("partition", "key", "offset", "meta_timestamp_millis")
+        .groupBy("partition")
+        .transformWithStateInPandas(
+            QuotaProcessor(quota_per_window, window_ms, depth, width),
+            outputStructType=out_schema,
+            outputMode="Append",
+            timeMode="ProcessingTime",
+        )
+    )

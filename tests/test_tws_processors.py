@@ -251,3 +251,61 @@ def test_heavy_hitters_processor_alert_once_across_batches():
     b3 = pd.DataFrame({"key": ["a", "b"], "offset": [10, 11]})
     out3 = _collect(p.handleInputRows(("p0",), iter([b3]), tv))
     assert len(out3) == 0
+
+
+def test_ordered_processor_watermark_across_batches():
+    import pandas as pd
+
+    from decaton_spark.streaming.tws import OrderedProcessor
+
+    p = OrderedProcessor()
+    h = FakeHandle()
+    p.init(h)
+    tv = FakeTimerValues(0)
+    b1 = pd.DataFrame({"partition": [0, 0], "offset": [3, 7]})
+    out1 = _collect(p.handleInputRows(("k",), iter([b1]), tv))
+    assert list(out1["prev_offset"]) == [-1, 3]
+    assert not out1["regressed"].any()
+    # next batch continues from the stored watermark; a replayed offset
+    # below it is flagged
+    b2 = pd.DataFrame({"partition": [0, 0], "offset": [5, 9]})
+    out2 = _collect(p.handleInputRows(("k",), iter([b2]), tv))
+    # prev chains through each processed row (legacy semantics): the
+    # replayed offset 5 sees prev=7 and flags, then becomes the prev
+    assert list(out2["prev_offset"]) == [7, 5]
+    assert list(out2["regressed"]) == [True, False]
+
+
+def test_quota_processor_two_window_rotation():
+    """TWS quota: estimates accumulate across the current+previous
+    window (boundary-straddling bursts caught), rotate forward-only,
+    and clear after a >=2-window gap — matching streaming_quota."""
+    import pandas as pd
+
+    from decaton_spark.streaming.tws import QuotaProcessor
+
+    p = QuotaProcessor(quota_per_window=5, window_ms=1000, width=4096)
+    h = FakeHandle()
+    p.init(h)
+    tv = FakeTimerValues(0)
+
+    # 3 hits in window 0, then 2 in window 1: straddling estimate 5 -> shape
+    b1 = pd.DataFrame(
+        {"key": ["a"] * 3, "offset": range(3),
+         "meta_timestamp_millis": [100, 200, 300]}
+    )
+    out1 = _collect(p.handleInputRows(("p0",), iter([b1]), tv))
+    assert list(out1["quota_verdict"]) == ["process"] * 3
+    b2 = pd.DataFrame(
+        {"key": ["a"] * 2, "offset": [3, 4],
+         "meta_timestamp_millis": [1100, 1200]}
+    )
+    out2 = _collect(p.handleInputRows(("p0",), iter([b2]), tv))
+    assert list(out2["estimate"]) == [4, 5]
+    assert list(out2["quota_verdict"]) == ["process", "shape"]
+    # a >=2-window gap clears both windows: fresh estimates
+    b3 = pd.DataFrame(
+        {"key": ["a"], "offset": [5], "meta_timestamp_millis": [5000]}
+    )
+    out3 = _collect(p.handleInputRows(("p0",), iter([b3]), tv))
+    assert list(out3["estimate"]) == [1]
