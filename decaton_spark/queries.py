@@ -4701,6 +4701,103 @@ def text_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_cluster_stats",
+    f"""
+    WITH groups AS ({_near_full_oracle()}),
+    sizes AS (
+        SELECT group_id, count(*) AS group_size
+        FROM groups GROUP BY group_id)
+    SELECT CAST(group_size AS INT) AS group_size,
+           count(*) AS n_groups,
+           CAST(group_size * count(*) AS BIGINT) AS docs_in_tier,
+           CAST((group_size - 1) * count(*) AS BIGINT) AS removable_docs
+    FROM sizes GROUP BY group_size
+    """,
+)
+def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup observability: the near-dup CLUSTER SIZE distribution —
+    how many duplicate groups of each size exist, how many documents
+    they hold, and how many a keep-one-per-group policy removes. The
+    report a curation run publishes before committing a dedup pass
+    (a sudden giant cluster = boilerplate or a crawler loop). Two
+    tiny aggregations over the dedup_near_full component output."""
+    docs = load_table(spark, "documents", sf_dir)
+    cand = dd.minhash_candidate_pairs(
+        docs, k=3, bands=4,
+        num_partitions=spark.sparkContext.defaultParallelism,
+    )
+    edges = dd.verify_pairs_jaccard(docs, cand, n=1, threshold=0.8)
+    groups = dd.connected_components(edges)
+    sizes = groups.groupBy("group_id").agg(
+        F.count(F.lit(1)).alias("group_size")
+    )
+    return (
+        sizes.groupBy("group_size")
+        .agg(F.count(F.lit(1)).alias("n_groups"))
+        .select(
+            F.col("group_size").cast("int").alias("group_size"),
+            "n_groups",
+            (F.col("group_size") * F.col("n_groups"))
+            .cast("bigint")
+            .alias("docs_in_tier"),
+            ((F.col("group_size") - 1) * F.col("n_groups"))
+            .cast("bigint")
+            .alias("removable_docs"),
+        )
+    )
+
+
+@register(
+    "corpus_token_histogram",
+    """
+    WITH n AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+        FROM documents),
+    b AS (
+        SELECT CAST(floor(n_tokens / 10) * 10 AS BIGINT) AS bucket,
+               count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS tokens
+        FROM n GROUP BY 1)
+    SELECT bucket, n_docs, tokens,
+           CAST(sum(n_docs) OVER (ORDER BY bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_docs,
+           CAST(sum(tokens) OVER (ORDER BY bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_tokens
+    FROM b
+    """,
+)
+def corpus_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus profiling: tokens-per-document histogram (width-10
+    buckets) with cumulative doc and token counts — the length
+    distribution every mixture/packing decision starts from. One
+    partial-agg groupBy of |buckets| rows; the cumulative window runs
+    over the aggregated histogram only (tiny), never the corpus."""
+    docs = load_table(spark, "documents", sf_dir)
+    n = docs.select(
+        (F.floor(F.size(F.split(F.col("text"), " ")) / 10) * 10)
+        .cast("bigint")
+        .alias("bucket"),
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+    )
+    b = n.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("tokens"),
+    )
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return b.select(
+        "bucket",
+        "n_docs",
+        "tokens",
+        F.sum("n_docs").over(w).cast("bigint").alias("cum_docs"),
+        F.sum("tokens").over(w).cast("bigint").alias("cum_tokens"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry tiers.
 #
@@ -4818,6 +4915,7 @@ _DRIVER_TIER = [
     # array_functions_bridge, docs_normalize, lineitem_unpivot,
     # set_ops_all_variants, datetime_functions_bridge,
     # lateral_top_orders, null_semantics_bridge, text_tokenize_ids,
+    # dedup_cluster_stats, corpus_token_histogram,
     # map_functions_bridge, window_functions_bridge,
     # docs_weighted_sample. All are
     # sf0.01-oracle-green via tools/drive_harness.py --all (round 3).
