@@ -4798,6 +4798,39 @@ def corpus_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_top_transitions",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS prev_type
+        FROM events)
+    SELECT prev_type, event_type AS next_type, count(*) AS n
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    """,
+)
+def events_top_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral path analysis: the event-type transition matrix
+    (Markov edge counts) over each user's time-ordered stream — the
+    input to funnel discovery and next-action models. One per-user
+    window (ordered by (ts, event_id) for total order) and one
+    partial-agg groupBy of |types|² rows."""
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    return (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry tiers.
 #
@@ -4916,6 +4949,7 @@ _DRIVER_TIER = [
     # set_ops_all_variants, datetime_functions_bridge,
     # lateral_top_orders, null_semantics_bridge, text_tokenize_ids,
     # dedup_cluster_stats, corpus_token_histogram,
+    # events_top_transitions,
     # map_functions_bridge, window_functions_bridge,
     # docs_weighted_sample. All are
     # sf0.01-oracle-green via tools/drive_harness.py --all (round 3).
