@@ -509,3 +509,64 @@ def tws_quota(
             timeMode="ProcessingTime",
         )
     )
+
+
+class LshIndexProcessor(StatefulProcessor):
+    """Streaming LSH bucket index in TWS form: ListState holds each
+    (band, signature) bucket's member ids; new members emit candidate
+    pairs against existing ones (``stateful.streaming_lsh_candidates``
+    semantics)."""
+
+    def __init__(self, id_col: str = "doc_id"):
+        self.id_col = id_col
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self.members = handle.getListState("members", "id long")
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+        band = int(key[0])
+        known = (
+            [int(r[0]) for r in self.members.get()]
+            if self.members.exists()
+            else []
+        )
+        seen = set(known)
+        out = {"id_a": [], "id_b": [], "band": []}
+        for pdf in rows:
+            for new_id in pdf[self.id_col]:
+                new_id = int(new_id)
+                if new_id in seen:
+                    continue  # re-delivery: already indexed
+                for m in known:
+                    out["id_a"].append(min(m, new_id))
+                    out["id_b"].append(max(m, new_id))
+                    out["band"].append(band)
+                known.append(new_id)
+                seen.add(new_id)
+                self.members.appendValue((new_id,))
+        if out["id_a"]:
+            yield pd.DataFrame(out)
+
+    def close(self) -> None:
+        pass
+
+
+def tws_lsh_candidates(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    from decaton_spark.functions.dedup import minhash_band_signatures
+
+    stacked = minhash_band_signatures(
+        docs, text_col=text_col, id_col=id_col, k=k, bands=bands
+    )
+    return stacked.groupBy("band", "sig").transformWithStateInPandas(
+        LshIndexProcessor(id_col),
+        outputStructType="id_a long, id_b long, band int",
+        outputMode="Append",
+        timeMode="ProcessingTime",
+    )

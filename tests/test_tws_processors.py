@@ -309,3 +309,31 @@ def test_quota_processor_two_window_rotation():
     )
     out3 = _collect(p.handleInputRows(("p0",), iter([b3]), tv))
     assert list(out3["estimate"]) == [1]
+
+
+def test_lsh_index_processor_emits_pairs_incrementally():
+    import pandas as pd
+
+    from decaton_spark.streaming.tws import LshIndexProcessor
+
+    p = LshIndexProcessor()
+    h = FakeHandle()
+    p.init(h)
+    tv = FakeTimerValues(0)
+    out1 = _collect(
+        p.handleInputRows(
+            (2, "sigX"), iter([pd.DataFrame({"doc_id": [10, 20]})]), tv
+        )
+    )
+    assert [tuple(r) for r in out1.itertuples(index=False)] == [(10, 20, 2)]
+    # second batch: pairs against ALL indexed members; re-delivery of
+    # 20 is ignored
+    out2 = _collect(
+        p.handleInputRows(
+            (2, "sigX"), iter([pd.DataFrame({"doc_id": [20, 5]})]), tv
+        )
+    )
+    assert sorted(tuple(r) for r in out2.itertuples(index=False)) == [
+        (5, 10, 2),
+        (5, 20, 2),
+    ]
