@@ -619,6 +619,7 @@ def streaming_lsh_candidates(
     id_col: str = "doc_id",
     k: int = 3,
     bands: int = 4,
+    api: str = "auto",
 ) -> DataFrame:
     """Streaming near-duplicate CANDIDATE pairs: an accumulating LSH
     index over the document stream. Each arriving doc is banded with
@@ -638,6 +639,12 @@ def streaming_lsh_candidates(
     State per bucket is the member id list: total state = one long per
     (doc, band) — 4 longs/doc at the defaults, watermark/TTL-evictable
     at cluster scale if the dedup horizon is bounded."""
+    if _use_tws(api):
+        from decaton_spark.streaming.tws import tws_lsh_candidates
+
+        return tws_lsh_candidates(
+            docs, text_col=text_col, id_col=id_col, k=k, bands=bands
+        )
     from decaton_spark.functions.dedup import minhash_band_signatures
 
     stacked = minhash_band_signatures(
