@@ -319,33 +319,52 @@ def connected_components(
         msgs = sym.join(labels, sym.src == labels.id).select(
             F.col("dst").alias("id"), F.col("label")
         )
+        # carry the previous label through the min-aggregate so the
+        # convergence check is a filter over this round's materialized
+        # frame instead of an extra join against the old labels
         prop = (
-            msgs.union(labels.select("id", "label"))
+            msgs.withColumn("old_label", F.lit(None).cast("long"))
+            .union(
+                labels.select(
+                    "id", "label", F.col("label").alias("old_label")
+                )
+            )
             .groupBy("id")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
-        )
-        # shortcut: label(label). Every label value is itself a node id
-        # of the same component, so the left join only misses when the
-        # label is already a component root pointing at itself.
-        parents = prop.select(
-            F.col("id").alias("pid"), F.col("label").alias("plabel")
-        )
-        new_labels = (
-            prop.join(parents, prop.label == parents.pid, "left")
-            .select(
-                "id",
-                F.coalesce(F.col("plabel"), F.col("label")).alias("label"),
+            .agg(
+                F.min("label").alias("label"),
+                F.min("old_label").alias("old_label"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
+        # shortcut: label(label), applied twice. Every label value is
+        # itself a node id of the same component, so the left join only
+        # misses when the label is already a component root pointing at
+        # itself. Each application composes the pointer map with itself
+        # over the (small) label table — two cheap self-joins per round
+        # buy quadratic radius growth and fewer materialized rounds.
+        parents = prop.select(
+            F.col("id").alias("pid"), F.col("label").alias("plabel")
         )
-        labels = new_labels
+        shortcut = prop
+        for _hop in range(2):
+            shortcut = shortcut.join(
+                parents, shortcut.label == parents.pid, "left"
+            ).select(
+                "id",
+                F.coalesce(F.col("plabel"), F.col("label")).alias("label"),
+                "old_label",
+            )
+        new_labels = shortcut.localCheckpoint(eager=True)
+        # round 1 always changes (every non-singleton edge moves a
+        # label) — skip its convergence count
+        changed = (
+            1
+            if rounds == 1
+            else new_labels.filter(
+                F.col("label") != F.col("old_label")
+            ).count()
+        )
+        labels = new_labels.select("id", "label")
         if changed == 0:
             break
     if stats is not None:
