@@ -14,10 +14,18 @@ cluster can disagree with the bench (local[32]) about its answer.
 from __future__ import annotations
 
 import math
+import os
 
 import pytest
 
-from decaton_spark.queries import QUERIES  # driver tier only
+from decaton_spark.queries import EXTRA_QUERIES, QUERIES
+
+# default: the 50-query driver tier (what the driver verifies this
+# round). DECATON_FULL_INVARIANCE=1 sweeps the whole registry — run it
+# before a tier rotation so queries promoted next round are already
+# proven parallelism-independent.
+if os.environ.get("DECATON_FULL_INVARIANCE") == "1":
+    QUERIES = {**QUERIES, **EXTRA_QUERIES}
 
 
 def _norm(rows):
