@@ -4850,9 +4850,15 @@ def events_top_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   are subsumed by text_suite, rollup/cube ⊂ grouping_sets).
 # ---------------------------------------------------------------------------
 
-# ROTATION POLICY (round 3+): the tier is rebuilt each round so that
-# after the round runs, EVERY registered query has a driver row at most
-# 2 rounds old. Slots are assigned in priority order:
+# ROTATION POLICY (round 3+): the tier is rebuilt each round; slots
+# are assigned in priority order below. With 123 registered queries
+# and a 50-slot/round driver budget, the achievable freshness bound is
+# a THREE-round cycle (any query's newest driver row is at most 3
+# rounds old); zero-evidence queries always outrank re-verification.
+# Round-4 arithmetic: 26 zero-evidence (priority 1, listed below)
+# + 24 of the 47 queries whose newest row is r2 (prefer TPC-H shapes
+# and Decaton T-operators first); the ~23 remainder take round-5
+# slots. Priorities:
 #   1. queries with no driver row in any round (round 3: cube_order_stats);
 #   2. queries whose newest row is >=2 rounds old (round 3: everything
 #      that sat in EXTRA during round 2 — its rows are r1);
