@@ -332,3 +332,63 @@ def test_streaming_lsh_candidates_equal_batch_pairs(spark, sf_dir, tmp_path):
     assert got == want and want, (
         f"streaming index diverged: missing={want - got} extra={got - want}"
     )
+
+
+def test_streaming_lsh_index_survives_restart(spark, sf_dir, tmp_path):
+    """Restart chaos for the streaming LSH index: bucket membership
+    must persist across a checkpoint restart — pairs spanning the
+    restart boundary are still found, nothing is re-emitted for
+    already-indexed docs, and the union equals the batch pair set."""
+    import time
+
+    from decaton_spark.functions.dedup import minhash_candidate_pairs
+    from decaton_spark.sources import load_table
+    from decaton_spark.streaming import streaming_lsh_candidates
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    d = tmp_path / "lsh-restart"
+    d.mkdir()
+    ckpt = str(tmp_path / "lsh-ckpt")
+    pairs: list = []
+
+    def run_once(qname):
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(d))
+        )
+        qq = (
+            streaming_lsh_candidates(stream)
+            .writeStream.queryName(qname)
+            .foreachBatch(lambda df, bid: pairs.extend(df.collect()))
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        qq.awaitTermination(300)
+        qq.stop()
+
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(d))
+    run_once("lsh_r1")
+    n_before = len(pairs)
+    time.sleep(1.1)
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(d))
+    run_once("lsh_r2")
+
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    want = {
+        (r["id_a"], r["id_b"]) for r in minhash_candidate_pairs(docs).collect()
+    }
+    assert got == want and want
+    # cross-boundary pairs exist: the second incarnation must emit
+    # pairs against members indexed before the restart
+    cross = {
+        (a, b) for a, b in got if (a % 2 == 0) != (b % 2 == 0)
+    }
+    assert cross, "no pair spans the restart boundary — fixture too weak"
+    assert 0 < n_before < len(pairs)
