@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from decaton_spark.functions.hashing import md5_bucket
+from decaton_spark.functions.hashing import md5_bucket, md5_long
 
 
 def cm_sketch_table(
@@ -178,4 +178,69 @@ def heavy_hitters(
         .groupBy(key_col)
         .agg(F.count(F.lit(1)).alias("cnt"))
         .filter(F.col("cnt") >= threshold)
+    )
+
+
+def hll_distinct(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str] | None = None,
+    *,
+    b: int = 10,
+    round_digits: int = 4,
+) -> DataFrame:
+    """HyperLogLog distinct-count estimate built from cross-engine
+    expressions — unlike ``approx_count_distinct`` (whose JVM HLL++
+    registers can never match another engine's), this one is
+    bit-identical in DuckDB because every step is md5 + integer/double
+    arithmetic both engines share:
+
+    - register index = 16 md5 bits mod ``m = 2^b``;
+    - rho = 1 + leading zeros of the next 32 md5 bits (via
+      ``instr(lpad(bin(v), 32, '0'), '1')``, 33 when v = 0);
+    - E = alpha_m * m^2 / (sum over registers of 2^-max_rho + empty
+      registers), with the standard linear-counting small-range
+      correction E <= 2.5m -> m * ln(m / V).
+
+    Memory/shuffle is m rows per group regardless of cardinality —
+    the whole point at 100 TB key cardinalities. The register sum
+    Σ 2^-max_rho is EXACT under any aggregation order: every term is a
+    power of two in [2^-33, 2^-1] and the total stays < m, so all
+    partial sums fit a double's 52-bit mantissa — no float-order
+    nondeterminism. Standard error is
+    ~1.04/sqrt(m) (~3.3% at b=10); the oracle replays the estimate
+    EXACTLY, so the accuracy contract is hash-checked, not asserted
+    with tolerances.
+
+    Returns group_cols + (hll_estimate, n_registers).
+    """
+    group_cols = list(group_cols or [])
+    m = 1 << b
+    alpha = 0.7213 / (1 + 1.079 / m)
+    bucket = F.expr(md5_long(key_col, 4)) % m
+    w = F.expr(md5_long(key_col, 8, salt="hllw|"))  # 32-bit word
+    rho = F.when(w == 0, F.lit(33)).otherwise(
+        F.instr(F.lpad(F.bin(w), 32, "0"), "1")
+    )
+    regs = (
+        df.select(*group_cols, bucket.alias("reg"), rho.alias("rho"))
+        .groupBy(*group_cols, "reg")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+    per_group = regs.groupBy(*group_cols).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))).alias("present_sum"),
+        F.count(F.lit(1)).alias("n_regs"),
+    )
+    raw_e = (alpha * m * m) / (
+        F.col("present_sum") + (F.lit(m) - F.col("n_regs"))
+    )
+    v_empty = F.lit(m) - F.col("n_regs")
+    est = F.when(
+        (raw_e <= 2.5 * m) & (v_empty > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v_empty),
+    ).otherwise(raw_e)
+    return per_group.select(
+        *group_cols,
+        F.round(est, round_digits).alias("hll_estimate"),
+        F.col("n_regs").cast("bigint").alias("n_registers"),
     )

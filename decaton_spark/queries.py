@@ -4831,6 +4831,66 @@ def events_top_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hll_oracle() -> str:
+    m = 1 << 10
+    alpha = 0.7213 / (1 + 1.079 / m)
+    h16 = md5_long("CAST(user_id AS VARCHAR)", 4)
+    h32 = md5_long("CAST(user_id AS VARCHAR)", 8, salt="hllw|")
+    return f"""
+    WITH regs AS (
+        SELECT event_type,
+               {h16} % {m} AS reg,
+               max(CASE WHEN {h32} = 0 THEN 33
+                        ELSE instr(lpad(bin({h32}), 32, '0'), '1')
+                   END) AS max_rho
+        FROM events GROUP BY event_type, reg),
+    per_group AS (
+        SELECT event_type,
+               sum(pow(2.0, -max_rho)) AS present_sum,
+               count(*) AS n_regs
+        FROM regs GROUP BY event_type),
+    est AS (
+        SELECT event_type, n_regs,
+               (CAST({alpha} AS DOUBLE) * {m} * {m})
+                   / (present_sum + ({m} - n_regs)) AS raw_e
+        FROM per_group),
+    corrected AS (
+        SELECT event_type, n_regs,
+               CASE WHEN raw_e <= 2.5 * {m} AND ({m} - n_regs) > 0
+                    THEN CAST({m} AS DOUBLE)
+                         * ln(CAST({m} AS DOUBLE) / ({m} - n_regs))
+                    ELSE raw_e END AS e
+        FROM est),
+    exact AS (
+        SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+        FROM events GROUP BY event_type)
+    SELECT c.event_type, round(c.e, 4) AS hll_estimate,
+           CAST(c.n_regs AS BIGINT) AS n_registers,
+           x.exact_distinct
+    FROM corrected c JOIN exact x USING (event_type)
+    """
+
+
+@register("events_hll_distinct", _hll_oracle())
+def events_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-engine HyperLogLog: per-event-type distinct-user estimate
+    whose registers, correction branch, and final double are replayed
+    BIT-EXACTLY by the DuckDB oracle (md5-derived registers + exact
+    power-of-two register sums — see sketches.hll_distinct). The exact
+    distinct count rides along, so the ~1.04/sqrt(1024) accuracy
+    contract is itself part of the hash-checked output. 1024 register
+    rows per group regardless of key cardinality — the bounded-memory
+    distinct count a 100 TB key space needs."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_type", F.col("user_id").cast("string").alias("user_id")
+    )
+    est = sk.hll_distinct(ev, "user_id", ["event_type"])
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return est.join(exact, "event_type")
+
+
 # ---------------------------------------------------------------------------
 # Registry tiers.
 #
@@ -4955,7 +5015,7 @@ _DRIVER_TIER = [
     # set_ops_all_variants, datetime_functions_bridge,
     # lateral_top_orders, null_semantics_bridge, text_tokenize_ids,
     # dedup_cluster_stats, corpus_token_histogram,
-    # events_top_transitions,
+    # events_top_transitions, events_hll_distinct,
     # map_functions_bridge, window_functions_bridge,
     # docs_weighted_sample. All are
     # sf0.01-oracle-green via tools/drive_harness.py --all (round 3).
