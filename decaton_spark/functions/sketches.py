@@ -215,18 +215,61 @@ def hll_distinct(
     Returns group_cols + (hll_estimate, n_registers).
     """
     group_cols = list(group_cols or [])
+    regs = hll_register_table(df, key_col, group_cols, b=b)
+    return hll_estimate_from_registers(
+        regs, group_cols, b=b, round_digits=round_digits
+    )
+
+
+def hll_register_table(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str] | None = None,
+    *,
+    b: int = 10,
+) -> DataFrame:
+    """The HLL sketch AS a table: (group..., reg, max_rho) rows — the
+    persisted/mergeable form (store per shard or per day, merge with
+    ``hll_merge``, estimate with ``hll_estimate_from_registers``).
+    m = 2^b rows per group, whatever the key cardinality."""
+    group_cols = list(group_cols or [])
     m = 1 << b
-    alpha = 0.7213 / (1 + 1.079 / m)
     bucket = F.expr(md5_long(key_col, 4)) % m
-    w = F.expr(md5_long(key_col, 8, salt="hllw|"))  # 32-bit word
+    w = F.expr(md5_long(key_col, 8, salt="hllw|"))
     rho = F.when(w == 0, F.lit(33)).otherwise(
         F.instr(F.lpad(F.bin(w), 32, "0"), "1")
     )
-    regs = (
+    return (
         df.select(*group_cols, bucket.alias("reg"), rho.alias("rho"))
         .groupBy(*group_cols, "reg")
         .agg(F.max("rho").alias("max_rho"))
     )
+
+
+def hll_merge(*sketches: DataFrame) -> DataFrame:
+    """Union HLL register tables: max per register — the lossless merge
+    that makes HLL the right distinct-counter for sharded/incremental
+    corpora (estimate(merge(A, B)) == estimate(A ∪ B), exactly)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    keys = [c for c in out.columns if c not in ("max_rho",)]
+    return out.groupBy(*keys).agg(F.max("max_rho").alias("max_rho"))
+
+
+def hll_estimate_from_registers(
+    regs: DataFrame,
+    group_cols: list[str] | None = None,
+    *,
+    b: int = 10,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Estimate from a (merged) register table — same bias + linear-
+    counting correction as ``hll_distinct`` (which is exactly
+    ``hll_register_table`` piped through this)."""
+    group_cols = list(group_cols or [])
+    m = 1 << b
+    alpha = 0.7213 / (1 + 1.079 / m)
     per_group = regs.groupBy(*group_cols).agg(
         F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))).alias("present_sum"),
         F.count(F.lit(1)).alias("n_regs"),

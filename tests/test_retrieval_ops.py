@@ -148,3 +148,35 @@ def test_centroid_drift_partition_invariant(spark, sf_dir):
     a = {tuple(r) for r in centroid_drift(emb.repartition(1)).collect()}
     b = {tuple(r) for r in centroid_drift(emb.repartition(17)).collect()}
     assert a == b and len(a) == 10
+
+
+def test_hll_merge_equals_union(spark, sf_dir):
+    """HLL mergeability: estimating the merged register tables of two
+    disjoint shards equals estimating their union directly — the
+    property that lets 100 TB shards sketch independently."""
+    from decaton_spark.functions.sketches import (
+        hll_distinct,
+        hll_estimate_from_registers,
+        hll_merge,
+        hll_register_table,
+    )
+    from decaton_spark.sources import load_table
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_type", F.col("user_id").cast("string").alias("user_id")
+    )
+    a = ev.filter(F.col("user_id").cast("long") % 2 == 0)
+    b = ev.filter(F.col("user_id").cast("long") % 2 == 1)
+    merged = hll_merge(
+        hll_register_table(a, "user_id", ["event_type"]),
+        hll_register_table(b, "user_id", ["event_type"]),
+    )
+    got = {
+        (r["event_type"], r["hll_estimate"], r["n_registers"])
+        for r in hll_estimate_from_registers(merged, ["event_type"]).collect()
+    }
+    want = {
+        (r["event_type"], r["hll_estimate"], r["n_registers"])
+        for r in hll_distinct(ev, "user_id", ["event_type"]).collect()
+    }
+    assert got == want and want
