@@ -30,11 +30,19 @@ def cm_sketch_table(
     *,
     depth: int = 4,
     width: int = 64,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Materialize a Count-Min sketch as (depth, bucket, cnt) rows.
 
     One wide groupBy (map-side combinable); the sketch size is
     depth×width regardless of key cardinality — the point of CM.
+
+    ``weight_col``: build the sketch from pre-aggregated
+    (key, weight) rows — sum(weight) lands in each bucket instead of
+    a row count. A sketch over partial counts is bit-identical to one
+    over the raw rows (CM buckets just add), so callers that already
+    hold a per-key partial aggregate (``heavy_hitters``) can sketch it
+    without re-scanning the raw log.
     """
     rows = [
         F.struct(
@@ -43,11 +51,15 @@ def cm_sketch_table(
         )
         for d in range(depth)
     ]
+    weight = F.col("w") if weight_col is not None else F.lit(1)
+    cols = [F.explode(F.array(*rows)).alias("db")] + (
+        [F.col(weight_col).alias("w")] if weight_col is not None else []
+    )
     return (
-        df.select(F.explode(F.array(*rows)).alias("db"))
-        .select("db.depth", "db.bucket")
+        df.select(*cols)
+        .select("db.depth", "db.bucket", weight.alias("w"))
         .groupBy("depth", "bucket")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sum("w").alias("cnt"))
     )
 
 
@@ -142,41 +154,49 @@ def heavy_hitters(
        ``cm_sketch_table`` (depth x width rows, bounded regardless of
        key cardinality). CM never underestimates, so dropping
        estimate < T is safe.
-    3. **Exact verify** — count only rows whose key survives (left
-       semi join against the broadcast candidate set), keep
-       count >= T. Removes every false positive.
+    3. **Exact verify** — sum the per-partition partial counts of the
+       keys that survive (left semi join against the broadcast
+       candidate set), keep count >= T. Removes every false positive.
 
-    At 100 TB: stage 1's shuffle is bounded by per-partition distinct
-    keys after a >=ceil(T/P) filter (tiny for meaningful T); stage 2
-    shuffles depth x width sketch rows; stage 3 shuffles only the
-    heavy keys' rows. No stage materializes the full key dictionary
-    with counts the way a naive groupBy-then-filter would keep it.
+    At 100 TB: the raw log is scanned exactly ONCE — into a
+    per-(input-partition, key) partial count (map-side combinable, one
+    shuffled row per locally-distinct key, same shuffle volume as any
+    exact count). Everything downstream (candidates, the CM sketch
+    built with ``weight_col`` from the partials, and the exact verify
+    sum) reads that partial aggregate, which is persisted once (lazy
+    localCheckpoint — the persisted key-log at cluster scale) and is
+    orders of magnitude smaller than the log. No stage re-reads the
+    source or materializes the full key dictionary past the one
+    bounded shuffle.
 
-    The key projection is materialized once (lazy localCheckpoint —
-    the persisted key-log at cluster scale): candidates, sketch, and
-    verify all read it, so the source scans once, not three times.
+    P for the pigeonhole bound is the count of NON-EMPTY partitions,
+    read from the partials themselves (empty partitions can't hold a
+    hitter's rows, so ceil(T/P_nonempty) is a valid — and tighter —
+    local threshold). It enters the plan as a broadcast scalar, not a
+    driver round-trip, so the whole operator is one submitted job.
     """
-    # narrow projection before the RDD probe: converting the full plan
-    # to an RDD costs ~1 s of py4j/plan work; the key column alone is
-    # ~20x cheaper and has the same partitioning
     keys = df.select(key_col)
-    n_parts = max(1, keys.rdd.getNumPartitions())
-    local_t = max(1, -(-threshold // n_parts))  # ceil(T / P)
-    keys = keys.localCheckpoint(eager=False)
-    local = (
+    pkc = (
         keys.groupBy(F.spark_partition_id().alias("pid"), F.col(key_col))
         .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") >= local_t)
+        .localCheckpoint(eager=False)
+    )
+    n_parts = pkc.agg(
+        F.greatest(F.lit(1), F.countDistinct("pid")).alias("np")
+    )
+    local = (
+        pkc.join(F.broadcast(n_parts))
+        .filter(F.col("c") >= F.greatest(F.lit(1), F.ceil(F.lit(threshold) / F.col("np"))))
         .select(key_col)
         .distinct()
     )
-    sketch = cm_sketch_table(keys, key_col, depth=depth, width=width)
+    sketch = cm_sketch_table(pkc, key_col, depth=depth, width=width, weight_col="c")
     est = cm_estimate(sketch, local, key_col, depth=depth, width=width)
     candidates = est.filter(F.col("estimate") >= threshold).select(key_col)
     return (
-        keys.join(F.broadcast(candidates), key_col, "left_semi")
+        pkc.join(F.broadcast(candidates), key_col, "left_semi")
         .groupBy(key_col)
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sum("c").alias("cnt"))
         .filter(F.col("cnt") >= threshold)
     )
 
