@@ -7,6 +7,7 @@ from decaton_spark.operators.quota import apply_key_quota, split_shaping
 from decaton_spark.operators.rate_limit import rate_limit
 from decaton_spark.operators.retry import retry_tasks, split_retry
 from decaton_spark.operators.scheduling import split_due
+from decaton_spark.operators.merge import corpus_merge
 from decaton_spark.operators.skew import salted_agg
 
 __all__ = [
@@ -16,6 +17,7 @@ __all__ = [
     "batch_tasks",
     "compact_tasks",
     "compact_tasks_hash",
+    "corpus_merge",
     "discard_invalid",
     "ignore_keys",
     "project_task_view",

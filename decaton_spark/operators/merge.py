@@ -1,0 +1,120 @@
+"""Incremental corpus merge — upsert a document batch into an existing
+corpus with content-level dedup against the live index.
+
+The day-2 problem of a training-data pipeline: the corpus already
+exists (100 TB of curated documents) and a new crawl/batch arrives.
+Three things must happen in one pass:
+
+- **update**: a batch row whose key already exists replaces the stored
+  row (document re-crawled, metadata corrected) — regardless of
+  whether the content changed;
+- **insert**: a batch row with a new key joins the corpus only if its
+  content is not already there (the crawl re-discovered a known page
+  under a new URL/id) — checked against the *post-update* corpus, so
+  an insert may legally carry the text an update just retired;
+- **within-batch dedup**: two new rows with identical content collapse
+  to one (lowest key wins, deterministically).
+
+Merge semantics mirror ANSI/Delta ``MERGE INTO`` (WHEN MATCHED THEN
+UPDATE / WHEN NOT MATCHED THEN INSERT) plus the content-hash insert
+guard no SQL MERGE expresses.
+
+100 TB shape — the corpus NEVER shuffles. Every join puts the
+batch-derived (small) side in a broadcast:
+
+- ``kept``      = existing  ⟕anti  broadcast(batch keys)          — the one full
+  corpus scan the output requires anyway;
+- ``matched``   = existing.keys  ⟕semi  broadcast(batch keys)     — key-column-only
+  scan (column pruning keeps it narrow);
+- content guard = corpus md5s  ⟕semi  broadcast(insert md5s)      — map-only scan
+  producing at most |batch| rows, then inverted into a broadcast
+  anti-join against the inserts.
+
+So the corpus is read (not shuffled) 2–3 times; the batch-sized sides
+(keys, candidate hashes, the window that dedups inserts) are all
+bounded by |batch|, not |corpus|. On a real deployment you would
+persist the corpus fingerprint column as its own index table (see
+``streaming/stateful.py:streaming_lsh_candidates`` for the streaming
+form) and probe that
+instead of re-hashing text — the join topology here is unchanged by
+that swap.
+
+NULL text never content-matches anything (SQL NULL semantics): null
+documents are upserted by key like any row but are exempt from both
+within-batch collapse and the corpus content guard — each keeps its
+own key (the dedup key falls back to ``'null:' || key``).
+
+Reference parity: the reference engine (line/decaton) is a task
+processor with no corpus/merge surface — this is part of the
+beyond-reference LLM-pipeline layer (SURVEY.md §7.1), kin to its
+last-wins compaction (``processor/.../CompactionProcessor.java``)
+generalized from per-key last-wins to keyed upsert + content identity.
+
+Precondition: ``incoming`` must be key-unique (one row per key in the
+batch — the usual contract of a MERGE source; ``compact_tasks`` is the
+engine's operator for establishing it when the batch is a raw log).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def corpus_merge(
+    existing: DataFrame,
+    incoming: DataFrame,
+    key: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Merge ``incoming`` (key-unique batch) into ``existing``.
+
+    Returns the merged corpus with the same columns plus ``origin`` ∈
+    {'kept', 'update', 'insert'} — the per-row merge lineage (drop it
+    before writing if not wanted; keeping it costs nothing and lets
+    callers audit exactly what a batch did).
+    """
+    inc_keys = incoming.select(key)
+    # keys of `incoming` that already exist: scan ONLY the corpus key
+    # column; result is bounded by |incoming|, so it re-broadcasts below
+    matched = existing.select(key).join(F.broadcast(inc_keys), key, "left_semi")
+    kept = existing.join(F.broadcast(inc_keys), key, "left_anti")
+    updates = incoming.join(F.broadcast(matched), key, "left_semi")
+    ins_raw = incoming.join(F.broadcast(matched), key, "left_anti")
+
+    # within-batch content collapse: lowest key per content hash wins;
+    # NULL text gets a per-key sentinel so nulls never collapse together
+    dk = F.coalesce(
+        F.md5(F.col(text_col)),
+        F.concat(F.lit("null:"), F.col(key).cast("string")),
+    )
+    w = Window.partitionBy("dk").orderBy(key)
+    ins_dedup = (
+        ins_raw.withColumn("dk", dk)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+    # content guard: which candidate hashes already live in the
+    # post-update corpus? Probe the corpus WITH the candidates
+    # broadcast (never the reverse — the corpus side only streams),
+    # then anti-join the (≤|batch|-row) hit list back into the inserts.
+    cand_hashes = ins_dedup.select(F.col("dk").alias("m"))
+    corpus_hits = (
+        kept.select(F.md5(F.col(text_col)).alias("m"))
+        .unionByName(updates.select(F.md5(F.col(text_col)).alias("m")))
+        .where(F.col("m").isNotNull())
+        .join(F.broadcast(cand_hashes), "m", "left_semi")
+        .distinct()
+    )
+    inserts = ins_dedup.join(
+        F.broadcast(corpus_hits), ins_dedup["dk"] == corpus_hits["m"], "left_anti"
+    ).drop("dk")
+
+    tag = lambda df, o: df.withColumn("origin", F.lit(o))  # noqa: E731
+    return (
+        tag(kept, "kept")
+        .unionByName(tag(updates, "update"))
+        .unionByName(tag(inserts, "insert"))
+    )

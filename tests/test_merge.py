@@ -1,0 +1,88 @@
+"""Unit tests for operators/merge.corpus_merge — the MERGE-semantics
+edge cases the fixture query can't reach (nulls, retired content,
+empty sides)."""
+
+from __future__ import annotations
+
+from decaton_spark.operators.merge import corpus_merge
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, schema="doc_id long, text string")
+
+
+def _result(df):
+    return {(r["doc_id"], r["origin"], r["text"]) for r in df.collect()}
+
+
+def test_update_insert_kept_and_content_guard(spark):
+    existing = _mk(spark, [(1, "alpha"), (2, "beta"), (3, "gamma")])
+    incoming = _mk(
+        spark,
+        [
+            (2, "beta v2"),   # update (changed content)
+            (10, "delta"),    # insert, fresh content
+            (11, "alpha"),    # insert blocked: content lives at doc 1
+        ],
+    )
+    out = _result(corpus_merge(existing, incoming))
+    assert out == {
+        (1, "kept", "alpha"),
+        (3, "kept", "gamma"),
+        (2, "update", "beta v2"),
+        (10, "insert", "delta"),
+    }
+
+
+def test_insert_may_take_content_an_update_retired(spark):
+    """The content guard checks the POST-update corpus: when an update
+    replaces doc 1's text, a new doc may legally bring the old text."""
+    existing = _mk(spark, [(1, "old news")])
+    incoming = _mk(spark, [(1, "fresh take"), (5, "old news")])
+    out = _result(corpus_merge(existing, incoming))
+    assert out == {(1, "update", "fresh take"), (5, "insert", "old news")}
+
+
+def test_update_to_identical_content_still_applies(spark):
+    existing = _mk(spark, [(1, "same")])
+    incoming = _mk(spark, [(1, "same")])
+    assert _result(corpus_merge(existing, incoming)) == {(1, "update", "same")}
+
+
+def test_within_batch_collapse_lowest_key_wins(spark):
+    existing = _mk(spark, [(1, "a")])
+    incoming = _mk(spark, [(30, "dup"), (20, "dup"), (40, "dup")])
+    out = _result(corpus_merge(existing, incoming))
+    assert out == {(1, "kept", "a"), (20, "insert", "dup")}
+
+
+def test_null_text_rows_never_content_dedup(spark):
+    """NULL documents: upserted by key, but exempt from both the
+    within-batch collapse and the corpus content guard."""
+    existing = _mk(spark, [(1, None), (2, "real")])
+    incoming = _mk(spark, [(10, None), (11, None), (1, None)])
+    out = _result(corpus_merge(existing, incoming))
+    assert out == {
+        (2, "kept", "real"),
+        (1, "update", None),
+        (10, "insert", None),
+        (11, "insert", None),
+    }
+
+
+def test_empty_incoming_keeps_everything(spark):
+    existing = _mk(spark, [(1, "a"), (2, "b")])
+    incoming = _mk(spark, [])
+    assert _result(corpus_merge(existing, incoming)) == {
+        (1, "kept", "a"),
+        (2, "kept", "b"),
+    }
+
+
+def test_empty_existing_inserts_deduped_batch(spark):
+    existing = _mk(spark, [])
+    incoming = _mk(spark, [(7, "x"), (8, "x"), (9, "y")])
+    assert _result(corpus_merge(existing, incoming)) == {
+        (7, "insert", "x"),
+        (9, "insert", "y"),
+    }

@@ -443,3 +443,19 @@ def test_function_bridges_shuffle_free(spark, sf_dir):
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, (
             f"{q} must stay JVM-side"
         )
+
+
+def test_corpus_merge_never_shuffles_the_corpus(spark, sf_dir):
+    """Incremental corpus merge: every join must broadcast the
+    batch-derived side — at 100 TB the existing corpus only streams.
+    No sort-merge join (that would shuffle the corpus on doc_id or
+    md5), no cartesian, no Python eval."""
+    df = QUERIES["corpus_merge_upsert"].fn(spark, sf_dir)
+    p = plan_of(df)
+    assert "SortMergeJoin" not in p, "corpus-side shuffle join"
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert p.count("BroadcastHashJoin") >= 4, (
+        "kept/matched/updates/inserts/content-guard joins all broadcast"
+    )
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
