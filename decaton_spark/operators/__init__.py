@@ -7,7 +7,7 @@ from decaton_spark.operators.quota import apply_key_quota, split_shaping
 from decaton_spark.operators.rate_limit import rate_limit
 from decaton_spark.operators.retry import retry_tasks, split_retry
 from decaton_spark.operators.scheduling import split_due
-from decaton_spark.operators.merge import corpus_merge
+from decaton_spark.operators.merge import corpus_merge, corpus_merge_neardup
 from decaton_spark.operators.skew import salted_agg
 
 __all__ = [
@@ -18,6 +18,7 @@ __all__ = [
     "compact_tasks",
     "compact_tasks_hash",
     "corpus_merge",
+    "corpus_merge_neardup",
     "discard_invalid",
     "ignore_keys",
     "project_task_view",

@@ -61,19 +61,17 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def corpus_merge(
+def _merge_parts(
     existing: DataFrame,
     incoming: DataFrame,
     key: str = "doc_id",
     text_col: str = "text",
-) -> DataFrame:
-    """Merge ``incoming`` (key-unique batch) into ``existing``.
-
-    Returns the merged corpus with the same columns plus ``origin`` ∈
-    {'kept', 'update', 'insert'} — the per-row merge lineage (drop it
-    before writing if not wanted; keeping it costs nothing and lets
-    callers audit exactly what a batch did).
-    """
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The three merge streams before tagging: (kept, updates,
+    inserts) — inserts already collapsed within-batch and guarded
+    against the post-update corpus content set. Shared by
+    ``corpus_merge`` (which unions them) and ``corpus_merge_neardup``
+    (which adds an LSH near-dup guard on the inserts first)."""
     inc_keys = incoming.select(key)
     # keys of `incoming` that already exist: scan ONLY the corpus key
     # column; result is bounded by |incoming|, so it re-broadcasts below
@@ -111,10 +109,123 @@ def corpus_merge(
     inserts = ins_dedup.join(
         F.broadcast(corpus_hits), ins_dedup["dk"] == corpus_hits["m"], "left_anti"
     ).drop("dk")
+    return kept, updates, inserts
 
+
+def _tag_union(kept: DataFrame, updates: DataFrame, inserts: DataFrame) -> DataFrame:
     tag = lambda df, o: df.withColumn("origin", F.lit(o))  # noqa: E731
     return (
         tag(kept, "kept")
         .unionByName(tag(updates, "update"))
         .unionByName(tag(inserts, "insert"))
+    )
+
+
+def corpus_merge(
+    existing: DataFrame,
+    incoming: DataFrame,
+    key: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Merge ``incoming`` (key-unique batch) into ``existing``.
+
+    Returns the merged corpus with the same columns plus ``origin`` ∈
+    {'kept', 'update', 'insert'} — the per-row merge lineage (drop it
+    before writing if not wanted; keeping it costs nothing and lets
+    callers audit exactly what a batch did).
+    """
+    return _tag_union(*_merge_parts(existing, incoming, key, text_col))
+
+
+def corpus_merge_neardup(
+    existing: DataFrame,
+    incoming: DataFrame,
+    key: str = "doc_id",
+    text_col: str = "text",
+    *,
+    k: int = 3,
+    bands: int = 4,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """``corpus_merge`` with a NEAR-duplicate insert guard: an insert
+    is also rejected when it is a verified near-dup (exact unigram
+    Jaccard ≥ ``threshold`` on an LSH-banded candidate set) of a
+    post-update corpus document, or of a lower-keyed insert in the
+    same batch (greedy lowest-key-wins, the standard LSH-dedup rule —
+    no transitive closure: a chain a~b~c with a<b<c keeps only a,
+    exactly like a batch pass of the full near-dup pipeline's
+    candidate stage without components).
+
+    Guard order: the exact content guard runs first (md5 — catches
+    byte-identity including whitespace LSH can miss), the near-dup
+    guard second on its survivors (catches token-set similarity md5
+    can't see).
+
+    100 TB shape: the candidate join puts the batch signatures in a
+    broadcast against the corpus signature stream — (band, sig)
+    equi-join, Σ bucket² bounded, corpus never shuffles. Computing
+    corpus signatures here costs one shingle+md5 scan of the corpus;
+    a real deployment persists the band-signature table as the dedup
+    index (``streaming/stateful.py:streaming_lsh_candidates`` is its
+    streaming maintainer) and probes it instead — same join topology.
+    Jaccard verification touches only candidate ids (two equi-joins
+    of the pair list against the gram sets).
+
+    NULL-text rows: a NULL signature never equi-joins, so (matching
+    ``corpus_merge``'s md5 guard) null documents are exempt from the
+    near-dup guard on both sides.
+    """
+    from decaton_spark.functions.dedup import (
+        minhash_band_signatures,
+        verify_pairs_jaccard,
+    )
+
+    # unlike plain corpus_merge (each part consumed once), the guard
+    # reads every part 2-4x (banding, gram sets, final union) — without
+    # materialization each broadcast job re-runs the whole merge-join
+    # chain (measured ~2x wall at sf0.1). ONE checkpoint of the tagged
+    # union (not three per-part ones — one materialization job) serves
+    # every downstream read; at cluster scale this is the persisted
+    # post-update-merge staging table.
+    parts = _tag_union(*_merge_parts(existing, incoming, key, text_col))
+    parts = parts.localCheckpoint(eager=False)
+    corpus = parts.filter(F.col("origin") != "insert").drop("origin")
+    inserts = parts.filter(F.col("origin") == "insert").drop("origin")
+
+    ins_sigs = minhash_band_signatures(
+        inserts, text_col=text_col, id_col=key, k=k, bands=bands
+    ).localCheckpoint(eager=False)
+    corpus_sigs = minhash_band_signatures(
+        corpus, text_col=text_col, id_col=key, k=k, bands=bands
+    )
+    # ONE candidate join covers both guard directions: the probe side
+    # is (corpus ∪ inserts) signatures, the broadcast side is the
+    # insert signatures; a corpus hit rejects the insert outright, an
+    # insert-insert hit rejects only the higher key. Multi-band double
+    # hits are NOT distinct'd away — the verify below just re-checks
+    # them and the left_anti at the end is duplicate-insensitive, so
+    # skipping the dedup shuffles is pure win.
+    left = corpus_sigs.select(
+        "band", "sig", F.col(key).alias("id_a"), F.lit(True).alias("from_corpus")
+    ).unionByName(
+        ins_sigs.select(
+            "band", "sig", F.col(key).alias("id_a"),
+            F.lit(False).alias("from_corpus"),
+        )
+    )
+    right = ins_sigs.select("band", "sig", F.col(key).alias("id_b"))
+    pairs = (
+        left.join(F.broadcast(right), ["band", "sig"])
+        .filter(F.col("from_corpus") | (F.col("id_a") < F.col("id_b")))
+        .select("id_a", "id_b")
+    )
+
+    all_docs = corpus.unionByName(inserts)
+    verified = verify_pairs_jaccard(
+        all_docs, pairs, text_col=text_col, id_col=key, n=1, threshold=threshold
+    )
+    rejected = verified.select(F.col("id_b").alias(key))
+    survivors = inserts.join(F.broadcast(rejected), key, "left_anti")
+    return parts.filter(F.col("origin") != "insert").unionByName(
+        survivors.withColumn("origin", F.lit("insert"))
     )

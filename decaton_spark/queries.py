@@ -1534,9 +1534,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.ngram_jaccard_pairs(docs, n=1, threshold=0.8, max_id=150)
 
 
-def _minhash_sigs_cte(bands: int = 4, k: int = 3) -> str:
+def _minhash_sigs_cte(
+    bands: int = 4, k: int = 3, source: str = "documents", suffix: str = ""
+) -> str:
     """CTE text ``sh AS (...), sigs AS (...)`` replaying the engine's
-    LSH banding (word shingles → md5 → per-band min) in DuckDB."""
+    LSH banding (word shingles → md5 → per-band min) in DuckDB.
+    ``source``/``suffix`` let one query band several corpora
+    (``sigs_c``, ``sigs_i`` in the near-dup merge oracle)."""
     toks = "string_split(text, ' ')"
     shingle = f"array_to_string({toks}[i + 1 : i + {k}], chr(31))"
     shingles = (
@@ -1546,12 +1550,12 @@ def _minhash_sigs_cte(bands: int = 4, k: int = 3) -> str:
     sig_selects = "\n        UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, "
         f"list_min(list_transform(hashes, h -> {hex_to_long('h', start=1 + 8 * b, ndigits=8)})) AS sig "
-        f"FROM sh"
+        f"FROM sh{suffix}"
         for b in range(bands)
     )
-    return f"""sh AS (SELECT doc_id,
-        list_transform({shingles}, s -> md5(s)) AS hashes FROM documents),
-    sigs AS ({sig_selects})"""
+    return f"""sh{suffix} AS (SELECT doc_id,
+        list_transform({shingles}, s -> md5(s)) AS hashes FROM {source}),
+    sigs{suffix} AS ({sig_selects})"""
 
 
 def _minhash_oracle(bands: int = 4, k: int = 3) -> str:
@@ -3239,6 +3243,135 @@ def corpus_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     from decaton_spark.operators.merge import corpus_merge
 
     merged = corpus_merge(existing, incoming, key="doc_id", text_col="text")
+    return merged.select(
+        "doc_id", "origin", F.md5("text").alias("content_md5")
+    )
+
+
+def _neardup_merge_oracle(bands: int = 4, k: int = 3, threshold: float = 0.8) -> str:
+    jacc = (
+        "round(len(list_intersect(sa.grams, sb.grams)) * 1.0 / "
+        "(len(sa.grams) + len(sb.grams) - len(list_intersect(sa.grams, sb.grams))), 6)"
+    )
+    return f"""
+    WITH existing AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 10 < 8
+    ),
+    incoming AS (
+        SELECT doc_id, 'v2 ' || text AS text FROM documents WHERE doc_id % 10 = 4
+        UNION ALL
+        SELECT doc_id, text FROM documents WHERE doc_id % 10 = 8
+        UNION ALL
+        SELECT doc_id + 4000000, text || ' qq' FROM documents WHERE doc_id % 10 = 1
+        UNION ALL
+        SELECT doc_id + 5000000, text || ' zz' FROM documents WHERE doc_id % 10 = 9
+        UNION ALL
+        SELECT doc_id + 6000000, text || ' zz ww' FROM documents WHERE doc_id % 10 = 9
+    ),
+    kept AS (
+        SELECT e.* FROM existing e
+        WHERE NOT EXISTS (SELECT 1 FROM incoming i WHERE i.doc_id = e.doc_id)
+    ),
+    updates AS (
+        SELECT i.* FROM incoming i
+        WHERE EXISTS (SELECT 1 FROM existing e WHERE e.doc_id = i.doc_id)
+    ),
+    ins_dk AS (
+        SELECT i.*,
+               COALESCE(md5(text), 'null:' || CAST(doc_id AS VARCHAR)) AS dk
+        FROM incoming i
+        WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.doc_id = i.doc_id)
+    ),
+    ins_dedup AS (
+        SELECT doc_id, text, dk FROM ins_dk
+        QUALIFY row_number() OVER (PARTITION BY dk ORDER BY doc_id) = 1
+    ),
+    corpus_md5 AS (
+        SELECT md5(text) AS m FROM kept WHERE text IS NOT NULL
+        UNION ALL
+        SELECT md5(text) FROM updates WHERE text IS NOT NULL
+    ),
+    ins2 AS (
+        SELECT d.doc_id, d.text FROM ins_dedup d
+        WHERE d.dk NOT IN (SELECT m FROM corpus_md5)
+    ),
+    corpus AS (
+        SELECT doc_id, text FROM kept
+        UNION ALL SELECT doc_id, text FROM updates
+    ),
+    {_minhash_sigs_cte(bands, k, source="corpus", suffix="_c")},
+    {_minhash_sigs_cte(bands, k, source="ins2", suffix="_i")},
+    cand AS (
+        SELECT c.doc_id AS id_a, i.doc_id AS id_b
+        FROM sigs_c c JOIN sigs_i i ON c.band = i.band AND c.sig = i.sig
+        UNION
+        SELECT a.doc_id, b.doc_id FROM sigs_i a JOIN sigs_i b
+          ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ),
+    sets AS (
+        SELECT doc_id AS id, list_distinct(string_split(text, ' ')) AS grams FROM corpus
+        UNION ALL
+        SELECT doc_id, list_distinct(string_split(text, ' ')) FROM ins2
+    ),
+    rejected AS (
+        SELECT DISTINCT cand.id_b FROM cand
+        JOIN sets sa ON sa.id = cand.id_a
+        JOIN sets sb ON sb.id = cand.id_b
+        WHERE {jacc} >= {threshold}
+    ),
+    inserts AS (
+        SELECT doc_id, text FROM ins2
+        WHERE doc_id NOT IN (SELECT id_b FROM rejected)
+    )
+    SELECT doc_id, 'kept' AS origin, md5(text) AS content_md5 FROM kept
+    UNION ALL
+    SELECT doc_id, 'update' AS origin, md5(text) FROM updates
+    UNION ALL
+    SELECT doc_id, 'insert' AS origin, md5(text) FROM inserts
+    """
+
+
+@register("corpus_merge_neardup", _neardup_merge_oracle())
+def corpus_merge_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-guarded incremental merge
+    (operators/merge.corpus_merge_neardup): corpus_merge_upsert's
+    upsert semantics plus LSH-banded rejection of inserts that are
+    verified near-dups (unigram Jaccard >= 0.8) of a post-update
+    corpus doc or of a lower-keyed batch sibling. Fixture fires every
+    path: residue 4 updates ('v2' texts), residue 8 fresh inserts,
+    ids+4e6 re-bring residue-1 content with one extra token (caught by
+    the near-dup guard, NOT by md5), and ids+5e6/+6e6 carry two
+    different perturbations of residue-9 text (insert-vs-insert
+    near-dup — lower key survives). The oracle replays the banding
+    with the same sigs CTE the dedup queries pin."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    existing = docs.filter(F.col("doc_id") % 10 < 8)
+    incoming = (
+        docs.filter(F.col("doc_id") % 10 == 4)
+        .withColumn("text", F.concat(F.lit("v2 "), F.col("text")))
+        .unionByName(docs.filter(F.col("doc_id") % 10 == 8))
+        .unionByName(
+            docs.filter(F.col("doc_id") % 10 == 1)
+            .withColumn("doc_id", F.col("doc_id") + 4000000)
+            .withColumn("text", F.concat(F.col("text"), F.lit(" qq")))
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 10 == 9)
+            .withColumn("doc_id", F.col("doc_id") + 5000000)
+            .withColumn("text", F.concat(F.col("text"), F.lit(" zz")))
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 10 == 9)
+            .withColumn("doc_id", F.col("doc_id") + 6000000)
+            .withColumn("text", F.concat(F.col("text"), F.lit(" zz ww")))
+        )
+    )
+    from decaton_spark.operators.merge import corpus_merge_neardup as _op
+
+    merged = _op(
+        existing, incoming, key="doc_id", text_col="text",
+        k=3, bands=4, threshold=0.8,
+    )
     return merged.select(
         "doc_id", "origin", F.md5("text").alias("content_md5")
     )
@@ -5081,11 +5214,12 @@ _DRIVER_TIER = [
     "dedup_near_full",
     # -- priority 3 (continued): corpus upsert, registered last --
     "corpus_merge_upsert",
-    # -- priority 4b: representatives (others keep 1-round-old rows) --
-    "q8_market_share",
-    # q15_top_supplier ceded its slot to corpus_merge_upsert (new
-    # queries outrank re-verification); its newest row is r1, so it
-    # joins the round-4 priority queue below.
+    "corpus_merge_neardup",
+    # q15_top_supplier and q8_market_share ceded their priority-4b
+    # slots to the two corpus-merge queries (new queries outrank
+    # re-verification); their newest rows are r1, so they lead the
+    # round-4 priority queue below (freshness bound still met: an r1
+    # row re-verified in round 4 is exactly 3 rounds old).
     # q1_pricing_summary, t6_per_key_quota, t13_pipeline_chain and
     # multimodal_binary_meta hold fresh r2 rows and rotated out to
     # make room for the round-3 retrieval additions (policy: a row at
@@ -5117,7 +5251,7 @@ _DRIVER_TIER = [
     # dedup_cluster_stats, corpus_token_histogram,
     # events_top_transitions, events_hll_distinct,
     # map_functions_bridge, window_functions_bridge,
-    # docs_weighted_sample, q15_top_supplier. All are
+    # docs_weighted_sample, q15_top_supplier, q8_market_share. All are
     # sf0.01-oracle-green via tools/drive_harness.py --all (round 3).
 ]
 

@@ -86,3 +86,66 @@ def test_empty_existing_inserts_deduped_batch(spark):
         (7, "insert", "x"),
         (9, "insert", "y"),
     }
+
+
+# ---------------------------------------------------------------------------
+# corpus_merge_neardup — the LSH insert guard
+# ---------------------------------------------------------------------------
+
+from decaton_spark.operators.merge import corpus_merge_neardup
+
+_BASE = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+
+
+def _origins(df):
+    return {(r["doc_id"], r["origin"]) for r in df.collect()}
+
+
+def test_neardup_insert_rejected_against_corpus(spark):
+    existing = _mk(spark, [(1, _BASE), (2, "completely different words entirely")])
+    incoming = _mk(spark, [(10, _BASE + " kilo")])  # J = 10/11 ≈ 0.909
+    out = _origins(corpus_merge_neardup(existing, incoming))
+    assert out == {(1, "kept"), (2, "kept")}
+
+
+def test_below_threshold_insert_survives(spark):
+    existing = _mk(spark, [(1, _BASE)])
+    # shares 3 of 10+ tokens — far below 0.8
+    incoming = _mk(spark, [(10, "alpha bravo charlie x y z w v u t")])
+    out = _origins(corpus_merge_neardup(existing, incoming))
+    assert out == {(1, "kept"), (10, "insert")}
+
+
+def test_neardup_insert_vs_insert_lowest_key_wins(spark):
+    existing = _mk(spark, [(1, "unrelated corpus document text here")])
+    incoming = _mk(
+        spark,
+        [(30, _BASE + " kilo"), (20, _BASE + " lima")],  # J = 9/11 ≈ 0.818
+    )
+    out = _origins(corpus_merge_neardup(existing, incoming))
+    assert out == {(1, "kept"), (20, "insert")}
+
+
+def test_exact_guard_runs_before_lsh(spark):
+    """Byte-identical content is dropped by md5 even when whitespace
+    tricks could change the token multiset seen by LSH."""
+    existing = _mk(spark, [(1, _BASE)])
+    incoming = _mk(spark, [(10, _BASE)])
+    out = _origins(corpus_merge_neardup(existing, incoming))
+    assert out == {(1, "kept")}
+
+
+def test_null_text_exempt_from_neardup_guard(spark):
+    existing = _mk(spark, [(1, None), (2, _BASE)])
+    incoming = _mk(spark, [(10, None)])
+    out = _origins(corpus_merge_neardup(existing, incoming))
+    assert out == {(1, "kept"), (2, "kept"), (10, "insert")}
+
+
+def test_neardup_update_always_applies(spark):
+    """Updates are never guarded — re-crawling a known doc with
+    near-identical content must still apply."""
+    existing = _mk(spark, [(1, _BASE), (2, "other content entirely here")])
+    incoming = _mk(spark, [(1, _BASE + " kilo")])
+    out = _origins(corpus_merge_neardup(existing, incoming))
+    assert out == {(1, "update"), (2, "kept")}

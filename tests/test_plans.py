@@ -459,3 +459,16 @@ def test_corpus_merge_never_shuffles_the_corpus(spark, sf_dir):
         "kept/matched/updates/inserts/content-guard joins all broadcast"
     )
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_corpus_merge_neardup_no_corpus_shuffle_join(spark, sf_dir):
+    """The near-dup guard must keep the corpus on the streaming side:
+    candidate and verify joins broadcast batch-derived inputs, no
+    sort-merge join, no cartesian, no Python eval."""
+    df = QUERIES["corpus_merge_neardup"].fn(spark, sf_dir)
+    p = plan_of(df)
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BroadcastHashJoin" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
