@@ -843,3 +843,67 @@ def test_interval_join_state_survives_restart(spark, tmp_path):
     ).coalesce(1).write.mode("append").parquet(str(rd))
     run_once()
     assert n_out() == 10, f"expected all 10 post-restart matches, got {n_out()}"
+
+
+def test_streaming_corpus_merge_ingest(spark, tmp_path):
+    """Streaming ingestion service: each microbatch of crawled
+    documents is corpus_merge'd into the persisted corpus inside
+    foreachBatch — update-by-key, content-guarded inserts — and the
+    corpus table IS the cross-batch state, so a checkpointed restart
+    resumes mid-stream with no extra recovery logic (the second
+    incarnation below processes only the unseen file)."""
+    from decaton_spark.operators.merge import corpus_merge
+
+    corpus_dir = str(tmp_path / "corpus")
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string"
+    spark.createDataFrame([(0, "seed")], schema=schema).write.mode(
+        "overwrite"
+    ).parquet(corpus_dir)
+
+    def ingest(batch_df, bid):
+        ss = batch_df.sparkSession
+        existing = ss.read.parquet(corpus_dir)
+        merged = corpus_merge(existing, batch_df).drop("origin")
+        # materialize before overwriting the table being read; a real
+        # deployment writes a new snapshot dir / Delta commit instead
+        rows = [(r["doc_id"], r["text"]) for r in merged.collect()]
+        ss.createDataFrame(rows, schema=schema).write.mode("overwrite").parquet(
+            corpus_dir
+        )
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(in_dir))
+        )
+        q = (
+            stream.writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        q.stop()
+
+    def corpus():
+        return {
+            (r["doc_id"], r["text"])
+            for r in spark.read.parquet(corpus_dir).collect()
+        }
+
+    spark.createDataFrame([(1, "a"), (2, "b")], schema=schema).coalesce(
+        1
+    ).write.mode("append").parquet(str(in_dir))
+    run_once()
+    assert corpus() == {(0, "seed"), (1, "a"), (2, "b")}
+
+    # update 1, content-dup 3 (text 'b' already lives at doc 2), new 4
+    spark.createDataFrame(
+        [(1, "a2"), (3, "b"), (4, "new")], schema=schema
+    ).coalesce(1).write.mode("append").parquet(str(in_dir))
+    run_once()  # restarted incarnation resumes from the checkpoint
+    assert corpus() == {(0, "seed"), (1, "a2"), (2, "b"), (4, "new")}
