@@ -703,6 +703,76 @@ def customer_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_rolling_zscore",
+    """
+    WITH x AS (
+        SELECT event_id, user_id, ts,
+               CAST(round(value * 100) AS BIGINT) AS xv
+        FROM events WHERE value IS NOT NULL
+    ),
+    win AS (
+        SELECT event_id, user_id, xv,
+               count(*) OVER w AS n,
+               CAST(sum(xv) OVER w AS BIGINT) AS s,
+               CAST(sum(xv * xv) OVER w AS BIGINT) AS q
+        FROM x
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id,
+           round((n * xv - s) / sqrt(n * q - s * s), 6) AS zscore
+    FROM win
+    WHERE n = 10 AND n * q - s * s > 0
+      AND abs((n * xv - s) / sqrt(n * q - s * s)) >= 2.0
+    """,
+)
+def events_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection over each user's event-value
+    stream: a 10-row trailing window per user, flag |z| >= 2.0 against
+    the window's own mean/stddev — the per-entity outlier monitor a
+    metrics pipeline runs.
+
+    Cross-engine determinism: the window aggregates run on
+    centi-scaled BIGINTs (values are 2-decimal doubles), so DuckDB's
+    segment-tree windowed sums and Spark's sequential frame
+    accumulation produce IDENTICAL integers no matter the addition
+    order; z = (n*x - S) / sqrt(n*Q - S^2) then derives from exact
+    integers in both engines (one sqrt + one division on identical
+    inputs), making round(...,6) safe per the established
+    sqrt-continuous-score rule.
+
+    100 TB shape: one shuffle on user_id, per-partition sort, a single
+    WindowExec computing all three frame aggregates in one pass —
+    zero-variance windows and warm-up rows (< 10 samples) are filtered
+    before the division so no NaN/Inf ever materializes."""
+    ev = (
+        load_table(spark, "events", sf_dir)
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_id", "user_id", "ts",
+            F.round(F.col("value") * 100).cast("long").alias("xv"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, Window.currentRow)
+    )
+    win = ev.select(
+        "event_id", "user_id", "xv",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("xv").over(w).alias("s"),
+        F.sum(F.col("xv") * F.col("xv")).over(w).alias("q"),
+    )
+    den2 = F.col("n") * F.col("q") - F.col("s") * F.col("s")
+    z = (F.col("n") * F.col("xv") - F.col("s")) / F.sqrt(den2)
+    return (
+        win.filter((F.col("n") == 10) & (den2 > 0) & (F.abs(z) >= 2.0))
+        .select("event_id", "user_id", F.round(z, 6).alias("zscore"))
+    )
+
+
+@register(
     "events_session_gaps",
     """
     WITH gaps AS (
@@ -5239,7 +5309,8 @@ _DRIVER_TIER = [
     # room for the queries new this round.
     #
     # ROUND-4 PRIORITY-1 QUEUE (registered late in round 3, no driver
-    # row yet; lead the next rotation with these): docs_domain_cap,
+    # row yet; lead the next rotation with these): events_rolling_zscore,
+    # docs_domain_cap,
     # ann_filtered_topk, events_funnel, events_cohort_retention,
     # events_conversion_latency, events_props_json,
     # events_session_gaps, customer_balance_quartiles,
