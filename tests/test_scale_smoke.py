@@ -296,3 +296,53 @@ def test_resample_gapfill_5m(big_tasks):
     out = resample_gapfill(df)
     assert out.count() == expected
     assert out.filter(F.col("n_events") == 0).count() == 0
+
+
+def test_corpus_merge_2m(spark):
+    """Incremental merge at 2M existing docs + 100k batch: structural
+    counts are exact by construction (ids 0..2M-1 exist; the batch
+    updates 50k known ids, brings 25k fresh-content new ids and 25k
+    new ids whose content duplicates existing docs), and the corpus
+    side must stream — no sort-merge join materializes 2M rows
+    through a shuffle."""
+    from decaton_spark.operators.merge import corpus_merge
+
+    n_corpus, n_batch = 2_000_000, 100_000
+    mk_text = lambda c: F.concat(  # noqa: E731
+        F.lit("doc "), c.cast("string"), F.lit(" body tokens")
+    )
+    existing = spark.range(n_corpus).select(
+        F.col("id").alias("doc_id"), mk_text(F.col("id")).alias("text")
+    )
+    batch = (
+        # 50k updates of known ids with changed content
+        spark.range(50_000)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("v2 "), mk_text(F.col("id"))).alias("text"),
+        )
+        # 25k fresh ids + fresh content
+        .unionByName(
+            spark.range(25_000).select(
+                (F.col("id") + 3_000_000).alias("doc_id"),
+                mk_text(F.col("id") + 3_000_000).alias("text"),
+            )
+        )
+        # 25k fresh ids whose content already exists (content guard)
+        .unionByName(
+            spark.range(25_000).select(
+                (F.col("id") + 4_000_000).alias("doc_id"),
+                mk_text(F.col("id") + 1_000_000).alias("text"),
+            )
+        )
+    )
+    out = corpus_merge(existing, batch)
+    counts = {
+        r["origin"]: r["n"]
+        for r in out.groupBy("origin").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert counts == {
+        "kept": n_corpus - 50_000,
+        "update": 50_000,
+        "insert": 25_000,
+    }
