@@ -703,6 +703,77 @@ def customer_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_value_winsorized",
+    """
+    WITH src AS (
+        SELECT event_type, value FROM events WHERE value IS NOT NULL
+    ),
+    q AS (
+        SELECT event_type,
+               quantile_cont(value, 0.01) AS p01,
+               quantile_cont(value, 0.99) AS p99
+        FROM src GROUP BY event_type
+    ),
+    j AS (
+        SELECT s.event_type, value, p01, p99,
+               CAST(round(least(greatest(value, p01), p99) * 100) AS BIGINT) AS cl
+        FROM src s JOIN q USING (event_type)
+    )
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CASE WHEN value < p01 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+           CAST(sum(CASE WHEN value > p99 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+           CAST(round(min(p01) * 1000000) AS BIGINT) AS p01_micro,
+           CAST(round(min(p99) * 1000000) AS BIGINT) AS p99_micro,
+           CAST((2 * sum(cl) + count(*)) // (2 * count(*)) AS BIGINT) AS mean_centi
+    FROM j GROUP BY event_type
+    """,
+)
+def events_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization (percentile clipping) of the event value per
+    event type — the feature-engineering step that tames outliers
+    before statistics/training: exact interpolated p01/p99 per group,
+    values clipped into [p01, p99], clip counts and the clipped mean
+    reported per group.
+
+    Cross-engine exactness: both engines interpolate R-7 percentiles
+    on identical doubles; clipped values go to centi-scaled BIGINTs
+    before summing (order-independent integer sums), the mean comes
+    out as the exact integer form (2S + n) div (2n), and the
+    percentile bounds are reported as scale-0-rounded micro-units —
+    no fractional rounding of a ratio anywhere.
+
+    100 TB shape: one partial-agg percentile pass per bounded group
+    set (event types), the quantile table broadcast back, then one
+    partial-agg summary — two scans, zero wide shuffles of the fact.
+    For unbounded group cardinality swap ``percentile`` for
+    ``percentile_approx`` at the same call site."""
+    src = (
+        load_table(spark, "events", sf_dir)
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "value")
+    )
+    q = src.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.01)").alias("p01"),
+        F.expr("percentile(value, 0.99)").alias("p99"),
+    )
+    j = src.join(F.broadcast(q), "event_type").withColumn(
+        "cl",
+        F.round(
+            F.least(F.greatest(F.col("value"), F.col("p01")), F.col("p99")) * 100
+        ).cast("long"),
+    )
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("value") < F.col("p01"), 1).otherwise(0)).alias("n_low"),
+        F.sum(F.when(F.col("value") > F.col("p99"), 1).otherwise(0)).alias("n_high"),
+        F.round(F.min("p01") * 1000000).cast("long").alias("p01_micro"),
+        F.round(F.min("p99") * 1000000).cast("long").alias("p99_micro"),
+        F.expr("(2 * sum(cl) + count(1)) div (2 * count(1))").alias("mean_centi"),
+    )
+
+
+@register(
     "events_rolling_zscore",
     """
     WITH x AS (
@@ -5310,7 +5381,7 @@ _DRIVER_TIER = [
     #
     # ROUND-4 PRIORITY-1 QUEUE (registered late in round 3, no driver
     # row yet; lead the next rotation with these): events_rolling_zscore,
-    # docs_domain_cap,
+    # events_value_winsorized, docs_domain_cap,
     # ann_filtered_topk, events_funnel, events_cohort_retention,
     # events_conversion_latency, events_props_json,
     # events_session_gaps, customer_balance_quartiles,
