@@ -9,6 +9,7 @@ from decaton_spark.streaming.stateful import (
     streaming_lsh_candidates,
     streaming_quota,
     streaming_scheduled,
+    streaming_zscore_alerts,
 )
 
 __all__ = [
@@ -22,4 +23,5 @@ __all__ = [
     "streaming_lsh_candidates",
     "streaming_quota",
     "streaming_scheduled",
+    "streaming_zscore_alerts",
 ]

@@ -612,6 +612,82 @@ def streaming_heavy_hitters(
     )
 
 
+def streaming_zscore_alerts(
+    events: DataFrame,
+    *,
+    threshold: float = 2.0,
+    n: int = 10,
+    api: str = "auto",
+) -> DataFrame:
+    """Streaming rolling z-score anomaly alerts per user — the
+    continuous form of the ``events_rolling_zscore`` batch query: each
+    user's trailing ``n`` values live in keyed state (centi-scaled
+    BIGINTs), and a row whose z-score against its own window reaches
+    ``threshold`` emits (event_id, user_id, zscore) immediately.
+
+    Bit-equivalence with the batch query for identically-ordered
+    input: S and Q are exact integer sums of the stored window, the
+    z-score is one int->double division by one sqrt — the same IEEE
+    ops the Catalyst expression performs — so alerts fire on exactly
+    the batch rows (asserted in tests/test_streaming_invariants.py).
+
+    State per user is n longs — bounded at any user cardinality via
+    the state store. Input rows are ordered (ts, event_id) within each
+    microbatch; cross-batch order is the source's append order, same
+    contract as every per-key operator here (SURVEY §2.4).
+    """
+    src = (
+        events.filter(F.col("value").isNotNull())
+        .select(
+            "user_id", "ts", "event_id",
+            F.round(F.col("value") * 100).cast("long").alias("xv"),
+        )
+    )
+    if _use_tws(api):
+        from decaton_spark.streaming.tws import tws_zscore
+
+        return tws_zscore(src, threshold=threshold, n=n)
+    out_schema = "event_id long, user_id long, zscore double"
+    state_schema = "xs array<long>"
+
+    def update(key, pdfs, state: GroupState):
+        import math
+
+        xs = list(state.get[0]) if state.exists else []
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if not len(batch):
+            return
+        batch = batch.sort_values(["ts", "event_id"])
+        out = {"event_id": [], "user_id": [], "zscore": []}
+        uid = int(key[0])
+        for eid, xv in zip(batch["event_id"], batch["xv"]):
+            x = int(xv)
+            xs.append(x)
+            if len(xs) > n:
+                xs.pop(0)
+            if len(xs) == n:
+                s = sum(xs)
+                q = sum(v * v for v in xs)
+                den2 = n * q - s * s
+                if den2 > 0:
+                    z = (n * x - s) / math.sqrt(den2)
+                    if abs(z) >= threshold:
+                        out["event_id"].append(int(eid))
+                        out["user_id"].append(uid)
+                        out["zscore"].append(z)
+        state.update((xs,))
+        if out["event_id"]:
+            yield pd.DataFrame(out)
+
+    return src.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_lsh_candidates(
     docs: DataFrame,
     *,

@@ -367,6 +367,69 @@ def tws_heavy_hitters(
     )
 
 
+class ZscoreProcessor(StatefulProcessor):
+    """Streaming rolling z-score anomaly alerts — the continuous form
+    of the ``events_rolling_zscore`` batch query: ValueState holds each
+    user's trailing ``n`` centi-scaled values; a row whose z-score
+    against its own trailing window reaches ``threshold`` emits an
+    alert. S and Q are exact integers derived from the stored window,
+    so for identically-ordered input the streaming z-score is
+    bit-identical to the batch one (same int->double conversions, one
+    sqrt, one division)."""
+
+    def __init__(self, threshold: float = 2.0, n: int = 10):
+        self.threshold = threshold
+        self.n = n
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self.window = handle.getValueState("window", "xs array<long>")
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+        import math
+
+        xs = list(self.window.get()[0]) if self.window.exists() else []
+        out = {"event_id": [], "user_id": [], "zscore": []}
+        uid = int(key[0])
+        for pdf in rows:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for eid, xv in zip(pdf["event_id"], pdf["xv"]):
+                x = int(xv)
+                xs.append(x)
+                if len(xs) > self.n:
+                    xs.pop(0)
+                if len(xs) == self.n:
+                    s = sum(xs)
+                    q = sum(v * v for v in xs)
+                    den2 = self.n * q - s * s
+                    if den2 > 0:
+                        z = (self.n * x - s) / math.sqrt(den2)
+                        if abs(z) >= self.threshold:
+                            out["event_id"].append(int(eid))
+                            out["user_id"].append(uid)
+                            out["zscore"].append(z)
+        self.window.update((xs,))
+        if out["event_id"]:
+            yield pd.DataFrame(out)
+
+    def close(self) -> None:
+        pass
+
+
+def tws_zscore(
+    src: DataFrame, *, threshold: float = 2.0, n: int = 10
+) -> DataFrame:
+    out_schema = "event_id long, user_id long, zscore double"
+    return (
+        src.groupBy("user_id")
+        .transformWithStateInPandas(
+            ZscoreProcessor(threshold, n),
+            outputStructType=out_schema,
+            outputMode="Append",
+            timeMode="ProcessingTime",
+        )
+    )
+
+
 class OrderedProcessor(StatefulProcessor):
     """Per-key ordered/serial processing (the delivery-guarantee core)
     in TWS form: ValueState carries the per-key high-watermark offset;

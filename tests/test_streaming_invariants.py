@@ -392,3 +392,59 @@ def test_streaming_lsh_index_survives_restart(spark, sf_dir, tmp_path):
     }
     assert cross, "no pair spans the restart boundary — fixture too weak"
     assert 0 < n_before < len(pairs)
+
+
+def test_streaming_zscore_alerts_equal_batch(spark, sf_dir, tmp_path):
+    """The streaming z-score monitor fires on EXACTLY the batch
+    query's anomaly rows with bit-matched scores (integer S/Q state →
+    the same one-sqrt-one-division the Catalyst expression performs),
+    provided rows stream in event-time order — asserted over four
+    time-ordered microbatch files."""
+    import time
+
+    from pyspark.sql import Window
+
+    from decaton_spark.queries import _ALL_QUERIES
+    from decaton_spark.streaming import streaming_zscore_alerts
+
+    ev = (
+        load_table(spark, "events", sf_dir)
+        .filter(F.col("value").isNotNull())
+        .select("user_id", "ts", "event_id", "value")
+    )
+    d = tmp_path / "zstream"
+    d.mkdir()
+    w = Window.orderBy("ts", "event_id")
+    seq = ev.withColumn("rn", F.row_number().over(w))
+    n = seq.count()
+    step = (n + 3) // 4
+    for i in range(4):
+        (
+            seq.filter((F.col("rn") > i * step) & (F.col("rn") <= (i + 1) * step))
+            .drop("rn")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(str(d))
+        )
+        time.sleep(1.1)  # FileStreamSource orders by modification time
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    rows = _run(
+        streaming_zscore_alerts(stream, threshold=2.0, n=10),
+        tmp_path,
+        "zscore_alerts",
+    )
+    got = {(r["event_id"], r["user_id"]): r["zscore"] for r in rows}
+
+    batch = _ALL_QUERIES["events_rolling_zscore"].fn(spark, sf_dir).collect()
+    exp = {(r["event_id"], r["user_id"]): r["zscore"] for r in batch}
+    assert set(got) == set(exp), (
+        f"alert sets differ: extra={set(got) - set(exp)}, "
+        f"missing={set(exp) - set(got)}"
+    )
+    for k, v in exp.items():
+        assert abs(got[k] - v) < 1e-6  # batch value is round(z, 6)

@@ -337,3 +337,33 @@ def test_lsh_index_processor_emits_pairs_incrementally():
         (5, 10, 2),
         (5, 20, 2),
     ]
+
+
+def test_zscore_processor_logic():
+    """Rolling-window state transitions: warm-up emits nothing, the
+    window slides (oldest value evicted), zero-variance windows never
+    divide, and the z value matches the closed form."""
+    import math
+
+    from decaton_spark.streaming.tws import ZscoreProcessor
+
+    h = FakeHandle()
+    p = ZscoreProcessor(threshold=1.0, n=3)
+    p.init(h)
+
+    def feed(rows):
+        pdf = pd.DataFrame(rows, columns=["ts", "event_id", "xv"])
+        return list(p.handleInputRows((7,), iter([pdf]), None))
+
+    assert feed([(1, 1, 100), (2, 2, 100)]) == []  # warm-up: n < 3
+    out = feed([(3, 3, 400)])  # window [100,100,400]
+    assert len(out) == 1 and len(out[0]) == 1
+    row = out[0].iloc[0]
+    z = (3 * 400 - 600) / math.sqrt(3 * 180000 - 600 * 600)
+    assert row["event_id"] == 3 and row["user_id"] == 7
+    assert row["zscore"] == z
+    # slide: oldest 100 evicted -> [100,400,100], |z| < 1 -> silent
+    assert feed([(4, 4, 100)]) == []
+    # constant window -> den2 == 0 -> no division, no emission
+    assert feed([(5, 5, 100), (6, 6, 100)]) == []
+    assert h.states["window"].get()[0] == [100, 100, 100]
