@@ -472,3 +472,15 @@ def test_corpus_merge_neardup_no_corpus_shuffle_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in p
     assert "BroadcastHashJoin" in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_winsorize_broadcasts_quantiles(spark, sf_dir):
+    """Winsorization: the per-group quantile table must broadcast back
+    onto the fact scan (no sort-merge self-join), and both aggregation
+    passes must partial-aggregate."""
+    df = QUERIES["events_value_winsorized"].fn(spark, sf_dir)
+    p = plan_of(df)
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p
+    assert p.count("HashAggregate") >= 2
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p

@@ -448,3 +448,69 @@ def test_streaming_zscore_alerts_equal_batch(spark, sf_dir, tmp_path):
     )
     for k, v in exp.items():
         assert abs(got[k] - v) < 1e-6  # batch value is round(z, 6)
+
+
+def test_streaming_zscore_state_survives_restart(spark, sf_dir, tmp_path):
+    """Chaos analog for the z-score monitor: stop mid-stream, restart
+    on the same checkpoint. The per-user trailing windows must carry
+    over — alerts whose 10-row window STRADDLES the restart boundary
+    still fire, and the union of both incarnations' alerts equals the
+    batch query's rows exactly."""
+    import time
+
+    from pyspark.sql import Window
+
+    from decaton_spark.queries import _ALL_QUERIES
+    from decaton_spark.streaming import streaming_zscore_alerts
+
+    ev = (
+        load_table(spark, "events", sf_dir)
+        .filter(F.col("value").isNotNull())
+        .select("user_id", "ts", "event_id", "value")
+    )
+    w = Window.orderBy("ts", "event_id")
+    seq = ev.withColumn("rn", F.row_number().over(w))
+    n = seq.count()
+    d = tmp_path / "z-stream"
+    d.mkdir()
+    ckpt = str(tmp_path / "z-ckpt")
+    alerts: list = []
+
+    def run_once(qname):
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(d))
+        )
+        q = (
+            streaming_zscore_alerts(stream, threshold=2.0, n=10)
+            .writeStream.queryName(qname)
+            .foreachBatch(lambda df, bid: alerts.extend(df.collect()))
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        q.stop()
+
+    seq.filter(F.col("rn") <= n // 2).drop("rn").coalesce(1).write.mode(
+        "append"
+    ).parquet(str(d))
+    run_once("z_r1")
+    n_before = len(alerts)
+    time.sleep(1.1)
+    seq.filter(F.col("rn") > n // 2).drop("rn").coalesce(1).write.mode(
+        "append"
+    ).parquet(str(d))
+    run_once("z_r2")
+
+    got = {(r["event_id"], r["user_id"]) for r in alerts}
+    exp = {
+        (r["event_id"], r["user_id"])
+        for r in _ALL_QUERIES["events_rolling_zscore"].fn(spark, sf_dir).collect()
+    }
+    assert got == exp and exp
+    assert 0 < n_before < len(alerts), (
+        "fixture must alert in both incarnations (windows straddle the restart)"
+    )
