@@ -245,3 +245,32 @@ def test_compact_small_files(spark, sf_dir, tmp_path):
     compact_small_files(spark, src, out2, sort_by=("event_id",))
     c = spark.read.parquet(out2)
     assert c.count() == a.count()
+
+
+def test_schema_evolution_merge_on_read(spark, tmp_path):
+    """Schema evolution across batches (the corpus grows a column):
+    older files lack the new column and surface NULLs under
+    mergeSchema — the read-side contract that lets a 100 TB table add
+    metadata without rewriting history. Column pruning still reaches
+    the scan when only old columns are selected."""
+    d = str(tmp_path / "evolving")
+    spark.createDataFrame(
+        [(1, "alpha")], schema="doc_id long, text string"
+    ).write.mode("append").parquet(d)
+    spark.createDataFrame(
+        [(2, "beta", "en")], schema="doc_id long, text string, lang string"
+    ).write.mode("append").parquet(d)
+
+    df = spark.read.option("mergeSchema", "true").parquet(d)
+    assert set(df.columns) == {"doc_id", "text", "lang"}
+    rows = {(r["doc_id"], r["text"], r["lang"]) for r in df.collect()}
+    assert rows == {(1, "alpha", None), (2, "beta", "en")}
+
+    # narrow projection over old columns only must prune the scan
+    plan = (
+        df.select("doc_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ReadSchema: struct<doc_id:bigint>" in plan
