@@ -7,11 +7,13 @@ from decaton_spark.operators.quota import apply_key_quota, split_shaping
 from decaton_spark.operators.rate_limit import rate_limit
 from decaton_spark.operators.retry import retry_tasks, split_retry
 from decaton_spark.operators.scheduling import split_due
+from decaton_spark.operators.expectations import apply_expectations, with_violations
 from decaton_spark.operators.merge import corpus_merge, corpus_merge_neardup
 from decaton_spark.operators.skew import salted_agg
 
 __all__ = [
     "Pipeline",
+    "apply_expectations",
     "apply_key_quota",
     "batch_stats",
     "batch_tasks",
@@ -29,4 +31,5 @@ __all__ = [
     "split_retry",
     "split_shaping",
     "sub_partition",
+    "with_violations",
 ]

@@ -774,6 +774,80 @@ def events_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_expectations",
+    """
+    WITH aug AS (
+        SELECT event_id,
+               CASE WHEN event_id % 13 = 0 THEN NULL ELSE value END AS value,
+               CASE WHEN event_id % 17 = 0 THEN 'bogus' ELSE event_type END AS event_type,
+               CASE WHEN event_id % 19 = 0 THEN -1 ELSE user_id END AS user_id
+        FROM events
+    ),
+    tagged AS (
+        SELECT *,
+               (CASE WHEN value >= 0 THEN 0 ELSE 1 END) AS v_value,
+               (CASE WHEN event_type IN ('click','view','purchase','signup','error')
+                     THEN 0 ELSE 1 END) AS v_type,
+               (CASE WHEN user_id >= 0 THEN 0 ELSE 1 END) AS v_user
+        FROM aug
+    )
+    SELECT 'value_non_negative' AS rule, CAST(sum(v_value) AS BIGINT) AS n_violations FROM tagged
+    UNION ALL
+    SELECT 'known_event_type', CAST(sum(v_type) AS BIGINT) FROM tagged
+    UNION ALL
+    SELECT 'user_id_non_negative', CAST(sum(v_user) AS BIGINT) FROM tagged
+    UNION ALL
+    SELECT '_rows_quarantined',
+           CAST(sum(CASE WHEN v_value + v_type + v_user > 0 THEN 1 ELSE 0 END) AS BIGINT)
+    FROM tagged
+    UNION ALL
+    SELECT '_rows_passed',
+           CAST(sum(CASE WHEN v_value + v_type + v_user = 0 THEN 1 ELSE 0 END) AS BIGINT)
+    FROM tagged
+    """,
+)
+def events_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate
+    (operators/expectations.apply_expectations): a three-rule battery
+    over the event stream with deterministic corruption injected by
+    event_id residue (nulled values, unknown types, negative users —
+    the raw fixture is clean). Output is the monitoring frame: per-rule
+    violation counts plus total passed/quarantined rows, all derived
+    from ONE fused scan projection. NULL predicates count as
+    violations (an expectation must affirmatively hold)."""
+    from decaton_spark.operators.expectations import apply_expectations
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id",
+        F.when(F.col("event_id") % 13 == 0, F.lit(None)).otherwise(
+            F.col("value")
+        ).alias("value"),
+        F.when(F.col("event_id") % 17 == 0, F.lit("bogus")).otherwise(
+            F.col("event_type")
+        ).alias("event_type"),
+        F.when(F.col("event_id") % 19 == 0, F.lit(-1)).otherwise(
+            F.col("user_id")
+        ).alias("user_id"),
+    )
+    rules = {
+        "value_non_negative": F.col("value") >= 0,
+        "known_event_type": F.col("event_type").isin(
+            "click", "view", "purchase", "signup", "error"
+        ),
+        "user_id_non_negative": F.col("user_id") >= 0,
+    }
+    passed, quarantined, stats = apply_expectations(ev, rules)
+    totals = passed.agg(
+        F.count(F.lit(1)).alias("n_violations")
+    ).select(F.lit("_rows_passed").alias("rule"), "n_violations").unionByName(
+        quarantined.agg(F.count(F.lit(1)).alias("n_violations")).select(
+            F.lit("_rows_quarantined").alias("rule"), "n_violations"
+        )
+    )
+    return stats.unionByName(totals)
+
+
+@register(
     "events_rolling_zscore",
     """
     WITH x AS (
@@ -5440,7 +5514,7 @@ _DRIVER_TIER = [
     # ROUND-4 PRIORITY-1 QUEUE (registered late in round 3, no driver
     # row yet; lead the next rotation with these): events_rolling_zscore,
     # events_value_winsorized, hypertable_incremental_refresh,
-    # docs_domain_cap,
+    # events_expectations, docs_domain_cap,
     # ann_filtered_topk, events_funnel, events_cohort_retention,
     # events_conversion_latency, events_props_json,
     # events_session_gaps, customer_balance_quartiles,

@@ -24,6 +24,7 @@ sys.path.insert(0, str(ROOT))
 API_SECTIONS = [
     ("Task data model", "decaton_spark.envelope"),
     ("Incremental corpus merge", "decaton_spark.operators.merge"),
+    ("Data-quality expectations", "decaton_spark.operators.expectations"),
     ("As-of / range joins", "decaton_spark.operators.asof"),
     ("Time-series", "decaton_spark.operators.timeseries"),
     ("transformWithStateInPandas forms", "decaton_spark.streaming.tws"),
