@@ -907,3 +907,68 @@ def test_streaming_corpus_merge_ingest(spark, tmp_path):
     ).coalesce(1).write.mode("append").parquet(str(in_dir))
     run_once()  # restarted incarnation resumes from the checkpoint
     assert corpus() == {(0, "seed"), (1, "a2"), (2, "b"), (4, "new")}
+
+
+def test_streaming_expectations_quarantine_sink(spark, tmp_path):
+    """The data-quality gate in the ingest topology: expectations
+    evaluated per microbatch inside foreachBatch, clean rows to the
+    main table, violators (with their violation lists) to a quarantine
+    table — and per-rule counts accumulate across batches."""
+    from pyspark.sql import functions as F
+
+    from decaton_spark.operators.expectations import apply_expectations
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    good_dir = str(tmp_path / "good")
+    quar_dir = str(tmp_path / "quarantine")
+    schema = "id long, value double"
+    rule_counts: dict[str, int] = {}
+
+    def gate(batch_df, bid):
+        passed, quarantined, stats = apply_expectations(
+            batch_df, {"value_non_negative": F.col("value") >= 0}
+        )
+        passed.write.mode("append").parquet(good_dir)
+        quarantined.withColumn(
+            "violations", F.array_join("violations", ",")
+        ).write.mode("append").parquet(quar_dir)
+        for r in stats.collect():
+            rule_counts[r["rule"]] = (
+                rule_counts.get(r["rule"], 0) + r["n_violations"]
+            )
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(in_dir))
+        )
+        q = (
+            stream.writeStream.foreachBatch(gate)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        q.stop()
+
+    import time
+
+    spark.createDataFrame(
+        [(1, 1.0), (2, -2.0)], schema=schema
+    ).coalesce(1).write.mode("append").parquet(str(in_dir))
+    time.sleep(1.1)
+    spark.createDataFrame(
+        [(3, None), (4, 4.0)], schema=schema
+    ).coalesce(1).write.mode("append").parquet(str(in_dir))
+    run_once()
+
+    good = {r["id"] for r in spark.read.parquet(good_dir).collect()}
+    quar = {
+        (r["id"], r["violations"])
+        for r in spark.read.parquet(quar_dir).collect()
+    }
+    assert good == {1, 4}
+    assert quar == {(2, "value_non_negative"), (3, "value_non_negative")}
+    assert rule_counts == {"value_non_negative": 2}
