@@ -5527,7 +5527,8 @@ _DRIVER_TIER = [
     # events_top_transitions, events_hll_distinct,
     # map_functions_bridge, window_functions_bridge,
     # docs_weighted_sample, q15_top_supplier, q8_market_share. All are
-    # sf0.01-oracle-green via tools/drive_harness.py --all (round 3).
+    # sf0.01-oracle-green via tools/drive_harness.py --all (round 3,
+    # final certification: 130/130).
 ]
 
 _ALL_QUERIES = dict(QUERIES)
