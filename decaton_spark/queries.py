@@ -3698,6 +3698,64 @@ def pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_last_touch_attribution",
+    """
+    WITH clicks AS (
+        SELECT user_id, ts, max(event_id) AS touch_id
+        FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+    p AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+    SELECT p.event_id AS purchase_id,
+           p.user_id,
+           coalesce(c.touch_id, -1) AS touch_id,
+           coalesce(epoch_us(p.ts) - epoch_us(c.ts), -1) AS gap_us
+    FROM p ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def events_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution: each purchase is credited to
+    the user's latest click at-or-before purchase time (the marketing
+    analytics primitive), with the click→purchase gap in microseconds;
+    unattributed purchases (no prior click) keep -1 sentinels.
+
+    Built on the engine's as-of join (operators/asof.py — one shuffle
+    + in-group sort, no range cross-join). Clicks collapse to one row
+    per (user, ts) with the max event_id first, which both makes the
+    as-of tie-break deterministic and matches the oracle's native ASOF
+    JOIN resolution. Gap uses unix_micros vs epoch_us (identical
+    truncation — the verified cross-engine timestamp-diff rule)."""
+    from decaton_spark.operators.asof import asof_join
+
+    ev = load_table(spark, "events", sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("touch_id"))
+        .withColumnRenamed("ts", "click_ts")
+        .withColumn("_join_key", F.col("user_id"))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts")
+        .withColumn("_join_key", F.col("user_id"))
+    )
+    joined = asof_join(
+        purchases, clicks,
+        on="_join_key", left_ts="ts", right_ts="click_ts",
+        right_cols=["touch_id", "click_ts"],
+    )
+    return joined.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.coalesce("touch_id", F.lit(-1)).alias("touch_id"),
+        F.coalesce(
+            F.unix_micros("ts") - F.unix_micros("click_ts"), F.lit(-1)
+        ).alias("gap_us"),
+    )
+
+
+@register(
     "asof_join_enrichment",
     """
     WITH ords AS (
@@ -5514,7 +5572,8 @@ _DRIVER_TIER = [
     # ROUND-4 PRIORITY-1 QUEUE (registered late in round 3, no driver
     # row yet; lead the next rotation with these): events_rolling_zscore,
     # events_value_winsorized, hypertable_incremental_refresh,
-    # events_expectations, docs_domain_cap,
+    # events_expectations, events_last_touch_attribution,
+    # docs_domain_cap,
     # ann_filtered_topk, events_funnel, events_cohort_retention,
     # events_conversion_latency, events_props_json,
     # events_session_gaps, customer_balance_quartiles,
