@@ -5471,13 +5471,14 @@ def events_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 # ROTATION POLICY (round 3+): the tier is rebuilt each round; slots
-# are assigned in priority order below. With 123 registered queries
+# are assigned in priority order below. With 131 registered queries
 # and a 50-slot/round driver budget, the achievable freshness bound is
 # a THREE-round cycle (any query's newest driver row is at most 3
 # rounds old); zero-evidence queries always outrank re-verification.
-# Round-4 arithmetic: 26 zero-evidence (priority 1, listed below)
-# + 24 of the 47 queries whose newest row is r2 (prefer TPC-H shapes
-# and Decaton T-operators first); the ~23 remainder take round-5
+# Round-4 arithmetic: 34 zero-evidence (the priority-1 queue listed at
+# the end of this tier) + 16 of the queries whose newest row is r1/r2,
+# preferring r1 rows (q15_top_supplier, q8_market_share lead), then
+# TPC-H shapes and Decaton T-operators; the remainder take round-5
 # slots. Priorities:
 #   1. queries with no driver row in any round (round 3: cube_order_stats);
 #   2. queries whose newest row is >=2 rounds old (round 3: everything
