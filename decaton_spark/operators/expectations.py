@@ -38,6 +38,11 @@ def with_violations(
     """Append ``out_col``: array of the rule names this row violates
     (empty array = clean row). One fused projection; rules evaluate
     left-to-right in dict order inside a single codegen stage."""
+    if out_col in df.columns:
+        raise ValueError(
+            f"with_violations: column {out_col!r} already exists on the "
+            "input frame; pass a different out_col"
+        )
     checks = [
         F.when(cond, F.lit(None).cast("string")).otherwise(F.lit(name))
         for name, cond in rules.items()
@@ -47,20 +52,29 @@ def with_violations(
 
 
 def apply_expectations(
-    df: DataFrame, rules: dict[str, Column]
+    df: DataFrame, rules: dict[str, Column], out_col: str = "violations"
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """(passed, quarantined, stats): clean rows without the helper
-    column, violating rows carrying their ``violations`` list, and a
-    per-rule (rule, n_violations) frame for monitoring sinks.
+    column, violating rows carrying their ``out_col`` list, and a
+    per-rule (rule, n_violations) frame for monitoring sinks — one row
+    per DECLARED rule (count 0 when nothing violates it), so the
+    monitoring schema is stable regardless of the data.
 
     The two row outputs share one evaluated projection; stats explode
     only the violation names (bounded by |rules| per row)."""
-    tagged = with_violations(df, rules)
-    passed = tagged.filter(F.size("violations") == 0).drop("violations")
-    quarantined = tagged.filter(F.size("violations") > 0)
-    stats = (
-        tagged.select(F.explode("violations").alias("rule"))
+    tagged = with_violations(df, rules, out_col=out_col)
+    passed = tagged.filter(F.size(out_col) == 0).drop(out_col)
+    quarantined = tagged.filter(F.size(out_col) > 0)
+    counts = (
+        tagged.select(F.explode(out_col).alias("rule"))
         .groupBy("rule")
         .agg(F.count(F.lit(1)).alias("n_violations"))
+    )
+    names = df.sparkSession.createDataFrame(
+        [(n,) for n in rules], schema="rule string"
+    )
+    stats = names.join(counts, "rule", "left").select(
+        "rule",
+        F.coalesce("n_violations", F.lit(0)).cast("long").alias("n_violations"),
     )
     return passed, quarantined, stats

@@ -137,6 +137,39 @@ def t1_compaction_global(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "t1_compaction_hash",
+    f"""
+    WITH {TASKS_CTE},
+    ranked AS (
+        SELECT key, "offset", meta_timestamp_millis,
+               row_number() OVER (PARTITION BY key
+                   ORDER BY meta_timestamp_millis DESC, "offset" DESC) AS rn
+        FROM tasks)
+    SELECT key, "offset", meta_timestamp_millis FROM ranked WHERE rn = 1
+    """,
+)
+def t1_compaction_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 compaction via the sort-free HashAggregate variant
+    (``compact_tasks_hash``): the survivor election aggregates only a
+    packed fixed-width DECIMAL (ts·2^62 + offset) so the aggregate
+    hash-combines instead of sort-spilling, then one equi-join on
+    (key, packed max) recovers the survivor row — the plan to pick
+    when compaction input is too wide to sort gracefully at scale.
+    Same survivors bit-for-bit as ``t1_compaction_global`` (shared
+    oracle): both orderings are the lexicographic (ts, offset) max and
+    offsets are unique.
+
+    Reference: CompactionProcessor.process()
+    (processor/.../processors/CompactionProcessor.java:184-227).
+    """
+    from decaton_spark.operators.compaction import compact_tasks_hash
+
+    tasks = _tasks(spark, sf_dir)
+    out = compact_tasks_hash(tasks, linger=None)
+    return out.select("key", "offset", "meta_timestamp_millis")
+
+
+@register(
     "f1_ignore_keys",
     f"""
     WITH {TASKS_CTE}
@@ -725,7 +758,10 @@ def customer_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(CASE WHEN value > p99 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
            CAST(round(min(p01) * 1000000) AS BIGINT) AS p01_micro,
            CAST(round(min(p99) * 1000000) AS BIGINT) AS p99_micro,
-           CAST((2 * sum(cl) + count(*)) // (2 * count(*)) AS BIGINT) AS mean_centi
+           CAST((2 * sum(cl) + count(*)) // (2 * count(*))
+                - (CASE WHEN (2 * sum(cl) + count(*)) % (2 * count(*)) <> 0
+                         AND (2 * sum(cl) + count(*)) < 0
+                        THEN 1 ELSE 0 END) AS BIGINT) AS mean_centi
     FROM j GROUP BY event_type
     """,
 )
@@ -739,7 +775,9 @@ def events_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cross-engine exactness: both engines interpolate R-7 percentiles
     on identical doubles; clipped values go to centi-scaled BIGINTs
     before summing (order-independent integer sums), the mean comes
-    out as the exact integer form (2S + n) div (2n), and the
+    out as the exact integer form floor((2S + n) / (2n)) — written as
+    a sign-safe trunc-plus-correction so both engines agree even when
+    a group's clipped mean is negative — and the
     percentile bounds are reported as scale-0-rounded micro-units —
     no fractional rounding of a ratio anywhere.
 
@@ -769,7 +807,14 @@ def events_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("value") > F.col("p99"), 1).otherwise(0)).alias("n_high"),
         F.round(F.min("p01") * 1000000).cast("long").alias("p01_micro"),
         F.round(F.min("p99") * 1000000).cast("long").alias("p99_micro"),
-        F.expr("(2 * sum(cl) + count(1)) div (2 * count(1))").alias("mean_centi"),
+        F.expr(
+            # sign-safe FLOOR((2S+n)/(2n)) in pure integer arithmetic:
+            # both engines' integer division truncates toward zero, so
+            # subtract 1 when the (negative) dividend leaves a remainder
+            "(2 * sum(cl) + count(1)) div (2 * count(1))"
+            " - (CASE WHEN (2 * sum(cl) + count(1)) % (2 * count(1)) != 0"
+            "           AND (2 * sum(cl) + count(1)) < 0 THEN 1 ELSE 0 END)"
+        ).alias("mean_centi"),
     )
 
 
@@ -4715,13 +4760,36 @@ def events_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id)
                    AS r_lex
         FROM lex_scored QUALIFY r_lex <= 50),
+    c0 AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+           FROM embeddings WHERE vec_id < 16),
+    {_kmeans_iter_sql('c0', 'c1')},
+    {_kmeans_iter_sql('c1', 'c2')},
+    cent AS (SELECT cid, cv FROM c2),
+    ascore AS (
+        SELECT e.vec_id, c.cid,
+               round({_dot64('e.embedding', 'c.cv')}
+                     / ({_NORM.format(v='e.embedding')} * {_NORM.format(v='c.cv')}), 4) + 0.0 AS cos
+        FROM embeddings e CROSS JOIN cent c),
+    assign AS (
+        SELECT vec_id, cid AS cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+        FROM ascore),
+    cellv AS (SELECT vec_id, cell FROM assign WHERE rn = 1),
+    probe AS (
+        SELECT cid AS cell,
+               row_number() OVER (ORDER BY cos DESC, cid) AS rn
+        FROM ascore WHERE vec_id = 0),
     q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
     sem_scored AS (
-        SELECT c.vec_id AS doc_id,
-               round({_DOT_QC.replace('cv', 'c.embedding')}
+        SELECT e.vec_id AS doc_id,
+               round({_dot64('qv', 'e.embedding')}
                      / ({_NORM.format(v='qv')}
-                        * {_NORM.format(v='c.embedding')}), 4) AS cosine
-        FROM embeddings c CROSS JOIN q WHERE c.vec_id <> 0),
+                        * {_NORM.format(v='e.embedding')}), 4) + 0.0 AS cosine
+        FROM embeddings e
+             JOIN cellv cl ON e.vec_id = cl.vec_id
+             JOIN probe p ON cl.cell = p.cell AND p.rn <= 4
+             CROSS JOIN q
+        WHERE e.vec_id <> 0),
     sem AS (
         SELECT doc_id, row_number() OVER (ORDER BY cosine DESC, doc_id)
                    AS r_sem
@@ -4746,18 +4814,30 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic evaluated in ONE row-local expression after a full
     outer join of the two ≤50-row lists, so the fused scores are
     bit-identical across engines with no rounding and no cross-row
-    float sums. At scale both candidate lists are TakeOrdered top-k
-    outputs (driver-size), the fusion join is trivially broadcast,
-    and each tower keeps its own 100 TB plan (materialized-tf BM25,
-    broadcast-query brute-force/IVF ANN)."""
+    float sums. The semantic tower is the IVF path (trained-centroid
+    store, nlist=16, nprobe=4) — the shape a 100 TB deployment runs:
+    cell assignment is a shuffle-free projection, the probe join is a
+    broadcast equi-join on cell, never a corpus-wide nested loop. The
+    oracle replays training + probing bit-for-bit (same fragments as
+    ``ann_ivf_topk``). At scale both candidate lists are TakeOrdered
+    top-k outputs (driver-size) and the fusion join is trivially
+    broadcast (materialized-tf BM25 on the lexical side)."""
     docs = load_table(spark, "documents", sf_dir)
     emb = load_table(spark, "embeddings", sf_dir)
     lex = tx.bm25_search(docs, ["spark", "join", "window"], top_k=50).select(
         "doc_id", F.col("rank").alias("r_lex")
     )
-    sem = sim.brute_force_topk(emb, emb.filter(F.col("vec_id") == 0), k=50).select(
-        F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("r_sem")
+    cents = sim.trained_centroids(
+        emb, dataset=f"{sf_dir}/embeddings", nlist=16, iters=2
     )
+    sem = sim.ivf_topk(
+        emb,
+        emb.filter(F.col("vec_id") == 0),
+        k=50,
+        nlist=16,
+        nprobe=4,
+        centroids=cents,
+    ).select(F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("r_sem"))
     fused = (
         lex.join(sem, "doc_id", "full_outer")
         .select(
@@ -5491,104 +5571,74 @@ def events_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      dedup_near_full CC hardening, ann_brute_force_topk shares
 #      similarity.py), then one representative per operator family.
 _DRIVER_TIER = [
-    # -- priority 1: never driver-verified --
-    "cube_order_stats",
-    # -- priority 2: newest driver row is round 1 --
-    "w1_sessionize",
-    "w2_running_value",
-    "sliding_window_activity",
-    "set_ops_purchasers_no_errors",
-    "rollup_order_stats",
-    "correlated_above_avg_balance",
-    "group_topn_orders",
-    "salted_agg_events",
-    "hypertable_rollup",
-    "events_user_value",
-    "deterministic_split",
-    "deterministic_mixture",
-    "dedup_filtered_corpus",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "text_lang_id",
-    "text_quality",
-    "text_token_count",
-    "text_fingerprint",
-    "ann_lsh_topk",
-    "ann_lsh_buckets",
-    "ann_brute_force_topk_vec",
-    "ann_ivf_topk_vec",
-    "s8_envelope",
-    "t1_compaction_global",
-    # -- priority 3: newly registered this round --
-    "docs_gopher_filter",
-    "docs_pii_redact",
-    "dedup_spans",
-    "token_budget_sample",
-    "ann_pq_topk",
-    "text_tfidf_top_terms",
-    "text_doc_chunks",
-    "text_pack_sequences",
-    "docs_decontaminate",
-    "dedup_semantic",
-    "ann_ivf_pq_topk",
-    "docs_length_quantiles",
-    "docs_domain_importance",
-    "text_vocab_build",
-    "docs_curation_pipeline",
-    # -- priority 3 (continued): registered later in round 3 --
-    "q21_waiting_suppliers",
-    "heavy_hitters_keys",
-    "text_bm25_search",
-    "hybrid_search_rrf",
-    # -- priority 4a: implementation changed this round --
-    "ann_ivf_topk",
-    "s8_protobuf_envelope",
-    "dedup_near_full",
-    # -- priority 3 (continued): corpus upsert, registered last --
-    "corpus_merge_upsert",
-    "corpus_merge_neardup",
-    # q15_top_supplier and q8_market_share ceded their priority-4b
-    # slots to the two corpus-merge queries (new queries outrank
-    # re-verification); their newest rows are r1, so they lead the
-    # round-4 priority queue below (freshness bound still met: an r1
-    # row re-verified in round 4 is exactly 3 rounds old).
-    # q1_pricing_summary, t6_per_key_quota, t13_pipeline_chain and
-    # multimodal_binary_meta hold fresh r2 rows and rotated out to
-    # make room for the round-3 retrieval additions (policy: a row at
-    # most 2 rounds old is fresh enough; theirs are 1 round old).
-    # dedup_exact, s7_serde_roundtrip, pivot_event_types,
-    # semi_anti_customers, docs_source_quality, range_join_errors,
-    # asof_join_enrichment, q18_large_volume_customers,
-    # topk_parts_by_revenue (group_topn covers window-topk),
-    # text_suite (its four component queries all hold priority-2
-    # slots this round), dedup_minhash_lsh (dedup_near_full runs
-    # the same LSH banding path end-to-end) and
-    # grouping_sets_order_stats (rollup + cube both hold slots),
-    # q3_top_orders, q9_nation_year_profit (q8_market_share runs a
-    # strictly wider join+conditional-agg shape) and
-    # ann_brute_force_topk (fresh r2 row; its plan is untouched and
-    # its _vec sibling shares the oracle) rotated to EXTRA to make
-    # room for the queries new this round.
-    #
-    # ROUND-4 PRIORITY-1 QUEUE (registered late in round 3, no driver
-    # row yet; lead the next rotation with these): events_rolling_zscore,
-    # events_value_winsorized, hypertable_incremental_refresh,
-    # events_expectations, events_last_touch_attribution,
-    # docs_domain_cap,
-    # ann_filtered_topk, events_funnel, events_cohort_retention,
-    # events_conversion_latency, events_props_json,
-    # events_session_gaps, customer_balance_quartiles,
-    # docs_lm_score, events_resample_gapfill,
-    # emb_label_centroid_drift, events_percent_rank,
-    # array_functions_bridge, docs_normalize, lineitem_unpivot,
-    # set_ops_all_variants, datetime_functions_bridge,
-    # lateral_top_orders, null_semantics_bridge, text_tokenize_ids,
-    # dedup_cluster_stats, corpus_token_histogram,
-    # events_top_transitions, events_hll_distinct,
-    # map_functions_bridge, window_functions_bridge,
-    # docs_weighted_sample, q15_top_supplier, q8_market_share. All are
-    # sf0.01-oracle-green via tools/drive_harness.py --all (round 3,
-    # final certification: 130/130).
+    # ================= ROUND 4 TIER =================
+    # Priority 1: the 34 queries with NO driver row in any round
+    # (registered late in round 3). With these green, the all-time
+    # driver union reaches 131/131 — every registered operator
+    # driver-verified at least once.
+    "events_rolling_zscore",
+    "events_value_winsorized",    # + ADVICE r3 fix: sign-safe floor mean
+    "hypertable_incremental_refresh",
+    "events_expectations",        # + ADVICE r3 fix: stats row per declared rule
+    "events_last_touch_attribution",
+    "docs_domain_cap",
+    "ann_filtered_topk",
+    "events_funnel",
+    "events_cohort_retention",
+    "events_conversion_latency",
+    "events_props_json",
+    "events_session_gaps",
+    "customer_balance_quartiles",
+    "docs_lm_score",
+    "events_resample_gapfill",
+    "emb_label_centroid_drift",
+    "events_percent_rank",
+    "array_functions_bridge",
+    "docs_normalize",
+    "lineitem_unpivot",
+    "set_ops_all_variants",
+    "datetime_functions_bridge",
+    "lateral_top_orders",
+    "null_semantics_bridge",
+    "text_tokenize_ids",
+    "dedup_cluster_stats",
+    "corpus_token_histogram",
+    "events_top_transitions",
+    "events_hll_distinct",
+    "map_functions_bridge",
+    "window_functions_bridge",
+    "docs_weighted_sample",
+    "q15_top_supplier",
+    "q8_market_share",
+    # Priority 3: newly registered this round
+    "t1_compaction_hash",         # sort-free compaction variant (VERDICT r3 #7)
+    # Priority 4a: implementation changed this round
+    "hybrid_search_rrf",          # semantic tower swapped to IVF (VERDICT r3 #5)
+    # Priority 4b: re-verification — newest rows are r2 (2 rounds old,
+    # at the freshness bound). One representative per operator family:
+    # TPC-H agg/join shapes, the Decaton T/F operator band, dedup, the
+    # as-of/range time-series joins, sketches, multimodal.
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q9_nation_year_profit",
+    "q18_large_volume_customers",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "t2_batching",
+    "t5_rate_limit",
+    "t6_per_key_quota",
+    "t13_pipeline_chain",
+    "asof_join_enrichment",
+    "range_join_errors",
+    "cm_sketch_quota",
+    "multimodal_binary_meta",
+    # The remaining 31 r2-row holders (q2/q4-q7/q10-q14/q16/q17/q19/
+    # q20/q22, f1-f3, p1, t1_compaction_windowed, t3, t4, s7,
+    # s8_legacy_envelope, dedup_simhash, docs_source_quality,
+    # text_suite, scalar_functions_bridge, pivot/semi_anti/topk/
+    # grouping_sets, ann_brute_force_topk) keep rows exactly 2 rounds
+    # old and hold the round-5 re-verification queue — the 3-round
+    # freshness bound is preserved by construction.
 ]
 
 _ALL_QUERIES = dict(QUERIES)

@@ -252,7 +252,7 @@ def tws_compact(
             CompactProcessor(window_ms, key_col),
             outputStructType=out_schema,
             outputMode="Update",
-            timeMode="ProcessingTime",
+            timeMode="None",
         )
     )
 
@@ -362,7 +362,7 @@ def tws_heavy_hitters(
             HeavyHittersProcessor(threshold, depth, width),
             outputStructType=out_schema,
             outputMode="Append",
-            timeMode="ProcessingTime",
+            timeMode="None",
         )
     )
 
@@ -390,8 +390,16 @@ class ZscoreProcessor(StatefulProcessor):
         xs = list(self.window.get()[0]) if self.window.exists() else []
         out = {"event_id": [], "user_id": [], "zscore": []}
         uid = int(key[0])
-        for pdf in rows:
-            pdf = pdf.sort_values(["ts", "event_id"])
+        # concat the key's WHOLE microbatch group before the one sort —
+        # a group can span multiple Arrow record batches (and chunk
+        # order is arbitrary post-shuffle), so per-chunk sorting would
+        # process rows out of (ts, event_id) order and break the batch
+        # bit-equivalence contract (mirrors stateful.py's concat-first)
+        chunks = [pdf for pdf in rows]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                ["ts", "event_id"]
+            )
             for eid, xv in zip(pdf["event_id"], pdf["xv"]):
                 x = int(xv)
                 xs.append(x)
@@ -425,7 +433,7 @@ def tws_zscore(
             ZscoreProcessor(threshold, n),
             outputStructType=out_schema,
             outputMode="Append",
-            timeMode="ProcessingTime",
+            timeMode="None",
         )
     )
 
@@ -548,7 +556,7 @@ def tws_ordered(tasks: DataFrame, *, key_col: str = "key") -> DataFrame:
             OrderedProcessor(key_col),
             outputStructType=out_schema,
             outputMode="Append",
-            timeMode="ProcessingTime",
+            timeMode="None",
         )
     )
 
@@ -569,7 +577,7 @@ def tws_quota(
             QuotaProcessor(quota_per_window, window_ms, depth, width),
             outputStructType=out_schema,
             outputMode="Append",
-            timeMode="ProcessingTime",
+            timeMode="None",
         )
     )
 
@@ -631,5 +639,5 @@ def tws_lsh_candidates(
         LshIndexProcessor(id_col),
         outputStructType="id_a long, id_b long, band int",
         outputMode="Append",
-        timeMode="ProcessingTime",
+        timeMode="None",
     )

@@ -51,4 +51,23 @@ def test_all_clean_passes_everything(spark):
     passed, quarantined, stats = apply_expectations(df, RULES())
     assert passed.count() == 1
     assert quarantined.count() == 0
-    assert stats.count() == 0
+    # one row per DECLARED rule even when nothing violates it — the
+    # monitoring schema must not depend on the data
+    got = {r["rule"]: r["n_violations"] for r in stats.collect()}
+    assert got == {"value_non_negative": 0, "known_type": 0}
+
+
+def test_out_col_collision_raises(spark):
+    df = _mk(spark).withColumn("violations", F.lit("pre-existing"))
+    try:
+        apply_expectations(df, RULES())
+        assert False, "expected ValueError on out_col collision"
+    except ValueError:
+        pass
+    # custom out_col avoids the collision and is plumbed through
+    passed, quarantined, stats = apply_expectations(
+        df, RULES(), out_col="dq_violations"
+    )
+    assert "violations" in passed.columns  # user's column preserved
+    assert "dq_violations" in quarantined.columns
+    assert stats.count() == 2

@@ -484,3 +484,39 @@ def test_winsorize_broadcasts_quantiles(spark, sf_dir):
     assert "BroadcastHashJoin" in p
     assert p.count("HashAggregate") >= 2
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_compaction_hash_variant_no_sort_aggregate(spark, sf_dir):
+    """t1_compaction_hash exists to avoid SortAggregate: the survivor
+    election aggregates a packed fixed-width DECIMAL (hash-aggregable)
+    and the recovery join must be a hash join, never a sorted one."""
+    df = QUERIES["t1_compaction_hash"].fn(spark, sf_dir)
+    p = plan_of(df)
+    assert "SortAggregate" not in p, "packed-decimal max must hash-aggregate"
+    assert "HashAggregate" in p
+    assert "SortMergeJoin" not in p, "one-row-per-group recovery join must hash"
+
+
+def test_hybrid_semantic_tower_is_ivf_probe_join(spark, sf_dir):
+    """hybrid_search_rrf's semantic tower must be the IVF shape: a
+    broadcast equi-join of corpus cells against the exploded probe
+    list — never a corpus-wide BroadcastNestedLoopJoin (the brute-force
+    shape that dies at 100 TB). The lexical tower legitimately owns ONE
+    nested-loop: BM25's single-row corpus-stats scalar broadcast; the
+    semantic tower must add zero more."""
+    from decaton_spark.functions import text as tx
+    from decaton_spark.sources import load_table
+
+    hybrid = plan_of(QUERIES["hybrid_search_rrf"].fn(spark, sf_dir))
+    lex_only = plan_of(
+        tx.bm25_search(
+            load_table(spark, "documents", sf_dir),
+            ["spark", "join", "window"],
+            top_k=50,
+        )
+    )
+    assert hybrid.count("BroadcastNestedLoopJoin") == lex_only.count(
+        "BroadcastNestedLoopJoin"
+    ), "semantic tower must not nested-loop the corpus"
+    assert "BroadcastHashJoin" in hybrid  # corpus cells ⋈ exploded probes
+    assert "CartesianProduct" not in hybrid

@@ -367,3 +367,44 @@ def test_zscore_processor_logic():
     # constant window -> den2 == 0 -> no division, no emission
     assert feed([(5, 5, 100), (6, 6, 100)]) == []
     assert h.states["window"].get()[0] == [100, 100, 100]
+
+
+def test_zscore_processor_multi_chunk_group():
+    """A key's microbatch group can arrive as MULTIPLE Arrow chunks in
+    arbitrary order; the processor must concat them and sort ONCE so
+    the trailing window sees (ts, event_id) order across chunk
+    boundaries — per-chunk sorting would emit different alerts
+    (ADVICE round-3 defect)."""
+    from decaton_spark.streaming.tws import ZscoreProcessor
+
+    def run(chunks):
+        h = FakeHandle()
+        p = ZscoreProcessor(threshold=1.0, n=3)
+        p.init(h)
+        out = list(
+            p.handleInputRows(
+                (7,),
+                iter(
+                    pd.DataFrame(c, columns=["ts", "event_id", "xv"])
+                    for c in chunks
+                ),
+                None,
+            )
+        )
+        emitted = (
+            sorted(
+                (int(r["event_id"]), round(float(r["zscore"]), 9))
+                for pdf in out
+                for _, r in pdf.iterrows()
+            )
+            if out
+            else []
+        )
+        return emitted, h.states["window"].get()[0]
+
+    rows = [(1, 1, 100), (2, 2, 100), (3, 3, 400), (4, 4, 100), (5, 5, 900)]
+    single = run([rows])
+    # same rows split across chunks, later-ts chunk delivered FIRST
+    split = run([[rows[3], rows[4]], [rows[0], rows[1], rows[2]]])
+    assert split == single
+    assert split[1] == [400, 100, 900]  # window reflects global ts order
