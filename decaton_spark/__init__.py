@@ -14,7 +14,14 @@ Design stance (see SURVEY.md §7):
   Python appears only at user-logic edges (pandas UDFs, foreachBatch).
 """
 
-from decaton_spark.session import get_spark
+from decaton_spark._vendor import ensure_protobuf as _ensure_protobuf
+
+# Make google.protobuf importable (vendored mini-runtime) when absent:
+# unlocks transformWithStateInPandas' Python state-server clients. Must
+# run before any SparkSession exists so workers inherit PYTHONPATH.
+_ensure_protobuf()
+
+from decaton_spark.session import get_spark  # noqa: E402
 from decaton_spark.envelope import events_to_tasks
 from decaton_spark.operators import (
     Pipeline,

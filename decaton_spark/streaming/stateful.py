@@ -41,7 +41,25 @@ from decaton_spark.streaming.tws import tws_available
 def _use_tws(api: str) -> bool:
     if api not in ("auto", "tws", "legacy"):
         raise ValueError(f"api must be auto|tws|legacy, got {api!r}")
-    return api == "tws" or (api == "auto" and tws_available())
+    if api == "tws":
+        return True
+    if api != "auto":
+        return False
+    if not tws_available():
+        return False
+    # transformWithStateInPandas requires the RocksDB state store
+    # provider; under "auto", only take the TWS path when the active
+    # session has opted in (configure_tws) — otherwise the query would
+    # fail at start. api="tws" skips this guard (caller's assertion).
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        return False
+    provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", ""
+    )
+    return "RocksDB" in (provider or "")
 
 
 @functools.lru_cache(maxsize=65536)
