@@ -539,11 +539,19 @@ def t13_pipeline_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def cm_sketch_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T6's estimator: Count-Min sketch (KeyCounter.java:76-151) as a
-    DataFrame; per-key point estimates (min over depth)."""
+    DataFrame; per-key point estimates (min over depth).
+
+    Built from the per-key partial count, not the raw rows: a sketch
+    over (key, count) partials is bit-identical to one over the rows
+    (CM buckets just add — see ``cm_sketch_table.weight_col``), and it
+    turns two raw scans (sketch + distinct keys) plus per-ROW md5
+    hashing into ONE scan, one key shuffle, and per-KEY hashing — the
+    difference between O(rows·depth) and O(keys·depth) hash work at
+    100 TB."""
     tasks = _tasks(spark, sf_dir)
-    sketch = sk.cm_sketch_table(tasks, "key", depth=4, width=64)
-    keys = tasks.select("key").distinct()
-    return sk.cm_estimate(sketch, keys, "key", depth=4, width=64)
+    counts = tasks.groupBy("key").agg(F.count(F.lit(1)).alias("w"))
+    sketch = sk.cm_sketch_table(counts, "key", depth=4, width=64, weight_col="w")
+    return sk.cm_estimate(sketch, counts.select("key"), "key", depth=4, width=64)
 
 
 def _cm_oracle() -> str:

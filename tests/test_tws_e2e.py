@@ -36,16 +36,25 @@ HOUR_MS = 3_600_000
 
 @contextmanager
 def rocksdb_state(spark):
-    key = "spark.sql.streaming.stateStore.providerClass"
-    prev = spark.conf.get(key, None)
-    spark.conf.set(key, ROCKSDB_PROVIDER)
+    """RocksDB provider + changelog checkpointing (the production
+    config PERFORMANCE.md documents: changelog files instead of full
+    SST uploads per commit — the restart test below recovers from a
+    changelog-replayed checkpoint)."""
+    confs = {
+        "spark.sql.streaming.stateStore.providerClass": ROCKSDB_PROVIDER,
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": "true",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
     try:
         yield
     finally:
-        if prev:
-            spark.conf.set(key, prev)
-        else:
-            spark.conf.unset(key)
+        for k, v in prev.items():
+            if v:
+                spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)
 
 
 def _task_rows(spark):
@@ -365,3 +374,98 @@ def test_legacy_suite_runs_on_rocksdb(spark, tmp_path):
         ("k1", HOUR_MS): 4,
         ("k2", 0): 3,
     }
+
+
+def test_tws_heavy_hitters_first_crossing(spark, tmp_path):
+    """Heavy-hitter alerts through the real TWS query: a key alerts
+    exactly once, at its first threshold crossing."""
+    from decaton_spark.streaming.tws import tws_heavy_hitters
+
+    rows = spark.createDataFrame(
+        [(0, "hot", i) for i in range(5)] + [(0, "cold", 100)],
+        "partition int, key string, offset long",
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    rows.coalesce(1).write.parquet(str(src / "b0"))
+    with rocksdb_state(spark):
+        stream = spark.readStream.schema(rows.schema).parquet(f"{src}/*")
+        out = tws_heavy_hitters(stream, threshold=3)
+        _run_available_now(
+            out, "tws_hh", str(tmp_path / "ck"), output_mode="append"
+        )
+    got = spark.table("tws_hh").toPandas()
+    assert list(got["key"]) == ["hot"]  # one alert, 'cold' never crosses
+    assert got["estimate"].iloc[0] >= 3
+
+
+def test_tws_quota_verdicts(spark, tmp_path):
+    """T6 per-key quota through the real TWS query: same verdicts as
+    the legacy path on the same rows (both state APIs equal)."""
+    from decaton_spark.streaming.stateful import streaming_quota
+    from decaton_spark.streaming.tws import tws_quota
+
+    rows = spark.createDataFrame(
+        [(0, "a", i, 1_000 + i) for i in range(6)]
+        + [(0, "b", 10 + i, 1_000 + i) for i in range(2)],
+        "partition int, key string, offset long, meta_timestamp_millis long",
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    rows.coalesce(1).write.parquet(str(src / "b0"))
+
+    def run(builder, qname):
+        stream = spark.readStream.schema(rows.schema).parquet(f"{src}/*")
+        out = builder(stream)
+        _run_available_now(
+            out, qname, str(tmp_path / f"ck_{qname}"), output_mode="append"
+        )
+        return (
+            spark.table(qname)
+            .select("key", "offset", "quota_verdict")
+            .toPandas()
+            .sort_values(["key", "offset"], ignore_index=True)
+        )
+
+    with rocksdb_state(spark):
+        got_tws = run(
+            lambda s: tws_quota(s, quota_per_window=4, window_ms=10_000),
+            "tws_quota",
+        )
+        got_legacy = run(
+            lambda s: streaming_quota(
+                s, quota_per_window=4, window_ms=10_000, api="legacy"
+            ),
+            "legacy_quota",
+        )
+    pd.testing.assert_frame_equal(got_tws, got_legacy)
+    verdicts = dict(zip(got_tws["offset"], got_tws["quota_verdict"]))
+    assert verdicts[0] == "process" and verdicts[5] == "shape"  # 6th 'a' over 4
+
+
+def test_tws_lsh_candidates_pairs(spark, tmp_path):
+    """Streaming LSH index through the real TWS query: identical docs
+    share all band signatures -> candidate pairs emitted once."""
+    from decaton_spark.streaming.tws import tws_lsh_candidates
+
+    rows = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "a completely different document about spark joins"),
+        ],
+        "doc_id long, text string",
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    rows.coalesce(1).write.parquet(str(src / "b0"))
+    with rocksdb_state(spark):
+        stream = spark.readStream.schema(rows.schema).parquet(f"{src}/*")
+        out = tws_lsh_candidates(stream)
+        _run_available_now(
+            out, "tws_lsh", str(tmp_path / "ck"), output_mode="append"
+        )
+    got = spark.table("tws_lsh").toPandas()
+    pairs = set(zip(got["id_a"], got["id_b"]))
+    assert (1, 2) in pairs, "identical docs must become a candidate pair"
+    assert not any(3 in p for p in pairs), "distinct doc must not pair"

@@ -72,12 +72,19 @@ def build_fixture(spark) -> None:
 
     docs = load_table(spark, "documents", BASE)
     max_doc = docs.agg(F.max("doc_id")).collect()[0][0] + 1
-    rotations = [ALPHA[i:] + ALPHA[:i] for i in range(REPLICAS)]
-    rot_col = F.array(*[F.lit(r) for r in rotations])[F.col("_r")]
+    rotations = ", ".join(
+        f"'{ALPHA[i:] + ALPHA[:i]}'" for i in range(REPLICAS)
+    )
     (
         _replicas(docs, REPLICAS)
         .withColumn("doc_id", F.col("doc_id") + F.col("_r") * F.lit(max_doc))
-        .withColumn("text", F.translate(F.col("text"), ALPHA, rot_col))
+        .withColumn(
+            "text",
+            F.expr(
+                f"translate(text, '{ALPHA}', "
+                f"element_at(array({rotations}), _r + 1))"
+            ),
+        )
         .drop("_r")
         .write.parquet(os.path.join(X10, "documents.parquet"))
     )
