@@ -641,3 +641,118 @@ def tws_lsh_candidates(
         outputMode="Append",
         timeMode="None",
     )
+
+
+class EventTimeCompactProcessor(StatefulProcessor):
+    """T1 compaction with EVENT-TIME semantics on native TWS timers:
+    last-wins survivor per (key, tumbling window) over the TASK
+    timestamp, the window's final survivor emitted exactly once when
+    the watermark passes the window end (append semantics), late rows
+    dropped deterministically.
+
+    This is the third TWS time-mode axis (None / ProcessingTime /
+    EventTime) and the reference-parity upgrade SURVEY §2.6 names: the
+    reference's linger is wall-clock only (CompactionProcessor.java:
+    179-181, no late-data story); event-time timers give the same
+    linger semantics on task time with a principled late policy.
+    State is one ListState row per OPEN window; the watermark bounds
+    how many stay open."""
+
+    def __init__(self, window_ms: int, key_col: str = "key"):
+        self.window_ms = window_ms
+        self.key_col = key_col
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self.handle = handle
+        self.open = handle.getListState(
+            "open", "win long, off long, ts long, val string"
+        )
+
+    def _held(self) -> dict[int, tuple[int, int, str]]:
+        held: dict[int, tuple[int, int, str]] = {}
+        if self.open.exists():
+            for r in self.open.get():
+                held[int(r[0])] = (int(r[1]), int(r[2]), r[3])
+        return held
+
+    def _store(self, held: dict[int, tuple[int, int, str]]) -> None:
+        self.open.clear()
+        for win in sorted(held):
+            off, ts, val = held[win]
+            self.open.appendValue((win, off, ts, val))
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+        wm = timerValues.getCurrentWatermarkInMs()
+        held = self._held()
+        changed = False
+        for pdf in rows:
+            for ts, off, val in zip(
+                pdf["meta_timestamp_millis"], pdf["offset"], pdf["value"]
+            ):
+                ts, off = int(ts), int(off)
+                win = (ts // self.window_ms) * self.window_ms
+                if win + self.window_ms <= wm:
+                    continue  # late: window already closed, drop
+                cur = held.get(win)
+                if cur is None:
+                    # first row of a new window: arm its closing timer
+                    self.handle.registerTimer(win + self.window_ms)
+                if cur is None or (ts, off) > (cur[1], cur[0]):
+                    held[win] = (off, ts, val)
+                    changed = True
+        if changed:
+            self._store(held)
+        return iter(())  # append mode: emission happens at window close
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        expiry = expiredTimerInfo.getExpiryTimeInMs()
+        held = self._held()
+        closing = sorted(
+            w for w in held if w + self.window_ms <= expiry
+        )
+        if not closing:
+            return
+        remaining = {w: v for w, v in held.items() if w not in set(closing)}
+        self._store(remaining)
+        yield pd.DataFrame(
+            {
+                self.key_col: key[0],
+                "window_start_ms": closing,
+                "offset": [held[w][0] for w in closing],
+                "meta_timestamp_millis": [held[w][1] for w in closing],
+                "value": [held[w][2] for w in closing],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def tws_compact_event_time(
+    tasks: DataFrame,
+    *,
+    window_ms: int = 3_600_000,
+    key_col: str = "key",
+    ts_col: str = "timestamp",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Event-time windowed compaction on TWS (timeMode="EventTime"):
+    the stream must carry an event-time ``ts_col``; the watermark both
+    drops late rows and drives the native timers that close windows.
+    Output matches ``event_time.event_time_compact`` (append mode, one
+    final row per closed (key, window))."""
+    out_schema = (
+        f"{key_col} string, window_start_ms long, offset long, "
+        "meta_timestamp_millis long, value string"
+    )
+    return (
+        tasks.withWatermark(ts_col, watermark)
+        .select(key_col, "meta_timestamp_millis", "offset", "value", ts_col)
+        .groupBy(key_col)
+        .transformWithStateInPandas(
+            EventTimeCompactProcessor(window_ms, key_col),
+            outputStructType=out_schema,
+            outputMode="Append",
+            timeMode="EventTime",
+        )
+    )

@@ -469,3 +469,76 @@ def test_tws_lsh_candidates_pairs(spark, tmp_path):
     pairs = set(zip(got["id_a"], got["id_b"]))
     assert (1, 2) in pairs, "identical docs must become a candidate pair"
     assert not any(3 in p for p in pairs), "distinct doc must not pair"
+
+
+def test_tws_event_time_compact_drops_late_closes_on_watermark(spark, tmp_path):
+    """The third TWS time-mode axis, end-to-end: EVENT-TIME timers
+    close each (key, window) exactly once as the watermark passes its
+    end, and a late row cannot reopen or win a closed window (same
+    contract as the aggregation form in test_streaming.py, now on
+    native TWS timers)."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from decaton_spark.streaming.tws import tws_compact_event_time
+
+    d = tmp_path / "stream"
+    d.mkdir()
+    h = 3_600_000
+    base = 1_699_999_200_000  # hour-aligned => W0 = [base, base+h)
+
+    def write(name, rows, mtime):
+        tbl = pa.table(
+            {
+                "key": pa.array([r[0] for r in rows], pa.string()),
+                "timestamp": pa.array(
+                    [r[1] * 1000 for r in rows], pa.timestamp("us")
+                ),
+                "offset": pa.array([r[2] for r in rows], pa.int64()),
+                "meta_timestamp_millis": pa.array(
+                    [r[1] for r in rows], pa.int64()
+                ),
+                "value": pa.array([r[3] for r in rows], pa.string()),
+            }
+        )
+        path = str(d / name)
+        pq.write_table(tbl, path)
+        os.utime(path, (mtime, mtime))
+
+    now = time.time()
+    write("00-a.parquet", [("k1", base + 1000, 1, "first"),
+                           ("k2", base + 3 * h, 2, "advance")], now - 40)
+    write("01-b.parquet", [("k2", base + 3 * h + 1, 3, "settle")], now - 30)
+    write("02-c.parquet", [("k1", base + 2000, 4, "late-would-win")], now - 20)
+    write("03-d.parquet", [("k2", base + 9 * h, 5, "flush")], now - 10)
+
+    schema = (
+        "key string, timestamp timestamp, offset long, "
+        "meta_timestamp_millis long, value string"
+    )
+    with rocksdb_state(spark):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(d))
+        )
+        out = tws_compact_event_time(
+            stream, window_ms=h, watermark="30 minutes"
+        )
+        _run_available_now(
+            out, "tws_etc", str(tmp_path / "ck"), output_mode="append"
+        )
+    rows = spark.table("tws_etc").collect()
+    by_kw = {(r["key"], r["window_start_ms"]): r for r in rows}
+    assert len(rows) == len(by_kw), "append: each window emitted once"
+    w0 = by_kw[("k1", base)]
+    assert w0["value"] == "first" and w0["offset"] == 1, (
+        "late row must not win the closed window"
+    )
+    assert not any(r["value"] == "late-would-win" for r in rows)
+    # k2's 3h window closes when the flush row advances the watermark
+    k2 = by_kw[("k2", base + 3 * h)]
+    assert k2["offset"] == 3  # 'settle' (ts+1) beats 'advance'

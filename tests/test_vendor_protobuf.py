@@ -136,3 +136,81 @@ def test_descriptor_surface_matches_generated_module():
     assert sm.PRE_INIT == 0 and sm.CLOSED == 5
     assert sm.HandleState.Value("DATA_PROCESSED") == 3
     assert sm.HandleState.Name(4) == "TIMER_PROCESSED"
+
+
+# -- property sweep: serialize/parse round-trip over generated values ----
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAVE_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    _HAVE_HYPOTHESIS = False
+
+if _HAVE_HYPOTHESIS:
+    _i32 = st.integers(min_value=-(2**31), max_value=2**31 - 1)
+    _i64 = st.integers(min_value=-(2**63), max_value=2**63 - 1)
+    _blob = st.binary(max_size=64)
+    _text = st.text(max_size=48)
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        status=_i32,
+        err=_text,
+        values=st.lists(_blob, max_size=8),
+        more=st.booleans(),
+    )
+    def test_roundtrip_response_with_list(status, err, values, more):
+        m = sm.StateResponseWithListGet(
+            statusCode=status,
+            errorMessage=err,
+            value=values,
+            requireNextFetch=more,
+        )
+        back = sm.StateResponseWithListGet()
+        back.ParseFromString(m.SerializeToString())
+        assert back.statusCode == status
+        assert back.errorMessage == err
+        assert list(back.value) == values
+        assert back.requireNextFetch == more
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        timers=st.lists(
+            st.tuples(st.one_of(st.none(), _blob), _i64), max_size=6
+        ),
+        more=st.booleans(),
+    )
+    def test_roundtrip_timer_response(timers, more):
+        m = sm.StateResponseWithTimer(
+            timer=[
+                sm.TimerInfo(timestampMs=ts)
+                if key is None
+                else sm.TimerInfo(key=key, timestampMs=ts)
+                for key, ts in timers
+            ],
+            requireNextFetch=more,
+        )
+        back = sm.StateResponseWithTimer()
+        back.ParseFromString(m.SerializeToString())
+        assert len(back.timer) == len(timers)
+        for t, (key, ts) in zip(back.timer, timers):
+            assert t.timestampMs == ts
+            assert t.HasField("key") == (key is not None)
+            assert t.key == (key if key is not None else b"")
+        assert back.requireNextFetch == more
+
+    @settings(max_examples=150, deadline=None)
+    @given(name=_text, schema=_text, ttl=st.one_of(st.none(), _i64))
+    def test_roundtrip_nested_ttl(name, schema, ttl):
+        kwargs = {"stateName": name, "schema": schema}
+        if ttl is not None:
+            kwargs["ttl"] = sm.TTLConfig(durationMs=ttl)
+        m = sm.StateCallCommand(**kwargs)
+        back = sm.StateCallCommand()
+        back.ParseFromString(m.SerializeToString())
+        assert back.stateName == name and back.schema == schema
+        assert back.HasField("ttl") == (ttl is not None)
+        if ttl is not None:
+            assert back.ttl.durationMs == ttl
