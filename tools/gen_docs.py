@@ -31,6 +31,8 @@ API_SECTIONS = [
     ("Dedup", "decaton_spark.functions.dedup"),
     ("Similarity / ANN", "decaton_spark.functions.similarity"),
     ("Text analysis", "decaton_spark.functions.text"),
+    ("BPE tokenizer training", "decaton_spark.functions.bpe"),
+    ("Training-shard writer", "decaton_spark.sinks"),
     ("Quality filters", "decaton_spark.functions.quality"),
     ("Data selection", "decaton_spark.functions.dsir"),
     ("Sketches", "decaton_spark.functions.sketches"),

@@ -1,24 +1,33 @@
 """Measured scaling evidence: time the heaviest registry queries at
-sf0.1 and at a 10x-replicated fixture (sf1-equivalent row counts) and
-report the growth factor. Near-linear (<= ~12x, allowing fixed costs)
-is the pass bar; anything worse names a plan that would not survive a
-real scale-up.
+sf0.1 and at 10x / 100x replicated fixtures (sf1 / sf10-equivalent row
+counts) and report the growth factors. Near-linear growth per decade
+(<= ~12x, allowing fixed costs) is the pass bar; anything worse names
+a plan that would not survive a real scale-up. Two measured decades
+(sf0.1 -> x10 -> x100) is the strongest local evidence available that
+the plans extrapolate to cluster scale.
 
-Fixture construction (deterministic, no RNG):
-- documents: 10 replicas, doc_id offset by replica * max_id; the text
-  of replica r has its letters rotated via ``translate`` (a different
-  letter permutation per replica) so replicas are NOT near-duplicates
-  of each other — the dedup clusters keep their in-replica structure
-  instead of collapsing into artificial 10-member mega-clusters that
-  would quadratically distort the LSH-bucket workload.
+Fixture construction (deterministic; the only randomness is seeded
+``random.Random(SEED + r)``, so fixtures are bit-reproducible):
+- documents: doc_id offset by replica * max_id; the text of replica r
+  has its letters mapped through a seeded alphabet permutation (a
+  DIFFERENT permutation per replica) so replicas are NOT
+  near-duplicates of each other — the dedup clusters keep their
+  in-replica structure instead of collapsing into artificial
+  mega-clusters that would quadratically distort the LSH-bucket
+  workload.
 - embeddings: vec_id offset; each replica's vectors scaled by
-  (1 + r/1000) so no cross-replica exact/semantic duplicates appear.
-- events: event_id offset; user_id kept (10x events per user = the
+  (1 + r/1000) so no cross-replica exact duplicates appear.
+- events: event_id offset; user_id kept (more events per user = the
   realistic shape of a bigger scale factor).
-- lineitem/orders: orderkey offset by replica * max_orderkey; dimension
-  tables are copied as-is (dimensions grow much slower than facts).
+- lineitem/orders: orderkey offset by replica * max_orderkey;
+  dimension tables are copied as-is (dimensions grow much slower than
+  facts).
 
-Usage:  python tools/scale_ladder.py [--rebuild]
+Usage:
+    python tools/scale_ladder.py              # x10 rung (default)
+    python tools/scale_ladder.py --x100       # x10 AND x100 rungs
+    python tools/scale_ladder.py --rebuild    # force fixture rebuild
+
 Writes SCALE_LADDER.json next to the repo root and prints the table.
 """
 
@@ -26,6 +35,7 @@ from __future__ import annotations
 
 import json
 import os
+import random
 import shutil
 import sys
 import time
@@ -38,8 +48,8 @@ from decaton_spark import get_spark, load_table  # noqa: E402
 from decaton_spark.queries import _ALL_QUERIES  # noqa: E402
 
 BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-X10 = "/tmp/decaton_scale_x10"
-REPLICAS = 10
+SEED = 1337
+RUNGS = {10: "/tmp/decaton_scale_x10", 100: "/tmp/decaton_scale_x100"}
 HEAVY = [
     "corpus_merge_neardup",
     "dedup_near_full",
@@ -47,11 +57,15 @@ HEAVY = [
     "docs_curation_pipeline",
     "q21_waiting_suppliers",
 ]
-ALL_TABLES = [
-    "region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "events", "documents", "embeddings",
-]
 ALPHA = "abcdefghijklmnopqrstuvwxyz"
+
+
+def _perm(r: int) -> str:
+    """Seeded alphabet permutation for replica r (distinct per replica
+    with overwhelming probability; deterministic across runs)."""
+    letters = list(ALPHA)
+    random.Random(SEED + r).shuffle(letters)
+    return "".join(letters)
 
 
 def _replicas(df, n):
@@ -62,37 +76,35 @@ def _replicas(df, n):
     )
 
 
-def build_fixture(spark) -> None:
-    if os.path.exists(X10):
-        shutil.rmtree(X10)
-    os.makedirs(X10)
+def build_fixture(spark, dest: str, replicas: int) -> None:
+    if os.path.exists(dest):
+        shutil.rmtree(dest)
+    os.makedirs(dest)
     for t in ["region", "nation", "customer", "supplier", "part"]:
         src = os.path.join(BASE, f"{t}.parquet")
-        shutil.copy(src, os.path.join(X10, f"{t}.parquet"))
+        shutil.copy(src, os.path.join(dest, f"{t}.parquet"))
 
     docs = load_table(spark, "documents", BASE)
     max_doc = docs.agg(F.max("doc_id")).collect()[0][0] + 1
-    rotations = ", ".join(
-        f"'{ALPHA[i:] + ALPHA[:i]}'" for i in range(REPLICAS)
-    )
+    perms = ", ".join(f"'{_perm(i)}'" for i in range(replicas))
     (
-        _replicas(docs, REPLICAS)
+        _replicas(docs, replicas)
         .withColumn("doc_id", F.col("doc_id") + F.col("_r") * F.lit(max_doc))
         .withColumn(
             "text",
             F.expr(
                 f"translate(text, '{ALPHA}', "
-                f"element_at(array({rotations}), _r + 1))"
+                f"element_at(array({perms}), _r + 1))"
             ),
         )
         .drop("_r")
-        .write.parquet(os.path.join(X10, "documents.parquet"))
+        .write.parquet(os.path.join(dest, "documents.parquet"))
     )
 
     emb = load_table(spark, "embeddings", BASE)
     max_vec = emb.agg(F.max("vec_id")).collect()[0][0] + 1
     (
-        _replicas(emb, REPLICAS)
+        _replicas(emb, replicas)
         .withColumn("vec_id", F.col("vec_id") + F.col("_r") * F.lit(max_vec))
         .withColumn(
             "embedding",
@@ -102,36 +114,36 @@ def build_fixture(spark) -> None:
             ),
         )
         .drop("_r")
-        .write.parquet(os.path.join(X10, "embeddings.parquet"))
+        .write.parquet(os.path.join(dest, "embeddings.parquet"))
     )
 
     ev = spark.read.parquet(os.path.join(BASE, "events.parquet"))
     max_ev = ev.agg(F.max("event_id")).collect()[0][0] + 1
     (
-        _replicas(ev, REPLICAS)
+        _replicas(ev, replicas)
         .withColumn("event_id", F.col("event_id") + F.col("_r") * F.lit(max_ev))
         .drop("_r")
-        .write.parquet(os.path.join(X10, "events.parquet"))
+        .write.parquet(os.path.join(dest, "events.parquet"))
     )
 
     orders = load_table(spark, "orders", BASE)
     max_ord = orders.agg(F.max("o_orderkey")).collect()[0][0] + 1
     (
-        _replicas(orders, REPLICAS)
+        _replicas(orders, replicas)
         .withColumn(
             "o_orderkey", F.col("o_orderkey") + F.col("_r") * F.lit(max_ord)
         )
         .drop("_r")
-        .write.parquet(os.path.join(X10, "orders.parquet"))
+        .write.parquet(os.path.join(dest, "orders.parquet"))
     )
     li = load_table(spark, "lineitem", BASE)
     (
-        _replicas(li, REPLICAS)
+        _replicas(li, replicas)
         .withColumn(
             "l_orderkey", F.col("l_orderkey") + F.col("_r") * F.lit(max_ord)
         )
         .drop("_r")
-        .write.parquet(os.path.join(X10, "lineitem.parquet"))
+        .write.parquet(os.path.join(dest, "lineitem.parquet"))
     )
 
 
@@ -161,29 +173,42 @@ def time_queries(spark, sf_dir: str) -> dict[str, float]:
             sec = time.perf_counter() - t0
             best = sec if best is None else min(best, sec)
         out[name] = round(best, 3)
+        print(f"  {sf_dir} {name}: {out[name]}s", flush=True)
     return out
 
 
 def main() -> None:
     spark = get_spark("decaton-scale-ladder")
-    if "--rebuild" in sys.argv or not os.path.exists(X10):
-        print("building x10 fixture ...", flush=True)
-        t0 = time.perf_counter()
-        build_fixture(spark)
-        print(f"fixture built in {time.perf_counter() - t0:.1f}s", flush=True)
+    rungs = [10, 100] if "--x100" in sys.argv else [10]
+    for n in rungs:
+        dest = RUNGS[n]
+        if "--rebuild" in sys.argv or not os.path.exists(dest):
+            print(f"building x{n} fixture ...", flush=True)
+            t0 = time.perf_counter()
+            build_fixture(spark, dest, n)
+            print(f"x{n} built in {time.perf_counter() - t0:.1f}s", flush=True)
 
-    base = time_queries(spark, BASE)
-    big = time_queries(spark, X10)
-    table = {
-        n: {
-            "sf0.1_sec": base[n],
-            "x10_sec": big[n],
-            "growth": round(big[n] / base[n], 2) if base[n] else None,
-        }
-        for n in HEAVY
+    timings = {"base": time_queries(spark, BASE)}
+    for n in rungs:
+        timings[f"x{n}"] = time_queries(spark, RUNGS[n])
+
+    table = {}
+    for q in HEAVY:
+        row = {"sf0.1_sec": timings["base"][q]}
+        for n in rungs:
+            row[f"x{n}_sec"] = timings[f"x{n}"][q]
+            row[f"growth_x{n}"] = (
+                round(timings[f"x{n}"][q] / timings["base"][q], 2)
+                if timings["base"][q]
+                else None
+            )
+        table[q] = row
+    result = {
+        "base_dir": BASE,
+        "rungs": {f"x{n}": RUNGS[n] for n in rungs},
+        "seed": SEED,
+        "queries": table,
     }
-    result = {"base_dir": BASE, "x10_dir": X10, "replicas": REPLICAS,
-              "queries": table}
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "SCALE_LADDER.json",
