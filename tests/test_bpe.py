@@ -114,6 +114,49 @@ def test_symbols_per_word_counts(spark):
         assert by_word[w] == apply(w), w
 
 
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAVE_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    _HAVE_HYPOTHESIS = False
+
+if _HAVE_HYPOTHESIS:
+    # Property triangle: the registry proves Spark == DuckDB-oracle on
+    # the fixtures; this proves DuckDB-oracle == reference-impl on
+    # arbitrary corpora (word shapes chosen to stress merge collisions:
+    # tiny alphabet => heavy pair reuse, runs, prefixes/suffixes).
+    _corpus = st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=24),
+        min_size=0,
+        max_size=6,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(texts=_corpus, n=st.integers(min_value=1, max_value=5))
+    def test_oracle_replay_matches_reference_impl(texts, n):
+        import duckdb
+        import pandas as pd
+
+        # dtype=str keeps an empty corpus typed VARCHAR, not DOUBLE
+        docs = pd.DataFrame({"text": pd.Series(texts, dtype=str)})
+        con = duckdb.connect()
+        con.register("documents", docs)
+        sel = (
+            "SELECT * FROM ("
+            + " UNION ALL ".join(
+                f"SELECT {i} AS r, p1, p2, c FROM w{i}" for i in range(n)
+            )
+            + ") ORDER BY r"
+        )
+        got = [
+            (p1, p2, int(c))
+            for _, p1, p2, c in con.sql(bpe.bpe_oracle_sql(n, sel)).fetchall()
+        ]
+        assert got == ref_bpe(texts, n)
+
+
 def test_bpe_round_plan_never_rescans_corpus(spark, sf_dir):
     """The scale contract: after the histogram localCheckpoint, a
     merge round's pair-count job must read the checkpointed RDD, not
