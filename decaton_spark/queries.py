@@ -5670,6 +5670,60 @@ def docs_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_vocab_oracle(n: int, top_k: int) -> str:
+    from decaton_spark.functions import bpe as _bpe
+
+    sel = f"""
+, sym AS (
+    SELECT unnest(string_split(substr(state, 2, length(state) - 2), '||')) AS symbol,
+           cnt
+    FROM s{n}),
+agg AS (
+    SELECT symbol, CAST(sum(cnt) AS BIGINT) AS n_occurrences
+    FROM sym GROUP BY symbol
+    ORDER BY n_occurrences DESC, symbol LIMIT {top_k})
+SELECT CAST(row_number() OVER (ORDER BY n_occurrences DESC, symbol) AS INTEGER)
+           AS token_id,
+       symbol, n_occurrences
+FROM agg
+"""
+    return _bpe.bpe_oracle_sql(n, "").rstrip() + sel
+
+
+@register("text_bpe_symbol_vocab", _bpe_vocab_oracle(_BPE_MERGES, 30))
+def text_bpe_symbol_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shipped tokenizer artifact: after training 10 BPE merges,
+    the top-30 subword symbols by corpus occurrence with dense
+    frequency-ranked ids (the symbol table an encoder loads). Same
+    TakeOrdered-bounded ranking discipline as text_vocab_build — the
+    window runs over <=30 rows, never the vocabulary; symbol counts
+    come from the word histogram (corpus scanned once), weighted by
+    word frequency. Oracle replays training + segmentation + ranking
+    in one statement."""
+    from decaton_spark.functions import bpe
+
+    docs = load_table(spark, "documents", sf_dir)
+    trained = bpe.bpe_train(docs, num_merges=_BPE_MERGES)
+    merges = [(p1, p2) for p1, p2, _ in trained]
+    words = bpe.word_histogram(docs)
+    sym = words.select(
+        F.explode(
+            bpe.state_symbols(bpe.merged_state(F.col("word"), merges))
+        ).alias("symbol"),
+        "cnt",
+    )
+    top = (
+        sym.groupBy("symbol")
+        .agg(F.sum("cnt").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "symbol")
+        .limit(30)
+    )
+    w = Window.orderBy(F.desc("n_occurrences"), "symbol")
+    return top.withColumn("token_id", F.row_number().over(w).cast("int")).select(
+        "token_id", "symbol", "n_occurrences"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry tiers.
 #
