@@ -307,3 +307,98 @@ def hll_estimate_from_registers(
         F.round(est, round_digits).alias("hll_estimate"),
         F.col("n_regs").cast("bigint").alias("n_registers"),
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) sketch — deterministic bottom-k sample
+# ---------------------------------------------------------------------------
+
+
+def kmv_sketch(
+    df: DataFrame,
+    col: str,
+    group_cols: list[str],
+    *,
+    k: int = 32,
+    ndigits: int = 12,
+) -> DataFrame:
+    """The k smallest distinct md5-hash values of ``col`` per group —
+    the KMV sketch (Bar-Yossef et al. 2002; the engine behind
+    DataSketches' theta sketch). One structure yields BOTH a distinct-
+    count estimator ((k-1)/u_(k)) and a uniform random sample of the
+    distinct values (hash order IS a random permutation) — with zero
+    RNG: the same deterministic cross-engine md5 used by the split/
+    sample/shard operators, so any engine recomputes the identical
+    sketch.
+
+    Mergeable by construction: the bottom-k of a union is the
+    bottom-k of the concatenated per-part bottom-k rows (see
+    ``kmv_merge``) — partial-aggregation-shaped, so sketches built
+    per partition/day/shard combine exactly.
+
+    Scale shape: ``distinct`` is one partial-agg shuffle on (group,
+    value); the min-k election is a per-group window over DISTINCT
+    values ordered by hash — group cost O(d log d) in its own distinct
+    count, never a global sort. Ties (48-bit hash collisions) break
+    on the value for cross-engine determinism.
+    """
+    from pyspark.sql import Window
+
+    h = F.expr(md5_long(col, ndigits))
+    w = Window.partitionBy(*group_cols).orderBy("h", col)
+    return (
+        df.select(*group_cols, col)
+        .distinct()
+        .withColumn("h", h)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+    )
+
+
+def kmv_merge(
+    sketches: DataFrame,
+    col: str,
+    group_cols: list[str],
+    *,
+    k: int = 32,
+) -> DataFrame:
+    """Re-elect the bottom-k from unioned sketch rows (hashes are
+    already attached — no rehash, no data scan)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy("h", col)
+    return (
+        sketches.select(*group_cols, col, "h")
+        .distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+    )
+
+
+def kmv_distinct_estimate(
+    sketch: DataFrame,
+    group_cols: list[str],
+    *,
+    k: int = 32,
+    ndigits: int = 12,
+) -> DataFrame:
+    """(k-1)/u_(k) distinct estimator in exact integer arithmetic:
+    est = (k-1) * 16^ndigits div h_(k) — both engines' positive
+    integer division agree, so the estimate is hash-checkable, not
+    just approximately right. Groups holding fewer than k distinct
+    values report their EXACT count (the sketch saw everything)."""
+    scale = 16**ndigits
+    per = sketch.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_in_sketch"),
+        F.max(F.when(F.col("rn") == k, F.col("h"))).alias("kth"),
+    )
+    est = (
+        F.when(F.col("n_in_sketch") < k, F.col("n_in_sketch"))
+        .otherwise(F.expr(f"({k - 1} * CAST({scale} AS BIGINT)) div kth"))
+        .cast("long")
+    )
+    return per.select(
+        *group_cols,
+        F.col("n_in_sketch").cast("long").alias("n_in_sketch"),
+        est.alias("kmv_distinct_est"),
+    )

@@ -5724,6 +5724,62 @@ def text_bpe_symbol_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KMV_K = 32
+_KMV_SCALE = 16**12
+
+
+@register(
+    "events_kmv_distinct",
+    f"""
+    WITH dv AS (
+        SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS user_id
+        FROM events),
+    h AS (
+        SELECT event_type, user_id, {md5_long("user_id", 12)} AS h FROM dv),
+    r AS (
+        SELECT event_type, h,
+               row_number() OVER (
+                   PARTITION BY event_type ORDER BY h, user_id) AS rn
+        FROM h),
+    per AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_in_sketch,
+               max(CASE WHEN rn = {_KMV_K} THEN h END) AS kth
+        FROM r WHERE rn <= {_KMV_K}
+        GROUP BY event_type),
+    ex AS (
+        SELECT event_type,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+        FROM events GROUP BY event_type)
+    SELECT p.event_type, n_in_sketch,
+           CAST(CASE WHEN n_in_sketch < {_KMV_K} THEN n_in_sketch
+                ELSE ({_KMV_K - 1} * CAST({_KMV_SCALE} AS BIGINT)) // kth
+                END AS BIGINT) AS kmv_distinct_est,
+           exact_distinct
+    FROM per p JOIN ex USING (event_type)
+    """,
+)
+def events_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values / theta-family) distinct-user estimate
+    per event type, in exact integer arithmetic the DuckDB oracle
+    replays bit-for-bit — the second cross-engine-exact cardinality
+    sketch alongside HLL (sketches.kmv_sketch: bottom-32 md5 order
+    statistics of the DISTINCT user set; mergeable because the
+    bottom-k of a union is the bottom-k of concatenated bottom-ks).
+    The exact count rides along, so the ~1/sqrt(k) accuracy contract
+    is itself hash-checked. Unlike HLL's 1024 registers this sketch
+    is 32 rows/group and doubles as a deterministic uniform sample of
+    the values."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_type", F.col("user_id").cast("string").alias("user_id")
+    )
+    sk_rows = sk.kmv_sketch(ev, "user_id", ["event_type"], k=_KMV_K)
+    est = sk.kmv_distinct_estimate(sk_rows, ["event_type"], k=_KMV_K)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return est.join(exact, "event_type")
+
+
 # ---------------------------------------------------------------------------
 # Registry tiers.
 #

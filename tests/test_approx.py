@@ -47,3 +47,56 @@ def test_approx_aggs_partial_aggregate(spark, sf_dir):
         .toString()
     )
     assert plan.count("ObjectHashAggregate") >= 2 or plan.count("HashAggregate") >= 2
+
+
+def test_kmv_merge_equals_whole_sketch(spark, sf_dir):
+    """Mergeability, exactly: bottom-k over part sketches == the
+    sketch of the whole table (the partial-aggregation contract that
+    lets per-shard/per-day sketches combine without rescanning)."""
+    from decaton_spark.functions import sketches as sk
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_type", F.col("user_id").cast("string").alias("user_id")
+    )
+    whole = sk.kmv_sketch(ev, "user_id", ["event_type"], k=8)
+    part_a = sk.kmv_sketch(
+        ev.filter(F.col("user_id").cast("long") % 2 == 0),
+        "user_id", ["event_type"], k=8,
+    )
+    part_b = sk.kmv_sketch(
+        ev.filter(F.col("user_id").cast("long") % 2 == 1),
+        "user_id", ["event_type"], k=8,
+    )
+    merged = sk.kmv_merge(part_a.unionByName(part_b), "user_id", ["event_type"], k=8)
+    key = lambda df: sorted(
+        (r["event_type"], r["rn"], r["h"]) for r in df.collect()
+    )
+    assert key(merged) == key(whole)
+
+
+def test_kmv_estimator_accuracy(spark):
+    """(k-1)/u_k within ~4/sqrt(k) of exact on a 5000-distinct column
+    (well past the exact-path cutoff)."""
+    from decaton_spark.functions import sketches as sk
+
+    k = 64
+    df = spark.range(5000).select(
+        F.lit("g").alias("g"), F.col("id").cast("string").alias("v")
+    )
+    est = sk.kmv_distinct_estimate(
+        sk.kmv_sketch(df, "v", ["g"], k=k), ["g"], k=k
+    ).collect()[0]
+    assert est["n_in_sketch"] == k
+    assert abs(est["kmv_distinct_est"] - 5000) <= 4 / (k ** 0.5) * 5000
+
+
+def test_kmv_small_group_exact_path(spark):
+    from decaton_spark.functions import sketches as sk
+
+    df = spark.range(10).select(
+        F.lit("g").alias("g"), F.col("id").cast("string").alias("v")
+    )
+    est = sk.kmv_distinct_estimate(
+        sk.kmv_sketch(df, "v", ["g"], k=32), ["g"], k=32
+    ).collect()[0]
+    assert est["kmv_distinct_est"] == 10 == est["n_in_sketch"]
