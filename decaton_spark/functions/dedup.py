@@ -447,3 +447,45 @@ def span_dedup(
             F.coalesce(F.col("dedup_text"), F.lit("")).alias("dedup_text"),
         )
     )
+
+
+def intradoc_span_dedup(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_words: int = 16,
+) -> DataFrame:
+    """WITHIN-document duplicate-span removal — the other half of the
+    C4 rule (`span_dedup` handles across-corpus; C4 also drops a span
+    repeated inside the same page, the boilerplate/navigation case).
+
+    Scale shape: ZERO shuffles. The whole operator is one projection —
+    spans come from the same fixed-word-window split as `span_dedup`,
+    and first-occurrence election inside a document is an
+    index-lambda array filter (keep span i iff it does not appear
+    among spans [0, i)). Per-doc cost is O(spans²) string compares on
+    spans the document itself bounds; across the corpus it
+    parallelizes embarrassingly at scan parallelism. No UDFs; DuckDB
+    replays the same filter with its own index lambda.
+
+    Returns (doc_id, n_spans, n_spans_kept, dedup_text).
+    """
+    toks = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+    n_spans = F.ceil(F.size(toks) / F.lit(float(span_words))).cast("int")
+    spans = F.transform(
+        F.sequence(F.lit(0), n_spans - 1),
+        lambda i: F.array_join(F.slice(toks, i * span_words + 1, span_words), " "),
+    )
+    kept = F.filter(
+        "spans", lambda x, i: F.array_position(F.slice("spans", 1, i), x) == 0
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"), spans.alias("spans"))
+        .select(
+            "doc_id",
+            F.size("spans").cast("long").alias("n_spans"),
+            F.size(kept).cast("long").alias("n_spans_kept"),
+            F.array_join(kept, " ").alias("dedup_text"),
+        )
+    )

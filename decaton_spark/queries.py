@@ -5780,6 +5780,41 @@ def events_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(exact, "event_type")
 
 
+@register(
+    "dedup_spans_intradoc",
+    """
+    WITH sp AS (
+        SELECT doc_id,
+               list_transform(
+                   range(0, CAST(ceil(len(string_split(coalesce(text, ''), ' ')) / 16.0) AS INT)),
+                   i -> array_to_string(
+                       string_split(coalesce(text, ''), ' ')[i * 16 + 1 : i * 16 + 16], ' ')
+               ) AS spans
+        FROM documents),
+    k AS (
+        SELECT doc_id, spans,
+               list_filter(spans,
+                   (x, i) -> list_position(spans[1:i-1], x) = 0) AS kept
+        FROM sp)
+    SELECT doc_id,
+           CAST(len(spans) AS BIGINT) AS n_spans,
+           CAST(len(kept) AS BIGINT) AS n_spans_kept,
+           array_to_string(kept, ' ') AS dedup_text
+    FROM k
+    """,
+)
+def dedup_spans_intradoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-document duplicate-span removal (the other half of the
+    C4 line-dedup rule — `dedup_spans` is the across-corpus half): a
+    span repeated inside the same document keeps only its first
+    occurrence. ZERO shuffles — the whole operator is an index-lambda
+    array filter projection (see dedup.intradoc_span_dedup), so at
+    100 TB it runs at scan parallelism with no exchange at all. DuckDB
+    replays the same election with its own index lambda."""
+    docs = load_table(spark, "documents", sf_dir)
+    return dd.intradoc_span_dedup(docs)
+
+
 # ---------------------------------------------------------------------------
 # Registry tiers.
 #
@@ -5890,10 +5925,28 @@ _DRIVER_TIER = [
     # freshness bound is preserved by construction.
     #
     # ROUND-4 FULL-REGISTRY CERTIFICATION: tools/drive_harness.py --all
-    # (untuned local[8], sf0.01, side-by-side DuckDB) = 132/132 MATCH,
+    # (untuned local[8], sf0.01, side-by-side DuckDB) = 136/136 MATCH,
     # run after this round's implementation changes (cm_sketch_quota
     # partial-count rewrite, IVF-backed hybrid, fused expectations,
-    # sign-safe winsorize floor, t1_compaction_hash registration).
+    # sign-safe winsorize floor, t1_compaction_hash registration) and
+    # again after the round-4 additions (text_bpe_merges,
+    # docs_bpe_compression, text_bpe_symbol_vocab, events_kmv_distinct);
+    # dedup_spans_intradoc (registered last) verified by the identical
+    # side-by-side comparison at sf0.001 AND sf0.01. Full-registry
+    # partition-invariance sweep (DECATON_FULL_INVARIANCE=1): 134/134.
+    #
+    # ROUND-5 TIER QUEUE (build the next tier in this order):
+    #   1. zero-driver-evidence: the 5 queries registered in round 4 —
+    #      text_bpe_merges, docs_bpe_compression, text_bpe_symbol_vocab,
+    #      events_kmv_distinct, dedup_spans_intradoc;
+    #   2. newest-row-is-r2 (at the 3-round freshness bound): the 31
+    #      r2-row holders listed below (q2/q4-q7/q10-q14/q16/q17/q19/
+    #      q20/q22, f1-f3, p1, t1_compaction_windowed, t3, t4, s7,
+    #      s8_legacy_envelope, dedup_simhash, docs_source_quality,
+    #      text_suite, scalar_functions_bridge, pivot/semi_anti/topk/
+    #      grouping_sets, ann_brute_force_topk);
+    #   3. remaining 14 slots: r3-row holders, preferring queries whose
+    #      implementation changed in round 4-5, then one per family.
 ]
 
 _ALL_QUERIES = dict(QUERIES)

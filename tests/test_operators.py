@@ -288,6 +288,46 @@ def test_span_dedup_semantics(spark):
     assert out[4] == (1, "short tail")
 
 
+def test_intradoc_span_dedup_semantics(spark):
+    """Within-doc first occurrence wins; repeats inside the SAME doc
+    are cut; identical spans in DIFFERENT docs are untouched (that is
+    span_dedup's corpus-wide job); order of survivors is preserved."""
+    from decaton_spark.functions.dedup import intradoc_span_dedup
+
+    a = " ".join(f"a{i}" for i in range(16))
+    b = " ".join(f"b{i}" for i in range(16))
+    docs = spark.createDataFrame(
+        [
+            (1, f"{a} {b} {a}"),   # intra-repeat of a -> cut
+            (2, f"{a}"),           # same span as doc 1: kept (different doc)
+            (3, f"{b} {b} {b}"),   # boilerplate page -> one survivor
+            (4, None),             # null text -> 1 empty span, kept
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_spans"], r["n_spans_kept"], r["dedup_text"])
+        for r in intradoc_span_dedup(docs, span_words=16).collect()
+    }
+    assert out[1] == (3, 2, f"{a} {b}")
+    assert out[2] == (1, 1, a)
+    assert out[3] == (3, 1, b)
+    assert out[4] == (1, 1, "")
+
+
+def test_intradoc_span_dedup_plan_shuffle_free(spark, sf_dir):
+    """The scale contract: the whole operator is ONE projection — no
+    Exchange anywhere in the plan."""
+    from decaton_spark.functions.dedup import intradoc_span_dedup
+    from decaton_spark.sources import load_table
+
+    plan = (
+        intradoc_span_dedup(load_table(spark, "documents", sf_dir))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan
+
+
 def test_doc_chunks_boundaries(spark):
     """Chunk windows: stride = chunk-overlap, every consecutive pair of
     a doc's chunks shares exactly the overlap tokens, the last chunk
