@@ -6,6 +6,7 @@ from decaton_spark.streaming.stateful import (
     streaming_compact,
     streaming_dedup,
     streaming_heavy_hitters,
+    streaming_kmv,
     streaming_lsh_candidates,
     streaming_quota,
     streaming_scheduled,
@@ -20,6 +21,7 @@ __all__ = [
     "streaming_compact",
     "streaming_dedup",
     "streaming_heavy_hitters",
+    "streaming_kmv",
     "streaming_lsh_candidates",
     "streaming_quota",
     "streaming_scheduled",

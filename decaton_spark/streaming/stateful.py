@@ -774,3 +774,68 @@ def streaming_lsh_candidates(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_kmv(
+    events: DataFrame,
+    value_col: str,
+    group_col: str,
+    *,
+    k: int = 32,
+    ndigits: int = 12,
+) -> DataFrame:
+    """Streaming KMV distinct estimation: maintain the bottom-k md5
+    order statistics of each group's distinct values in keyed state
+    and emit the refreshed estimate whenever a microbatch changes a
+    group's sketch — the continuous form of
+    ``functions.sketches.kmv_sketch`` / ``kmv_distinct_estimate``.
+
+    The Python hash is the same base-16 parse of the first ``ndigits``
+    md5 hex digits the SQL fragment computes, and the bottom-k
+    election uses the same (hash, value) tie-break — so the LAST
+    emitted row per group is bit-identical to the batch estimator over
+    the same rows (equivalence proven for a 4-way microbatch split in
+    tests). State per group is ≤k (hash, value) pairs regardless of
+    stream cardinality — the whole point of KMV.
+    """
+    import hashlib
+
+    out_schema = (
+        f"{group_col} string, n_in_sketch long, kmv_distinct_est long"
+    )
+    state_schema = "hs array<long>, vs array<string>"
+    scale = 16**ndigits
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            hs, vs = state.get
+            pairs = set(zip(hs, vs))
+        else:
+            pairs = set()
+        before = set(pairs)
+        for batch in pdfs:
+            for v in batch[value_col]:
+                v = str(v)
+                h = int(hashlib.md5(v.encode()).hexdigest()[:ndigits], 16)
+                pairs.add((h, v))
+        bottom = sorted(pairs)[:k]
+        if set(bottom) == before and state.exists:
+            return  # sketch unchanged: nothing to emit
+        state.update(([h for h, _ in bottom], [v for _, v in bottom]))
+        n = len(bottom)
+        est = n if n < k else ((k - 1) * scale) // bottom[k - 1][0]
+        yield pd.DataFrame(
+            {group_col: [key[0]], "n_in_sketch": [n], "kmv_distinct_est": [est]}
+        )
+
+    return (
+        events.select(group_col, value_col)
+        .groupBy(group_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

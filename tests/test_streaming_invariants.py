@@ -514,3 +514,63 @@ def test_streaming_zscore_state_survives_restart(spark, sf_dir, tmp_path):
     assert 0 < n_before < len(alerts), (
         "fixture must alert in both incarnations (windows straddle the restart)"
     )
+
+
+def test_streaming_kmv_equals_batch(spark, sf_dir, tmp_path):
+    """The LAST emitted estimate per group is bit-identical to the
+    batch KMV estimator over the same rows, for an arbitrary 4-way
+    microbatch split — the sketch-state equivalence contract
+    (bottom-k of a stream == bottom-k of the whole)."""
+    import time
+
+    from decaton_spark.functions import sketches as sk
+    from decaton_spark.streaming import streaming_kmv
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_type", F.col("user_id").cast("string").alias("user_id"), "event_id"
+    )
+    d = tmp_path / "kmvstream"
+    d.mkdir()
+    n = ev.count()
+    step = (n + 3) // 4
+    for i in range(4):
+        (
+            ev.filter(
+                (F.col("event_id") >= i * step) & (F.col("event_id") < (i + 1) * step)
+            )
+            .drop("event_id")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(str(d))
+        )
+        time.sleep(1.1)  # FileStreamSource orders by modification time
+
+    stream = (
+        spark.readStream.schema("event_type string, user_id string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    rows = []
+    q = (
+        streaming_kmv(stream, "user_id", "event_type", k=8)
+        .writeStream.queryName("kmv")
+        .foreachBatch(lambda df, bid: rows.append((bid, df.collect())))
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt-kmv"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    last = {}
+    for bid, rs in sorted(rows):
+        for r in rs:
+            last[r["event_type"]] = (r["n_in_sketch"], r["kmv_distinct_est"])
+
+    batch = sk.kmv_distinct_estimate(
+        sk.kmv_sketch(ev.drop("event_id"), "user_id", ["event_type"], k=8),
+        ["event_type"],
+        k=8,
+    ).collect()
+    exp = {r["event_type"]: (r["n_in_sketch"], r["kmv_distinct_est"]) for r in batch}
+    assert last == exp
