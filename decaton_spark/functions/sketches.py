@@ -348,6 +348,9 @@ def kmv_sketch(
     w = Window.partitionBy(*group_cols).orderBy("h", col)
     return (
         df.select(*group_cols, col)
+        .where(F.col(col).isNotNull())  # COUNT DISTINCT semantics: NULL
+        # is not a value — and a NULL hash would sort first in Spark's
+        # window but last in DuckDB's, a cross-engine trap
         .distinct()
         .withColumn("h", h)
         .withColumn("rn", F.row_number().over(w))

@@ -5733,7 +5733,7 @@ _KMV_SCALE = 16**12
     f"""
     WITH dv AS (
         SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS user_id
-        FROM events),
+        FROM events WHERE user_id IS NOT NULL),
     h AS (
         SELECT event_type, user_id, {md5_long("user_id", 12)} AS h FROM dv),
     r AS (

@@ -815,6 +815,8 @@ def streaming_kmv(
         before = set(pairs)
         for batch in pdfs:
             for v in batch[value_col]:
+                if v is None or (isinstance(v, float) and pd.isna(v)):
+                    continue  # COUNT DISTINCT semantics: NULL is not a value
                 v = str(v)
                 h = int(hashlib.md5(v.encode()).hexdigest()[:ndigits], 16)
                 pairs.add((h, v))

@@ -100,3 +100,19 @@ def test_kmv_small_group_exact_path(spark):
         sk.kmv_sketch(df, "v", ["g"], k=32), ["g"], k=32
     ).collect()[0]
     assert est["kmv_distinct_est"] == 10 == est["n_in_sketch"]
+
+
+def test_kmv_null_values_ignored(spark):
+    """COUNT DISTINCT semantics: NULL is not a value. (Also a
+    cross-engine trap — a NULL hash would sort first in Spark's
+    bottom-k window but last in DuckDB's.)"""
+    from decaton_spark.functions import sketches as sk
+
+    df = spark.createDataFrame(
+        [("g", "a"), ("g", None), ("g", "b"), ("g", None)],
+        "g string, v string",
+    )
+    est = sk.kmv_distinct_estimate(
+        sk.kmv_sketch(df, "v", ["g"], k=8), ["g"], k=8
+    ).collect()[0]
+    assert (est["n_in_sketch"], est["kmv_distinct_est"]) == (2, 2)
