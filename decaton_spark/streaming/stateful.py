@@ -821,6 +821,8 @@ def streaming_kmv(
                 h = int(hashlib.md5(v.encode()).hexdigest()[:ndigits], 16)
                 pairs.add((h, v))
         bottom = sorted(pairs)[:k]
+        if not bottom:
+            return  # only NULLs seen: the group has no sketch yet
         if set(bottom) == before and state.exists:
             return  # sketch unchanged: nothing to emit
         state.update(([h for h, _ in bottom], [v for _, v in bottom]))
