@@ -783,6 +783,7 @@ def streaming_kmv(
     *,
     k: int = 32,
     ndigits: int = 12,
+    api: str = "auto",
 ) -> DataFrame:
     """Streaming KMV distinct estimation: maintain the bottom-k md5
     order statistics of each group's distinct values in keyed state
@@ -798,6 +799,10 @@ def streaming_kmv(
     tests). State per group is ≤k (hash, value) pairs regardless of
     stream cardinality — the whole point of KMV.
     """
+    if _use_tws(api):
+        from decaton_spark.streaming.tws import tws_kmv
+
+        return tws_kmv(events, value_col, group_col, k=k, ndigits=ndigits)
     import hashlib
 
     out_schema = (

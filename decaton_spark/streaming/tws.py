@@ -323,8 +323,13 @@ class HeavyHittersProcessor(StatefulProcessor):
         )
         out = {"key": [], "offset": [], "estimate": []}
         cache: dict[str, tuple[int, ...]] = {}
-        for pdf in rows:
-            pdf = pdf.sort_values("offset")
+        # concat the group's WHOLE microbatch before the one sort — a
+        # multi-chunk group sorted per-chunk could trip an alert on the
+        # wrong offset (mirrors stateful.py's concat-first; same fix as
+        # ZscoreProcessor)
+        chunks = [pdf for pdf in rows if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values("offset")
             for key, off in zip(pdf["key"], pdf["offset"]):
                 bks = cache.get(key)
                 if bks is None:
@@ -754,5 +759,79 @@ def tws_compact_event_time(
             outputStructType=out_schema,
             outputMode="Append",
             timeMode="EventTime",
+        )
+    )
+
+
+class KmvProcessor(StatefulProcessor):
+    """Streaming KMV distinct estimation in TWS form: the group's
+    bottom-k (md5-hash, value) pairs as typed list state (the
+    ``stateful.streaming_kmv`` semantics on the Spark 4 primitive).
+    Emits the refreshed (n_in_sketch, estimate) whenever a microbatch
+    changes the sketch; KMV is a set union, so Arrow chunking order
+    cannot affect the result."""
+
+    def __init__(self, group_col: str, k: int = 32, ndigits: int = 12):
+        self.group_col = group_col
+        self.k = k
+        self.scale = 16**ndigits
+        self.ndigits = ndigits
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self.sketch = handle.getListState("sketch", "h long, v string")
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        pairs = (
+            {(int(r[0]), r[1]) for r in self.sketch.get()}
+            if self.sketch.exists()
+            else set()
+        )
+        before = set(pairs)
+        for pdf in rows:
+            for v in pdf["value"]:
+                if v is None or (isinstance(v, float) and pd.isna(v)):
+                    continue  # COUNT DISTINCT semantics: NULL is not a value
+                v = str(v)
+                h = int(hashlib.md5(v.encode()).hexdigest()[: self.ndigits], 16)
+                pairs.add((h, v))
+        bottom = sorted(pairs)[: self.k]
+        if not bottom or (set(bottom) == before and self.sketch.exists()):
+            return
+        self.sketch.clear()
+        for h, v in bottom:
+            self.sketch.appendValue((h, v))
+        n = len(bottom)
+        est = n if n < self.k else ((self.k - 1) * self.scale) // bottom[self.k - 1][0]
+        yield pd.DataFrame(
+            {
+                self.group_col: [key[0]],
+                "n_in_sketch": [n],
+                "kmv_distinct_est": [est],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def tws_kmv(
+    events: DataFrame,
+    value_col: str,
+    group_col: str,
+    *,
+    k: int = 32,
+    ndigits: int = 12,
+) -> DataFrame:
+    out_schema = f"{group_col} string, n_in_sketch long, kmv_distinct_est long"
+    return (
+        events.selectExpr(group_col, f"{value_col} AS value")
+        .groupBy(group_col)
+        .transformWithStateInPandas(
+            KmvProcessor(group_col, k, ndigits),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
         )
     )

@@ -542,3 +542,56 @@ def test_tws_event_time_compact_drops_late_closes_on_watermark(spark, tmp_path):
     # k2's 3h window closes when the flush row advances the watermark
     k2 = by_kw[("k2", base + 3 * h)]
     assert k2["offset"] == 3  # 'settle' (ts+1) beats 'advance'
+
+
+def test_tws_kmv_matches_batch_estimator(spark, tmp_path):
+    """TWS KMV: the last emitted estimate per group over a chunked
+    stream equals the batch kmv_distinct_estimate — sketch-state
+    equivalence on the transformWithStateInPandas path."""
+    import os
+    import time
+
+    from decaton_spark.functions import sketches as sk
+    from decaton_spark.sources import load_table
+    from decaton_spark.streaming.tws import tws_kmv
+
+    ev = load_table(spark, "events", "/root/testdata/sf0.001").select(
+        "event_type", F.col("user_id").cast("string").alias("user_id"), "event_id"
+    )
+    d = tmp_path / "stream"
+    d.mkdir()
+    n = ev.count()
+    step = (n + 2) // 3
+    now = time.time()
+    for i in range(3):
+        part = str(d / f"{i:02d}")
+        (
+            ev.filter(
+                (F.col("event_id") >= i * step) & (F.col("event_id") < (i + 1) * step)
+            )
+            .drop("event_id")
+            .coalesce(1)
+            .write.parquet(part)
+        )
+        for f in os.listdir(part):
+            os.utime(os.path.join(part, f), (now - 30 + i * 10,) * 2)
+
+    stream = (
+        spark.readStream.schema("event_type string, user_id string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d) + "/*")
+    )
+    with rocksdb_state(spark):
+        out = tws_kmv(stream, "user_id", "event_type", k=8)
+        _run_available_now(out, "tws_kmv", str(tmp_path / "ck"))
+    last = {}
+    for r in spark.table("tws_kmv").collect():
+        last[r["event_type"]] = (r["n_in_sketch"], r["kmv_distinct_est"])
+
+    batch = sk.kmv_distinct_estimate(
+        sk.kmv_sketch(ev.drop("event_id"), "user_id", ["event_type"], k=8),
+        ["event_type"],
+        k=8,
+    ).collect()
+    exp = {r["event_type"]: (r["n_in_sketch"], r["kmv_distinct_est"]) for r in batch}
+    assert last == exp
