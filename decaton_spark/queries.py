@@ -5781,6 +5781,79 @@ def events_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_kmv_sample_median",
+    f"""
+    WITH rows_h AS (
+        SELECT event_type, value,
+               {md5_long("CAST(event_id AS VARCHAR)", 12)} AS h,
+               CAST(event_id AS VARCHAR) AS rid
+        FROM events WHERE value IS NOT NULL),
+    r AS (
+        SELECT event_type, value,
+               row_number() OVER (
+                   PARTITION BY event_type ORDER BY h, rid) AS rn
+        FROM rows_h),
+    s AS (SELECT * FROM r WHERE rn <= 64),
+    med AS (
+        SELECT event_type, value,
+               row_number() OVER (
+                   PARTITION BY event_type ORDER BY value, rn) AS vr,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM s),
+    ex AS (
+        SELECT event_type, median(value) AS exact_median
+        FROM events WHERE value IS NOT NULL GROUP BY event_type)
+    SELECT m.event_type,
+           CAST(m.n AS BIGINT) AS sample_n,
+           m.value AS sample_median,
+           ex.exact_median
+    FROM med m JOIN ex USING (event_type)
+    WHERE m.vr = (m.n + 1) // 2
+    """,
+)
+def events_kmv_sample_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KMV sketch's second face: hashing ROW identities (event_id)
+    instead of values makes the bottom-k a deterministic uniform row
+    sample, and its order statistics estimate value quantiles — here
+    the lower-median of a 64-row sample per event type, replayed
+    bit-for-bit by the oracle (no RNG, no seed drift; the sample is a
+    pure function of the data). The exact median rides along to make
+    the accuracy visible. At 100 TB this is the two-shuffle quantile
+    path when percentile_approx's t-digest is not replayable enough:
+    bottom-k election per group, then order statistics over <=k rows.
+    """
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_type",
+        "value",
+        F.col("event_id").cast("string").alias("rid"),
+    ).where(F.col("value").isNotNull())
+    h = F.expr(md5_long("rid", 12))
+    w = Window.partitionBy("event_type").orderBy("h", "rid")
+    sample = (
+        ev.withColumn("h", h)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 64)
+    )
+    wv = Window.partitionBy("event_type").orderBy("value", "rn")
+    med = (
+        sample.withColumn("vr", F.row_number().over(wv))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("event_type")))
+        .filter(F.col("vr") == F.expr("(n + 1) div 2"))
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.expr("median(value)").alias("exact_median")
+    )
+    return (
+        med.select(
+            "event_type",
+            F.col("n").cast("long").alias("sample_n"),
+            F.col("value").alias("sample_median"),
+        )
+        .join(exact, "event_type")
+    )
+
+
+@register(
     "dedup_spans_intradoc",
     """
     WITH sp AS (
