@@ -159,10 +159,14 @@ w{i} AS MATERIALIZED (
     GROUP BY p1, p2
     ORDER BY c DESC, p1, p2 LIMIT 1),
 s{i + 1} AS MATERIALIZED (
+    -- identity when w{i} is empty (merges exhausted): the trainer
+    -- stops learning, it does not NULL the segmentations
     SELECT word,
-           replace(state,
-                   '|' || (SELECT p1 FROM w{i}) || '||' || (SELECT p2 FROM w{i}) || '|',
-                   '|' || (SELECT p1 FROM w{i}) || (SELECT p2 FROM w{i}) || '|') AS state,
+           coalesce(
+               replace(state,
+                       '|' || (SELECT p1 FROM w{i}) || '||' || (SELECT p2 FROM w{i}) || '|',
+                       '|' || (SELECT p1 FROM w{i}) || (SELECT p2 FROM w{i}) || '|'),
+               state) AS state,
            cnt
     FROM s{i})"""
         )

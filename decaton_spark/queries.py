@@ -6009,9 +6009,10 @@ _DRIVER_TIER = [
     # partition-invariance sweep (DECATON_FULL_INVARIANCE=1): 134/134.
     #
     # ROUND-5 TIER QUEUE (build the next tier in this order):
-    #   1. zero-driver-evidence: the 5 queries registered in round 4 —
+    #   1. zero-driver-evidence: the 6 queries registered in round 4 —
     #      text_bpe_merges, docs_bpe_compression, text_bpe_symbol_vocab,
-    #      events_kmv_distinct, dedup_spans_intradoc;
+    #      events_kmv_distinct, dedup_spans_intradoc,
+    #      events_kmv_sample_median;
     #   2. newest-row-is-r2 (at the 3-round freshness bound): the 31
     #      r2-row holders listed below (q2/q4-q7/q10-q14/q16/q17/q19/
     #      q20/q22, f1-f3, p1, t1_compaction_windowed, t3, t4, s7,

@@ -182,3 +182,41 @@ def test_bpe_round_plan_never_rescans_corpus(spark, sf_dir):
     plan = round_df._jdf.queryExecution().executedPlan().toString()
     assert "parquet" not in plan.lower(), plan
     assert "HashAggregate" in plan  # partial-agg pair counting
+
+
+def test_oracle_states_identity_after_exhaustion():
+    """Once merges exhaust, later oracle rounds must leave the
+    segmentations untouched (identity, not NULL) — matching the
+    trainer, which stops learning. Replays 10 rounds on a corpus that
+    exhausts after ~4 merges and checks the FINAL states."""
+    import duckdb
+    import pandas as pd
+
+    texts = ["a a b ab"]
+    docs = pd.DataFrame({"text": pd.Series(texts, dtype=str)})
+    con = duckdb.connect()
+    con.register("documents", docs)
+    sql = bpe.bpe_oracle_sql(10, "SELECT word, state FROM s10 ORDER BY word")
+    got = dict(con.sql(sql).fetchall())
+    assert all(s is not None for s in got.values()), got
+
+    # reference: apply the full learned merge list to each word
+    merges = [(p1, p2) for p1, p2, _ in ref_bpe(texts, 10)]
+    assert len(merges) < 10  # the corpus really does exhaust
+
+    def seg(word):
+        s = list(word) + [bpe.EOW]
+        for p1, p2 in merges:
+            ns, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == p1 and s[i + 1] == p2:
+                    ns.append(p1 + p2)
+                    i += 2
+                else:
+                    ns.append(s[i])
+                    i += 1
+            s = ns
+        return "|" + "||".join(s) + "|"
+
+    for w in ["a", "b", "ab"]:
+        assert got[w] == seg(w), (w, got[w], seg(w))
