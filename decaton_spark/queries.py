@@ -5997,16 +5997,16 @@ _DRIVER_TIER = [
     # old and hold the round-5 re-verification queue — the 3-round
     # freshness bound is preserved by construction.
     #
-    # ROUND-4 FULL-REGISTRY CERTIFICATION: tools/drive_harness.py --all
-    # (untuned local[8], sf0.01, side-by-side DuckDB) = 136/136 MATCH,
-    # run after this round's implementation changes (cm_sketch_quota
-    # partial-count rewrite, IVF-backed hybrid, fused expectations,
-    # sign-safe winsorize floor, t1_compaction_hash registration) and
-    # again after the round-4 additions (text_bpe_merges,
-    # docs_bpe_compression, text_bpe_symbol_vocab, events_kmv_distinct);
-    # dedup_spans_intradoc (registered last) verified by the identical
-    # side-by-side comparison at sf0.001 AND sf0.01. Full-registry
-    # partition-invariance sweep (DECATON_FULL_INVARIANCE=1): 134/134.
+    # ROUND-4 FULL-REGISTRY CERTIFICATION (final): tools/drive_harness.py
+    # --all (untuned local[8], sf0.01, side-by-side DuckDB) = 138/138
+    # MATCH — the COMPLETE registry including every round-4 addition
+    # (t1_compaction_hash, text_bpe_merges, docs_bpe_compression,
+    # text_bpe_symbol_vocab, events_kmv_distinct, dedup_spans_intradoc,
+    # events_kmv_sample_median) and every round-4 implementation change
+    # (cm_sketch_quota partial-count rewrite, IVF-backed hybrid, fused
+    # expectations, sign-safe winsorize floor, KMV NULL semantics, BPE
+    # oracle exhaustion identity). Full-registry partition-invariance
+    # sweep (DECATON_FULL_INVARIANCE=1): 138/138.
     #
     # ROUND-5 TIER QUEUE (build the next tier in this order):
     #   1. zero-driver-evidence: the 6 queries registered in round 4 —
