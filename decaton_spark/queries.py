@@ -5971,22 +5971,28 @@ _DRIVER_TIER = [
     "t1_compaction_hash",         # sort-free compaction variant (VERDICT r3 #7)
     # Priority 4a: implementation changed this round
     "hybrid_search_rrf",          # semantic tower swapped to IVF (VERDICT r3 #5)
+    # Priority 2 (added mid-round): the 6 queries REGISTERED in round 4
+    # — swapped in so they earn driver rows this round instead of
+    # waiting for round 5 (they displaced six 4b re-verification slots
+    # whose r2 rows stay exactly at the 3-round freshness bound and
+    # move to the round-5 queue: q3_top_orders, q9_nation_year_profit,
+    # dedup_exact, t2_batching, t5_rate_limit, range_join_errors).
+    "text_bpe_merges",
+    "docs_bpe_compression",
+    "text_bpe_symbol_vocab",
+    "events_kmv_distinct",
+    "dedup_spans_intradoc",
+    "events_kmv_sample_median",
     # Priority 4b: re-verification — newest rows are r2 (2 rounds old,
     # at the freshness bound). One representative per operator family:
     # TPC-H agg/join shapes, the Decaton T/F operator band, dedup, the
     # as-of/range time-series joins, sketches, multimodal.
     "q1_pricing_summary",
-    "q3_top_orders",
-    "q9_nation_year_profit",
     "q18_large_volume_customers",
-    "dedup_exact",
     "dedup_minhash_lsh",
-    "t2_batching",
-    "t5_rate_limit",
     "t6_per_key_quota",
     "t13_pipeline_chain",
     "asof_join_enrichment",
-    "range_join_errors",
     "cm_sketch_quota",
     "multimodal_binary_meta",
     # The remaining 31 r2-row holders (q2/q4-q7/q10-q14/q16/q17/q19/
@@ -6008,18 +6014,20 @@ _DRIVER_TIER = [
     # oracle exhaustion identity). Full-registry partition-invariance
     # sweep (DECATON_FULL_INVARIANCE=1): 138/138.
     #
-    # ROUND-5 TIER QUEUE (build the next tier in this order):
-    #   1. zero-driver-evidence: the 6 queries registered in round 4 —
-    #      text_bpe_merges, docs_bpe_compression, text_bpe_symbol_vocab,
-    #      events_kmv_distinct, dedup_spans_intradoc,
-    #      events_kmv_sample_median;
-    #   2. newest-row-is-r2 (at the 3-round freshness bound): the 31
-    #      r2-row holders listed below (q2/q4-q7/q10-q14/q16/q17/q19/
-    #      q20/q22, f1-f3, p1, t1_compaction_windowed, t3, t4, s7,
-    #      s8_legacy_envelope, dedup_simhash, docs_source_quality,
-    #      text_suite, scalar_functions_bridge, pivot/semi_anti/topk/
-    #      grouping_sets, ann_brute_force_topk);
-    #   3. remaining 14 slots: r3-row holders, preferring queries whose
+    # ROUND-5 TIER QUEUE (build the next tier in this order). With the
+    # round-4 additions already in THIS tier, round 5 starts with ZERO
+    # zero-evidence queries — every one of the 138 registered queries
+    # will hold a driver row after CORRECTNESS_r04:
+    #   1. newest-row-is-r2 (at the 3-round freshness bound): the 31
+    #      r2-row holders (q2/q4-q7/q10-q14/q16/q17/q19/q20/q22, f1-f3,
+    #      p1, t1_compaction_windowed, t3, t4, s7, s8_legacy_envelope,
+    #      dedup_simhash, docs_source_quality, text_suite,
+    #      scalar_functions_bridge, pivot/semi_anti/topk/grouping_sets,
+    #      ann_brute_force_topk) PLUS the 6 displaced from this tier
+    #      mid-round-4 (q3_top_orders, q9_nation_year_profit,
+    #      dedup_exact, t2_batching, t5_rate_limit, range_join_errors)
+    #      = 37 slots;
+    #   2. remaining 13 slots: r3-row holders, preferring queries whose
     #      implementation changed in round 4-5, then one per family.
 ]
 
