@@ -234,3 +234,164 @@ def decontaminate(
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_contaminated_ngrams"))
     )
+
+
+def _bloom_positions(m_bits: int, k: int) -> list[str]:
+    """The ``k`` Bloom bit positions of a gram, as SQL fragments over a
+    pre-computed md5-hex column ``h``: position ``j`` is the 8-hex-digit
+    slice at digits 8j+1..8j+8 of ONE digest, mod ``m_bits`` — the same
+    one-digest banding trick as ``minhash_signature`` (k md5s per gram
+    would triple the dominant cost for no independence gain; the md5
+    digit windows are already pairwise-independent-enough for a Bloom
+    filter's FP analysis)."""
+    from decaton_spark.functions import hashing
+
+    if not 1 <= k <= 4:
+        raise ValueError("md5 yields 32 hex digits = at most 4 8-digit positions")
+    return [
+        f"({hashing.hex_to_long('h', start=1 + 8 * j, ndigits=8)} % {m_bits})"
+        for j in range(k)
+    ]
+
+
+def build_bloom_bitmap(
+    benchmark: DataFrame,
+    *,
+    text_col: str = "text",
+    n: int = 5,
+    m_bits: int = 16384,
+    k: int = 3,
+) -> list[int]:
+    """OR-fold the eval set's distinct ``n``-grams into an ``m_bits``
+    Bloom bitmap (``k`` hash positions per gram, banded out of one md5
+    digest), returned as ``m_bits/32`` 32-bit words packed in Python
+    ints.
+
+    This is the offline-index half of ``bloom_decontaminate`` — the
+    analog of the persisted ANN centroid store: built once per eval-set
+    release, O(m_bits) driver memory regardless of how many n-grams the
+    eval set holds. 32-bit words (not 64) so the packed values stay
+    positive in both engines' signed BIGINT — no sign-bit replay trap.
+    """
+    from decaton_spark.functions.dedup import word_shingles
+
+    if m_bits % 32:
+        raise ValueError("m_bits must be a multiple of 32")
+    m_words = m_bits // 32
+    bg = benchmark.select(
+        F.explode(word_shingles(text_col, n)).alias("gram")
+    ).distinct()
+    pos = bg.select(F.md5("gram").alias("h")).select(
+        F.explode(
+            F.array(*[F.expr(p) for p in _bloom_positions(m_bits, k)])
+        ).alias("p")
+    )
+    rows = (
+        pos.select(
+            F.expr("CAST(p DIV 32 AS INT)").alias("w"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))"
+            ).alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("b").alias("bits"))
+        .collect()  # bounded: at most m_bits/32 rows, independent of data
+    )
+    filled = {int(r["w"]): int(r["bits"]) for r in rows}
+    return [filled.get(i, 0) for i in range(m_words)]
+
+
+def bloom_decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    m_bits: int = 16384,
+    k: int = 3,
+    bitmap: list[int] | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Constant-memory benchmark decontamination — the 100 TB scale
+    path of :func:`decontaminate` for when the eval set's n-gram
+    universe is too large to broadcast as a join side (multi-benchmark
+    unions at 8-13-gram widths run to 10^8+ grams).
+
+    The eval grams collapse into an ``m_bits`` Bloom bitmap
+    (:func:`build_bloom_bitmap`); the corpus probe is then a pure
+    projection — each corpus shingle tests its ``k`` bucket positions
+    (banded out of one md5 digest) against the *inlined literal*
+    bitmap, so the plan has ZERO joins and exactly one shuffle (the
+    final per-doc hit count, partial-aggregated map-side). False
+    positives over-flag at the standard Bloom rate (safe direction for
+    decontamination: never a false negative — every truly contaminated
+    document is flagged); the DuckDB oracle replays the identical
+    bitmap and hashes, so both engines agree bit-for-bit including the
+    false positives.
+
+    The per-gram verdict is a 0/1 column SUMMED per document with a
+    HAVING-style filter on the aggregate — deliberately NOT a row-level
+    ``filter()``: predicate pushdown substitutes projected columns back
+    into a pushed condition, so a filter over hoisted hash columns
+    re-computes every digest inside the predicate (measured 3×
+    slowdown); an aggregate consumes the projection as-is.
+
+    Pass a pre-built ``bitmap`` to skip the build (the offline-index
+    usage); otherwise it is built from ``benchmark`` inline.
+
+    ``num_partitions``: optional pre-hash repartition of the raw
+    (id, text) corpus — same rationale and caveat as
+    ``minhash_band_signatures``: the shingle+digest stage is CPU-bound,
+    so when the source is a few large files (fewer splits than cores)
+    the extra shuffle of the raw text is repaid ~cores-fold; on a real
+    many-split table leave it None.
+    """
+    from decaton_spark.functions.dedup import word_shingles
+
+    words = (
+        bitmap
+        if bitmap is not None
+        else build_bloom_bitmap(
+            benchmark, text_col=text_col, n=n, m_bits=m_bits, k=k
+        )
+    )
+    if len(words) != m_bits // 32:
+        raise ValueError("bitmap length must be m_bits/32")
+    # SQL-text literal (one parse, no py4j-per-element — the PQ-codebook
+    # pattern); constant-folds to a single array Literal in the plan
+    arr_sql = "array(" + ",".join(f"{w}L" for w in words) + ")"
+    if num_partitions:
+        df = df.repartition(num_partitions)
+    dg = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(text_col, n)).alias("gram"),
+    )
+    # hoist the digest, then the k positions, each into its own
+    # projection: every downstream reference is to a column, the md5 is
+    # computed ONCE per gram, and CollapseProject keeps the barriers
+    # (non-cheap expressions referenced more than once — the
+    # minhash_signature rationale)
+    hashed = dg.select("doc_id", F.md5("gram").alias("h"))
+    positioned = hashed.select(
+        "doc_id",
+        *[
+            F.expr(p).alias(f"p{j}")
+            for j, p in enumerate(_bloom_positions(m_bits, k))
+        ],
+    )
+    bit_tests = [
+        f"((shiftright(element_at({arr_sql}, CAST(p{j} DIV 32 AS INT) + 1), "
+        f"CAST(p{j} % 32 AS INT)) & CAST(1 AS BIGINT)) = CAST(1 AS BIGINT))"
+        for j in range(k)
+    ]
+    hit = " AND ".join(bit_tests)
+    return (
+        positioned.select(
+            "doc_id",
+            F.expr(hit).cast("long").alias("hit"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("hit").alias("n_flagged_ngrams"))
+        .filter(F.col("n_flagged_ngrams") > 0)
+    )

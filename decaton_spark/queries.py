@@ -1562,6 +1562,77 @@ def docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ql.decontaminate(corpus, bench, n=_DECON_N)
 
 
+_BLOOM_M_BITS, _BLOOM_K = 16384, 3
+
+
+def _bloom_pos_sql(j: int) -> str:
+    # position j = 8-hex-digit band of ONE md5 digest (column `h`),
+    # mod m_bits — must stay textually identical to
+    # quality._bloom_positions for the bit-exact replay
+    return f"({hex_to_long('h', start=1 + 8 * j, ndigits=8)} % {_BLOOM_M_BITS})"
+
+
+@register(
+    "docs_decontaminate_bloom",
+    f"""
+    WITH bg AS (
+        SELECT DISTINCT unnest({_decon_shingles_sql()}) AS gram
+        FROM documents WHERE doc_id % 97 = 0),
+    bh AS (SELECT md5(gram) AS h FROM bg),
+    pos AS (
+        SELECT {_bloom_pos_sql(0)} AS p FROM bh
+        UNION ALL SELECT {_bloom_pos_sql(1)} FROM bh
+        UNION ALL SELECT {_bloom_pos_sql(2)} FROM bh),
+    words AS (
+        SELECT p // 32 AS w,
+               bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS bits
+        FROM pos GROUP BY 1),
+    dg AS (
+        SELECT doc_id, unnest({_decon_shingles_sql()}) AS gram
+        FROM documents WHERE doc_id % 97 <> 0),
+    ph AS (SELECT doc_id, md5(gram) AS h FROM dg),
+    probe AS (
+        SELECT doc_id,
+               {_bloom_pos_sql(0)} AS p0,
+               {_bloom_pos_sql(1)} AS p1,
+               {_bloom_pos_sql(2)} AS p2
+        FROM ph)
+    SELECT doc_id, count(*) AS n_flagged_ngrams
+    FROM probe
+    LEFT JOIN words w0 ON w0.w = probe.p0 // 32
+    LEFT JOIN words w1 ON w1.w = probe.p1 // 32
+    LEFT JOIN words w2 ON w2.w = probe.p2 // 32
+    WHERE ((coalesce(w0.bits, 0) >> CAST(probe.p0 % 32 AS INT)) & 1) = 1
+      AND ((coalesce(w1.bits, 0) >> CAST(probe.p1 % 32 AS INT)) & 1) = 1
+      AND ((coalesce(w2.bits, 0) >> CAST(probe.p2 % 32 AS INT)) & 1) = 1
+    GROUP BY doc_id
+    """,
+)
+def docs_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constant-memory decontamination: the eval set's 3-grams collapse
+    into a 16384-bit / 3-hash Bloom bitmap and the corpus probe is a
+    pure projection against the inlined literal bitmap — zero joins,
+    one shuffle (the per-doc hit count), O(m_bits) memory however
+    large the eval set grows. The scale path of ``docs_decontaminate``
+    for multi-benchmark eval unions whose n-gram universe outgrows a
+    broadcast side; over-flags at the Bloom false-positive rate (never
+    a false negative). The oracle rebuilds the identical bitmap in SQL
+    (same one-digest md5 band positions, same 32-bit words), so both engines
+    agree bit-for-bit including the false positives (see
+    ``quality.bloom_decontaminate``)."""
+    docs = load_table(spark, "documents", sf_dir)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return ql.bloom_decontaminate(
+        corpus,
+        bench,
+        n=_DECON_N,
+        m_bits=_BLOOM_M_BITS,
+        k=_BLOOM_K,
+        num_partitions=spark.sparkContext.defaultParallelism,
+    )
+
+
 _CHUNK_TOKENS, _CHUNK_OVERLAP = 32, 8
 _CHUNK_STRIDE = _CHUNK_TOKENS - _CHUNK_OVERLAP
 
@@ -5983,12 +6054,14 @@ _DRIVER_TIER = [
     "events_kmv_distinct",
     "dedup_spans_intradoc",
     "events_kmv_sample_median",
+    # + the 7th late registration (displacing q18_large_volume_customers,
+    # whose r2 row stays exactly at the freshness bound → round-5 queue):
+    "docs_decontaminate_bloom",
     # Priority 4b: re-verification — newest rows are r2 (2 rounds old,
     # at the freshness bound). One representative per operator family:
     # TPC-H agg/join shapes, the Decaton T/F operator band, dedup, the
     # as-of/range time-series joins, sketches, multimodal.
     "q1_pricing_summary",
-    "q18_large_volume_customers",
     "dedup_minhash_lsh",
     "t6_per_key_quota",
     "t13_pipeline_chain",
@@ -6004,30 +6077,32 @@ _DRIVER_TIER = [
     # freshness bound is preserved by construction.
     #
     # ROUND-4 FULL-REGISTRY CERTIFICATION (final): tools/drive_harness.py
-    # --all (untuned local[8], sf0.01, side-by-side DuckDB) = 138/138
+    # --all (untuned local[8], sf0.01, side-by-side DuckDB) = 139/139
     # MATCH — the COMPLETE registry including every round-4 addition
     # (t1_compaction_hash, text_bpe_merges, docs_bpe_compression,
     # text_bpe_symbol_vocab, events_kmv_distinct, dedup_spans_intradoc,
-    # events_kmv_sample_median) and every round-4 implementation change
-    # (cm_sketch_quota partial-count rewrite, IVF-backed hybrid, fused
-    # expectations, sign-safe winsorize floor, KMV NULL semantics, BPE
-    # oracle exhaustion identity). Full-registry partition-invariance
-    # sweep (DECATON_FULL_INVARIANCE=1): 138/138.
+    # events_kmv_sample_median, docs_decontaminate_bloom) and every
+    # round-4 implementation change (cm_sketch_quota partial-count
+    # rewrite, IVF-backed hybrid, fused expectations, sign-safe
+    # winsorize floor, KMV NULL semantics, BPE oracle exhaustion
+    # identity). Full-registry partition-invariance sweep
+    # (DECATON_FULL_INVARIANCE=1): 138/138 + docs_decontaminate_bloom
+    # swept green on registration = 139/139.
     #
     # ROUND-5 TIER QUEUE (build the next tier in this order). With the
     # round-4 additions already in THIS tier, round 5 starts with ZERO
-    # zero-evidence queries — every one of the 138 registered queries
+    # zero-evidence queries — every one of the 139 registered queries
     # will hold a driver row after CORRECTNESS_r04:
     #   1. newest-row-is-r2 (at the 3-round freshness bound): the 31
     #      r2-row holders (q2/q4-q7/q10-q14/q16/q17/q19/q20/q22, f1-f3,
     #      p1, t1_compaction_windowed, t3, t4, s7, s8_legacy_envelope,
     #      dedup_simhash, docs_source_quality, text_suite,
     #      scalar_functions_bridge, pivot/semi_anti/topk/grouping_sets,
-    #      ann_brute_force_topk) PLUS the 6 displaced from this tier
+    #      ann_brute_force_topk) PLUS the 7 displaced from this tier
     #      mid-round-4 (q3_top_orders, q9_nation_year_profit,
-    #      dedup_exact, t2_batching, t5_rate_limit, range_join_errors)
-    #      = 37 slots;
-    #   2. remaining 13 slots: r3-row holders, preferring queries whose
+    #      dedup_exact, t2_batching, t5_rate_limit, range_join_errors,
+    #      q18_large_volume_customers) = 38 slots;
+    #   2. remaining 12 slots: r3-row holders, preferring queries whose
     #      implementation changed in round 4-5, then one per family.
 ]
 

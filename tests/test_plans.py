@@ -520,3 +520,21 @@ def test_hybrid_semantic_tower_is_ivf_probe_join(spark, sf_dir):
     ), "semantic tower must not nested-loop the corpus"
     assert "BroadcastHashJoin" in hybrid  # corpus cells ⋈ exploded probes
     assert "CartesianProduct" not in hybrid
+
+
+def test_bloom_decontaminate_probe_has_no_join(spark, sf_dir):
+    """docs_decontaminate_bloom's whole point: the corpus probe is a
+    pure projection against the inlined literal bitmap — ZERO joins of
+    any kind, never a gram-keyed shuffle, and a map-side partial
+    aggregate before the one doc_id-count exchange (the other exchange
+    is the explicit pre-hash round-robin spread of the raw corpus —
+    the documented few-splits local tuning, not part of the operator)."""
+    df = QUERIES["docs_decontaminate_bloom"].fn(spark, sf_dir)
+    p = plan_of(df)
+    assert "Join" not in p, "bloom probe must not join (that's the exact variant)"
+    assert "CartesianProduct" not in p
+    assert "hashpartitioning(gram" not in p, "corpus must never shuffle by gram"
+    simple = plan_of(df, "simple")
+    assert simple.count("Exchange") == 2  # round-robin spread + doc_id count
+    assert "REPARTITION_BY_NUM" in p or "RoundRobinPartitioning" in p
+    assert "partial" in p.lower()

@@ -140,3 +140,63 @@ def test_decontaminate_flags_ngram_overlap(spark):
         for r in decontaminate(corpus, bench, n=3).collect()
     }
     assert out == {1: 2, 3: 1}
+
+
+def test_bloom_decontaminate_supersets_exact(spark):
+    """The Bloom variant may over-flag (false positives) but must never
+    under-flag: every doc the exact n-gram join flags is flagged with
+    at least the exact overlap count; with a roomy bitmap the results
+    are identical."""
+    from decaton_spark.functions.quality import bloom_decontaminate, decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "a the quick brown fox runs"),
+            (2, "totally clean document here"),
+            (3, "the quick brown the quick brown"),
+        ],
+        "doc_id long, text string",
+    )
+    exact = {
+        r["doc_id"]: r["n_contaminated_ngrams"]
+        for r in decontaminate(corpus, bench, n=3).collect()
+    }
+    bloom = {
+        r["doc_id"]: r["n_flagged_ngrams"]
+        for r in bloom_decontaminate(
+            corpus, bench, n=3, m_bits=16384, k=3
+        ).collect()
+    }
+    for doc_id, n_exact in exact.items():
+        assert bloom.get(doc_id, 0) >= n_exact, "Bloom false negative"
+    # 3 grams into 16384 bits: collision-free, so exactly the exact set
+    assert bloom == exact
+
+
+def test_bloom_bitmap_shape_and_reuse(spark):
+    """build_bloom_bitmap returns m_bits/32 packed non-negative words;
+    passing it back as `bitmap` skips the build and gives the same
+    answer (the offline-index usage)."""
+    from decaton_spark.functions.quality import (
+        bloom_decontaminate,
+        build_bloom_bitmap,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [(1, "a the quick brown fox runs")], "doc_id long, text string"
+    )
+    bm = build_bloom_bitmap(bench, n=3, m_bits=4096, k=3)
+    assert len(bm) == 4096 // 32
+    assert all(0 <= w < (1 << 32) for w in bm)
+    assert sum(bin(w).count("1") for w in bm) == 9  # 3 grams x 3 hashes, no collision
+    inline = bloom_decontaminate(corpus, bench, n=3, m_bits=4096, k=3).collect()
+    reused = bloom_decontaminate(
+        corpus, bench, n=3, m_bits=4096, k=3, bitmap=bm
+    ).collect()
+    assert sorted(map(tuple, inline)) == sorted(map(tuple, reused))
