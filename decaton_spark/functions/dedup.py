@@ -489,3 +489,91 @@ def intradoc_span_dedup(
             F.array_join(kept, " ").alias("dedup_text"),
         )
     )
+
+
+def exact_substring_stats(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+    min_count: int = 2,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact-substring duplication statistics (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): a
+    token window that occurs >= ``min_count`` times ANYWHERE in the
+    corpus (other documents or a repeat within the same one) marks its
+    span duplicated; overlapping duplicated windows merge into maximal
+    islands per document.
+
+    The paper builds a single-node suffix array; the Spark-first
+    re-expression hashes every ``window``-token sliding window (stride
+    1 — same granularity the suffix array gives) and finds repeated
+    windows with ONE corpus-wide groupBy on the window hash — the same
+    O(|tokens|) the suffix array pays, but partition-parallel with no
+    giant shared index. Plan shape (pinned in tests/test_plans.py):
+    the dup-hash set after the HAVING is only the *repeated* windows,
+    so it broadcasts back onto the window stream (AQE falls back to a
+    partitioned equi-join if boilerplate inflates it past the
+    threshold) and the windows themselves shuffle exactly once — by
+    doc_id for the island merge, a per-doc running-max window, never a
+    global sort. The window stream is deliberately recomputed for the
+    groupBy rather than localCheckpoint-staged: at |tokens| scale,
+    re-hashing on a second scan is cheaper than materializing the
+    window table (and the one-shuffle collect_list alternative puts an
+    unbounded per-hash row list in memory — boilerplate-skew OOM).
+
+    Returns (doc_id, n_dup_windows, n_islands, flagged_tokens) for
+    documents containing at least one duplicated window — the report
+    that sizes a cut-the-spans pass before anyone mutates text.
+
+    ``num_partitions``: optional pre-hash spread of the raw corpus
+    (same few-splits local tuning as ``minhash_band_signatures``).
+    """
+    from pyspark.sql import Window
+
+    if num_partitions:
+        df = df.repartition(num_partitions)
+    toks = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+    base = df.select(
+        F.col(id_col).alias("doc_id"), toks.alias("t")
+    ).filter(F.size("t") >= window)
+    win = base.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.size("t") - window)).alias("s"),
+        "t",
+    ).select(
+        "doc_id",
+        "s",
+        (F.col("s") + window - 1).alias("e"),
+        F.md5(F.array_join(F.slice("t", F.col("s") + 1, window), "\x1f")).alias(
+            "h"
+        ),
+    )
+    dup = win.groupBy("h").agg(F.count(F.lit(1)).alias("cnt")).filter(
+        F.col("cnt") >= min_count
+    )
+    flagged = win.join(dup.select("h"), "h")
+    by_doc = Window.partitionBy("doc_id").orderBy("s")
+    run_max = (
+        F.max("e")
+        .over(by_doc.rowsBetween(Window.unboundedPreceding, -1))
+    )
+    ids = flagged.withColumn(
+        "brk",
+        F.when(run_max.isNull() | (F.col("s") > run_max), 1).otherwise(0),
+    ).withColumn(
+        "gid",
+        F.sum("brk").over(by_doc.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_island = ids.groupBy("doc_id", "gid").agg(
+        F.min("s").alias("a"),
+        F.max("e").alias("b"),
+        F.count(F.lit(1)).alias("nw"),
+    )
+    return per_island.groupBy("doc_id").agg(
+        F.sum("nw").alias("n_dup_windows"),
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum(F.col("b") - F.col("a") + 1).alias("flagged_tokens"),
+    )

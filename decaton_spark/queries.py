@@ -5959,6 +5959,68 @@ def dedup_spans_intradoc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.intradoc_span_dedup(docs)
 
 
+_ESUB_W = 8  # exact-substring window, scaled to the ~100-token fixture
+# docs (Lee et al. 2022 use 50-token windows on web-scale text)
+
+
+@register(
+    "dedup_exact_substring",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t
+        FROM documents),
+    win AS (
+        SELECT doc_id,
+               unnest(range(len(t) - {_ESUB_W} + 1)) AS s,
+               t
+        FROM toks WHERE len(t) >= {_ESUB_W}),
+    hashed AS (
+        SELECT doc_id, s, s + {_ESUB_W - 1} AS e,
+               md5(array_to_string(t[s + 1 : s + {_ESUB_W}], chr(31))) AS h
+        FROM win),
+    dup AS (
+        SELECT h FROM hashed GROUP BY h HAVING count(*) >= 2),
+    flagged AS (
+        SELECT hashed.* FROM hashed JOIN dup USING (h)),
+    runmax AS (
+        SELECT doc_id, s, e,
+               max(e) OVER (PARTITION BY doc_id ORDER BY s
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS pmax
+        FROM flagged),
+    ids AS (
+        SELECT doc_id, s, e,
+               sum(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY s
+                         ROWS UNBOUNDED PRECEDING) AS gid
+        FROM runmax),
+    per_island AS (
+        SELECT doc_id, gid, min(s) AS a, max(e) AS b, count(*) AS nw
+        FROM ids GROUP BY doc_id, gid)
+    SELECT doc_id,
+           CAST(sum(nw) AS BIGINT) AS n_dup_windows,
+           CAST(count(*) AS BIGINT) AS n_islands,
+           CAST(sum(b - a + 1) AS BIGINT) AS flagged_tokens
+    FROM per_island GROUP BY doc_id
+    """,
+)
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication report (Lee et al. 2022): every
+    8-token sliding window hashed; windows repeated anywhere in the
+    corpus mark their spans, overlapping spans merge into maximal
+    islands per document. The suffix-array algorithm re-expressed as
+    |tokens|-row hash grouping — 3 shuffles total, the dup-hash join
+    reuses the groupBy partitioning, island merge is a per-doc window
+    (see ``dedup.exact_substring_stats``)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return dd.exact_substring_stats(
+        docs,
+        window=_ESUB_W,
+        min_count=2,
+        num_partitions=spark.sparkContext.defaultParallelism,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry tiers.
 #
@@ -6054,15 +6116,17 @@ _DRIVER_TIER = [
     "events_kmv_distinct",
     "dedup_spans_intradoc",
     "events_kmv_sample_median",
-    # + the 7th late registration (displacing q18_large_volume_customers,
-    # whose r2 row stays exactly at the freshness bound → round-5 queue):
+    # + the 7th/8th late registrations (displacing
+    # q18_large_volume_customers and dedup_minhash_lsh, whose r2 rows
+    # stay exactly at the freshness bound → round-5 queue; the dedup
+    # family keeps 4 tier representatives):
     "docs_decontaminate_bloom",
+    "dedup_exact_substring",
     # Priority 4b: re-verification — newest rows are r2 (2 rounds old,
     # at the freshness bound). One representative per operator family:
     # TPC-H agg/join shapes, the Decaton T/F operator band, dedup, the
     # as-of/range time-series joins, sketches, multimodal.
     "q1_pricing_summary",
-    "dedup_minhash_lsh",
     "t6_per_key_quota",
     "t13_pipeline_chain",
     "asof_join_enrichment",
@@ -6077,32 +6141,32 @@ _DRIVER_TIER = [
     # freshness bound is preserved by construction.
     #
     # ROUND-4 FULL-REGISTRY CERTIFICATION (final): tools/drive_harness.py
-    # --all (untuned local[8], sf0.01, side-by-side DuckDB) = 139/139
+    # --all (untuned local[8], sf0.01, side-by-side DuckDB) = 140/140
     # MATCH — the COMPLETE registry including every round-4 addition
     # (t1_compaction_hash, text_bpe_merges, docs_bpe_compression,
     # text_bpe_symbol_vocab, events_kmv_distinct, dedup_spans_intradoc,
-    # events_kmv_sample_median, docs_decontaminate_bloom) and every
-    # round-4 implementation change (cm_sketch_quota partial-count
-    # rewrite, IVF-backed hybrid, fused expectations, sign-safe
-    # winsorize floor, KMV NULL semantics, BPE oracle exhaustion
-    # identity). Full-registry partition-invariance sweep
-    # (DECATON_FULL_INVARIANCE=1): 138/138 + docs_decontaminate_bloom
-    # swept green on registration = 139/139.
+    # events_kmv_sample_median, docs_decontaminate_bloom,
+    # dedup_exact_substring) and every round-4 implementation change
+    # (cm_sketch_quota partial-count rewrite, IVF-backed hybrid, fused
+    # expectations, sign-safe winsorize floor, KMV NULL semantics, BPE
+    # oracle exhaustion identity). Full-registry partition-invariance
+    # sweep (DECATON_FULL_INVARIANCE=1): 138/138 + the two late
+    # registrations swept green on registration = 140/140.
     #
     # ROUND-5 TIER QUEUE (build the next tier in this order). With the
     # round-4 additions already in THIS tier, round 5 starts with ZERO
-    # zero-evidence queries — every one of the 139 registered queries
+    # zero-evidence queries — every one of the 140 registered queries
     # will hold a driver row after CORRECTNESS_r04:
     #   1. newest-row-is-r2 (at the 3-round freshness bound): the 31
     #      r2-row holders (q2/q4-q7/q10-q14/q16/q17/q19/q20/q22, f1-f3,
     #      p1, t1_compaction_windowed, t3, t4, s7, s8_legacy_envelope,
     #      dedup_simhash, docs_source_quality, text_suite,
     #      scalar_functions_bridge, pivot/semi_anti/topk/grouping_sets,
-    #      ann_brute_force_topk) PLUS the 7 displaced from this tier
+    #      ann_brute_force_topk) PLUS the 8 displaced from this tier
     #      mid-round-4 (q3_top_orders, q9_nation_year_profit,
     #      dedup_exact, t2_batching, t5_rate_limit, range_join_errors,
-    #      q18_large_volume_customers) = 38 slots;
-    #   2. remaining 12 slots: r3-row holders, preferring queries whose
+    #      q18_large_volume_customers, dedup_minhash_lsh) = 39 slots;
+    #   2. remaining 11 slots: r3-row holders, preferring queries whose
     #      implementation changed in round 4-5, then one per family.
 ]
 

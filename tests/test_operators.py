@@ -443,3 +443,50 @@ def test_compact_tasks_hash_matches_default(tasks):
     )
     assert "SortAggregate" not in p
     assert "HashAggregate" in p
+
+
+def test_exact_substring_stats_semantics(spark):
+    """Two docs share one 8-token phrase -> each doc gets one island of
+    exactly 8 flagged tokens; a doc with an internal repeat flags both
+    occurrences; overlapping duplicated windows merge into one island;
+    clean docs are absent."""
+    from decaton_spark.functions.dedup import exact_substring_stats
+
+    phrase = "w1 w2 w3 w4 w5 w6 w7 w8"
+    docs = spark.createDataFrame(
+        [
+            (1, f"a b c {phrase} d e f"),
+            (2, f"x y z {phrase} q r s"),
+            (3, f"{phrase} gap1 gap2 gap3 gap4 gap5 gap6 gap7 gap8 {phrase}"),
+            (4, "totally unique words only here nothing repeats at all ok"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_dup_windows"], r["n_islands"], r["flagged_tokens"])
+        for r in exact_substring_stats(docs, window=8, min_count=2).collect()
+    }
+    # docs 1 and 2: the shared phrase is one 8-token window each
+    assert out[1] == (1, 1, 8)
+    assert out[2] == (1, 1, 8)
+    # doc 3: phrase occurs at token 0 and token 16 -> two islands of 8
+    assert out[3] == (2, 2, 16)
+    assert 4 not in out
+
+
+def test_exact_substring_overlap_merges_to_one_island(spark):
+    """A 10-token duplicated run yields 3 overlapping 8-token windows
+    that must merge into ONE island of 10 flagged tokens, not 24."""
+    from decaton_spark.functions.dedup import exact_substring_stats
+
+    run = "r1 r2 r3 r4 r5 r6 r7 r8 r9 r10"
+    docs = spark.createDataFrame(
+        [(1, f"a {run} b"), (2, f"c {run} d")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_dup_windows"], r["n_islands"], r["flagged_tokens"])
+        for r in exact_substring_stats(docs, window=8, min_count=2).collect()
+    }
+    assert out[1] == (3, 1, 10)
+    assert out[2] == (3, 1, 10)

@@ -538,3 +538,26 @@ def test_bloom_decontaminate_probe_has_no_join(spark, sf_dir):
     assert simple.count("Exchange") == 2  # round-robin spread + doc_id count
     assert "REPARTITION_BY_NUM" in p or "RoundRobinPartitioning" in p
     assert "partial" in p.lower()
+
+
+def test_exact_substring_windows_shuffle_once(spark, sf_dir):
+    """dedup_exact_substring's window stream must shuffle exactly once
+    (by doc_id, for the island merge): the dup-hash set after the
+    HAVING broadcasts back onto the stream, so no |tokens|-row
+    hash-join shuffle; only the small groupBy side hash-partitions on
+    h. Never a cartesian/nested-loop, never a global sort."""
+    df = QUERIES["dedup_exact_substring"].fn(spark, sf_dir)
+    p = plan_of(df)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    simple = plan_of(df, "simple")
+    # 2× round-robin corpus spread (two scans by design — see the
+    # dedup.exact_substring_stats docstring) + h-groupBy + dup-set
+    # broadcast + doc_id island merge
+    assert simple.count("Exchange") <= 5
+    assert p.count("hashpartitioning(h") == 1, "only the groupBy side keys on h"
+    assert p.count("hashpartitioning(doc_id") == 1
+    # island window sorts within doc partitions only — no global Sort
+    # (formatted mode prints Sort args as "[...keys...], <global>, 0")
+    assert "], false, 0" in p and "], true, 0" not in p
+    assert "partial_count" in p
