@@ -27,6 +27,9 @@ Usage:
     python tools/scale_ladder.py              # x10 rung (default)
     python tools/scale_ladder.py --x100       # x10 AND x100 rungs
     python tools/scale_ladder.py --rebuild    # force fixture rebuild
+    python tools/scale_ladder.py --only a,b   # ladder only queries a,b
+                                              # (merges into the existing
+                                              # SCALE_LADDER.json)
 
 Writes SCALE_LADDER.json next to the repo root and prints the table.
 """
@@ -56,6 +59,8 @@ HEAVY = [
     "ann_ivf_pq_topk",
     "docs_curation_pipeline",
     "q21_waiting_suppliers",
+    "docs_decontaminate_bloom",
+    "dedup_exact_substring",
 ]
 ALPHA = "abcdefghijklmnopqrstuvwxyz"
 
@@ -161,10 +166,19 @@ def _prewarm_stores(spark, sf_dir: str) -> None:
     _pq_books(emb, sf_dir)
 
 
+def _selected() -> list[str]:
+    for i, a in enumerate(sys.argv):
+        if a == "--only":
+            return sys.argv[i + 1].split(",")
+        if a.startswith("--only="):
+            return a.split("=", 1)[1].split(",")
+    return HEAVY
+
+
 def time_queries(spark, sf_dir: str) -> dict[str, float]:
     _prewarm_stores(spark, sf_dir)
     out: dict[str, float] = {}
-    for name in HEAVY:
+    for name in _selected():
         fn = _ALL_QUERIES[name].fn
         best = None
         for _ in range(2):  # keep-min: strips cross-charged GC/JIT noise
@@ -193,7 +207,7 @@ def main() -> None:
         timings[f"x{n}"] = time_queries(spark, RUNGS[n])
 
     table = {}
-    for q in HEAVY:
+    for q in _selected():
         row = {"sf0.1_sec": timings["base"][q]}
         for n in rungs:
             row[f"x{n}_sec"] = timings[f"x{n}"][q]
@@ -203,16 +217,22 @@ def main() -> None:
                 else None
             )
         table[q] = row
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "SCALE_LADDER.json",
+    )
     result = {
         "base_dir": BASE,
         "rungs": {f"x{n}": RUNGS[n] for n in rungs},
         "seed": SEED,
         "queries": table,
     }
-    path = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "SCALE_LADDER.json",
-    )
+    if os.path.exists(path):  # --only runs merge into the existing table
+        with open(path) as fh:
+            prior = json.load(fh)
+        prior.get("queries", {}).update(table)
+        prior["rungs"] = {**prior.get("rungs", {}), **result["rungs"]}
+        result = prior
     with open(path, "w") as fh:
         json.dump(result, fh, indent=1, sort_keys=True)
     print(json.dumps(result, indent=1))
