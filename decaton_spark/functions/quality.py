@@ -303,7 +303,7 @@ def build_bloom_bitmap(
 
 def bloom_decontaminate(
     df: DataFrame,
-    benchmark: DataFrame,
+    benchmark: DataFrame | None = None,
     *,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -349,13 +349,14 @@ def bloom_decontaminate(
     """
     from decaton_spark.functions.dedup import word_shingles
 
-    words = (
-        bitmap
-        if bitmap is not None
-        else build_bloom_bitmap(
+    if bitmap is None:
+        if benchmark is None:
+            raise ValueError("pass either a benchmark frame or a pre-built bitmap")
+        words = build_bloom_bitmap(
             benchmark, text_col=text_col, n=n, m_bits=m_bits, k=k
         )
-    )
+    else:
+        words = bitmap
     if len(words) != m_bits // 32:
         raise ValueError("bitmap length must be m_bits/32")
     # SQL-text literal (one parse, no py4j-per-element — the PQ-codebook

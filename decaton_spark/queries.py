@@ -1567,9 +1567,9 @@ _BLOOM_M_BITS, _BLOOM_K = 16384, 3
 
 def _bloom_pos_sql(j: int) -> str:
     # position j = 8-hex-digit band of ONE md5 digest (column `h`),
-    # mod m_bits — must stay textually identical to
-    # quality._bloom_positions for the bit-exact replay
-    return f"({hex_to_long('h', start=1 + 8 * j, ndigits=8)} % {_BLOOM_M_BITS})"
+    # mod m_bits — the ONE definition both engines share (the Spark
+    # side uses the same function), so the bit-exact replay can't drift
+    return ql._bloom_positions(_BLOOM_M_BITS, _BLOOM_K)[j]
 
 
 @register(

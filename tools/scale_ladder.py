@@ -155,10 +155,14 @@ def build_fixture(spark, dest: str, replicas: int) -> None:
 def _prewarm_stores(spark, sf_dir: str) -> None:
     """Offline index builds (IVF centroids, PQ codebooks) are once-per-
     corpus jobs at scale; build them outside the timed window, exactly
-    as bench.py does."""
+    as bench.py does. Skipped when no selected query touches the
+    embedding table."""
     from decaton_spark.functions import similarity as sim
     from decaton_spark.queries import _pq_books
 
+    if not any(n.startswith(("ann_", "dedup_semantic", "emb_", "hybrid_"))
+               for n in _selected()):
+        return
     emb = load_table(spark, "embeddings", sf_dir)
     sim.trained_centroids(
         emb, dataset=f"{sf_dir}/embeddings", nlist=16, iters=2
@@ -167,12 +171,21 @@ def _prewarm_stores(spark, sf_dir: str) -> None:
 
 
 def _selected() -> list[str]:
+    names: list[str] | None = None
     for i, a in enumerate(sys.argv):
         if a == "--only":
-            return sys.argv[i + 1].split(",")
-        if a.startswith("--only="):
-            return a.split("=", 1)[1].split(",")
-    return HEAVY
+            if i + 1 >= len(sys.argv):
+                sys.exit("usage: --only name1,name2")
+            names = sys.argv[i + 1].split(",")
+        elif a.startswith("--only="):
+            names = a.split("=", 1)[1].split(",")
+    if names is None:
+        return HEAVY
+    names = [n for n in names if n]
+    unknown = [n for n in names if n not in _ALL_QUERIES]
+    if not names or unknown:
+        sys.exit(f"--only: empty or unknown queries {unknown}")
+    return names
 
 
 def time_queries(spark, sf_dir: str) -> dict[str, float]:
@@ -221,18 +234,30 @@ def main() -> None:
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "SCALE_LADDER.json",
     )
-    result = {
-        "base_dir": BASE,
-        "rungs": {f"x{n}": RUNGS[n] for n in rungs},
-        "seed": SEED,
-        "queries": table,
-    }
-    if os.path.exists(path):  # --only runs merge into the existing table
+    merged_queries = dict(table)
+    merged_rungs = {f"x{n}": RUNGS[n] for n in rungs}
+    if os.path.exists(path):
         with open(path) as fh:
             prior = json.load(fh)
-        prior.get("queries", {}).update(table)
-        prior["rungs"] = {**prior.get("rungs", {}), **result["rungs"]}
-        result = prior
+        # merge only when the prior file measured the same fixtures —
+        # a changed BASE/SEED invalidates every prior number
+        if prior.get("base_dir") == BASE and prior.get("seed") == SEED:
+            for q, row in prior.get("queries", {}).items():
+                # rung-level merge: a re-ladder without --x100 must not
+                # erase a query's previously measured x100 columns
+                merged_queries[q] = {**row, **merged_queries.get(q, {})}
+            merged_rungs = {**prior.get("rungs", {}), **merged_rungs}
+    for row in merged_queries.values():  # growths consistent post-merge
+        base_sec = row.get("sf0.1_sec")
+        for n in (10, 100):
+            if base_sec and f"x{n}_sec" in row:
+                row[f"growth_x{n}"] = round(row[f"x{n}_sec"] / base_sec, 2)
+    result = {
+        "base_dir": BASE,
+        "rungs": merged_rungs,
+        "seed": SEED,
+        "queries": merged_queries,
+    }
     with open(path, "w") as fh:
         json.dump(result, fh, indent=1, sort_keys=True)
     print(json.dumps(result, indent=1))
