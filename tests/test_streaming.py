@@ -972,3 +972,67 @@ def test_streaming_expectations_quarantine_sink(spark, tmp_path):
     assert good == {1, 4}
     assert quar == {(2, "value_non_negative"), (3, "value_non_negative")}
     assert rule_counts == {"value_non_negative": 2}
+
+
+def test_streaming_bloom_decontaminate_equals_batch(spark, tmp_path):
+    """Streaming ingest decontamination: the Bloom bitmap is the
+    offline artifact (built once from the eval set), and the probe is
+    row-local — every window of a document comes from its single row —
+    so running bloom_decontaminate inside foreachBatch is EXACTLY the
+    batch answer for any row-partitioned microbatch split. The shape a
+    crawler pipeline runs: screen each arriving batch against the
+    frozen eval bitmap before anything enters the corpus."""
+    from decaton_spark.functions.quality import (
+        bloom_decontaminate,
+        build_bloom_bitmap,
+    )
+
+    schema = "doc_id long, text string"
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")], schema
+    )
+    rows = [
+        (1, "prefix the quick brown fox runs away"),
+        (2, "clean document with no overlap present"),
+        (3, "again the quick brown fox jumps here"),
+        (4, "another fully clean row of words"),
+    ]
+    bitmap = build_bloom_bitmap(bench, n=3, m_bits=4096, k=3)
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    # two appended file sets -> two microbatches (maxFilesPerTrigger=1)
+    spark.createDataFrame(rows[:2], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(in_dir))
+    spark.createDataFrame(rows[2:], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(in_dir))
+
+    got: list[tuple] = []
+
+    def screen(batch_df, bid):
+        flagged = bloom_decontaminate(batch_df, n=3, m_bits=4096, k=3, bitmap=bitmap)
+        got.extend(
+            (r["doc_id"], r["n_flagged_ngrams"]) for r in flagged.collect()
+        )
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+        .writeStream.foreachBatch(screen)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    batch = {
+        (r["doc_id"], r["n_flagged_ngrams"])
+        for r in bloom_decontaminate(
+            spark.createDataFrame(rows, schema), n=3, m_bits=4096, k=3, bitmap=bitmap
+        ).collect()
+    }
+    assert set(got) == batch
+    assert {d for d, _ in got} == {1, 3}
