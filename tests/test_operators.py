@@ -490,3 +490,57 @@ def test_exact_substring_overlap_merges_to_one_island(spark):
     }
     assert out[1] == (3, 1, 10)
     assert out[2] == (3, 1, 10)
+
+
+def _pr_mirror(edges, iters=3, damp=85, scale=10**12):
+    """Python mirror of the integer PageRank arithmetic."""
+    sym = set()
+    for a, b in edges:
+        if a != b:
+            sym.add((a, b)); sym.add((b, a))
+    nodes = sorted({s for s, _ in sym})
+    deg = {v: sum(1 for s, _ in sym if s == v) for v in nodes}
+    n = len(nodes)
+    base = scale // n
+    tel = ((100 - damp) * base) // 100
+    r = {v: base for v in nodes}
+    for _ in range(iters):
+        inc = {v: 0 for v in nodes}
+        for s, d in sym:
+            inc[d] += r[s] // deg[s]
+        r = {v: tel + (damp * inc[v]) // 100 for v in nodes}
+    return {v: (deg[v], r[v]) for v in nodes}
+
+
+def test_pagerank_integer_exact_path_graph(spark):
+    """A-B-C path: the Spark integer PageRank equals the arithmetic
+    mirror exactly (no float tolerance), and the middle node ranks
+    highest."""
+    from decaton_spark.functions.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3)], "id_a long, id_b long"
+    )
+    got = {
+        r["id"]: (r["degree"], r["pr_micromass"])
+        for r in pagerank(edges).collect()
+    }
+    assert got == _pr_mirror([(1, 2), (2, 3)])
+    assert got[2][1] > got[1][1] == got[3][1]
+
+
+def test_pagerank_star_hub_dominates_and_dedups_input(spark):
+    """Star graph given with duplicate and reversed edge rows — the
+    symmetric dedup inside pagerank must not double-count mass; the
+    hub holds the top rank."""
+    from decaton_spark.functions.graph import pagerank
+
+    raw = [(0, 1), (1, 0), (0, 2), (0, 3), (0, 3), (3, 0)]
+    edges = spark.createDataFrame(raw, "id_a long, id_b long")
+    got = {
+        r["id"]: (r["degree"], r["pr_micromass"])
+        for r in pagerank(edges).collect()
+    }
+    assert got == _pr_mirror(raw)
+    assert got[0][0] == 3  # hub degree counts each neighbour once
+    assert all(got[0][1] > got[v][1] for v in (1, 2, 3))
