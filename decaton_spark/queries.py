@@ -1838,7 +1838,8 @@ _TEMP_HASH_SPARK = md5_long("CAST(doc_id AS STRING)", 8, salt="tmix|")
     thresh AS (
         SELECT lang, c, w,
                least(4294967296,
-                     (denom.budget * w * 4294967296) // (denom.d * c))
+                     CAST((CAST(denom.budget AS HUGEINT) * w * 4294967296)
+                          // (CAST(denom.d AS HUGEINT) * c) AS BIGINT))
                    AS cutoff
         FROM weighted, denom)
     SELECT t.lang,
@@ -1890,11 +1891,18 @@ def docs_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("w").alias("den"),
         F.expr(f"sum(c) DIV {_TEMP_DIV}").alias("budget"),
     )
+    # DECIMAL(38,0) intermediates: budget·w·2^32 passes 2^63 once the
+    # corpus passes ~10M tokens (the x100 ladder rung already does);
+    # 22 digits at x100 sits comfortably inside DECIMAL(38,0), and the
+    # DuckDB oracle's HUGEINT arithmetic is exact alongside
     thresh = weighted.crossJoin(F.broadcast(denom)).select(
         "lang",
         F.least(
-            F.lit(4294967296),
-            F.expr("(budget * w * 4294967296) DIV (den * c)"),
+            F.lit(4294967296).cast("long"),
+            F.expr(
+                "CAST((CAST(budget AS DECIMAL(38,0)) * w * 4294967296)"
+                " div (CAST(den AS DECIMAL(38,0)) * c) AS BIGINT)"
+            ),
         ).alias("cutoff"),
     )
     kept = d.join(F.broadcast(thresh), "lang")
