@@ -1572,10 +1572,12 @@ def _bloom_pos_sql(j: int) -> str:
     return ql._bloom_positions(_BLOOM_M_BITS, _BLOOM_K)[j]
 
 
-@register(
-    "docs_decontaminate_bloom",
-    f"""
-    WITH bg AS (
+def _bloom_ctes(probe_source: str = "documents WHERE doc_id % 97 <> 0") -> str:
+    """CTE chain ``bg .. bloom_flagged`` replaying the Bloom-bitmap
+    decontamination: eval set is always every 97th document of the full
+    table (the frozen eval release); ``probe_source`` is the corpus
+    stage being screened."""
+    return f"""bg AS (
         SELECT DISTINCT unnest({_decon_shingles_sql()}) AS gram
         FROM documents WHERE doc_id % 97 = 0),
     bh AS (SELECT md5(gram) AS h FROM bg),
@@ -1589,23 +1591,31 @@ def _bloom_pos_sql(j: int) -> str:
         FROM pos GROUP BY 1),
     dg AS (
         SELECT doc_id, unnest({_decon_shingles_sql()}) AS gram
-        FROM documents WHERE doc_id % 97 <> 0),
+        FROM {probe_source}),
     ph AS (SELECT doc_id, md5(gram) AS h FROM dg),
     probe AS (
         SELECT doc_id,
                {_bloom_pos_sql(0)} AS p0,
                {_bloom_pos_sql(1)} AS p1,
                {_bloom_pos_sql(2)} AS p2
-        FROM ph)
-    SELECT doc_id, count(*) AS n_flagged_ngrams
-    FROM probe
-    LEFT JOIN words w0 ON w0.w = probe.p0 // 32
-    LEFT JOIN words w1 ON w1.w = probe.p1 // 32
-    LEFT JOIN words w2 ON w2.w = probe.p2 // 32
-    WHERE ((coalesce(w0.bits, 0) >> CAST(probe.p0 % 32 AS INT)) & 1) = 1
-      AND ((coalesce(w1.bits, 0) >> CAST(probe.p1 % 32 AS INT)) & 1) = 1
-      AND ((coalesce(w2.bits, 0) >> CAST(probe.p2 % 32 AS INT)) & 1) = 1
-    GROUP BY doc_id
+        FROM ph),
+    bloom_flagged AS (
+        SELECT doc_id, count(*) AS n_flagged_ngrams
+        FROM probe
+        LEFT JOIN words w0 ON w0.w = probe.p0 // 32
+        LEFT JOIN words w1 ON w1.w = probe.p1 // 32
+        LEFT JOIN words w2 ON w2.w = probe.p2 // 32
+        WHERE ((coalesce(w0.bits, 0) >> CAST(probe.p0 % 32 AS INT)) & 1) = 1
+          AND ((coalesce(w1.bits, 0) >> CAST(probe.p1 % 32 AS INT)) & 1) = 1
+          AND ((coalesce(w2.bits, 0) >> CAST(probe.p2 % 32 AS INT)) & 1) = 1
+        GROUP BY doc_id)"""
+
+
+@register(
+    "docs_decontaminate_bloom",
+    f"""
+    WITH {_bloom_ctes()}
+    SELECT doc_id, n_flagged_ngrams FROM bloom_flagged
     """,
 )
 def docs_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1815,17 +1825,17 @@ def token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: temperature-mixture budget = corpus_tokens DIV this divisor (α = 1/2)
 _TEMP_DIV = 3
 _TEMP_HASH_ORACLE = md5_long("CAST(doc_id AS VARCHAR)", 8, salt="tmix|")
-_TEMP_HASH_SPARK = md5_long("CAST(doc_id AS STRING)", 8, salt="tmix|")
 
 
-@register(
-    "docs_temperature_mixture",
-    f"""
-    WITH doc_tokens AS (
+def _temp_ctes(source: str = "documents") -> str:
+    """CTE chain ``doc_tokens .. thresh`` computing the α=1/2
+    temperature cutoffs over ``source`` (the corpus stage being
+    rebalanced); the consumer joins ``doc_tokens`` against ``thresh``."""
+    return f"""doc_tokens AS (
         SELECT doc_id, lang,
                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
                {_TEMP_HASH_ORACLE} AS hv
-        FROM documents),
+        FROM {source}),
     per_lang AS (
         SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS c
         FROM doc_tokens GROUP BY lang),
@@ -1841,14 +1851,23 @@ _TEMP_HASH_SPARK = md5_long("CAST(doc_id AS STRING)", 8, salt="tmix|")
                      CAST((CAST(denom.budget AS HUGEINT) * w * 4294967296)
                           // (CAST(denom.d AS HUGEINT) * c) AS BIGINT))
                    AS cutoff
-        FROM weighted, denom)
-    SELECT t.lang,
+        FROM weighted, denom)"""
+
+
+_TEMP_SUMMARY_SELECT = """SELECT t.lang,
            CAST(t.cutoff AS BIGINT) AS cutoff,
            count(*) FILTER (WHERE d.hv < t.cutoff) AS n_docs_kept,
            CAST(coalesce(sum(d.n_tokens) FILTER (WHERE d.hv < t.cutoff), 0)
                 AS BIGINT) AS tokens_kept
     FROM doc_tokens d JOIN thresh t USING (lang)
-    GROUP BY t.lang, t.cutoff
+    GROUP BY t.lang, t.cutoff"""
+
+
+@register(
+    "docs_temperature_mixture",
+    f"""
+    WITH {_temp_ctes()}
+    {_TEMP_SUMMARY_SELECT}
     """,
 )
 def docs_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1874,50 +1893,13 @@ def docs_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: two scans + a broadcast of |langs| cutoffs; one filtered
     partial-agg groupBy — no sort, no RNG, reproducible across runs.
     Output per language: (cutoff, n_docs_kept, tokens_kept) — cutoff
-    emitted so monitoring can alert on rate collapse."""
+    emitted so monitoring can alert on rate collapse. Implementation
+    in ``functions/sampling.temperature_mixture_summary`` (reused by
+    the curation-v2 composition)."""
+    from decaton_spark.functions import sampling as smp
+
     docs = load_table(spark, "documents", sf_dir)
-    d = docs.select(
-        "doc_id",
-        "lang",
-        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
-        F.expr(_TEMP_HASH_SPARK).alias("hv"),
-    )
-    per_lang = d.groupBy("lang").agg(F.sum("n_tokens").alias("c"))
-    weighted = per_lang.select(
-        "lang", "c",
-        F.floor(F.sqrt(F.col("c").cast("double"))).cast("long").alias("w"),
-    )
-    denom = weighted.agg(
-        F.sum("w").alias("den"),
-        F.expr(f"sum(c) DIV {_TEMP_DIV}").alias("budget"),
-    )
-    # DECIMAL(38,0) intermediates: budget·w·2^32 passes 2^63 once the
-    # corpus passes ~10M tokens (the x100 ladder rung already does);
-    # 22 digits at x100 sits comfortably inside DECIMAL(38,0), and the
-    # DuckDB oracle's HUGEINT arithmetic is exact alongside
-    thresh = weighted.crossJoin(F.broadcast(denom)).select(
-        "lang",
-        F.least(
-            F.lit(4294967296).cast("long"),
-            F.expr(
-                "CAST((CAST(budget AS DECIMAL(38,0)) * w * 4294967296)"
-                " div (CAST(den AS DECIMAL(38,0)) * c) AS BIGINT)"
-            ),
-        ).alias("cutoff"),
-    )
-    kept = d.join(F.broadcast(thresh), "lang")
-    keep = F.col("hv") < F.col("cutoff")
-    return kept.groupBy("lang", "cutoff").agg(
-        F.count(F.when(keep, 1)).alias("n_docs_kept"),
-        F.coalesce(F.sum(F.when(keep, F.col("n_tokens"))), F.lit(0))
-        .cast("long")
-        .alias("tokens_kept"),
-    ).select(
-        "lang",
-        F.col("cutoff").cast("long").alias("cutoff"),
-        "n_docs_kept",
-        "tokens_kept",
-    )
+    return smp.temperature_mixture_summary(docs, divisor=_TEMP_DIV)
 
 
 @register(
@@ -6139,12 +6121,13 @@ _ESUB_W = 8  # exact-substring window, scaled to the ~100-token fixture
 # docs (Lee et al. 2022 use 50-token windows on web-scale text)
 
 
-@register(
-    "dedup_exact_substring",
-    f"""
-    WITH toks AS (
+def _esub_ctes(source: str = "documents") -> str:
+    """CTE chain ``toks .. esub_stats`` replaying exact-substring
+    duplication stats over ``source`` — shared by the standalone query
+    and the curation-v2 composition."""
+    return f"""toks AS (
         SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t
-        FROM documents),
+        FROM {source}),
     win AS (
         SELECT doc_id,
                unnest(range(len(t) - {_ESUB_W} + 1)) AS s,
@@ -6172,12 +6155,21 @@ _ESUB_W = 8  # exact-substring window, scaled to the ~100-token fixture
         FROM runmax),
     per_island AS (
         SELECT doc_id, gid, min(s) AS a, max(e) AS b, count(*) AS nw
-        FROM ids GROUP BY doc_id, gid)
-    SELECT doc_id,
-           CAST(sum(nw) AS BIGINT) AS n_dup_windows,
-           CAST(count(*) AS BIGINT) AS n_islands,
-           CAST(sum(b - a + 1) AS BIGINT) AS flagged_tokens
-    FROM per_island GROUP BY doc_id
+        FROM ids GROUP BY doc_id, gid),
+    esub_stats AS (
+        SELECT doc_id,
+               CAST(sum(nw) AS BIGINT) AS n_dup_windows,
+               CAST(count(*) AS BIGINT) AS n_islands,
+               CAST(sum(b - a + 1) AS BIGINT) AS flagged_tokens
+        FROM per_island GROUP BY doc_id)"""
+
+
+@register(
+    "dedup_exact_substring",
+    f"""
+    WITH {_esub_ctes()}
+    SELECT doc_id, n_dup_windows, n_islands, flagged_tokens
+    FROM esub_stats
     """,
 )
 def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6195,6 +6187,85 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_count=2,
         num_partitions=spark.sparkContext.defaultParallelism,
     )
+
+
+@register(
+    "docs_curation_pipeline_v2",
+    f"""
+    WITH {_esub_ctes("documents")},
+    ntok AS (
+        SELECT doc_id,
+               CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS nt
+        FROM documents),
+    heavy AS (
+        SELECT s.doc_id FROM esub_stats s JOIN ntok USING (doc_id)
+        WHERE 2 * s.flagged_tokens > ntok.nt),
+    stage1 AS (
+        SELECT d.* FROM documents d LEFT JOIN heavy h USING (doc_id)
+        WHERE h.doc_id IS NULL),
+    {_bloom_ctes("stage1 WHERE doc_id % 97 <> 0")},
+    corpus1 AS (SELECT * FROM stage1 WHERE doc_id % 97 <> 0),
+    clean AS (
+        SELECT c.* FROM corpus1 c LEFT JOIN bloom_flagged f USING (doc_id)
+        WHERE f.doc_id IS NULL),
+    {_temp_ctes("clean")}
+    {_TEMP_SUMMARY_SELECT}
+    """,
+)
+def docs_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-4 curation pass, composed end-to-end from this
+    round's operators: (1) exact-substring CUT — drop documents whose
+    merged duplicated islands cover more than half their tokens (the
+    Lee et al. cut-list applied at doc granularity); (2) Bloom-bitmap
+    decontamination against the frozen eval set (constant-memory, over
+    the surviving corpus only); (3) α = 1/2 temperature mixture over
+    what remains. Reports the per-language mixture summary
+    (cutoff, n_docs_kept, tokens_kept) of the final corpus.
+
+    Stage shapes are preserved under composition (the v1 pipeline's
+    contract): substring stats keep their 3-shuffle plan, the Bloom
+    probe stays join-free, the mixture broadcasts |langs| cutoffs.
+    ``stage1`` and ``clean`` are each staged through ONE
+    localCheckpoint — downstream stages consume them 2-4 times and
+    would otherwise re-run the |tokens|-row substring pipeline per
+    consumer (the v1/merge staging lesson). The oracle is the three
+    operators' own CTE fragments chained over the same stage
+    boundaries — one engine definition per stage, two consumers."""
+    from decaton_spark.functions import sampling as smp
+
+    dp = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, "documents", sf_dir)
+    ntok = docs.select(
+        "doc_id",
+        F.size(F.split(F.coalesce(F.col("text"), F.lit("")), " "))
+        .cast("long")
+        .alias("nt"),
+    )
+    stats = dd.exact_substring_stats(
+        docs, window=_ESUB_W, min_count=2, num_partitions=dp
+    )
+    heavy = (
+        stats.join(ntok, "doc_id")
+        .filter(2 * F.col("flagged_tokens") > F.col("nt"))
+        .select("doc_id")
+    )
+    stage1 = docs.join(heavy, "doc_id", "left_anti").localCheckpoint(
+        eager=False
+    )
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus1 = stage1.filter(F.col("doc_id") % 97 != 0)
+    flagged = ql.bloom_decontaminate(
+        corpus1,
+        bench,
+        n=_DECON_N,
+        m_bits=_BLOOM_M_BITS,
+        k=_BLOOM_K,
+        num_partitions=dp,
+    ).select("doc_id")
+    clean = corpus1.join(flagged, "doc_id", "left_anti").localCheckpoint(
+        eager=False
+    )
+    return smp.temperature_mixture_summary(clean, divisor=_TEMP_DIV)
 
 
 # ---------------------------------------------------------------------------
@@ -6301,15 +6372,17 @@ _DRIVER_TIER = [
     # family keeps 4 tier representatives):
     "docs_decontaminate_bloom",
     "dedup_exact_substring",
-    # + the 10th late registration (displacing q1_pricing_summary,
-    # whose r2 row stays exactly at the freshness bound → round-5
-    # queue; the TPC-H family keeps q15/q8 as tier representatives):
+    # + the 10th/11th late registrations (displacing
+    # q1_pricing_summary and t6_per_key_quota, whose r2 rows stay
+    # exactly at the freshness bound → round-5 queue; the TPC-H family
+    # keeps q15/q8 and the quota family keeps the round-4-rewritten
+    # cm_sketch_quota as tier representatives):
     "docs_temperature_mixture",
+    "docs_curation_pipeline_v2",
     # Priority 4b: re-verification — newest rows are r2 (2 rounds old,
     # at the freshness bound). One representative per operator family:
     # the Decaton T/F operator band, the as-of/range time-series
     # joins, sketches, multimodal.
-    "t6_per_key_quota",
     "t13_pipeline_chain",
     "asof_join_enrichment",
     "cm_sketch_quota",
@@ -6323,37 +6396,38 @@ _DRIVER_TIER = [
     # freshness bound is preserved by construction.
     #
     # ROUND-4 FULL-REGISTRY CERTIFICATION (final): tools/drive_harness.py
-    # --all (untuned local[8], sf0.01, side-by-side DuckDB) = 142/142
+    # --all (untuned local[8], sf0.01, side-by-side DuckDB) = 143/143
     # MATCH — the COMPLETE registry including every round-4 addition
     # (t1_compaction_hash, text_bpe_merges, docs_bpe_compression,
     # text_bpe_symbol_vocab, events_kmv_distinct, dedup_spans_intradoc,
     # events_kmv_sample_median, docs_decontaminate_bloom,
     # dedup_exact_substring, dedup_graph_pagerank,
-    # docs_temperature_mixture) and every round-4 implementation
-    # change (cm_sketch_quota partial-count rewrite, IVF-backed
-    # hybrid, fused expectations, sign-safe winsorize floor, KMV NULL
-    # semantics, BPE oracle exhaustion identity). Also re-certified
-    # 140/140 under TZ=Asia/Tokyo. Full-registry partition-invariance
-    # sweep (DECATON_FULL_INVARIANCE=1): 138/138 + the four late
-    # registrations swept green on registration = 142/142.
+    # docs_temperature_mixture, docs_curation_pipeline_v2) and every
+    # round-4 implementation change (cm_sketch_quota partial-count
+    # rewrite, IVF-backed hybrid, fused expectations, sign-safe
+    # winsorize floor, KMV NULL semantics, BPE oracle exhaustion
+    # identity). Also re-certified 140/140 under TZ=Asia/Tokyo.
+    # Full-registry partition-invariance sweep
+    # (DECATON_FULL_INVARIANCE=1): 138/138 + the five late
+    # registrations swept green on registration = 143/143.
     #
     # ROUND-5 TIER QUEUE (build the next tier in this order). With the
     # round-4 additions already in THIS tier, round 5 starts with ZERO
-    # zero-evidence queries — every one of the 142 registered queries
+    # zero-evidence queries — every one of the 143 registered queries
     # will hold a driver row after CORRECTNESS_r04:
     #   1. newest-row-is-r2 (at the 3-round freshness bound): the 31
     #      r2-row holders (q2/q4-q7/q10-q14/q16/q17/q19/q20/q22, f1-f3,
     #      p1, t1_compaction_windowed, t3, t4, s7, s8_legacy_envelope,
     #      dedup_simhash, docs_source_quality, text_suite,
     #      scalar_functions_bridge, pivot/semi_anti/topk/grouping_sets,
-    #      ann_brute_force_topk) PLUS the 9 displaced from this tier
+    #      ann_brute_force_topk) PLUS the 10 displaced from this tier
     #      mid-round-4 (q3_top_orders, q9_nation_year_profit,
     #      dedup_exact, t2_batching, t5_rate_limit, range_join_errors,
     #      q18_large_volume_customers, dedup_minhash_lsh,
-    #      q1_pricing_summary) = 40 slots;
+    #      q1_pricing_summary, t6_per_key_quota) = 41 slots;
     #   2. dedup_cluster_stats (r3 row; displaced late round-4 by
     #      dedup_graph_pagerank over the same edge pipeline);
-    #   3. remaining 9 slots: r3-row holders, preferring queries whose
+    #   3. remaining 8 slots: r3-row holders, preferring queries whose
     #      implementation changed in round 4-5, then one per family.
 ]
 
