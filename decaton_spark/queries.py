@@ -27,6 +27,7 @@ from decaton_spark.envelope import events_to_tasks
 from decaton_spark.functions import dedup as dd
 from decaton_spark.functions import dsir
 from decaton_spark.functions import quality as ql
+from decaton_spark.functions import quantize as qt
 from decaton_spark.functions import similarity as sim
 from decaton_spark.functions import sketches as sk
 from decaton_spark.functions import text as tx
@@ -2384,6 +2385,106 @@ def ann_brute_force_topk_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
     q = emb.filter(F.col("vec_id") < 8)
     return sim.brute_force_topk_vectorized(emb, q, k=5)
+
+
+# SQ8 scalar quantization replay: per-dim min/max in 1e-7 integer units,
+# floor-division codes, dequantized 1e-4-unit ints, symmetric integer
+# inner product. Every division is nonnegative-integer floor division,
+# so DuckDB `//` equals Spark's floor(double-div) exactly (proof in
+# functions/quantize.py module docstring).
+_SQ_DEQ_CTES = """
+    dims AS (SELECT unnest(range(64)) AS i),
+    v AS (
+        SELECT vec_id, d.i AS i,
+               CAST(round(CAST(embedding[d.i + 1] AS DOUBLE) * 10000000.0) AS BIGINT) AS v7
+        FROM embeddings, dims d),
+    stats AS (SELECT i, min(v7) AS mn, max(v7) AS mx FROM v GROUP BY i),
+    sq_codes AS (
+        SELECT vec_id, v.i AS i, mn, mx,
+               CASE WHEN mx = mn THEN 0
+                    ELSE ((v7 - mn) * 255) // (mx - mn) END AS code
+        FROM v JOIN stats USING (i)),
+    deq AS (
+        SELECT vec_id, i,
+               (mn * 255 + code * (mx - mn) + 2550000000) // 255000 - 10000 AS d4
+        FROM sq_codes),
+    sq_q AS (SELECT vec_id AS query_id, i, d4 FROM deq WHERE vec_id < 8),
+    sq_scored AS (
+        SELECT sq_q.query_id, c.vec_id AS neighbor_id,
+               CAST(sum(sq_q.d4 * c.d4) AS BIGINT) AS ip4
+        FROM deq c JOIN sq_q ON c.i = sq_q.i AND c.vec_id <> sq_q.query_id
+        GROUP BY sq_q.query_id, c.vec_id),
+    sq_ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY ip4 DESC, neighbor_id) AS rank
+        FROM sq_scored)
+"""
+
+
+@register(
+    "emb_sq_topk",
+    f"""
+    WITH {_SQ_DEQ_CTES}
+    SELECT query_id, rank, neighbor_id, ip4 FROM sq_ranked WHERE rank <= 5
+    """,
+)
+def emb_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 quantized top-k: the 4×-smaller code scan of an SQ,Refine
+    retrieval stack. The quantizer (per-dim min/max) is one
+    partial-aggregable corpus scan; encoding is a projection under a
+    broadcast of that one row; search is the usual broadcast-query
+    top-k. Integer-exact end to end (functions/quantize.py)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") < 8)
+    return qt.sq_topk(emb, q, k=5)
+
+
+@register(
+    "emb_sq_recall",
+    f"""
+    WITH {_SQ_DEQ_CTES},
+    sq5 AS (SELECT query_id, neighbor_id FROM sq_ranked WHERE rank <= 5),
+    qe AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+    ce AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+    ex_scored AS (
+        SELECT query_id, neighbor_id,
+               round({_DOT_QC} / ({_NORM.format(v='qv')} * {_NORM.format(v='cv')}), 4) AS cosine
+        FROM ce, qe WHERE neighbor_id <> query_id),
+    ex_ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY cosine DESC, neighbor_id) AS erank
+        FROM ex_scored),
+    ex5 AS (SELECT query_id, neighbor_id FROM ex_ranked WHERE erank <= 5),
+    hits AS (
+        SELECT s.query_id, count(*) AS h
+        FROM sq5 s JOIN ex5 e USING (query_id, neighbor_id)
+        GROUP BY s.query_id)
+    SELECT q.query_id,
+           CAST(COALESCE(h, 0) AS BIGINT) AS sq_hits,
+           CAST(COALESCE(h, 0) * 20 AS BIGINT) AS recall_pct
+    FROM (SELECT DISTINCT query_id FROM qe) q LEFT JOIN hits USING (query_id)
+    """,
+)
+def emb_sq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the quantized scan against the exact ranking — the
+    quality gauge a deployment watches when it tunes quantization
+    (SQ8 here; the same harness applies to PQ). Both top-k frames are
+    tiny (|queries|·k rows); the measurement is a join of the two."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") < 8)
+    sq5 = qt.sq_topk(emb, q, k=5).select("query_id", "neighbor_id")
+    ex5 = sim.brute_force_topk(emb, q, k=5).select("query_id", "neighbor_id")
+    hits = (
+        sq5.join(ex5, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("h"))
+    )
+    ids = q.select(F.col("vec_id").alias("query_id")).distinct()
+    return ids.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("h"), F.lit(0)).cast("long").alias("sq_hits"),
+        (F.coalesce(F.col("h"), F.lit(0)) * 20).cast("long").alias("recall_pct"),
+    )
 
 
 def _dot64(a: str, b: str) -> str:
@@ -6379,14 +6480,18 @@ _DRIVER_TIER = [
     # cm_sketch_quota as tier representatives):
     "docs_temperature_mixture",
     "docs_curation_pipeline_v2",
+    # + the 12th/13th late registrations (SQ8 scalar quantization:
+    # quantized top-k + its recall@5 harness), displacing
+    # asof_join_enrichment and multimodal_binary_meta, whose r2 rows
+    # stay exactly at the freshness bound → round-5 queue:
+    "emb_sq_topk",
+    "emb_sq_recall",
     # Priority 4b: re-verification — newest rows are r2 (2 rounds old,
     # at the freshness bound). One representative per operator family:
-    # the Decaton T/F operator band, the as-of/range time-series
-    # joins, sketches, multimodal.
+    # the Decaton T/F operator band (t13), sketches (the
+    # round-4-rewritten cm_sketch_quota).
     "t13_pipeline_chain",
-    "asof_join_enrichment",
     "cm_sketch_quota",
-    "multimodal_binary_meta",
     # The remaining 31 r2-row holders (q2/q4-q7/q10-q14/q16/q17/q19/
     # q20/q22, f1-f3, p1, t1_compaction_windowed, t3, t4, s7,
     # s8_legacy_envelope, dedup_simhash, docs_source_quality,
@@ -6424,7 +6529,8 @@ _DRIVER_TIER = [
     #      mid-round-4 (q3_top_orders, q9_nation_year_profit,
     #      dedup_exact, t2_batching, t5_rate_limit, range_join_errors,
     #      q18_large_volume_customers, dedup_minhash_lsh,
-    #      q1_pricing_summary, t6_per_key_quota) = 41 slots;
+    #      q1_pricing_summary, t6_per_key_quota, asof_join_enrichment,
+    #      multimodal_binary_meta) = 43 slots;
     #   2. dedup_cluster_stats (r3 row; displaced late round-4 by
     #      dedup_graph_pagerank over the same edge pipeline);
     #   3. remaining 8 slots: r3-row holders, preferring queries whose

@@ -561,3 +561,31 @@ def test_exact_substring_windows_shuffle_once(spark, sf_dir):
     # (formatted mode prints Sort args as "[...keys...], <global>, 0")
     assert "], false, 0" in p and "], true, 0" not in p
     assert "partial_count" in p
+
+
+def test_sq_encode_is_projection_topk_shuffles_once(spark, sf_dir):
+    """emb_sq_topk's scale contract: the trained quantizer is a
+    one-row literal broadcast, so encoding both sides is a projection —
+    the corpus is NEVER shuffled by the encoder; the only corpus-wide
+    exchange is the per-query top-k window's hashpartitioning on
+    query_id. The query⋈corpus pairing is the same bounded
+    BroadcastNestedLoopJoin the exact brute-force baseline owns (8
+    broadcast queries), and codegen must stay compiled: the
+    transform-loop encoder, not 128 inlined element expressions."""
+    df = QUERIES["emb_sq_topk"].fn(spark, sf_dir)
+    p = plan_of(df)
+    assert "CartesianProduct" not in p
+    assert p.count("hashpartitioning(query_id") == 1, "one top-k shuffle"
+    # no other corpus-wide exchange: the stats pass was collected into
+    # literals before planning, so no pos-groupBy survives in this plan
+    assert "hashpartitioning(pos" not in p
+    simple = plan_of(df, "simple")
+    shuffles = simple.count("Exchange") - simple.count("BroadcastExchange")
+    assert shuffles == 1, simple  # the top-k window; everything else broadcasts
+    # the encoder must be the transform-loop form (bounded generated
+    # code), not 128 inlined per-element expressions: the wide form
+    # overflowed the JVM's 64 KB codegen method limit and dropped whole
+    # stages to interpreted evaluation (and its plan string alone ran
+    # to hundreds of KB — compactness is the observable proxy)
+    assert "transform(arrays_zip" in p
+    assert len(p) < 100_000, len(p)

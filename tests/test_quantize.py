@@ -1,0 +1,65 @@
+"""SQ8 scalar quantization: code bounds, exact reconstruction error
+contract, recall harness sanity (functions/quantize.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from decaton_spark.functions import quantize as qt
+from decaton_spark.sources import load_table
+
+
+def test_sq_codes_bounded_and_extremes(spark, sf_dir):
+    emb = load_table(spark, "embeddings", sf_dir)
+    stats = qt.sq_stats(emb)
+    enc = qt.sq_encode(emb, stats)
+    row = enc.select(
+        F.min(F.array_min("codes")).alias("lo"),
+        F.max(F.array_max("codes")).alias("hi"),
+    ).first()
+    assert row["lo"] == 0, "some dimension's minimum must map to code 0"
+    assert row["hi"] == qt.LEVELS, "some dimension's maximum must map to code 255"
+
+
+def test_sq_reconstruction_error_within_one_level(spark, sf_dir):
+    """|dequantized - original| ≤ one quantization level per dimension
+    (level width = range/255), plus the 1e-4 integer-unit truncation."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    stats = qt.sq_stats(emb)
+    enc = qt.sq_encode(emb, stats).crossJoin(F.broadcast(stats))
+    err = enc.select(
+        F.posexplode("deq4").alias("i0", "d4"),
+        F.col("embedding"),
+        F.col("min7"),
+        F.col("max7"),
+    ).select(
+        (
+            F.abs(
+                F.col("d4").cast("double") / 1e4
+                - F.col("embedding")[F.col("i0")].cast("double")
+            )
+            - (
+                (
+                    F.element_at("max7", F.col("i0") + 1)
+                    - F.element_at("min7", F.col("i0") + 1)
+                ).cast("double")
+                / (255.0 * 1e7)
+            )
+        ).alias("excess")
+    )
+    worst = err.agg(F.max("excess")).first()[0]
+    # allow the 1e-4 dequantization grid + 1e-7 coordinate rounding
+    assert worst <= 1.01e-4 + 1e-7, worst
+
+
+def test_sq_topk_agrees_reasonably_with_exact(spark, sf_dir):
+    """The recall harness itself: 8 query rows, recall in [0, 100], and
+    SQ8 at 64 dims should not fall below 40% mean recall@5 (it is a
+    4-bit-per-axis-of-range code, not a hash)."""
+    from decaton_spark.queries import EXTRA_QUERIES, QUERIES
+
+    spec = {**QUERIES, **EXTRA_QUERIES}["emb_sq_recall"]
+    pdf = spec.fn(spark, sf_dir).toPandas()
+    assert len(pdf) == 8
+    assert pdf["recall_pct"].between(0, 100).all()
+    assert pdf["recall_pct"].mean() >= 40.0
