@@ -1563,6 +1563,34 @@ def docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ql.decontaminate(corpus, bench, n=_DECON_N)
 
 
+@register(
+    "docs_novelty_ngrams",
+    f"""
+    WITH dg AS (
+        SELECT doc_id, unnest({_decon_shingles_sql(3)}) AS gram FROM documents),
+    gh AS (SELECT doc_id, md5(gram) AS h FROM dg),
+    first AS (SELECT h, min(doc_id) AS first_doc FROM gh GROUP BY h),
+    rolled AS (
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(sum(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END)
+                    AS BIGINT) AS novel_grams
+        FROM gh JOIN first USING (h) GROUP BY doc_id)
+    SELECT doc_id, n_grams, novel_grams,
+           CAST((novel_grams * 1000) // n_grams AS BIGINT) AS novelty_pml
+    FROM rolled
+    """,
+)
+def docs_novelty_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty (``quality.novelty_stats``): the
+    fraction of each document's distinct 3-gram shingles whose first
+    corpus appearance (lowest doc_id) is this document — the marginal-
+    utility signal a curation sampler weights by, decomposing corpus-
+    level duplicate-text mass down to documents. Skew-safe min-per-gram
+    election, join-back, partial-agg rollup; exact per-mille."""
+    return ql.novelty_stats(load_table(spark, "documents", sf_dir), n=3)
+
+
 _BLOOM_M_BITS, _BLOOM_K = 16384, 3
 
 
@@ -6486,11 +6514,13 @@ _DRIVER_TIER = [
     # stay exactly at the freshness bound → round-5 queue:
     "emb_sq_topk",
     "emb_sq_recall",
-    # Priority 4b: re-verification — newest rows are r2 (2 rounds old,
-    # at the freshness bound). One representative per operator family:
-    # the Decaton T/F operator band (t13), sketches (the
-    # round-4-rewritten cm_sketch_quota).
-    "t13_pipeline_chain",
+    # + the 14th late registration (per-doc n-gram novelty), displacing
+    # t13_pipeline_chain → round-5 queue (the T-band keeps
+    # t1_compaction_hash as its tier representative):
+    "docs_novelty_ngrams",
+    # Priority 4b: re-verification — the round-4-rewritten
+    # cm_sketch_quota keeps its slot so the NEW implementation earns a
+    # driver row this round.
     "cm_sketch_quota",
     # The remaining 31 r2-row holders (q2/q4-q7/q10-q14/q16/q17/q19/
     # q20/q22, f1-f3, p1, t1_compaction_windowed, t3, t4, s7,
@@ -6530,7 +6560,7 @@ _DRIVER_TIER = [
     #      dedup_exact, t2_batching, t5_rate_limit, range_join_errors,
     #      q18_large_volume_customers, dedup_minhash_lsh,
     #      q1_pricing_summary, t6_per_key_quota, asof_join_enrichment,
-    #      multimodal_binary_meta) = 43 slots;
+    #      multimodal_binary_meta, t13_pipeline_chain) = 44 slots;
     #   2. dedup_cluster_stats (r3 row; displaced late round-4 by
     #      dedup_graph_pagerank over the same edge pipeline);
     #   3. remaining 8 slots: r3-row holders, preferring queries whose

@@ -200,3 +200,28 @@ def test_bloom_bitmap_shape_and_reuse(spark):
         corpus, bench, n=3, m_bits=4096, k=3, bitmap=bm
     ).collect()
     assert sorted(map(tuple, inline)) == sorted(map(tuple, reused))
+
+
+def test_novelty_semantics_and_plan(spark):
+    """An exact copy of an earlier document scores 0 novelty; the
+    earliest document scores 1000; a half-overlapping document lands
+    strictly between. The election must be a partial-aggregable
+    min-per-gram (HashAggregate), never a per-gram window sort."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),  # exact copy of 1
+        (3, "alpha beta gamma delta nu xi omicron pi rho sigma"),
+    ]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+    out = {r["doc_id"]: r for r in ql.novelty_stats(df, n=3).collect()}
+    assert out[1]["novelty_pml"] == 1000
+    assert out[2]["novelty_pml"] == 0 and out[2]["novel_grams"] == 0
+    assert 0 < out[3]["novelty_pml"] < 1000
+    # doc 3 shares exactly the grams of "alpha beta gamma delta": 2
+    # 3-grams ("alpha beta gamma", "beta gamma delta") of its 8
+    assert out[3]["n_grams"] == 8 and out[3]["novel_grams"] == 6
+
+    p = plan_of(ql.novelty_stats(df, n=3))
+    assert "Window" not in p, "first-seer election must not window-sort"
+    assert "partial_min" in p or "partial_count" in p
+    assert "CartesianProduct" not in p
