@@ -1563,6 +1563,114 @@ def docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ql.decontaminate(corpus, bench, n=_DECON_N)
 
 
+# ---------------------------------------------------------------------------
+# Bradley–Terry preference ranking (functions/ranking.py): the oracle
+# replays the deterministic pairing, the duel-matrix reduction, and all
+# 8 fixed-point integer MM rounds (pure positive-int floor divisions —
+# the k-means/PageRank unrolled-CTE technique).
+# ---------------------------------------------------------------------------
+
+_BT_PAIR_CTES = f"""
+    bt_base AS (
+        SELECT doc_id AS _id, source AS _item, CAST(n_chars AS BIGINT) AS _score,
+               {md5_bucket("CAST(doc_id AS VARCHAR)", 8)} AS _b,
+               md5(CAST(doc_id AS VARCHAR)) AS _h
+        FROM documents),
+    bt_seq AS (
+        SELECT _id, _item, _score, _b,
+               CAST((row_number() OVER w - 1) // 2 AS BIGINT) AS _pair,
+               (row_number() OVER w - 1) % 2 AS _side
+        FROM bt_base WINDOW w AS (PARTITION BY _b ORDER BY _h, _id)),
+    bt_paired AS (
+        SELECT a._item AS a_item, a._score AS a_score, a._id AS a_id,
+               c._item AS b_item, c._score AS b_score, c._id AS b_id
+        FROM (SELECT * FROM bt_seq WHERE _side = 0) a
+        JOIN (SELECT * FROM bt_seq WHERE _side = 1) c
+          ON a._b = c._b AND a._pair = c._pair),
+    bt_comp AS (
+        SELECT CASE WHEN a_score > b_score OR (a_score = b_score AND a_id < b_id)
+                    THEN a_item ELSE b_item END AS winner_item,
+               CASE WHEN a_score > b_score OR (a_score = b_score AND a_id < b_id)
+                    THEN b_item ELSE a_item END AS loser_item
+        FROM bt_paired),
+    duels AS MATERIALIZED (
+        SELECT s, t, CAST(count(*) AS BIGINT) AS n, CAST(sum(win) AS BIGINT) AS w
+        FROM (
+            SELECT winner_item AS s, loser_item AS t, 1 AS win
+            FROM bt_comp WHERE winner_item <> loser_item
+            UNION ALL
+            SELECT loser_item AS s, winner_item AS t, 0 AS win
+            FROM bt_comp WHERE winner_item <> loser_item)
+        GROUP BY s, t),
+    bt_wins AS MATERIALIZED (SELECT s, CAST(sum(w) AS BIGINT) AS wtot FROM duels GROUP BY s),
+    bt_n AS MATERIALIZED (SELECT s, CAST(sum(n) AS BIGINT) AS ntot FROM duels GROUP BY s),
+    bt_k AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS k FROM (SELECT DISTINCT s FROM duels)),
+    p0 AS MATERIALIZED (SELECT s, CAST(1000000 AS BIGINT) AS p FROM (SELECT DISTINCT s FROM duels))
+"""
+
+
+def _bt_iter_sql(prev: str, out: str) -> str:
+    """One fixed-point MM round (see functions/ranking.py docstring).
+
+    ``{prev}`` is referenced twice (the s- and t-side rating joins), so
+    every round is MATERIALIZED — plain CTE inlining would expand the
+    whole chain 2^rounds times (DuckDB re-opens the parquet per
+    expansion; 8 rounds EMFILE'd before they slowed down). No dd=0
+    fallback branch exists because none is reachable: every item in
+    ``duels`` has ≥1 duel and each term is ≥1 (n·10⁹ ≥ 10⁹ while
+    den3 ≤ (2·K·10⁶)//1000 — the normalize step bounds p ≤ K·10⁶)."""
+    return f"""
+    d_{out} AS MATERIALIZED (
+        SELECT d.s AS s,
+               CAST(sum((d.n * 1000000000) // ((ps.p + pt.p) // 1000)) AS BIGINT) AS dd
+        FROM duels d
+        JOIN {prev} ps ON d.s = ps.s
+        JOIN {prev} pt ON d.t = pt.s
+        GROUP BY d.s),
+    q_{out} AS MATERIALIZED (
+        SELECT d_{out}.s AS s,
+               greatest(((bt_wins.wtot * 1000000000000) // dd) // 1000, 1) AS q
+        FROM d_{out} JOIN bt_wins ON d_{out}.s = bt_wins.s),
+    {out} AS MATERIALIZED (
+        SELECT s,
+               CAST(greatest((CAST(q AS HUGEINT) * bt_k.k * 1000000)
+                        // (SELECT CAST(sum(q) AS HUGEINT) FROM q_{out}),
+                    1000) AS BIGINT) AS p
+        FROM q_{out}, bt_k)
+    """
+
+
+_BT_ORACLE = (
+    "WITH "
+    + _BT_PAIR_CTES
+    + ","
+    + ",".join(_bt_iter_sql(f"p{i}", f"p{i + 1}") for i in range(8))
+    + """
+    SELECT fin.s AS item, fin.p AS rating_micro, bt_wins.wtot AS wins,
+           bt_n.ntot AS n_comparisons,
+           row_number() OVER (ORDER BY fin.p DESC, fin.s) AS rank
+    FROM p8 fin
+    JOIN bt_wins ON fin.s = bt_wins.s
+    JOIN bt_n ON fin.s = bt_n.s
+    """
+)
+
+
+@register("prefs_bradley_terry", _BT_ORACLE)
+def prefs_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley–Terry preference ranking over documents' sources from
+    deterministic pairwise length contests (functions/ranking.py): the
+    RLHF preference-aggregation shape — corpus-sized comparison log →
+    |items|²-bounded duel matrix (one partial-agg shuffle) → bounded
+    driver-side integer MM iterations, replayed bit-for-bit by 8
+    unrolled oracle CTE rounds."""
+    import decaton_spark.functions.ranking as rk
+
+    docs = load_table(spark, "documents", sf_dir)
+    comps = rk.pair_comparisons(docs, buckets=8)
+    return rk.bradley_terry(comps)
+
+
 @register(
     "docs_novelty_ngrams",
     f"""
@@ -6546,10 +6654,11 @@ _DRIVER_TIER = [
     # (DECATON_FULL_INVARIANCE=1): 138/138 + the five late
     # registrations swept green on registration = 143/143.
     #
-    # ROUND-5 TIER QUEUE (build the next tier in this order). With the
-    # round-4 additions already in THIS tier, round 5 starts with ZERO
-    # zero-evidence queries — every one of the 143 registered queries
-    # will hold a driver row after CORRECTNESS_r04:
+    # ROUND-5 TIER QUEUE (build the next tier in this order).
+    #   0. zero-evidence: registry entries added after this tier froze
+    #      (prefs_bradley_terry, and any later-session registrations
+    #      not swapped in above) — zero-evidence always outranks
+    #      re-verification;
     #   1. newest-row-is-r2 (at the 3-round freshness bound): the 31
     #      r2-row holders (q2/q4-q7/q10-q14/q16/q17/q19/q20/q22, f1-f3,
     #      p1, t1_compaction_windowed, t3, t4, s7, s8_legacy_envelope,
