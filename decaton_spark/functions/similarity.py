@@ -1170,3 +1170,101 @@ def centroid_drift(
             round_digits,
         ).alias("cosine_to_global"),
     )
+
+
+def mmr_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    candidates: int = 20,
+    lam_pct: int = 70,
+    id_col: str = "vec_id",
+    vec_col: str = EMB,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998): greedily pick ``k`` of the top-``candidates`` exact
+    neighbors, each round maximizing
+
+        ``lam·rel(d) − (1−lam)·max_{s∈selected} sim(d, s)``
+
+    — the diversity-aware context selection a RAG pipeline runs after
+    ANN retrieval so the k passages aren't k near-copies.
+
+    Scale split: candidate generation is the distributed part (here
+    exact top-N per query; compose with the IVF/LSH paths the same
+    way); relevance and the candidate×candidate similarity matrix are
+    DataFrame expressions (rounded cosines snapped to 1e-4 integer
+    units — engine-exact); the greedy loop itself is inherently
+    per-query sequential over ≤ candidates² integers, so it runs as an
+    Arrow-batched ``applyInPandas`` per query group — parallel across
+    queries, pure-integer inside (no floats → the oracle's unrolled
+    MATERIALIZED-CTE rounds replay every pick bit-for-bit, ties to the
+    lowest neighbor id).
+
+    Returns (query_id, mmr_rank, neighbor_id, mmr_score) with
+    ``mmr_score`` in 1e-4·percent units: ``lam_pct·rel4 −
+    (100−lam_pct)·maxsim4``.
+    """
+    import pandas as pd
+
+    top = brute_force_topk(corpus, queries, k=candidates, id_col=id_col, vec_col=vec_col)
+    rel = top.select(
+        "query_id",
+        F.col("neighbor_id").alias("d"),
+        F.round(F.col("cosine") * 10000.0).cast("long").alias("rel4"),
+    )
+    vecs = corpus.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"))
+    a = rel.join(vecs, rel["d"] == vecs["_vid"]).select(
+        "query_id", "d", "rel4", F.col("_v").alias("_va")
+    )
+    b = rel.select("query_id", F.col("d").alias("s")).join(
+        vecs, F.col("s") == vecs["_vid"]
+    ).select("query_id", "s", F.col("_v").alias("_vb"))
+    pairs = (
+        a.join(b, "query_id")
+        .filter(F.col("d") != F.col("s"))
+        .select(
+            "query_id",
+            "d",
+            "s",
+            "rel4",
+            F.round(
+                F.round(
+                    dot(F.col("_va"), F.col("_vb"))
+                    / (norm(F.col("_va")) * norm(F.col("_vb"))),
+                    4,
+                )
+                * 10000.0
+            )
+            .cast("long")
+            .alias("sim4"),
+        )
+    )
+    mu_pct = 100 - lam_pct
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = int(pdf["query_id"].iloc[0])
+        rel_of = {int(r.d): int(r.rel4) for r in pdf.itertuples()}
+        sim = {(int(r.d), int(r.s)): int(r.sim4) for r in pdf.itertuples()}
+        sel: list[int] = []
+        rem = set(rel_of)
+        out = []
+        for rank in range(1, min(k, len(rem)) + 1):
+            best_d, best_score = None, None
+            for d in sorted(rem):
+                ms = max((sim[(d, s)] for s in sel), default=0)
+                score = lam_pct * rel_of[d] - mu_pct * ms
+                if best_score is None or score > best_score:
+                    best_d, best_score = d, score
+            sel.append(best_d)
+            rem.discard(best_d)
+            out.append((qid, rank, best_d, best_score))
+        return pd.DataFrame(
+            out, columns=["query_id", "mmr_rank", "neighbor_id", "mmr_score"]
+        )
+
+    return pairs.groupBy("query_id").applyInPandas(
+        greedy,
+        schema="query_id long, mmr_rank int, neighbor_id long, mmr_score long",
+    )

@@ -2523,6 +2523,97 @@ def ann_brute_force_topk_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.brute_force_topk_vectorized(emb, q, k=5)
 
 
+def _dot64(a: str, b: str) -> str:
+    """DuckDB sequential-fold dot product (matches F.aggregate order)."""
+    return (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(64), "
+        f"i -> CAST({a}[i + 1] AS DOUBLE) * CAST({b}[i + 1] AS DOUBLE))), (x, y) -> x + y)"
+    )
+
+
+def _mmr_iter_sql(t: int, lam: int = 70) -> str:
+    """One greedy MMR round: score every unselected candidate
+    ``lam·rel4 − (100−lam)·max sim4 to the selected set``, pick the
+    argmax (ties → lowest id). ``sel`` is referenced three times per
+    round, so every frame is MATERIALIZED (the BT/EMFILE lesson)."""
+    prev, out = f"sel{t - 1}", f"sel{t}"
+    return f"""
+    ms{t} AS MATERIALIZED (
+        SELECT p.query_id, p.d, max(p.sim4) AS ms
+        FROM mpairs p JOIN {prev} s ON p.query_id = s.query_id AND p.s = s.d
+        GROUP BY p.query_id, p.d),
+    sc{t} AS MATERIALIZED (
+        SELECT c.query_id, c.d,
+               {lam} * c.rel4 - {100 - lam} * COALESCE(ms{t}.ms, 0) AS score
+        FROM cand c
+        LEFT JOIN ms{t} ON ms{t}.query_id = c.query_id AND ms{t}.d = c.d
+        WHERE NOT EXISTS (
+            SELECT 1 FROM {prev} s
+            WHERE s.query_id = c.query_id AND s.d = c.d)),
+    pick{t} AS MATERIALIZED (
+        SELECT query_id, d, score, {t} AS rnk
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY score DESC, d) AS rn FROM sc{t})
+        WHERE rn = 1),
+    {out} AS MATERIALIZED (
+        SELECT query_id, d, score, rnk FROM {prev}
+        UNION ALL
+        SELECT query_id, d, score, rnk FROM pick{t})
+    """
+
+
+_MMR_ORACLE = (
+    f"""
+    WITH mq AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+    mc AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+    mscored AS (
+        SELECT query_id, neighbor_id,
+               round({_DOT_QC} / ({_NORM.format(v='qv')} * {_NORM.format(v='cv')}), 4) AS cosine
+        FROM mc, mq WHERE neighbor_id <> query_id),
+    cand AS MATERIALIZED (
+        SELECT query_id, neighbor_id AS d,
+               CAST(round(cosine * 10000.0) AS BIGINT) AS rel4
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY cosine DESC, neighbor_id) AS rnk
+              FROM mscored)
+        WHERE rnk <= 20),
+    mpairs AS MATERIALIZED (
+        SELECT a.query_id, a.d, b.d AS s, a.rel4,
+               CAST(round(round({{dab}} / ({{nva}} * {{nvb}}), 4) * 10000.0) AS BIGINT) AS sim4
+        FROM cand a
+        JOIN cand b ON a.query_id = b.query_id AND a.d <> b.d
+        JOIN embeddings va ON va.vec_id = a.d
+        JOIN embeddings vb ON vb.vec_id = b.d),
+    sel0 AS (SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS BIGINT) AS d,
+                    CAST(NULL AS BIGINT) AS score, CAST(NULL AS INT) AS rnk
+             WHERE false),
+    """.format(
+        dab=_dot64("va.embedding", "vb.embedding"),
+        nva=_NORM.format(v="va.embedding"),
+        nvb=_NORM.format(v="vb.embedding"),
+    )
+    + ",".join(_mmr_iter_sql(t) for t in range(1, 11))
+    + """
+    SELECT query_id, CAST(rnk AS INT) AS mmr_rank, d AS neighbor_id,
+           CAST(score AS BIGINT) AS mmr_score
+    FROM sel10
+    """
+)
+
+
+@register("ann_mmr_rerank", _MMR_ORACLE)
+def ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity re-ranking (``similarity.mmr_rerank``): pick 10 of
+    each query's top-20 exact neighbors greedily maximizing
+    0.7·relevance − 0.3·max-similarity-to-picked — the RAG context
+    diversifier. Distributed candidate generation + integer-exact
+    Arrow-batched greedy per query group; the oracle replays all 10
+    picks through unrolled MATERIALIZED CTE rounds."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") < 8)
+    return sim.mmr_rerank(emb, q, k=10, candidates=20)
+
+
 # SQ8 scalar quantization replay: per-dim min/max in 1e-7 integer units,
 # floor-division codes, dequantized 1e-4-unit ints, symmetric integer
 # inner product. Every division is nonnegative-integer floor division,
@@ -2620,14 +2711,6 @@ def emb_sq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id",
         F.coalesce(F.col("h"), F.lit(0)).cast("long").alias("sq_hits"),
         (F.coalesce(F.col("h"), F.lit(0)) * 20).cast("long").alias("recall_pct"),
-    )
-
-
-def _dot64(a: str, b: str) -> str:
-    """DuckDB sequential-fold dot product (matches F.aggregate order)."""
-    return (
-        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(64), "
-        f"i -> CAST({a}[i + 1] AS DOUBLE) * CAST({b}[i + 1] AS DOUBLE))), (x, y) -> x + y)"
     )
 
 

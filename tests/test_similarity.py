@@ -153,3 +153,38 @@ def test_semantic_dedup_matches_registered_oracle_shape(emb, sf_dir):
             assert r["dup_of"] in kept or not r["keep"], r
             assert r["dup_of"] < r["vec_id"]
             assert cell_of[r["dup_of"]] == r["cell"]
+
+
+def test_mmr_rerank_diversifies(spark):
+    """Plant a query, two near-identical high-relevance vectors, and a
+    diverse medium-relevance vector: pure relevance ranks the twin
+    second; MMR must rank the diverse vector second (the twin's
+    similarity penalty outweighs its relevance edge). Plan must group
+    via Arrow (FlatMapGroupsInPandas), no cartesian."""
+    import math
+
+    def vec(theta):
+        v = [0.0] * 64
+        v[0], v[1] = math.cos(theta), math.sin(theta)
+        return v
+
+    rows = [
+        (0, vec(0.0)),            # the query
+        (1, vec(0.19)),           # best relevance
+        (2, vec(0.20)),           # near-twin of 1 (sim ≈ 1.0)
+        (3, vec(-0.20)),          # same relevance as the twin, but on
+                                  # the query's other side: far from 1
+    ]
+    df = spark.createDataFrame(rows, schema="vec_id long, embedding array<float>")
+    q = df.filter(F.col("vec_id") == 0)
+    out = sim.mmr_rerank(df, q, k=3, candidates=3, lam_pct=50).collect()
+    picks = [r["neighbor_id"] for r in sorted(out, key=lambda r: r["mmr_rank"])]
+    assert picks[0] == 1, picks          # best relevance first
+    assert picks[1] == 3, picks          # diversity beats the twin
+    assert picks[2] == 2, picks
+
+    from tests.test_plans import plan_of
+
+    p = plan_of(sim.mmr_rerank(df, q, k=3, candidates=3, lam_pct=50))
+    assert "FlatMapGroupsInPandas" in p
+    assert "CartesianProduct" not in p
