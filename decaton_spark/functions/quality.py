@@ -435,6 +435,14 @@ def novelty_stats(
         F.col(id_col).alias("doc_id"),
         F.explode(word_shingles(text_col, n)).alias("_g"),
     ).select("doc_id", F.md5("_g").alias("h"))
+    # two consumers (election input + join-back probe) would re-run the
+    # explode+md5 lineage twice — Catalyst can't reuse the exchange
+    # because the election side aggregates below it. ONE lazy
+    # checkpoint materializes the gram stream once (measured at sf0.1:
+    # 3.8 s → 2.4 s warm; the merge.py staging lesson). The skew-safe
+    # partial-agg election is kept — a window over gram partitions
+    # would put a 10^8-doc boilerplate gram into one task.
+    grams = grams.localCheckpoint(eager=False)
     first = grams.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
     return (
         grams.join(first, "h")

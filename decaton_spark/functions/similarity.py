@@ -1268,3 +1268,64 @@ def mmr_rerank(
         greedy,
         schema="query_id long, mmr_rank int, neighbor_id long, mmr_score long",
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    *,
+    k_neg: int = 5,
+    k_pos: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = EMB,
+    label_col: str = "label",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Contrastive training-pair mining: for each anchor, the most
+    similar SAME-label vectors (positives) and the most similar
+    DIFFERENT-label vectors (hard negatives) — the triplet/InfoNCE
+    data an embedding-model trainer consumes. Hard negatives (near
+    misses) are what make contrastive training work; random negatives
+    are trivially separable.
+
+    Same plan as the brute-force scan (anchors broadcast, corpus never
+    shuffled, one per-(anchor, role) top-k reduction); compose with the
+    IVF/LSH candidate paths the same way for a 100 TB corpus.
+
+    Returns (anchor_id, role 'pos'|'neg', rank, neighbor_id, cosine).
+    """
+    a = anchors.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(vec_col).alias("a_vec"),
+        F.col(label_col).alias("a_label"),
+        norm(F.col(vec_col)).alias("a_norm"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.col(label_col).alias("c_label"),
+        norm(F.col(vec_col)).alias("c_norm"),
+    )
+    pairs = c.crossJoin(F.broadcast(a)).filter(
+        F.col("neighbor_id") != F.col("anchor_id")
+    )
+    scored = pairs.select(
+        "anchor_id",
+        "neighbor_id",
+        F.when(F.col("c_label") == F.col("a_label"), F.lit("pos"))
+        .otherwise(F.lit("neg"))
+        .alias("role"),
+        F.round(
+            dot(F.col("a_vec"), F.col("c_vec"))
+            / (F.col("a_norm") * F.col("c_norm")),
+            round_digits,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("anchor_id", "role").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    ranked = scored.withColumn("rank", F.row_number().over(w))
+    return ranked.filter(
+        (F.col("role") == "neg") & (F.col("rank") <= k_neg)
+        | (F.col("role") == "pos") & (F.col("rank") <= k_pos)
+    ).select("anchor_id", "role", "rank", "neighbor_id", "cosine")

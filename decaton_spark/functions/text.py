@@ -440,3 +440,63 @@ def lm_score(
             ).alias("avg_logprob"),
         )
     )
+
+
+#: power-of-two sequence-length buckets for padded-batch planning
+LENGTH_BUCKETS = [2**i for i in range(18)]  # 1 .. 131072
+
+
+def bucket_expr(n_col: str, buckets: list[int] | None = None) -> Column:
+    """Smallest bucket ≥ token count, as an explicit CASE ladder —
+    bounded, branch-identical in Spark and the SQL oracle (float
+    log2 at exact power-of-two boundaries is the kind of cross-engine
+    trap the ladder avoids)."""
+    bs = buckets or LENGTH_BUCKETS
+    expr = F.lit(bs[-1])
+    for b in reversed(bs[:-1]):
+        expr = F.when(F.col(n_col) <= b, F.lit(b)).otherwise(expr)
+    return expr.cast("long")
+
+
+def length_bucket_stats(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Padded-batch planning stats: bucket documents by
+    power-of-two whitespace-token length and report, per bucket, the
+    document count, real token mass, padded capacity
+    (bucket_width · n_docs — what a fixed-shape batch actually
+    allocates), and the exact per-mille padding waste.
+
+    This is the measurement behind length-grouped batching (picking
+    bucket boundaries so attention FLOPs aren't burned on pad tokens);
+    at 100 TB it is one shuffle-free narrow projection into a
+    partial-aggregable groupBy over ≤18 groups.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"),
+    )
+    return (
+        toks.select(bucket_expr("n_tokens").alias("bucket"), "n_tokens")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+        .select(
+            "bucket",
+            "n_docs",
+            "total_tokens",
+            (F.col("bucket") * F.col("n_docs")).alias("capacity"),
+            (F.col("bucket") * F.col("n_docs") - F.col("total_tokens")).alias(
+                "padding_tokens"
+            ),
+            F.expr(
+                "CAST(((bucket * n_docs - total_tokens) * 1000)"
+                " DIV (bucket * n_docs) AS BIGINT)"
+            ).alias("waste_pml"),
+        )
+    )

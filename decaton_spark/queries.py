@@ -2531,6 +2531,73 @@ def _dot64(a: str, b: str) -> str:
     )
 
 
+@register(
+    "emb_hard_negatives",
+    f"""
+    WITH hq AS (SELECT vec_id AS anchor_id, embedding AS qv, label AS a_label
+                FROM embeddings WHERE vec_id < 8),
+    hc AS (SELECT vec_id AS neighbor_id, embedding AS cv, label AS c_label
+           FROM embeddings),
+    hscored AS (
+        SELECT anchor_id, neighbor_id,
+               CASE WHEN c_label = a_label THEN 'pos' ELSE 'neg' END AS role,
+               round({_DOT_QC} / ({_NORM.format(v='qv')} * {_NORM.format(v='cv')}), 4) AS cosine
+        FROM hc, hq WHERE neighbor_id <> anchor_id),
+    hranked AS (
+        SELECT *, row_number() OVER (PARTITION BY anchor_id, role
+                      ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM hscored)
+    SELECT anchor_id, role, rank, neighbor_id, cosine FROM hranked
+    WHERE (role = 'neg' AND rank <= 5) OR (role = 'pos' AND rank <= 1)
+    """,
+)
+def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive pair mining (``similarity.hard_negatives``): per
+    anchor, the top same-label positive and the 5 most-similar
+    different-label vectors — the near-miss negatives InfoNCE/triplet
+    training needs. Broadcast anchors, unshuffled corpus, one
+    per-(anchor, role) top-k reduction."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    anchors = emb.filter(F.col("vec_id") < 8)
+    return sim.hard_negatives(emb, anchors, k_neg=5, k_pos=1)
+
+
+def _bucket_ladder_sql(n_col: str) -> str:
+    whens = " ".join(
+        f"WHEN {n_col} <= {b} THEN {b}" for b in tx.LENGTH_BUCKETS[:-1]
+    )
+    return f"CASE {whens} ELSE {tx.LENGTH_BUCKETS[-1]} END"
+
+
+@register(
+    "text_length_buckets",
+    f"""
+    WITH lb_toks AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents),
+    lb AS (SELECT CAST({_bucket_ladder_sql('n_tokens')} AS BIGINT) AS bucket,
+                  n_tokens
+           FROM lb_toks),
+    lg AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+           FROM lb GROUP BY bucket)
+    SELECT bucket, n_docs, total_tokens,
+           bucket * n_docs AS capacity,
+           bucket * n_docs - total_tokens AS padding_tokens,
+           CAST(((bucket * n_docs - total_tokens) * 1000)
+                // (bucket * n_docs) AS BIGINT) AS waste_pml
+    FROM lg
+    """,
+)
+def text_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padded-batch planning (``text.length_bucket_stats``): documents
+    bucketed by power-of-two token length with exact per-mille padding
+    waste per bucket — the measurement behind length-grouped batching.
+    Shuffle-free projection into a ≤18-group partial agg."""
+    return tx.length_bucket_stats(load_table(spark, "documents", sf_dir))
+
+
 def _mmr_iter_sql(t: int, lam: int = 70) -> str:
     """One greedy MMR round: score every unselected candidate
     ``lam·rel4 − (100−lam)·max sim4 to the selected set``, pick the

@@ -18,3 +18,22 @@ def test_api_and_query_indexes_fresh():
     assert (ROOT / "QUERIES.md").read_text() == gen_docs.gen_queries_md(), (
         "QUERIES.md stale — run python tools/gen_docs.py"
     )
+
+
+def test_length_bucket_boundaries_and_waste(spark):
+    from decaton_spark.functions import text as tx
+
+    rows = [
+        (1, "a b c d"),          # 4 tokens -> bucket 4, zero waste
+        (2, "a b c d e"),        # 5 tokens -> bucket 8
+        (3, "a b c d e f g h"),  # 8 tokens -> bucket 8 (exact boundary)
+        (4, "a"),                # 1 token  -> bucket 1
+    ]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+    out = {r["bucket"]: r for r in tx.length_bucket_stats(df).collect()}
+    assert out[4]["n_docs"] == 1 and out[4]["waste_pml"] == 0
+    assert out[1]["n_docs"] == 1 and out[1]["waste_pml"] == 0
+    b8 = out[8]
+    assert b8["n_docs"] == 2 and b8["total_tokens"] == 13
+    assert b8["capacity"] == 16 and b8["padding_tokens"] == 3
+    assert b8["waste_pml"] == (3 * 1000) // 16

@@ -188,3 +188,33 @@ def test_mmr_rerank_diversifies(spark):
     p = plan_of(sim.mmr_rerank(df, q, k=3, candidates=3, lam_pct=50))
     assert "FlatMapGroupsInPandas" in p
     assert "CartesianProduct" not in p
+
+
+def test_hard_negatives_roles_and_ranking(spark):
+    """The nearest same-label vector is the positive; the nearest
+    different-label vector leads the negatives; self is excluded."""
+    import math
+
+    def vec(theta):
+        v = [0.0] * 64
+        v[0], v[1] = math.cos(theta), math.sin(theta)
+        return v
+
+    rows = [
+        (0, vec(0.00), 7),   # anchor, label 7
+        (1, vec(0.05), 7),   # near, same label -> the positive
+        (2, vec(0.10), 3),   # near, different label -> neg rank 1
+        (3, vec(0.50), 3),   # farther, different label -> neg rank 2
+        (4, vec(1.20), 7),   # far, same label (loses the pos slot)
+    ]
+    df = spark.createDataFrame(
+        rows, schema="vec_id long, embedding array<float>, label long"
+    )
+    out = sim.hard_negatives(
+        df, df.filter(F.col("vec_id") == 0), k_neg=2, k_pos=1
+    ).collect()
+    by = {(r["role"], r["rank"]): r["neighbor_id"] for r in out}
+    assert by[("pos", 1)] == 1
+    assert by[("neg", 1)] == 2
+    assert by[("neg", 2)] == 3
+    assert len(out) == 3  # k_pos + k_neg, no self row
