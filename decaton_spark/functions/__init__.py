@@ -1,3 +1,19 @@
-from decaton_spark.functions import dedup, hashing, similarity, sketches, text
+from decaton_spark.functions import (
+    dedup,
+    hashing,
+    quantize,
+    ranking,
+    similarity,
+    sketches,
+    text,
+)
 
-__all__ = ["dedup", "hashing", "similarity", "sketches", "text"]
+__all__ = [
+    "dedup",
+    "hashing",
+    "quantize",
+    "ranking",
+    "similarity",
+    "sketches",
+    "text",
+]
