@@ -200,3 +200,85 @@ def sq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "ip4")
     )
+
+
+def binary_signature(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = EMB,
+) -> DataFrame:
+    """1-bit-per-dimension binary signature: the 32× compression rung
+    below SQ8 (sign bit of each coordinate, packed into two 32-bit
+    halves carried as BIGINTs — bit 63 of a single word would wrap the
+    sign differently across engines, two unsigned halves cannot).
+
+    Sign is taken on the 1e-7 integer unit (``round(v·1e7) > 0``), the
+    same snap every other cross-engine op uses, so the bit pattern is
+    engine-exact even for coordinates within an ulp of zero. Encoding
+    is a pure projection; at 100 TB the signature column is 8 bytes
+    against 256 — the candidate scan for a Hamming-then-exact-rerank
+    retrieval stack.
+    """
+
+    def half(start: int):
+        return F.aggregate(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(31)),
+                lambda i: F.when(
+                    _v7(F.col(vec_col)[i + start]) > 0,
+                    F.pow(F.lit(2.0), i.cast("double")).cast("long"),
+                ).otherwise(F.lit(0).cast("long")),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    return df.select(
+        F.col(id_col), half(0).alias("h1"), half(32).alias("h2")
+    )
+
+
+def hamming_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = EMB,
+) -> DataFrame:
+    """Top-k by Hamming distance between binary signatures — the
+    cheapest ANN scan in the family (XOR + popcount per candidate,
+    JVM-side `bit_count`). Broadcast queries, unshuffled corpus, one
+    per-query top-k window; ties → lowest neighbor id.
+
+    Returns (query_id, rank, neighbor_id, hamming).
+    """
+    c = binary_signature(corpus, id_col=id_col, vec_col=vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("h1").alias("c1"),
+        F.col("h2").alias("c2"),
+    )
+    q = binary_signature(queries, id_col=id_col, vec_col=vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("h1").alias("q1"),
+        F.col("h2").alias("q2"),
+    )
+    scored = c.join(
+        F.broadcast(q), F.col("neighbor_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        (
+            F.bit_count(F.col("q1").bitwiseXOR(F.col("c1")))
+            + F.bit_count(F.col("q2").bitwiseXOR(F.col("c2")))
+        )
+        .cast("long")
+        .alias("hamming"),
+    )
+    w = Window.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "hamming")
+    )

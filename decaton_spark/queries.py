@@ -2716,6 +2716,42 @@ _SQ_DEQ_CTES = """
 
 
 @register(
+    "emb_binary_hamming_topk",
+    """
+    WITH d32 AS (SELECT unnest(range(32)) AS i),
+    sig AS (
+        SELECT vec_id,
+               CAST(sum(CASE WHEN CAST(round(CAST(embedding[d.i + 1] AS DOUBLE)
+                                  * 10000000.0) AS BIGINT) > 0
+                        THEN CAST(2 ** d.i AS BIGINT) ELSE 0 END) AS BIGINT) AS h1,
+               CAST(sum(CASE WHEN CAST(round(CAST(embedding[d.i + 33] AS DOUBLE)
+                                  * 10000000.0) AS BIGINT) > 0
+                        THEN CAST(2 ** d.i AS BIGINT) ELSE 0 END) AS BIGINT) AS h2
+        FROM embeddings, d32 d GROUP BY vec_id),
+    bq AS (SELECT vec_id AS query_id, h1 AS q1, h2 AS q2 FROM sig WHERE vec_id < 8),
+    bscored AS (
+        SELECT query_id, vec_id AS neighbor_id,
+               CAST(bit_count(xor(q1, h1)) + bit_count(xor(q2, h2)) AS BIGINT) AS hamming
+        FROM sig, bq WHERE vec_id <> query_id),
+    branked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY hamming, neighbor_id) AS rank
+        FROM bscored)
+    SELECT query_id, rank, neighbor_id, hamming FROM branked WHERE rank <= 5
+    """,
+)
+def emb_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-bit binary-signature Hamming top-k (``quantize.hamming_topk``):
+    the 32×-compression rung of the quantization family (binary →
+    SQ8 → PQ → float rerank). Sign bits snapped on the 1e-7 integer
+    unit, packed into two 32-bit halves; XOR+popcount scoring stays
+    JVM-side (`bit_count`)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") < 8)
+    return qt.hamming_topk(emb, q, k=5)
+
+
+@register(
     "emb_sq_topk",
     f"""
     WITH {_SQ_DEQ_CTES}

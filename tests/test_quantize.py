@@ -63,3 +63,28 @@ def test_sq_topk_agrees_reasonably_with_exact(spark, sf_dir):
     assert len(pdf) == 8
     assert pdf["recall_pct"].between(0, 100).all()
     assert pdf["recall_pct"].mean() >= 40.0
+
+
+def test_binary_signature_bits_and_hamming(spark):
+    """Known sign patterns pack to known words; Hamming ranks by bit
+    disagreement; self excluded."""
+    pos, neg = 0.5, -0.5
+    rows = [
+        (0, [pos] * 64),                  # all ones: h1 = h2 = 2^32 - 1
+        (1, [pos] * 64),                  # identical -> hamming 0
+        (2, [pos] * 32 + [neg] * 32),     # upper half flipped -> 32
+        (3, [neg] * 64),                  # all flipped -> 64
+        (4, [0.0] * 64),                  # zeros are NOT positive -> 64
+    ]
+    df = spark.createDataFrame(rows, schema="vec_id long, embedding array<float>")
+    sig = {r["vec_id"]: (r["h1"], r["h2"]) for r in qt.binary_signature(df).collect()}
+    assert sig[0] == (2**32 - 1, 2**32 - 1)
+    assert sig[2] == (2**32 - 1, 0)
+    assert sig[3] == (0, 0) == sig[4]
+
+    out = qt.hamming_topk(df, df.filter(F.col("vec_id") == 0), k=4).collect()
+    got = {r["neighbor_id"]: r["hamming"] for r in out}
+    assert got == {1: 0, 2: 32, 3: 64, 4: 64}
+    ranks = {r["rank"]: r["neighbor_id"] for r in out}
+    assert ranks[1] == 1 and ranks[2] == 2
+    assert ranks[3] == 3 and ranks[4] == 4  # 64-tie -> lowest id first
