@@ -2770,6 +2770,69 @@ def emb_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "emb_sq_refine_topk",
+    f"""
+    WITH {_SQ_DEQ_CTES},
+    sq20 AS (SELECT query_id, neighbor_id FROM sq_ranked WHERE rank <= 20),
+    rq AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+    rc AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+    rescored AS (
+        SELECT s.query_id, s.neighbor_id,
+               round({_DOT_QC} / ({_NORM.format(v='qv')} * {_NORM.format(v='cv')}), 4) AS cosine
+        FROM sq20 s
+        JOIN rq ON rq.query_id = s.query_id
+        JOIN rc ON rc.neighbor_id = s.neighbor_id),
+    reranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM rescored)
+    SELECT query_id, rank, neighbor_id, cosine FROM reranked WHERE rank <= 5
+    """,
+)
+def emb_sq_refine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed SQ,Refine serving stack (the deployment shape the
+    quantize module documents): the 4×-smaller SQ8 code scan nominates
+    top-20 candidates per query, then ONLY those 160 rows fetch their
+    float vectors for the exact cosine re-rank to top-5. At 100 TB the
+    refine join touches queries·20 rows of the float store — the
+    expensive column never scans corpus-wide."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") < 8)
+    cand = qt.sq_topk(emb, q, k=20).select("query_id", "neighbor_id")
+    qv = q.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("_qv"),
+        sim.norm(F.col("embedding")).alias("_qn"),
+    )
+    cv = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("_cv"),
+        sim.norm(F.col("embedding")).alias("_cn"),
+    )
+    rescored = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                sim.dot(F.col("_qv"), F.col("_cv"))
+                / (F.col("_qn") * F.col("_cn")),
+                4,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+@register(
     "emb_sq_recall",
     f"""
     WITH {_SQ_DEQ_CTES},

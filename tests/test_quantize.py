@@ -88,3 +88,25 @@ def test_binary_signature_bits_and_hamming(spark):
     ranks = {r["rank"]: r["neighbor_id"] for r in out}
     assert ranks[1] == 1 and ranks[2] == 2
     assert ranks[3] == 3 and ranks[4] == 4  # 64-tie -> lowest id first
+
+
+def test_sq_refine_recall_beats_raw_sq(spark, sf_dir):
+    """The refine stage can only help: exact re-rank of the SQ top-20
+    must recall at least as many true top-5 neighbors as the raw SQ
+    top-5 (and, on this corpus, strictly dominate 80%)."""
+    from decaton_spark.queries import EXTRA_QUERIES, QUERIES
+
+    ALL = {**QUERIES, **EXTRA_QUERIES}
+    refined = ALL["emb_sq_refine_topk"].fn(spark, sf_dir).toPandas()
+    raw_recall = ALL["emb_sq_recall"].fn(spark, sf_dir).toPandas()
+    from decaton_spark.functions import similarity as sim
+    from decaton_spark.sources import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") < 8)
+    exact = sim.brute_force_topk(emb, q, k=5).toPandas()
+    ex = set(zip(exact.query_id, exact.neighbor_id))
+    rf = set(zip(refined.query_id, refined.neighbor_id))
+    refined_recall = 100.0 * len(ex & rf) / len(ex)
+    assert refined_recall >= raw_recall["recall_pct"].mean()
+    assert refined_recall >= 80.0
