@@ -462,3 +462,81 @@ def novelty_stats(
             ),
         )
     )
+
+
+def novelty_ingest_batch(
+    batch_df: DataFrame,
+    store_dir: str,
+    batch_id: int,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Streaming-ingest novelty: the ``foreachBatch`` body that scores
+    each arriving microbatch against every gram seen in EARLIER
+    batches (a persistent (gram-md5, first_doc) parquet store) plus
+    earlier docs of the same batch — so for an append-only corpus with
+    monotone doc ids the stream reproduces ``novelty_stats`` exactly,
+    for ANY microbatch split (the batch-equivalence contract the other
+    streaming operators prove).
+
+    The store grows by NEW grams only, written under
+    ``batch=<batch_id>`` with overwrite — a replayed batch rewrites the
+    same directory, so the sink is effectively-once (the
+    ``idempotent_parquet_sink`` discipline). At scale the store is the
+    corpus gram table partitioned by hash — the probe is one equi-join
+    per batch against it; the corpus itself never rescans.
+
+    Returns the per-doc novelty frame for this batch (collect or sink
+    it inside foreachBatch).
+    """
+    from pyspark.errors import AnalysisException
+
+    from decaton_spark.functions.dedup import word_shingles
+
+    spark = batch_df.sparkSession
+    grams = (
+        batch_df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(word_shingles(text_col, n)).alias("_g"),
+        )
+        .select("doc_id", F.md5("_g").alias("h"))
+        .localCheckpoint(eager=False)
+    )
+    try:
+        seen = spark.read.parquet(store_dir).select("h", "first_doc")
+    except AnalysisException:
+        seen = spark.createDataFrame([], schema="h string, first_doc long")
+    batch_first = grams.groupBy("h").agg(F.min("doc_id").alias("bfirst"))
+    # store wins: its first_doc precedes every doc of this batch
+    # (monotone-ingest contract) — coalesce(store, batch)
+    first = batch_first.join(seen, "h", "left").select(
+        "h",
+        F.coalesce(F.col("first_doc"), F.col("bfirst")).alias("first_doc"),
+        F.col("first_doc").isNotNull().alias("_known"),
+        "bfirst",
+    ).localCheckpoint(eager=False)
+    out = (
+        grams.join(first.select("h", "first_doc"), "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("doc_id") == F.col("first_doc"), 1).otherwise(0)
+            ).alias("novel_grams"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.col("novel_grams").cast("long").alias("novel_grams"),
+            F.expr("CAST((novel_grams * 1000) DIV n_grams AS BIGINT)").alias(
+                "novelty_pml"
+            ),
+        )
+    )
+    new = first.filter(~F.col("_known")).select(
+        "h", F.col("bfirst").alias("first_doc")
+    )
+    new.write.mode("overwrite").parquet(f"{store_dir}/batch={batch_id}")
+    return out

@@ -1036,3 +1036,64 @@ def test_streaming_bloom_decontaminate_equals_batch(spark, tmp_path):
     }
     assert set(got) == batch
     assert {d for d, _ in got} == {1, 3}
+
+
+def test_streaming_novelty_equals_batch(spark, tmp_path):
+    """Streaming-ingest novelty: scoring each microbatch against the
+    persistent seen-gram store (plus earlier docs of the same batch)
+    reproduces the batch novelty_stats answer exactly for an
+    append-only monotone-id corpus, for ANY microbatch split."""
+    from decaton_spark.functions.quality import (
+        novelty_ingest_batch,
+        novelty_stats,
+    )
+
+    schema = "doc_id long, text string"
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),   # copy of 1
+        (3, "alpha beta gamma delta nu xi omicron"),  # partial overlap
+        (4, "completely fresh words in this row here"),
+    ]
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    spark.createDataFrame(rows[:2], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(in_dir))
+    spark.createDataFrame(rows[2:], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(in_dir))
+
+    store = str(tmp_path / "gram_store")
+    got: list[tuple] = []
+
+    def score(batch_df, bid):
+        out = novelty_ingest_batch(batch_df, store, bid, n=3)
+        got.extend(
+            (r["doc_id"], r["n_grams"], r["novel_grams"], r["novelty_pml"])
+            for r in out.collect()
+        )
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+        .writeStream.foreachBatch(score)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    batch = {
+        (r["doc_id"], r["n_grams"], r["novel_grams"], r["novelty_pml"])
+        for r in novelty_stats(
+            spark.createDataFrame(rows, schema), n=3
+        ).collect()
+    }
+    assert set(got) == batch
+    by_doc = {t[0]: t for t in got}
+    assert by_doc[1][3] == 1000 and by_doc[2][3] == 0
+    assert by_doc[4][3] == 1000
+    assert 0 < by_doc[3][3] < 1000
