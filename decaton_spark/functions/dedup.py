@@ -577,3 +577,58 @@ def exact_substring_stats(
         F.count(F.lit(1)).alias("n_islands"),
         F.sum(F.col("b") - F.col("a") + 1).alias("flagged_tokens"),
     )
+
+
+def verify_pairs_containment(
+    df: DataFrame,
+    pairs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 1,
+    threshold_pml: int = 700,
+) -> DataFrame:
+    """Directional containment verify on a candidate pair set:
+    ``containment = |A ∩ B| / min(|A|, |B|)`` — catches
+    quote-inclusion / page-within-page duplication that symmetric
+    Jaccard misses (a 50-word quote inside a 5000-word page has
+    Jaccard ≈ 0.01 but containment 1.0; Lee et al. 2022 §4 discusses
+    the asymmetric case). The smaller gram set is the *contained*
+    document (ties → the higher id: the later ingest is the quote).
+
+    Same bounded shape as ``verify_pairs_jaccard``: quadratic work is
+    |pairs| from LSH banding, never |corpus|²; gram lookups are
+    id-equi-joins. Containment is exact integer per-mille
+    (floor-division of nonnegative ints — oracle-identical).
+
+    Returns (contained_id, container_id, n_grams_contained, overlap,
+    containment_pml) at/above ``threshold_pml``.
+    """
+    grams = (
+        F.array_distinct(F.split(F.col(text_col), " "))
+        if n == 1
+        else word_shingles(text_col, n)
+    )
+    sets = df.select(F.col(id_col).alias("_id"), grams.alias("_g"))
+    j = (
+        pairs.join(sets.withColumnRenamed("_id", "id_a"), "id_a")
+        .withColumnRenamed("_g", "grams_a")
+        .join(sets.withColumnRenamed("_id", "id_b"), "id_b")
+        .withColumnRenamed("_g", "grams_b")
+    )
+    na, nb = F.size("grams_a"), F.size("grams_b")
+    inter = F.size(F.array_intersect("grams_a", "grams_b"))
+    a_contained = (na < nb) | ((na == nb) & (F.col("id_a") > F.col("id_b")))
+    out = j.select(
+        F.when(a_contained, F.col("id_a")).otherwise(F.col("id_b")).alias("contained_id"),
+        F.when(a_contained, F.col("id_b")).otherwise(F.col("id_a")).alias("container_id"),
+        F.least(na, nb).cast("long").alias("n_grams_contained"),
+        inter.cast("long").alias("overlap"),
+        F.expr(
+            "CAST((CAST({i} AS BIGINT) * 1000) DIV {m} AS BIGINT)".format(
+                i="size(array_intersect(grams_a, grams_b))",
+                m="least(size(grams_a), size(grams_b))",
+            )
+        ).alias("containment_pml"),
+    )
+    return out.filter(F.col("containment_pml") >= threshold_pml)

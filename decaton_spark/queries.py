@@ -2158,6 +2158,49 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_containment",
+    f"""
+    WITH {_minhash_sigs_cte()},
+    ccand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sigs a JOIN sigs b
+          ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+    csets AS (SELECT doc_id AS id, list_distinct(string_split(text, ' ')) AS grams
+              FROM documents),
+    scoredc AS (
+        SELECT id_a, id_b,
+               CAST(len(sa.grams) AS BIGINT) AS na,
+               CAST(len(sb.grams) AS BIGINT) AS nb,
+               CAST(len(list_intersect(sa.grams, sb.grams)) AS BIGINT) AS ov
+        FROM ccand
+        JOIN csets sa ON sa.id = ccand.id_a
+        JOIN csets sb ON sb.id = ccand.id_b),
+    dirn AS (
+        SELECT CASE WHEN na < nb OR (na = nb AND id_a > id_b)
+                    THEN id_a ELSE id_b END AS contained_id,
+               CASE WHEN na < nb OR (na = nb AND id_a > id_b)
+                    THEN id_b ELSE id_a END AS container_id,
+               least(na, nb) AS n_grams_contained,
+               ov AS overlap,
+               (ov * 1000) // least(na, nb) AS containment_pml
+        FROM scoredc)
+    SELECT * FROM dirn WHERE containment_pml >= 700
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional containment dedup (``dd.verify_pairs_containment``):
+    LSH candidates verified by |A∩B| / min(|A|,|B|) — the
+    quote-inclusion detector symmetric Jaccard misses. Exact integer
+    per-mille; the smaller gram set is the contained document."""
+    docs = load_table(spark, "documents", sf_dir)
+    cand = dd.minhash_candidate_pairs(
+        docs, k=3, bands=4,
+        num_partitions=spark.sparkContext.defaultParallelism,
+    )
+    return dd.verify_pairs_containment(docs, cand, n=1, threshold_pml=700)
+
+
 def _dedup_edges_cte(bands: int = 4, k: int = 3, threshold: float = 0.8) -> str:
     """CTE chain ``sh, sigs, cand, sets, edges`` replaying the LSH
     candidate + Jaccard-verify pipeline — the verified near-dup edge

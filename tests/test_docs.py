@@ -37,3 +37,32 @@ def test_length_bucket_boundaries_and_waste(spark):
     assert b8["n_docs"] == 2 and b8["total_tokens"] == 13
     assert b8["capacity"] == 16 and b8["padding_tokens"] == 3
     assert b8["waste_pml"] == (3 * 1000) // 16
+
+
+def test_containment_catches_quote_inclusion(spark):
+    """A short doc fully quoted inside a long doc: Jaccard is tiny but
+    containment is 1000 per-mille; the short (later-ingested) doc is
+    the contained side. A disjoint doc produces no pair."""
+    from decaton_spark.functions import dedup as dd
+
+    quote = "alpha beta gamma delta"
+    filler = " ".join(f"w{i}" for i in range(60))
+    rows = [
+        (1, filler + " " + quote),                 # the long container
+        (2, quote),                                # the quote
+        (3, "totally different words here now"),   # disjoint
+    ]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3)], schema="id_a long, id_b long"
+    )
+    out = dd.verify_pairs_containment(df, pairs, n=1, threshold_pml=700)
+    rows_out = out.collect()
+    assert len(rows_out) == 1
+    r = rows_out[0]
+    assert r["contained_id"] == 2 and r["container_id"] == 1
+    assert r["containment_pml"] == 1000
+    assert r["n_grams_contained"] == 4 and r["overlap"] == 4
+
+    jacc = dd.verify_pairs_jaccard(df, pairs, n=1, threshold=0.5)
+    assert jacc.count() == 0  # symmetric Jaccard misses the quote
