@@ -3403,6 +3403,104 @@ def s7_serde_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 SESSION_GAP_MS = 1_800_000  # 30 minutes
 
 
+_TRAJ_CAP = 16
+
+
+@register(
+    "events_trajectories",
+    f"""
+    WITH tev AS (
+        SELECT user_id, epoch_ms(ts) AS ms, event_id, event_type,
+               CAST(round(value * 100) AS BIGINT) AS cv
+        FROM events),
+    tord AS (
+        SELECT *, lag(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev
+        FROM tev),
+    tisl AS (
+        SELECT *, sum(CASE WHEN prev IS NULL OR ms - prev >= {{gap}}
+                           THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY ms, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sid
+        FROM tord),
+    ttraj AS (
+        SELECT CAST(user_id AS VARCHAR) AS key,
+               min(ms) AS session_start_ms,
+               CAST(count(*) AS BIGINT) AS n_steps_total,
+               list(event_type || ':' || CAST(cv AS VARCHAR)
+                    ORDER BY ms, event_id) AS traj
+        FROM tisl GROUP BY user_id, sid),
+    tcut AS (
+        SELECT key, session_start_ms, n_steps_total,
+               traj[1:{_TRAJ_CAP}] AS steps16
+        FROM ttraj)
+    SELECT key, session_start_ms, n_steps_total,
+           CAST(len(steps16) AS BIGINT) AS n_steps,
+           n_steps_total > {_TRAJ_CAP} AS truncated,
+           array_to_string(steps16, '|') AS trajectory,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(steps16, t -> {{fptok}})),
+                (acc, t) -> (acc * 31 + t) % 1000000007) AS BIGINT) AS traj_fp
+    FROM tcut
+    """.format(gap="{SESSION_GAP_MS}", fptok="{_FP_TOK}").format(
+        SESSION_GAP_MS=SESSION_GAP_MS, _FP_TOK=_FP_TOK
+    ),
+)
+def events_trajectories(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agent-trace dataset prep: assemble each user session's ordered
+    event steps ('type:centivalue') into a capped trajectory string
+    with an exact rolling-hash fingerprint (the dedup key for
+    trajectory-level exact dedup — same fragment as text_fingerprint).
+
+    Per-session collect is a partial-aggregable groupBy over Spark's
+    native session_window; ordering is restored inside each bounded
+    group by sort_array of (ms, event_id, step) structs — no global
+    sort, no window over the corpus. The cap bounds payload per group
+    before the fingerprint projection."""
+    ev = load_table(spark, "events", sf_dir)
+    steps = ev.select(
+        F.col("user_id").cast("string").alias("key"),
+        F.col("ts"),
+        F.unix_millis("ts").alias("ms"),
+        F.col("event_id"),
+        F.concat_ws(
+            ":",
+            F.col("event_type"),
+            F.round(F.col("value") * 100).cast("long").cast("string"),
+        ).alias("step"),
+    )
+    grouped = (
+        steps.groupBy("key", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.min("ms").alias("session_start_ms"),
+            F.count(F.lit(1)).cast("long").alias("n_steps_total"),
+            F.array_sort(
+                F.collect_list(F.struct("ms", "event_id", "step"))
+            ).alias("_ord"),
+        )
+        .drop("w")
+    )
+    cut = grouped.select(
+        "key",
+        "session_start_ms",
+        "n_steps_total",
+        F.slice(
+            F.transform(F.col("_ord"), lambda s: s["step"]), 1, _TRAJ_CAP
+        ).alias("steps16"),
+    )
+    from decaton_spark.functions.hashing import token_fingerprint
+
+    return cut.select(
+        "key",
+        "session_start_ms",
+        "n_steps_total",
+        F.size("steps16").cast("long").alias("n_steps"),
+        (F.col("n_steps_total") > _TRAJ_CAP).alias("truncated"),
+        F.array_join("steps16", "|").alias("trajectory"),
+        F.expr(token_fingerprint("steps16")).alias("traj_fp"),
+    )
+
+
+
 @register(
     "w1_sessionize",
     f"""
