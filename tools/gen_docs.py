@@ -30,6 +30,8 @@ API_SECTIONS = [
     ("transformWithStateInPandas forms", "decaton_spark.streaming.tws"),
     ("Dedup", "decaton_spark.functions.dedup"),
     ("Similarity / ANN", "decaton_spark.functions.similarity"),
+    ("Embedding quantization", "decaton_spark.functions.quantize"),
+    ("Preference ranking", "decaton_spark.functions.ranking"),
     ("Text analysis", "decaton_spark.functions.text"),
     ("BPE tokenizer training", "decaton_spark.functions.bpe"),
     ("Training-shard writer", "decaton_spark.sinks"),
