@@ -1699,6 +1699,71 @@ def docs_novelty_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ql.novelty_stats(load_table(spark, "documents", sf_dir), n=3)
 
 
+@register(
+    "docs_stratified_sample",
+    """
+    WITH stoks AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents),
+    scuts AS (
+        SELECT quantile_cont(n_tokens,
+               [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs
+        FROM stoks),
+    sassign AS (
+        SELECT doc_id, n_tokens,
+               CAST(1 + len(list_filter(qs, c -> n_tokens > c)) AS BIGINT)
+                   AS decile
+        FROM stoks, scuts),
+    sranked AS (
+        SELECT *, row_number() OVER (PARTITION BY decile
+                      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                  AS sample_rank
+        FROM sassign)
+    SELECT decile, sample_rank, doc_id, n_tokens
+    FROM sranked WHERE sample_rank <= 5
+    """,
+)
+def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling: 5 deterministic documents per token-length
+    decile — equal representation across strata for curriculum or
+    eval-set building. Decile cutoffs are one partial-agg percentile
+    pass broadcast back (the winsorize pattern; percentile_approx at
+    unbounded scale); in-stratum selection is the md5-order top-k, no
+    RNG. Both engines interpolate R-7 quantiles on identical doubles
+    and compare against exact integers."""
+    src = load_table(spark, "documents", sf_dir).select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    cuts = src.agg(
+        F.expr(
+            "percentile(n_tokens, array(0.1, 0.2, 0.3, 0.4, 0.5,"
+            " 0.6, 0.7, 0.8, 0.9))"
+        ).alias("qs")
+    )
+    assigned = src.crossJoin(F.broadcast(cuts)).select(
+        "doc_id",
+        "n_tokens",
+        (
+            F.lit(1)
+            + F.size(
+                F.filter(F.col("qs"), lambda c: F.col("n_tokens") > c)
+            )
+        )
+        .cast("long")
+        .alias("decile"),
+    )
+    w = Window.partitionBy("decile").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        assigned.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= 5)
+        .select("decile", "sample_rank", "doc_id", "n_tokens")
+    )
+
+
 _BLOOM_M_BITS, _BLOOM_K = 16384, 3
 
 
