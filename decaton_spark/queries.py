@@ -6980,10 +6980,11 @@ def docs_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 # ROTATION POLICY (round 3+): the tier is rebuilt each round; slots
-# are assigned in priority order below. With 131 registered queries
-# and a 50-slot/round driver budget, the achievable freshness bound is
-# a THREE-round cycle (any query's newest driver row is at most 3
-# rounds old); zero-evidence queries always outrank re-verification.
+# are assigned in priority order below. With 155 registered queries
+# (131 when this policy was written) and a 50-slot/round driver
+# budget, the achievable freshness bound is a ~three-round cycle (any
+# query's newest driver row is at most ~3 rounds old);
+# zero-evidence queries always outrank re-verification.
 # Round-4 arithmetic: 34 zero-evidence (the priority-1 queue listed at
 # the end of this tier) + 16 of the queries whose newest row is r1/r2,
 # preferring r1 rows (q15_top_supplier, q8_market_share lead), then
@@ -7094,20 +7095,26 @@ _DRIVER_TIER = [
     # freshness bound is preserved by construction.
     #
     # ROUND-4 FULL-REGISTRY CERTIFICATION (final): tools/drive_harness.py
-    # --all (untuned local[8], sf0.01, side-by-side DuckDB) = 143/143
-    # MATCH — the COMPLETE registry including every round-4 addition
-    # (t1_compaction_hash, text_bpe_merges, docs_bpe_compression,
-    # text_bpe_symbol_vocab, events_kmv_distinct, dedup_spans_intradoc,
-    # events_kmv_sample_median, docs_decontaminate_bloom,
-    # dedup_exact_substring, dedup_graph_pagerank,
-    # docs_temperature_mixture, docs_curation_pipeline_v2) and every
-    # round-4 implementation change (cm_sketch_quota partial-count
-    # rewrite, IVF-backed hybrid, fused expectations, sign-safe
-    # winsorize floor, KMV NULL semantics, BPE oracle exhaustion
-    # identity). Also re-certified 140/140 under TZ=Asia/Tokyo.
+    # --all (untuned local[8], sf0.01, side-by-side DuckDB) = **155/155
+    # MATCH** — the COMPLETE registry including every round-4 addition:
+    # the mid-round batch (t1_compaction_hash, text_bpe_merges,
+    # docs_bpe_compression, text_bpe_symbol_vocab, events_kmv_distinct,
+    # dedup_spans_intradoc, events_kmv_sample_median,
+    # docs_decontaminate_bloom, dedup_exact_substring,
+    # dedup_graph_pagerank, docs_temperature_mixture,
+    # docs_curation_pipeline_v2), the late-session quantized-retrieval/
+    # preference/curation band (emb_sq_topk, emb_sq_recall,
+    # emb_sq_refine_topk, emb_binary_hamming_topk, ann_mmr_rerank,
+    # emb_hard_negatives, prefs_bradley_terry, docs_novelty_ngrams,
+    # dedup_containment, events_trajectories, text_length_buckets,
+    # docs_stratified_sample), and every round-4 implementation change
+    # (cm_sketch_quota partial-count rewrite, IVF-backed hybrid, fused
+    # expectations, sign-safe winsorize floor, KMV NULL semantics, BPE
+    # oracle exhaustion identity, checkpointed novelty gram stream).
+    # Earlier-in-round also re-certified 140/140 under TZ=Asia/Tokyo.
     # Full-registry partition-invariance sweep
-    # (DECATON_FULL_INVARIANCE=1): 138/138 + the five late
-    # registrations swept green on registration = 143/143.
+    # (DECATON_FULL_INVARIANCE=1): 138/138 mid-round + every late
+    # registration swept green on registration = 155/155.
     #
     # ROUND-5 TIER QUEUE (build the next tier in this order).
     #   0. zero-evidence: registry entries added after this tier froze
