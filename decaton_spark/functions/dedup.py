@@ -632,3 +632,50 @@ def verify_pairs_containment(
         ).alias("containment_pml"),
     )
     return out.filter(F.col("containment_pml") >= threshold_pml)
+
+
+def exact_dups_by_priority(
+    df: DataFrame,
+    priority: dict[str, int],
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    default_rank: int = 1_000_000,
+) -> DataFrame:
+    """Exact dedup with SOURCE-PRIORITY survivor election: among
+    identical texts, keep the copy from the most-preferred source
+    (lowest rank in ``priority``; unknown sources sink to
+    ``default_rank``), ties to the lowest id — the rule real corpora
+    use when a curated source and a crawl both carry a page (keep the
+    curated copy, not whichever was ingested first).
+
+    Same single-shuffle shape as ``exact_dups``: the election is a
+    partial-aggregable ``min(struct(rank, id, source))`` per text md5 —
+    the priority map rides along as a broadcast-free CASE projection.
+
+    Returns (text_hash, n_docs, keep_id, keep_source).
+    """
+    rank = F.lit(default_rank)
+    for src, r in sorted(priority.items()):
+        rank = F.when(F.col(source_col) == src, F.lit(r)).otherwise(rank)
+    elected = F.min(
+        F.struct(
+            rank.cast("long").alias("r"),
+            F.col(id_col).alias("id"),
+            F.col(source_col).alias("src"),
+        )
+    )
+    return (
+        df.groupBy(F.md5(F.col(text_col).cast("binary")).alias("text_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            elected.alias("_e"),
+        )
+        .select(
+            "text_hash",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("_e.id").alias("keep_id"),
+            F.col("_e.src").alias("keep_source"),
+        )
+    )

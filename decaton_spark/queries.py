@@ -1232,6 +1232,35 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.exact_dups(docs)
 
 
+@register(
+    "dedup_source_priority",
+    """
+    WITH spr AS (
+        SELECT doc_id, source, md5(text) AS text_hash,
+               CASE source WHEN 'src5' THEN 0 WHEN 'src12' THEN 1
+                           WHEN 'src0' THEN 2 ELSE 1000000 END AS r
+        FROM documents),
+    spe AS (
+        SELECT text_hash, CAST(count(*) AS BIGINT) AS n_docs,
+               min(struct_pack(r := r, id := doc_id, src := source)) AS e
+        FROM spr GROUP BY text_hash)
+    SELECT text_hash, n_docs, e.id AS keep_id, e.src AS keep_source
+    FROM spe
+    """,
+)
+def dedup_source_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup with source-priority survivor election
+    (``dd.exact_dups_by_priority``): among identical texts keep the
+    copy from the preferred source (src5 ≻ src12 ≻ src0 ≻ rest), ties
+    to the lowest id — prefer the curated copy over the crawl. Same
+    single partial-agg shuffle as dedup_exact; the election is a
+    min(struct) with the rank as a CASE projection."""
+    docs = load_table(spark, "documents", sf_dir)
+    return dd.exact_dups_by_priority(
+        docs, {"src5": 0, "src12": 1, "src0": 2}
+    )
+
+
 _SPAN_WORDS = 16
 
 

@@ -66,3 +66,29 @@ def test_containment_catches_quote_inclusion(spark):
 
     jacc = dd.verify_pairs_jaccard(df, pairs, n=1, threshold=0.5)
     assert jacc.count() == 0  # symmetric Jaccard misses the quote
+
+
+def test_source_priority_election(spark):
+    """Identical texts across sources: the preferred source wins
+    regardless of id order; unknown sources lose to ranked ones;
+    within a source, lowest id. (The driver fixture has no exact
+    duplicates, so the election only fires on planted ones.)"""
+    from decaton_spark.functions import dedup as dd
+
+    rows = [
+        (1, "same text here", "crawl"),      # unknown source, lowest id
+        (2, "same text here", "curated"),    # rank 0 -> must win
+        (3, "same text here", "forum"),      # rank 5
+        (9, "unique text", "crawl"),
+    ]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string, source string")
+    out = {
+        r["text_hash"]: r
+        for r in dd.exact_dups_by_priority(
+            df, {"curated": 0, "forum": 5}
+        ).collect()
+    }
+    dup = [r for r in out.values() if r["n_docs"] == 3][0]
+    assert dup["keep_id"] == 2 and dup["keep_source"] == "curated"
+    solo = [r for r in out.values() if r["n_docs"] == 1][0]
+    assert solo["keep_id"] == 9 and solo["keep_source"] == "crawl"
