@@ -500,3 +500,107 @@ def length_bucket_stats(
             ).alias("waste_pml"),
         )
     )
+
+
+def lm_score_bigram(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lam: float = 0.7,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Bigram-interpolated LM scoring — the modeling upgrade over
+    ``lm_score``'s unigram: each position i ≥ 2 contributes
+    ``ln(λ·P(tᵢ|tᵢ₋₁) + (1−λ)·P(tᵢ))`` (Jelinek–Mercer interpolation;
+    the first token falls back to its unigram), averaged per document.
+    Repetitive boilerplate scores HIGH under the bigram term even when
+    its unigrams are unremarkable — the signal CCNet's 5-gram KenLM
+    uses, at the n=2 point of the same family.
+
+    Count plumbing shares one corpus bigram explode: unigram counts
+    are recovered as first-token + bigram-successor occurrences (no
+    second explode); prefix counts fold from the bigram table. Every
+    probability is a division of exact integer counts, the log is
+    rounded per (doc, prev, cur) group, contributions multiply the
+    group count in DECIMAL (exact), and one final division closes —
+    the tf-idf/lm_score determinism discipline.
+
+    Returns (doc_id, n_tokens, avg_logprob).
+    """
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    first = df.select(
+        F.col(id_col).alias("doc_id"), F.element_at(toks, 1).alias("cur")
+    )
+    bigr = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("prev"),
+                F.element_at(toks, i + 1).alias("cur"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<prev:string,cur:string>>"))
+    lb = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(bigr).alias("b")
+    ).select("doc_id", F.col("b.prev").alias("prev"), F.col("b.cur").alias("cur"))
+    lb = lb.localCheckpoint(eager=False)  # 3 consumers below
+    bg = lb.groupBy("doc_id", "prev", "cur").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    cbg = bg.groupBy("prev", "cur").agg(F.sum("n").cast("long").alias("cb"))
+    cp = cbg.groupBy("prev").agg(F.sum("cb").cast("long").alias("cpn"))
+    uni = (
+        first.select("cur")
+        .unionByName(lb.select("cur"))
+        .groupBy(F.col("cur").alias("term"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c1"))
+    )
+    uni = uni.localCheckpoint(eager=False)  # bigram + first-token consumers
+    tt = uni.agg(
+        F.sum(F.col("c1").cast("decimal(28,0)")).cast("double").alias("t_total")
+    )
+    mix = F.round(
+        F.log(
+            F.lit(lam) * (F.col("cb").cast("double") / F.col("cpn"))
+            + F.lit(1.0 - lam) * (F.col("c1").cast("double") / F.col("t_total"))
+        ),
+        round_digits,
+    ).cast("decimal(24,6)")
+    bi_contrib = (
+        bg.join(cbg, ["prev", "cur"])
+        .join(cp, "prev")
+        .join(uni, bg["cur"] == uni["term"])
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "doc_id",
+            F.col("n").alias("pos"),
+            (mix * F.col("n").cast("decimal(14,0)")).alias("contrib"),
+        )
+    )
+    f_contrib = (
+        first.join(uni, first["cur"] == uni["term"])
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "doc_id",
+            F.lit(1).cast("long").alias("pos"),
+            F.round(
+                F.log(F.col("c1").cast("double") / F.col("t_total")),
+                round_digits,
+            )
+            .cast("decimal(24,6)")
+            .cast("decimal(38,6)")
+            .alias("contrib"),
+        )
+    )
+    allc = bi_contrib.select(
+        "doc_id", "pos", F.col("contrib").cast("decimal(38,6)").alias("contrib")
+    ).unionByName(f_contrib)
+    return allc.groupBy("doc_id").agg(
+        F.sum("pos").cast("long").alias("n_tokens"),
+        F.round(
+            F.sum("contrib").cast("double") / F.sum("pos"), round_digits
+        ).alias("avg_logprob"),
+    )

@@ -1232,6 +1232,67 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.exact_dups(docs)
 
 
+_BLM_LAM = 0.7
+_BLM_MU = 1.0 - _BLM_LAM  # 0.30000000000000004 — repr'd into the oracle
+# verbatim so both engines mix with the bit-identical coefficient
+
+
+@register(
+    "docs_lm_score_bigram",
+    f"""
+    WITH blt AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    bfirst AS MATERIALIZED (SELECT doc_id, t[1] AS cur FROM blt),
+    blb AS MATERIALIZED (
+        SELECT doc_id, u.prev AS prev, u.cur AS cur FROM (
+            SELECT doc_id, unnest(list_transform(range(1, len(t)),
+                   i -> struct_pack(prev := t[i], cur := t[i + 1]))) AS u
+            FROM blt)),
+    bbg AS MATERIALIZED (
+        SELECT doc_id, prev, cur, CAST(count(*) AS BIGINT) AS n
+        FROM blb GROUP BY doc_id, prev, cur),
+    bcbg AS MATERIALIZED (
+        SELECT prev, cur, CAST(sum(n) AS BIGINT) AS cb
+        FROM bbg GROUP BY prev, cur),
+    bcp AS (SELECT prev, CAST(sum(cb) AS BIGINT) AS cpn FROM bcbg GROUP BY prev),
+    buni AS MATERIALIZED (
+        SELECT cur AS term, CAST(count(*) AS BIGINT) AS c1 FROM
+        (SELECT cur FROM bfirst UNION ALL SELECT cur FROM blb) GROUP BY cur),
+    btt AS (SELECT CAST(sum(c1) AS DOUBLE) AS t_total FROM buni),
+    bbi AS (
+        SELECT bbg.doc_id, bbg.n AS pos,
+               CAST(round(ln({_BLM_LAM!r} * (CAST(cb AS DOUBLE) / cpn)
+                       + {_BLM_MU!r} * (CAST(c1 AS DOUBLE) / t_total)), 6)
+                    AS DECIMAL(24,6))
+                 * CAST(bbg.n AS DECIMAL(14,0)) AS contrib
+        FROM bbg
+        JOIN bcbg ON bbg.prev = bcbg.prev AND bbg.cur = bcbg.cur
+        JOIN bcp ON bbg.prev = bcp.prev
+        JOIN buni ON bbg.cur = buni.term, btt),
+    bfc AS (
+        SELECT doc_id, CAST(1 AS BIGINT) AS pos,
+               CAST(round(ln(CAST(c1 AS DOUBLE) / t_total), 6)
+                    AS DECIMAL(24,6)) AS contrib
+        FROM bfirst JOIN buni ON bfirst.cur = buni.term, btt),
+    ballc AS (
+        SELECT doc_id, pos, CAST(contrib AS DECIMAL(38,6)) AS contrib FROM bbi
+        UNION ALL
+        SELECT doc_id, pos, CAST(contrib AS DECIMAL(38,6)) FROM bfc)
+    SELECT doc_id, CAST(sum(pos) AS BIGINT) AS n_tokens,
+           round(CAST(sum(contrib) AS DOUBLE) / sum(pos), 6) AS avg_logprob
+    FROM ballc GROUP BY doc_id
+    """,
+)
+def docs_lm_score_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-interpolated LM scoring (``tx.lm_score_bigram``):
+    Jelinek–Mercer λ·P(tᵢ|tᵢ₋₁) + (1−λ)·P(tᵢ) averaged per document —
+    the n=2 point of the CCNet KenLM quality-signal family. One corpus
+    bigram explode feeds every count table (unigrams recovered as
+    first-token + successor occurrences)."""
+    return tx.lm_score_bigram(
+        load_table(spark, "documents", sf_dir), lam=_BLM_LAM
+    )
+
+
 @register(
     "dedup_source_priority",
     """

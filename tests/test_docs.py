@@ -92,3 +92,25 @@ def test_source_priority_election(spark):
     assert dup["keep_id"] == 2 and dup["keep_source"] == "curated"
     solo = [r for r in out.values() if r["n_docs"] == 1][0]
     assert solo["keep_id"] == 9 and solo["keep_source"] == "crawl"
+
+
+def test_bigram_lm_rewards_repeated_phrases(spark):
+    """A document whose bigrams repeat corpus-common transitions must
+    outscore one with the SAME unigrams in scrambled (unseen-bigram)
+    order — the signal the unigram model cannot see."""
+    from decaton_spark.functions import text as tx
+
+    common = "the quick brown fox jumps over the lazy dog"
+    rows = [
+        (1, common),
+        (2, common),
+        (3, common),
+        (4, "dog the over quick lazy fox brown jumps the"),  # same bag
+    ]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+    out = {r["doc_id"]: r for r in tx.lm_score_bigram(df).collect()}
+    assert out[4]["n_tokens"] == 9
+    assert out[1]["avg_logprob"] > out[4]["avg_logprob"]
+    # unigram model sees identical bags -> identical scores
+    uni = {r["doc_id"]: r for r in tx.lm_score(df).collect()}
+    assert uni[1]["avg_logprob"] == uni[4]["avg_logprob"]
