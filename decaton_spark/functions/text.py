@@ -604,3 +604,50 @@ def lm_score_bigram(
             F.sum("contrib").cast("double") / F.sum("pos"), round_digits
         ).alias("avg_logprob"),
     )
+
+
+def topic_tag(
+    df: DataFrame,
+    topics: dict[str, list[str]],
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dictionary-based topic tagging: count token occurrences per
+    topic keyword list and label each document with its argmax topic
+    (ties → lexicographically first topic) — the domain-labeling step
+    mixture/weighting pipelines need when no classifier is available
+    (the keyword lists play the role of a FastText label head).
+
+    ZERO shuffles: each topic's hit count is an array-filter over the
+    token array against an inlined keyword literal, and the argmax is
+    ``array_min`` over (−hits, topic) structs — the whole operator is
+    one projection at scan parallelism, for any corpus size.
+
+    Returns (doc_id, topic, topic_hits, total_hits); ``topic`` is NULL
+    when no keyword matches at all.
+    """
+    toks = F.split(F.col(text_col), " ")
+    hit_cols = {}
+    for name, words in sorted(topics.items()):
+        lit_words = F.array(*[F.lit(w) for w in sorted(set(words))])
+        hit_cols[name] = F.size(
+            F.filter(toks, lambda t: F.array_contains(lit_words, t))
+        ).cast("long")
+    total = None
+    for c in hit_cols.values():
+        total = c if total is None else total + c
+    best = F.array_min(
+        F.array(
+            *[
+                F.struct((-c).alias("neg"), F.lit(n).alias("topic"))
+                for n, c in sorted(hit_cols.items())
+            ]
+        )
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.when(total > 0, best["topic"]).alias("topic"),
+        F.when(total > 0, -best["neg"]).cast("long").alias("topic_hits"),
+        total.alias("total_hits"),
+    )

@@ -1232,6 +1232,60 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.exact_dups(docs)
 
 
+#: keyword dictionaries over the fixture vocabulary — one definition
+#: drives BOTH the Spark query and the generated oracle
+_TOPIC_DICT = {
+    "agg_ops": ["agg", "group", "sort", "window"],
+    "io_ops": ["scan", "filter", "row", "column"],
+    "join_ops": ["join", "merge", "hash", "key"],
+    "stream_ops": ["stream", "batch", "spark", "query"],
+}
+
+
+def _topic_oracle() -> str:
+    hit_cols = ",\n               ".join(
+        "CAST(len(list_filter(string_split(text, ' '), "
+        f"t -> list_contains({sorted(set(ws))!r}, t))) AS BIGINT) AS h_{n}".replace(
+            "'", "'"
+        )
+        for n, ws in sorted(_TOPIC_DICT.items())
+    )
+    longs = "\n        UNION ALL ".join(
+        f"SELECT doc_id, '{n}' AS topic, h_{n} AS topic_hits FROM tt_hits"
+        for n in sorted(_TOPIC_DICT)
+    )
+    return f"""
+    WITH tt_hits AS MATERIALIZED (
+        SELECT doc_id,
+               {hit_cols}
+        FROM documents),
+    tt_long AS MATERIALIZED (
+        {longs}),
+    tt_tot AS (SELECT doc_id, CAST(sum(topic_hits) AS BIGINT) AS total_hits
+               FROM tt_long GROUP BY doc_id),
+    tt_best AS (
+        SELECT doc_id, topic, topic_hits,
+               row_number() OVER (PARTITION BY doc_id
+                   ORDER BY topic_hits DESC, topic) AS rn
+        FROM tt_long)
+    SELECT b.doc_id,
+           CASE WHEN t.total_hits > 0 THEN b.topic END AS topic,
+           CASE WHEN t.total_hits > 0 THEN b.topic_hits END AS topic_hits,
+           t.total_hits
+    FROM tt_best b JOIN tt_tot t ON b.doc_id = t.doc_id WHERE b.rn = 1
+    """
+
+
+@register("docs_topic_tag", _topic_oracle())
+def docs_topic_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary topic tagging (``tx.topic_tag``): argmax keyword-hit
+    topic per document — the no-classifier domain labeler feeding
+    mixture/weighting stages. Entirely shuffle-free: inlined keyword
+    literals + array filters + array_min argmax, one projection at
+    scan parallelism."""
+    return tx.topic_tag(load_table(spark, "documents", sf_dir), _TOPIC_DICT)
+
+
 _BLM_LAM = 0.7
 _BLM_MU = 1.0 - _BLM_LAM  # 0.30000000000000004 — repr'd into the oracle
 # verbatim so both engines mix with the bit-identical coefficient

@@ -114,3 +114,25 @@ def test_bigram_lm_rewards_repeated_phrases(spark):
     # unigram model sees identical bags -> identical scores
     uni = {r["doc_id"]: r for r in tx.lm_score(df).collect()}
     assert uni[1]["avg_logprob"] == uni[4]["avg_logprob"]
+
+
+def test_topic_tag_argmax_ties_and_nulls(spark):
+    """Argmax by hits; ties go to the lexicographically first topic;
+    zero-hit documents get NULL topic; plan is shuffle-free."""
+    from decaton_spark.functions import text as tx
+    from tests.test_plans import plan_of
+
+    topics = {"b_topic": ["foo", "bar"], "a_topic": ["baz", "qux"]}
+    rows = [
+        (1, "foo foo bar baz"),       # b=3, a=1 -> b_topic
+        (2, "foo baz"),               # 1-1 tie -> a_topic (lex first)
+        (3, "nothing matches here"),  # NULL topic
+    ]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+    out = {r["doc_id"]: r for r in tx.topic_tag(df, topics).collect()}
+    assert out[1]["topic"] == "b_topic" and out[1]["topic_hits"] == 3
+    assert out[2]["topic"] == "a_topic" and out[2]["topic_hits"] == 1
+    assert out[3]["topic"] is None and out[3]["total_hits"] == 0
+
+    p = plan_of(tx.topic_tag(df, topics), "simple")
+    assert "Exchange" not in p, "topic tagging must be a pure projection"
