@@ -1232,6 +1232,65 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.exact_dups(docs)
 
 
+@register(
+    "events_anomaly_mad",
+    """
+    WITH mev AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+    mmed AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+             FROM mev GROUP BY event_type),
+    mdev AS (SELECT mev.event_type, value, med, abs(value - med) AS dev
+             FROM mev JOIN mmed ON mev.event_type = mmed.event_type),
+    mmad AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad
+             FROM mdev GROUP BY event_type)
+    SELECT d.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(min(d.med) * 1000000) AS BIGINT) AS median_micro,
+           CAST(round(min(m.mad) * 1000000) AS BIGINT) AS mad_micro,
+           CAST(sum(CASE WHEN d.dev > 3.0 * 1.4826 * m.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM mdev d JOIN mmad m ON d.event_type = m.event_type
+    GROUP BY d.event_type
+    """,
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection per event type: median absolute
+    deviation (MAD) outlier flagging — the robust alternative to the
+    rolling z-score (a few extreme points cannot drag the threshold,
+    unlike mean/stddev). ``|x − median| > 3·1.4826·MAD`` is the
+    standard normal-consistent cut.
+
+    Two grouped percentile passes over a bounded group set, each
+    broadcast back (the winsorize pattern) — two scans, zero wide
+    shuffles of the fact; outputs snapped to exact micro-units."""
+    src = (
+        load_table(spark, "events", sf_dir)
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "value")
+    )
+    med = src.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = src.join(F.broadcast(med), "event_type").withColumn(
+        "dev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(dev, 0.5)").alias("mad")
+    )
+    j = dev.join(F.broadcast(mad), "event_type")
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.min("med") * 1000000).cast("long").alias("median_micro"),
+        F.round(F.min("mad") * 1000000).cast("long").alias("mad_micro"),
+        F.sum(
+            F.when(
+                F.col("dev") > F.lit(3.0) * F.lit(1.4826) * F.col("mad"), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_outliers"),
+    )
+
+
 #: keyword dictionaries over the fixture vocabulary — one definition
 #: drives BOTH the Spark query and the generated oracle
 _TOPIC_DICT = {
