@@ -589,3 +589,41 @@ def test_sq_encode_is_projection_topk_shuffles_once(spark, sf_dir):
     # to hundreds of KB — compactness is the observable proxy)
     assert "transform(arrays_zip" in p
     assert len(p) < 100_000, len(p)
+
+
+def test_session_additions_plan_shapes(spark, sf_dir):
+    """Plan gates for the round-4-session operators: no cartesian
+    products anywhere; broadcasts where a small side exists; the only
+    corpus-wide shuffles are the documented re-keyings."""
+    shapes = {
+        # query: (max shuffle exchanges, BNLJ allowed)
+        "emb_hard_negatives": (1, True),    # top-k window; anchors broadcast
+        "dedup_containment": (4, False),    # band sigs + distinct + gram joins
+        "events_trajectories": (1, False),  # one session-window agg
+        "events_anomaly_mad": (4, False),   # two percentile passes + final agg
+        "emb_binary_hamming_topk": (1, True),  # top-k window; queries broadcast
+        # the one BNLJ is the 1-row quantile-cutoff scalar broadcast
+        "docs_stratified_sample": (2, True),   # decile window + percentile agg
+    }
+    for name, (max_shuffles, bnlj_ok) in shapes.items():
+        p = plan_of(QUERIES[name].fn(spark, sf_dir), "simple")
+        assert "CartesianProduct" not in p, name
+        assert "SortMergeJoin" not in p, name
+        if not bnlj_ok:
+            assert "BroadcastNestedLoopJoin" not in p, name
+        shuffles = p.count("Exchange") - p.count("BroadcastExchange")
+        assert shuffles <= max_shuffles, (name, shuffles, p)
+
+
+def test_bt_duel_matrix_partial_aggregates(spark, sf_dir):
+    """The distributed half of Bradley–Terry (the comparison-log →
+    duel-matrix reduction) must partial-aggregate: the shuffle carries
+    per-partition (s, t) partials, never raw comparisons."""
+    from decaton_spark.functions import ranking as rk
+    from decaton_spark.sources import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    m = rk.duel_matrix(rk.pair_comparisons(docs, buckets=8))
+    p = plan_of(m)
+    assert "partial_count" in p or "partial_sum" in p
+    assert "CartesianProduct" not in p
