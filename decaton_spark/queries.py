@@ -2992,6 +2992,91 @@ def ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.mmr_rerank(emb, q, k=10, candidates=20)
 
 
+def _dotn(a: str, b: str, n: int) -> str:
+    """DuckDB sequential-fold dot product over the first ``n`` dims."""
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range({n}), "
+        f"i -> CAST({a}[i + 1] AS DOUBLE) * CAST({b}[i + 1] AS DOUBLE))), (x, y) -> x + y)"
+    )
+
+
+_MAT_DIMS = 16
+
+
+def _norm_n(v: str, n: int) -> str:
+    return (
+        f"sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range({n}), "
+        f"i -> CAST({v}[i + 1] AS DOUBLE) * CAST({v}[i + 1] AS DOUBLE))), (x, y) -> x + y))"
+    )
+
+
+@register(
+    "emb_matryoshka_recall",
+    f"""
+    WITH mrq AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+    mrc AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+    mr_trunc AS (
+        SELECT query_id, neighbor_id,
+               round({_dotn('qv', 'cv', _MAT_DIMS)}
+                     / ({_norm_n('qv', _MAT_DIMS)} * {_norm_n('cv', _MAT_DIMS)}), 4) AS tcos
+        FROM mrc, mrq WHERE neighbor_id <> query_id),
+    mr_trank AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY tcos DESC, neighbor_id) AS rnk
+        FROM mr_trunc),
+    mr_t5 AS (SELECT query_id, neighbor_id FROM mr_trank WHERE rnk <= 5),
+    mr_full AS (
+        SELECT query_id, neighbor_id,
+               round({_DOT_QC} / ({_NORM.format(v='qv')} * {_NORM.format(v='cv')}), 4) AS fcos
+        FROM mrc, mrq WHERE neighbor_id <> query_id),
+    mr_frank AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY fcos DESC, neighbor_id) AS rnk
+        FROM mr_full),
+    mr_f5 AS (SELECT query_id, neighbor_id FROM mr_frank WHERE rnk <= 5),
+    mr_hits AS (
+        SELECT a.query_id, count(*) AS h
+        FROM mr_t5 a JOIN mr_f5 b USING (query_id, neighbor_id)
+        GROUP BY a.query_id)
+    SELECT q.query_id,
+           CAST(COALESCE(h, 0) AS BIGINT) AS trunc_hits,
+           CAST(COALESCE(h, 0) * 20 AS BIGINT) AS recall_pct
+    FROM (SELECT DISTINCT query_id FROM mrq) q LEFT JOIN mr_hits USING (query_id)
+    """,
+)
+def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation tradeoff: recall@5 of cosine search over
+    the first 16 of 64 dimensions against the full-dimension exact
+    ranking — the gauge an MRL-embedding deployment reads when picking
+    how many prefix dims the cheap first-pass scan keeps (4× less IO,
+    same refine pattern as SQ8). Both towers share the brute-force
+    plan: broadcast queries, unshuffled corpus, per-query top-k.
+
+    On the synthetic near-uniform fixture embeddings the measured
+    recall is LOW (~10–15%) — correct behavior: prefix search is only
+    valid for matryoshka-TRAINED embeddings, and this gauge is exactly
+    how a pipeline detects that its embeddings aren't."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") < 8)
+    trunc = emb.select(
+        "vec_id", F.slice(F.col("embedding"), 1, _MAT_DIMS).alias("embedding")
+    )
+    tq = trunc.filter(F.col("vec_id") < 8)
+    t5 = sim.brute_force_topk(trunc, tq, k=5).select("query_id", "neighbor_id")
+    f5 = sim.brute_force_topk(emb, q, k=5).select("query_id", "neighbor_id")
+    hits = (
+        t5.join(f5, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("h"))
+    )
+    ids = q.select(F.col("vec_id").alias("query_id")).distinct()
+    return ids.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("h"), F.lit(0)).cast("long").alias("trunc_hits"),
+        (F.coalesce(F.col("h"), F.lit(0)) * 20).cast("long").alias("recall_pct"),
+    )
+
+
 # SQ8 scalar quantization replay: per-dim min/max in 1e-7 integer units,
 # floor-division codes, dequantized 1e-4-unit ints, symmetric integer
 # inner product. Every division is nonnegative-integer floor division,
