@@ -18,7 +18,7 @@ Two Spark-native forms:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from decaton_spark.functions.hashing import md5_bucket, md5_long
@@ -405,3 +405,81 @@ def kmv_distinct_estimate(
         F.col("n_in_sketch").cast("long").alias("n_in_sketch"),
         est.alias("kmv_distinct_est"),
     )
+
+
+def histogram_sketch_quantiles(
+    df: DataFrame,
+    *,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    buckets: int = 64,
+    quantiles: tuple[int, ...] = (50, 90, 99),
+) -> DataFrame:
+    """Equi-width histogram sketch with quantile readout — the
+    mergeable bounded-memory quantile estimator of the sketch family
+    (CM = frequency, HLL/KMV = distinct, Bloom = membership,
+    histogram = rank). Per group the sketch is ≤``buckets`` counters;
+    two histograms merge by adding counters, so map-side partial
+    aggregation IS the merge — the shuffle carries ≤``buckets`` rows
+    per group per partition at any data size.
+
+    Everything is integer-exact for the oracle: values snap to
+    centi-units, bucket assignment is a floor-division of nonnegative
+    ints, and the quantile readout returns the lower edge of the first
+    bucket whose cumulative count reaches ``ceil(q·n/100)``. The
+    estimate's error is one bucket width by construction.
+
+    Returns (group, n, plus one ``p<q>_centi`` column per quantile).
+    """
+    v2 = F.round(F.col(value_col).cast("double") * 100).cast("long")
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(group_col).alias("grp"), v2.alias("v2")
+    )
+    bounds = base.groupBy("grp").agg(
+        F.min("v2").alias("mn2"), F.max("v2").alias("mx2")
+    )
+    width = F.col("mx2") - F.col("mn2") + 1  # ≥ 1, so never div-by-zero
+    withb = base.join(F.broadcast(bounds), "grp").select(
+        "grp",
+        "mn2",
+        "mx2",
+        F.floor(
+            ((F.col("v2") - F.col("mn2")) * buckets).cast("double")
+            / width.cast("double")
+        )
+        .cast("long")
+        .alias("b"),
+    )
+    hist = withb.groupBy("grp", "mn2", "mx2", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select(
+        "grp",
+        "mn2",
+        "mx2",
+        "b",
+        F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(
+            Window.partitionBy("grp").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+        (
+            F.col("mn2")
+            + F.expr(f"CAST((b * (mx2 - mn2 + 1)) DIV {buckets} AS BIGINT)")
+        ).alias("est2"),
+    )
+    aggs = [F.max("n").cast("long").alias("n")]
+    for q in quantiles:
+        target = F.expr(f"CAST((n * {q} + 99) DIV 100 AS BIGINT)")
+        aggs.append(
+            F.min(F.when(F.col("cum") >= target, F.col("est2")))
+            .cast("long")
+            .alias(f"p{q}_centi")
+        )
+    return cum.groupBy(F.col("grp").alias(group_col)).agg(*aggs)

@@ -1233,6 +1233,44 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_histogram_quantiles",
+    """
+    WITH hb AS (SELECT event_type AS grp,
+                       CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT) AS v2
+                FROM events WHERE value IS NOT NULL),
+    hbnd AS (SELECT grp, min(v2) AS mn2, max(v2) AS mx2 FROM hb GROUP BY grp),
+    hwb AS (SELECT hb.grp AS grp, mn2, mx2,
+                   ((v2 - mn2) * 64) // (mx2 - mn2 + 1) AS b
+            FROM hb JOIN hbnd ON hb.grp = hbnd.grp),
+    hh AS (SELECT grp, mn2, mx2, b, CAST(count(*) AS BIGINT) AS c
+           FROM hwb GROUP BY grp, mn2, mx2, b),
+    hc AS (SELECT grp, b,
+                  sum(c) OVER (PARTITION BY grp ORDER BY b
+                               ROWS UNBOUNDED PRECEDING) AS cum,
+                  sum(c) OVER (PARTITION BY grp) AS n,
+                  mn2 + (b * (mx2 - mn2 + 1)) // 64 AS est2
+           FROM hh)
+    SELECT grp AS event_type, CAST(max(n) AS BIGINT) AS n,
+           CAST(min(CASE WHEN cum >= (n * 50 + 99) // 100 THEN est2 END)
+                AS BIGINT) AS p50_centi,
+           CAST(min(CASE WHEN cum >= (n * 90 + 99) // 100 THEN est2 END)
+                AS BIGINT) AS p90_centi,
+           CAST(min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN est2 END)
+                AS BIGINT) AS p99_centi
+    FROM hc GROUP BY grp
+    """,
+)
+def events_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram sketch quantiles
+    (``sk.histogram_sketch_quantiles``): the mergeable bounded-memory
+    rank estimator of the sketch family — ≤64 counters per group,
+    map-side partial agg IS the sketch merge, quantile readout is the
+    lower edge of the first bucket reaching ceil(q·n/100). Integer-
+    exact end to end; error bounded by one bucket width."""
+    return sk.histogram_sketch_quantiles(load_table(spark, "events", sf_dir))
+
+
+@register(
     "events_anomaly_mad",
     """
     WITH mev AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),

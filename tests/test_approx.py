@@ -116,3 +116,21 @@ def test_kmv_null_values_ignored(spark):
         sk.kmv_sketch(df, "v", ["g"], k=8), ["g"], k=8
     ).collect()[0]
     assert (est["n_in_sketch"], est["kmv_distinct_est"]) == (2, 2)
+
+
+def test_histogram_sketch_quantile_error_bounded(spark):
+    """On a uniform ramp the histogram readout lands within one bucket
+    width of the true quantile, and the readout is the bucket's lower
+    edge (monotone in q)."""
+    from decaton_spark.functions import sketches as sk
+
+    rows = [("a", i / 100.0) for i in range(6400)]  # v2 = 0..6399
+    df = spark.createDataFrame(rows, schema="event_type string, value double")
+    out = sk.histogram_sketch_quantiles(df).collect()[0]
+    width = 6400 // 64  # centi-units per bucket
+    assert out["n"] == 6400
+    for q in (50, 90, 99):
+        true_centi = 6400 * q // 100
+        est = out[f"p{q}_centi"]
+        assert abs(est - true_centi) <= width, (q, est, true_centi)
+    assert out["p50_centi"] <= out["p90_centi"] <= out["p99_centi"]
