@@ -3794,6 +3794,110 @@ def s7_serde_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 SESSION_GAP_MS = 1_800_000  # 30 minutes
 
 
+@register(
+    "events_assoc_pairs",
+    f"""
+    WITH aev AS (
+        SELECT user_id, epoch_ms(ts) AS ms, event_id, event_type FROM events),
+    aord AS (
+        SELECT *, lag(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev
+        FROM aev),
+    aisl AS (
+        SELECT *, sum(CASE WHEN prev IS NULL OR ms - prev >= {{gap}}
+                           THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY ms, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sid
+        FROM aord),
+    abask AS MATERIALIZED (
+        SELECT DISTINCT user_id, sid, event_type AS item FROM aisl),
+    atot AS (SELECT CAST(count(*) AS BIGINT) AS n_sessions
+             FROM (SELECT DISTINCT user_id, sid FROM abask)),
+    aitem AS MATERIALIZED (
+        SELECT item, CAST(count(*) AS BIGINT) AS n_item
+        FROM abask GROUP BY item),
+    apair AS (
+        SELECT a.item AS item_a, b.item AS item_b, CAST(count(*) AS BIGINT) AS n_ab
+        FROM abask a JOIN abask b
+          ON a.user_id = b.user_id AND a.sid = b.sid AND a.item < b.item
+        GROUP BY a.item, b.item)
+    SELECT item_a, item_b, n_ab,
+           CAST((n_ab * 1000) // atot.n_sessions AS BIGINT) AS support_pml,
+           CAST((n_ab * atot.n_sessions * 1000) // (ia.n_item * ib.n_item)
+                AS BIGINT) AS lift_milli
+    FROM apair
+    JOIN aitem ia ON apair.item_a = ia.item
+    JOIN aitem ib ON apair.item_b = ib.item, atot
+    WHERE n_ab >= 5
+    """.format(gap="{g}").format(g=SESSION_GAP_MS),
+)
+def events_assoc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association mining over session baskets: event-type pairs
+    co-occurring in the same user session, with exact integer support
+    (per-mille of sessions) and lift — the market-basket /
+    co-engagement analysis family.
+
+    Scale shape: baskets come from the same session-window groupBy the
+    trajectory op uses; the pair join is an equi-join ON the session
+    key with per-session fan-out bounded by the ITEM VOCABULARY
+    squared (never |events|²) and its output partial-aggregates to
+    ≤|items|² rows. Item supports and the session count broadcast."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id",
+        F.unix_millis("ts").alias("ms"),
+        "event_id",
+        F.col("event_type").alias("item"),
+    )
+    # per-user gap islands (NOT session_window with item in the key —
+    # that would open separate sessions per item); user partitions are
+    # bounded, the same shape the sessionize ops already pin
+    wse = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    new_sess = F.when(
+        F.lag("ms").over(wse).isNull()
+        | (F.col("ms") - F.lag("ms").over(wse) >= SESSION_GAP_MS),
+        1,
+    ).otherwise(0)
+    tagged = ev.withColumn(
+        "ws",
+        F.sum(new_sess).over(
+            wse.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    bask = (
+        tagged.select("user_id", "ws", "item").distinct()
+    ).localCheckpoint(eager=False)  # 3 consumers below
+    tot = bask.select("user_id", "ws").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions")
+    )
+    item = bask.groupBy("item").agg(F.count(F.lit(1)).cast("long").alias("n_item"))
+    a = bask.select("user_id", "ws", F.col("item").alias("item_a"))
+    b = bask.select("user_id", "ws", F.col("item").alias("item_b"))
+    pair = (
+        a.join(b, ["user_id", "ws"])
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        .filter(F.col("n_ab") >= 5)
+    )
+    ia = item.select(F.col("item").alias("item_a"), F.col("n_item").alias("na"))
+    ib = item.select(F.col("item").alias("item_b"), F.col("n_item").alias("nb"))
+    return (
+        pair.join(F.broadcast(ia), "item_a")
+        .join(F.broadcast(ib), "item_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "item_a",
+            "item_b",
+            "n_ab",
+            F.expr("CAST((n_ab * 1000) DIV n_sessions AS BIGINT)").alias(
+                "support_pml"
+            ),
+            F.expr(
+                "CAST((n_ab * n_sessions * 1000) DIV (na * nb) AS BIGINT)"
+            ).alias("lift_milli"),
+        )
+    )
+
+
 _TRAJ_CAP = 16
 
 
