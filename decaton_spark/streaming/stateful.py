@@ -848,3 +848,92 @@ def streaming_kmv(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_histogram_quantiles(
+    events: DataFrame,
+    value_col: str,
+    group_col: str,
+    *,
+    bounds: dict[str, tuple[int, int]],
+    buckets: int = 64,
+    quantiles: tuple[int, ...] = (50, 90, 99),
+) -> DataFrame:
+    """Streaming equi-width histogram quantiles: per-group bucket
+    counters in keyed state, refreshed estimates emitted whenever a
+    microbatch touches a group — the continuous form of
+    ``sketches.histogram_sketch_quantiles`` with FIXED bounds (a
+    streaming sketch cannot learn min/max retroactively; deployments
+    pin per-group bounds from a calibration pass, exactly like the
+    offline quantizer/centroid stores — ``bounds`` maps group →
+    (mn2, mx2) in centi-units; uncalibrated groups are skipped).
+
+    Arithmetic mirrors the batch op integer-for-integer (centi-unit
+    snap, nonneg floor-division bucket, readout at the first bucket
+    reaching ``ceil(q·n/100)``) so the LAST emitted row per group
+    equals the batch sketch over the same rows with the same bounds,
+    for ANY microbatch split. State per group is ≤``buckets`` counts.
+    """
+    out_cols = ", ".join(f"p{q}_centi long" for q in quantiles)
+    out_schema = f"{group_col} string, n long, {out_cols}"
+    state_schema = "bs array<long>, cs array<long>"
+
+    def update(key, pdfs, state: GroupState):
+        if key[0] not in bounds:
+            return  # uncalibrated group: nothing to sketch against
+        mn2, mx2 = bounds[key[0]]
+        width = mx2 - mn2 + 1
+        if state.exists:
+            bs, cs = state.get
+            counts = dict(zip(bs, cs))
+        else:
+            counts = {}
+        changed = False
+        for batch in pdfs:
+            for v in batch[value_col]:
+                if v is None or (isinstance(v, float) and pd.isna(v)):
+                    continue
+                v2 = int(_round_half_away(float(v) * 100))
+                if v2 < mn2 or v2 > mx2:
+                    continue  # out-of-calibration values are dropped loudly
+                b = ((v2 - mn2) * buckets) // width
+                counts[b] = counts.get(b, 0) + 1
+                changed = True
+        if not changed or not counts:
+            return
+        items = sorted(counts.items())
+        state.update(([b for b, _ in items], [c for _, c in items]))
+        n = sum(counts.values())
+        row = {group_col: [key[0]], "n": [n]}
+        cum = 0
+        targets = {q: (n * q + 99) // 100 for q in quantiles}
+        est = {}
+        for b, c in items:
+            cum += c
+            for q, t in targets.items():
+                if q not in est and cum >= t:
+                    est[q] = mn2 + (b * width) // buckets
+        for q in quantiles:
+            row[f"p{q}_centi"] = [est[q]]
+        yield pd.DataFrame(row)
+
+    return (
+        events.select(group_col, value_col)
+        .groupBy(group_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def _round_half_away(x: float) -> int:
+    """round() with half-away-from-zero ties — the snap Spark's
+    ``F.round`` and DuckDB's ``round`` both apply (Python's builtin
+    banker's rounding would diverge on exact .5 centi boundaries)."""
+    import math
+
+    return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))

@@ -574,3 +574,76 @@ def test_streaming_kmv_equals_batch(spark, sf_dir, tmp_path):
     ).collect()
     exp = {r["event_type"]: (r["n_in_sketch"], r["kmv_distinct_est"]) for r in batch}
     assert last == exp
+
+
+def test_streaming_histogram_equals_batch(spark, sf_dir, tmp_path):
+    """The LAST emitted histogram readout per group equals the batch
+    sketch over the same rows with the same bounds, for an arbitrary
+    3-way microbatch split — the counter-merge equivalence contract."""
+    import time
+
+    from decaton_spark.functions import sketches as sk
+    from decaton_spark.streaming.stateful import streaming_histogram_quantiles
+
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("value").isNotNull()
+    ).select("event_type", "value", "event_id")
+    # calibrate per-group bounds to the data's true extremes so the
+    # batch op (which learns them per group) computes the identical
+    # quantizer
+    bounds = {
+        r["event_type"]: (int(r["mn"]), int(r["mx"]))
+        for r in ev.groupBy("event_type").agg(
+            F.min(F.round(F.col("value") * 100).cast("long")).alias("mn"),
+            F.max(F.round(F.col("value") * 100).cast("long")).alias("mx"),
+        ).collect()
+    }
+
+    d = tmp_path / "histstream"
+    d.mkdir()
+    n = ev.count()
+    step = (n + 2) // 3
+    for i in range(3):
+        (
+            ev.filter(
+                (F.col("event_id") >= i * step) & (F.col("event_id") < (i + 1) * step)
+            )
+            .drop("event_id")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(str(d))
+        )
+        time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema("event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    rows = []
+    q = (
+        streaming_histogram_quantiles(
+            stream, "value", "event_type", bounds=bounds
+        )
+        .writeStream.queryName("hist")
+        .foreachBatch(lambda df, bid: rows.append((bid, df.collect())))
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt-hist"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    last = {}
+    for bid, rs in sorted(rows):
+        for r in rs:
+            last[r["event_type"]] = (
+                r["n"], r["p50_centi"], r["p90_centi"], r["p99_centi"]
+            )
+
+    batch = sk.histogram_sketch_quantiles(ev.drop("event_id")).collect()
+    exp = {
+        r["event_type"]: (r["n"], r["p50_centi"], r["p90_centi"], r["p99_centi"])
+        for r in batch
+    }
+    assert last == exp
