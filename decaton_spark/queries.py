@@ -1941,6 +1941,76 @@ def docs_novelty_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_dataset_card",
+    """
+    WITH dcb AS (
+        SELECT source, lang, text,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens
+        FROM documents),
+    dcs AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(ws_tokens) AS BIGINT) AS total_tokens,
+               CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts
+        FROM dcb GROUP BY source),
+    dcl AS (
+        SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+        FROM dcb GROUP BY source, lang),
+    dctop AS (
+        SELECT source, lang AS top_lang, n AS top_n
+        FROM (SELECT *, row_number() OVER (PARTITION BY source
+                        ORDER BY n DESC, lang) AS rn FROM dcl)
+        WHERE rn = 1)
+    SELECT dcs.source, n_docs, total_tokens, n_langs,
+           t.top_lang,
+           CAST((t.top_n * 1000) // n_docs AS BIGINT) AS top_lang_pml,
+           CAST((n_distinct_texts * 1000) // n_docs AS BIGINT) AS distinct_pml
+    FROM dcs JOIN dctop t ON dcs.source = t.source
+    """,
+)
+def corpus_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card reporting: the per-source summary a corpus release
+    ships — document/token mass, language spread with the dominant
+    language's exact per-mille share, and the exact-distinct-text rate
+    (1000 = no exact dups). All partial-aggregable groupBys over the
+    source×lang grid; integer-exact shares."""
+    docs = load_table(spark, "documents", sf_dir)
+    base = docs.select(
+        "source",
+        "lang",
+        "text",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("ws_tokens"),
+    )
+    stats = base.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("ws_tokens").cast("long").alias("total_tokens"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.countDistinct(F.md5("text")).cast("long").alias("n_distinct_texts"),
+    )
+    lang = base.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w = Window.partitionBy("source").orderBy(F.col("n").desc(), F.col("lang"))
+    top = (
+        lang.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("source", F.col("lang").alias("top_lang"), F.col("n").alias("top_n"))
+    )
+    return stats.join(top, "source").select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        "n_langs",
+        "top_lang",
+        F.expr("CAST((top_n * 1000) DIV n_docs AS BIGINT)").alias("top_lang_pml"),
+        F.expr("CAST((n_distinct_texts * 1000) DIV n_docs AS BIGINT)").alias(
+            "distinct_pml"
+        ),
+    )
+
+
+@register(
     "docs_stratified_sample",
     """
     WITH stoks AS (
