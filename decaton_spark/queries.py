@@ -7595,7 +7595,7 @@ _DRIVER_TIER = [
     # freshness bound is preserved by construction.
     #
     # ROUND-4 FULL-REGISTRY CERTIFICATION (final): tools/drive_harness.py
-    # --all (untuned local[8], sf0.01, side-by-side DuckDB) = **155/155
+    # --all (untuned local[8], sf0.01, side-by-side DuckDB) = **163/163
     # MATCH** — the COMPLETE registry including every round-4 addition:
     # the mid-round batch (t1_compaction_hash, text_bpe_merges,
     # docs_bpe_compression, text_bpe_symbol_vocab, events_kmv_distinct,
@@ -7607,14 +7607,18 @@ _DRIVER_TIER = [
     # emb_sq_refine_topk, emb_binary_hamming_topk, ann_mmr_rerank,
     # emb_hard_negatives, prefs_bradley_terry, docs_novelty_ngrams,
     # dedup_containment, events_trajectories, text_length_buckets,
-    # docs_stratified_sample), and every round-4 implementation change
+    # docs_stratified_sample, dedup_source_priority,
+    # docs_lm_score_bigram, docs_topic_tag, events_anomaly_mad,
+    # events_histogram_quantiles, emb_matryoshka_recall,
+    # events_assoc_pairs, corpus_dataset_card), and every round-4
+    # implementation change
     # (cm_sketch_quota partial-count rewrite, IVF-backed hybrid, fused
     # expectations, sign-safe winsorize floor, KMV NULL semantics, BPE
     # oracle exhaustion identity, checkpointed novelty gram stream).
     # Earlier-in-round also re-certified 140/140 under TZ=Asia/Tokyo.
     # Full-registry partition-invariance sweep
     # (DECATON_FULL_INVARIANCE=1): 138/138 mid-round + every late
-    # registration swept green on registration = 155/155.
+    # registration swept green on registration = 163/163.
     #
     # ROUND-5 TIER QUEUE (build the next tier in this order).
     #   0. zero-evidence: registry entries added after this tier froze
