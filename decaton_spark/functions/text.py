@@ -612,6 +612,7 @@ def topic_tag(
     *,
     text_col: str = "text",
     id_col: str = "doc_id",
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """Dictionary-based topic tagging: count token occurrences per
     topic keyword list and label each document with its argmax topic
@@ -624,8 +625,11 @@ def topic_tag(
     ``array_min`` over (−hits, topic) structs — the whole operator is
     one projection at scan parallelism, for any corpus size.
 
-    Returns (doc_id, topic, topic_hits, total_hits); ``topic`` is NULL
-    when no keyword matches at all.
+    Returns (doc_id, topic, topic_hits, total_hits) plus any
+    ``carry`` passthrough columns (so compositions — e.g. the
+    topic-conditioned mixture — stay single-scan instead of
+    self-joining the corpus); ``topic`` is NULL when no keyword
+    matches at all.
     """
     toks = F.split(F.col(text_col), " ")
     hit_cols = {}
@@ -647,6 +651,7 @@ def topic_tag(
     )
     return df.select(
         F.col(id_col).alias("doc_id"),
+        *[F.col(c) for c in carry],
         F.when(total > 0, best["topic"]).alias("topic"),
         F.when(total > 0, -best["neg"]).cast("long").alias("topic_hits"),
         total.alias("total_hits"),

@@ -1339,7 +1339,7 @@ _TOPIC_DICT = {
 }
 
 
-def _topic_oracle() -> str:
+def _topic_ctes() -> str:
     hit_cols = ",\n               ".join(
         "CAST(len(list_filter(string_split(text, ' '), "
         f"t -> list_contains({sorted(set(ws))!r}, t))) AS BIGINT) AS h_{n}".replace(
@@ -1351,8 +1351,7 @@ def _topic_oracle() -> str:
         f"SELECT doc_id, '{n}' AS topic, h_{n} AS topic_hits FROM tt_hits"
         for n in sorted(_TOPIC_DICT)
     )
-    return f"""
-    WITH tt_hits AS MATERIALIZED (
+    return f"""tt_hits AS MATERIALIZED (
         SELECT doc_id,
                {hit_cols}
         FROM documents),
@@ -1364,7 +1363,12 @@ def _topic_oracle() -> str:
         SELECT doc_id, topic, topic_hits,
                row_number() OVER (PARTITION BY doc_id
                    ORDER BY topic_hits DESC, topic) AS rn
-        FROM tt_long)
+        FROM tt_long)"""
+
+
+def _topic_oracle() -> str:
+    return f"""
+    WITH {_topic_ctes()}
     SELECT b.doc_id,
            CASE WHEN t.total_hits > 0 THEN b.topic END AS topic,
            CASE WHEN t.total_hits > 0 THEN b.topic_hits END AS topic_hits,
@@ -1381,6 +1385,50 @@ def docs_topic_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
     literals + array filters + array_min argmax, one projection at
     scan parallelism."""
     return tx.topic_tag(load_table(spark, "documents", sf_dir), _TOPIC_DICT)
+
+
+@register(
+    "docs_mixture_by_topic",
+    f"""
+    WITH {{topic_ctes}},
+    topic_docs AS MATERIALIZED (
+        SELECT d.doc_id, d.text,
+               COALESCE(CASE WHEN t.total_hits > 0 THEN b.topic END,
+                        'untagged') AS lang
+        FROM documents d
+        JOIN (SELECT * FROM tt_best WHERE rn = 1) b ON d.doc_id = b.doc_id
+        JOIN tt_tot t ON d.doc_id = t.doc_id),
+    {{temp_ctes}}
+    SELECT t.lang AS topic,
+           CAST(t.cutoff AS BIGINT) AS cutoff,
+           count(*) FILTER (WHERE d.hv < t.cutoff) AS n_docs_kept,
+           CAST(coalesce(sum(d.n_tokens) FILTER (WHERE d.hv < t.cutoff), 0)
+                AS BIGINT) AS tokens_kept
+    FROM doc_tokens d JOIN thresh t USING (lang)
+    GROUP BY t.lang, t.cutoff
+    """.format(topic_ctes="PLACEHOLDER_TOPIC", temp_ctes="PLACEHOLDER_TEMP")
+    .replace("PLACEHOLDER_TOPIC", "__TOPIC__")
+    .replace("PLACEHOLDER_TEMP", "__TEMP__"),
+)
+def docs_mixture_by_topic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic-conditioned temperature mixture: rebalance the corpus
+    token budget across LEARNED domains (the dictionary topic tags,
+    zero-hit docs in an 'untagged' bucket) with the same α = 1/2
+    integer-exact machinery the language mixture uses — the
+    domain-weighting composition a DoReMi-style pipeline runs when its
+    domains come from a classifier rather than metadata. Single corpus
+    scan feeds the tagger (carry-through columns, no self-join); the
+    mixture adds one |topics|-row broadcast."""
+    from decaton_spark.functions import sampling as smp
+
+    docs = load_table(spark, "documents", sf_dir)
+    tagged = tx.topic_tag(docs, _TOPIC_DICT, carry=("text",)).select(
+        "doc_id",
+        "text",
+        F.coalesce(F.col("topic"), F.lit("untagged")).alias("lang"),
+    )
+    out = smp.temperature_mixture_summary(tagged, divisor=_TEMP_DIV)
+    return out.withColumnRenamed("lang", "topic")
 
 
 _BLM_LAM = 0.7
@@ -2374,6 +2422,16 @@ _TEMP_SUMMARY_SELECT = """SELECT t.lang,
                 AS BIGINT) AS tokens_kept
     FROM doc_tokens d JOIN thresh t USING (lang)
     GROUP BY t.lang, t.cutoff"""
+
+
+# late-bind the topic-conditioned mixture oracle: its CTE fragments
+# (_topic_ctes above, _temp_ctes here) are both defined by this point
+QUERIES["docs_mixture_by_topic"] = QuerySpec(
+    QUERIES["docs_mixture_by_topic"].fn,
+    QUERIES["docs_mixture_by_topic"]
+    .oracle.replace("__TOPIC__", _topic_ctes())
+    .replace("__TEMP__", _temp_ctes(source="topic_docs")),
+)
 
 
 @register(
