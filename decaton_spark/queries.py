@@ -7518,6 +7518,119 @@ def docs_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return smp.temperature_mixture_summary(clean, divisor=_TEMP_DIV)
 
 
+@register(
+    "docs_curation_pipeline_v3",
+    f"""
+    WITH vpr AS (
+        SELECT doc_id, source, md5(text) AS text_hash,
+               CASE source WHEN 'src5' THEN 0 WHEN 'src12' THEN 1
+                           WHEN 'src0' THEN 2 ELSE 1000000 END AS r
+        FROM documents),
+    vpe AS (
+        SELECT min(struct_pack(r := r, id := doc_id)) AS e
+        FROM vpr GROUP BY text_hash),
+    v_stage1 AS MATERIALIZED (
+        SELECT d.* FROM documents d
+        JOIN (SELECT e.id AS doc_id FROM vpe) k USING (doc_id)),
+    {_minhash_sigs_cte(source="v_stage1", suffix="_v3")},
+    v_cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sigs_v3 a JOIN sigs_v3 b
+          ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+    v_sets AS MATERIALIZED (
+        SELECT doc_id AS id, list_distinct(string_split(text, ' ')) AS grams
+        FROM v_stage1),
+    v_cont AS (
+        SELECT DISTINCT CASE WHEN len(sa.grams) < len(sb.grams)
+                          OR (len(sa.grams) = len(sb.grams) AND id_a > id_b)
+                        THEN id_a ELSE id_b END AS doc_id
+        FROM v_cand
+        JOIN v_sets sa ON sa.id = v_cand.id_a
+        JOIN v_sets sb ON sb.id = v_cand.id_b
+        WHERE (CAST(len(list_intersect(sa.grams, sb.grams)) AS BIGINT) * 1000)
+              // least(len(sa.grams), len(sb.grams)) >= 700),
+    v_stage2 AS MATERIALIZED (
+        SELECT s.* FROM v_stage1 s LEFT JOIN v_cont c USING (doc_id)
+        WHERE c.doc_id IS NULL),
+    v_dg AS (
+        SELECT doc_id, unnest({_decon_shingles_sql(3)}) AS gram FROM v_stage2),
+    v_gh AS MATERIALIZED (SELECT doc_id, md5(gram) AS h FROM v_dg),
+    v_first AS (SELECT h, min(doc_id) AS first_doc FROM v_gh GROUP BY h),
+    v_nov AS (
+        SELECT doc_id,
+               (CAST(sum(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END)
+                     AS BIGINT) * 1000) // CAST(count(*) AS BIGINT) AS pml
+        FROM v_gh JOIN v_first USING (h) GROUP BY doc_id),
+    v_stage3 AS MATERIALIZED (
+        SELECT s.* FROM v_stage2 s JOIN v_nov n USING (doc_id)
+        WHERE n.pml >= 200),
+    {_topic_ctes()},
+    topic_docs AS MATERIALIZED (
+        SELECT s.doc_id, s.text,
+               COALESCE(CASE WHEN t.total_hits > 0 THEN b.topic END,
+                        'untagged') AS lang
+        FROM v_stage3 s
+        JOIN (SELECT * FROM tt_best WHERE rn = 1) b ON s.doc_id = b.doc_id
+        JOIN tt_tot t ON s.doc_id = t.doc_id),
+    {_temp_ctes("topic_docs")}
+    SELECT t.lang AS topic,
+           CAST(t.cutoff AS BIGINT) AS cutoff,
+           count(*) FILTER (WHERE d.hv < t.cutoff) AS n_docs_kept,
+           CAST(coalesce(sum(d.n_tokens) FILTER (WHERE d.hv < t.cutoff), 0)
+                AS BIGINT) AS tokens_kept
+    FROM doc_tokens d JOIN thresh t USING (lang)
+    GROUP BY t.lang, t.cutoff
+    """,
+)
+def docs_curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The session-band curation pass, composed end-to-end: (1)
+    source-priority exact dedup (curated copy survives, not the
+    first-ingested); (2) directional containment dedup on LSH
+    candidates (drop quoted-inside duplicates Jaccard misses); (3)
+    per-document novelty gate (≥ 20% first-seen 3-grams among the
+    survivors); (4) topic-conditioned α = 1/2 temperature mixture over
+    what remains. Reports the per-topic mixture summary of the final
+    corpus.
+
+    Stage shapes preserved under composition: one partial-agg election
+    per dedup stage, candidate joins bucket-bounded, novelty's gram
+    stream single-checkpointed inside its own operator, the tagger a
+    projection, the mixture a |topics|-row broadcast. ``stage1`` and
+    ``stage2`` are staged through ONE localCheckpoint each — the
+    banding + gram-set + novelty consumers would otherwise re-run the
+    upstream lineage per consumer (the v2/merge staging lesson)."""
+    from decaton_spark.functions import sampling as smp
+
+    dp = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, "documents", sf_dir)
+    keep1 = dd.exact_dups_by_priority(
+        docs, {"src5": 0, "src12": 1, "src0": 2}
+    ).select(F.col("keep_id").alias("doc_id"))
+    stage1 = docs.join(keep1, "doc_id").localCheckpoint(eager=False)
+    cand = dd.minhash_candidate_pairs(stage1, k=3, bands=4, num_partitions=dp)
+    contained = (
+        dd.verify_pairs_containment(stage1, cand, n=1, threshold_pml=700)
+        .select(F.col("contained_id").alias("doc_id"))
+        .distinct()
+    )
+    stage2 = stage1.join(contained, "doc_id", "left_anti").localCheckpoint(
+        eager=False
+    )
+    nov_keep = (
+        ql.novelty_stats(stage2, n=3)
+        .filter(F.col("novelty_pml") >= 200)
+        .select("doc_id")
+    )
+    stage3 = stage2.join(nov_keep, "doc_id")
+    tagged = tx.topic_tag(stage3, _TOPIC_DICT, carry=("text",)).select(
+        "doc_id",
+        "text",
+        F.coalesce(F.col("topic"), F.lit("untagged")).alias("lang"),
+    )
+    out = smp.temperature_mixture_summary(tagged, divisor=_TEMP_DIV)
+    return out.withColumnRenamed("lang", "topic")
+
+
 # ---------------------------------------------------------------------------
 # Registry tiers.
 #
