@@ -7792,9 +7792,18 @@ _DRIVER_TIER = [
     # registration swept green on registration = 163/163.
     #
     # ROUND-5 TIER QUEUE (build the next tier in this order).
-    #   0. zero-evidence: registry entries added after this tier froze
-    #      (prefs_bradley_terry, and any later-session registrations
-    #      not swapped in above) — zero-evidence always outranks
+    #   0. zero-evidence: the 15 registry entries added after this
+    #      tier froze (prefs_bradley_terry, ann_mmr_rerank,
+    #      emb_hard_negatives, emb_sq_refine_topk,
+    #      emb_binary_hamming_topk, emb_matryoshka_recall,
+    #      text_length_buckets, events_trajectories,
+    #      dedup_containment, dedup_source_priority,
+    #      docs_lm_score_bigram, docs_topic_tag, docs_stratified_sample,
+    #      corpus_dataset_card, events_anomaly_mad,
+    #      events_histogram_quantiles, events_assoc_pairs,
+    #      docs_mixture_by_topic, docs_curation_pipeline_v3 — all
+    #      locally certified 163/163+ by drive_harness --all and swept
+    #      partition-invariant) — zero-evidence always outranks
     #      re-verification;
     #   1. newest-row-is-r2 (at the 3-round freshness bound): the 31
     #      r2-row holders (q2/q4-q7/q10-q14/q16/q17/q19/q20/q22, f1-f3,
