@@ -858,6 +858,7 @@ def streaming_histogram_quantiles(
     bounds: dict[str, tuple[int, int]],
     buckets: int = 64,
     quantiles: tuple[int, ...] = (50, 90, 99),
+    api: str = "auto",
 ) -> DataFrame:
     """Streaming equi-width histogram quantiles: per-group bucket
     counters in keyed state, refreshed estimates emitted whenever a
@@ -874,6 +875,13 @@ def streaming_histogram_quantiles(
     equals the batch sketch over the same rows with the same bounds,
     for ANY microbatch split. State per group is ≤``buckets`` counts.
     """
+    if _use_tws(api):
+        from decaton_spark.streaming.tws import tws_histogram_quantiles
+
+        return tws_histogram_quantiles(
+            events, value_col, group_col,
+            bounds=bounds, buckets=buckets, quantiles=quantiles,
+        )
     out_cols = ", ".join(f"p{q}_centi long" for q in quantiles)
     out_schema = f"{group_col} string, n long, {out_cols}"
     state_schema = "bs array<long>, cs array<long>"

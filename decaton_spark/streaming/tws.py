@@ -835,3 +835,97 @@ def tws_kmv(
             timeMode="None",
         )
     )
+
+
+class HistogramProcessor(StatefulProcessor):
+    """Streaming equi-width histogram quantiles in TWS form: the
+    group's bucket counters as typed list state — the
+    ``stateful.streaming_histogram_quantiles`` semantics on the
+    Spark 4 primitive. Counter addition is commutative, so Arrow
+    chunking order cannot affect the readout. Bounds come from the
+    same per-group calibration dict; uncalibrated groups are skipped.
+    """
+
+    def __init__(
+        self,
+        group_col: str,
+        bounds: dict[str, tuple[int, int]],
+        buckets: int = 64,
+        quantiles: tuple[int, ...] = (50, 90, 99),
+    ):
+        self.group_col = group_col
+        self.bounds = bounds
+        self.buckets = buckets
+        self.quantiles = quantiles
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self.hist = handle.getListState("hist", "b long, c long")
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+        if key[0] not in self.bounds:
+            return
+        mn2, mx2 = self.bounds[key[0]]
+        width = mx2 - mn2 + 1
+        counts = (
+            {int(r[0]): int(r[1]) for r in self.hist.get()}
+            if self.hist.exists()
+            else {}
+        )
+        changed = False
+        for pdf in rows:
+            for v in pdf["value"]:
+                if v is None or (isinstance(v, float) and pd.isna(v)):
+                    continue
+                from decaton_spark.streaming.stateful import _round_half_away
+
+                v2 = _round_half_away(float(v) * 100)
+                if v2 < mn2 or v2 > mx2:
+                    continue
+                b = ((v2 - mn2) * self.buckets) // width
+                counts[b] = counts.get(b, 0) + 1
+                changed = True
+        if not changed or not counts:
+            return
+        items = sorted(counts.items())
+        self.hist.clear()
+        for b, c in items:
+            self.hist.appendValue((b, c))
+        n = sum(counts.values())
+        row = {self.group_col: [key[0]], "n": [n]}
+        cum = 0
+        targets = {q: (n * q + 99) // 100 for q in self.quantiles}
+        est: dict[int, int] = {}
+        for b, c in items:
+            cum += c
+            for q, t in targets.items():
+                if q not in est and cum >= t:
+                    est[q] = mn2 + (b * width) // self.buckets
+        for q in self.quantiles:
+            row[f"p{q}_centi"] = [est[q]]
+        yield pd.DataFrame(row)
+
+    def close(self) -> None:
+        pass
+
+
+def tws_histogram_quantiles(
+    events: DataFrame,
+    value_col: str,
+    group_col: str,
+    *,
+    bounds: dict[str, tuple[int, int]],
+    buckets: int = 64,
+    quantiles: tuple[int, ...] = (50, 90, 99),
+) -> DataFrame:
+    out_cols = ", ".join(f"p{q}_centi long" for q in quantiles)
+    out_schema = f"{group_col} string, n long, {out_cols}"
+    return (
+        events.selectExpr(group_col, f"{value_col} AS value")
+        .groupBy(group_col)
+        .transformWithStateInPandas(
+            HistogramProcessor(group_col, bounds, buckets, quantiles),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

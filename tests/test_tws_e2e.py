@@ -595,3 +595,43 @@ def test_tws_kmv_matches_batch_estimator(spark, tmp_path):
     ).collect()
     exp = {r["event_type"]: (r["n_in_sketch"], r["kmv_distinct_est"]) for r in batch}
     assert last == exp
+
+
+def test_tws_histogram_matches_batch_sketch(spark, tmp_path):
+    """TWS histogram processor: the last emitted readout per group
+    equals the batch histogram sketch over the same rows with the same
+    per-group bounds — both state APIs proven equal (the legacy path's
+    equivalence lives in test_streaming_invariants)."""
+    from decaton_spark.functions import sketches as sk
+    from decaton_spark.streaming.tws import tws_histogram_quantiles
+
+    rows = [("g1", (i * 37) % 640 / 10.0) for i in range(200)] + [
+        ("g2", (i * 11) % 320 / 10.0) for i in range(150)
+    ]
+    src_df = spark.createDataFrame(rows, "event_type string, value double")
+    bounds = {
+        r["event_type"]: (int(r["mn"]), int(r["mx"]))
+        for r in src_df.groupBy("event_type").agg(
+            F.min(F.round(F.col("value") * 100).cast("long")).alias("mn"),
+            F.max(F.round(F.col("value") * 100).cast("long")).alias("mx"),
+        ).collect()
+    }
+    src = tmp_path / "hsrc"
+    src.mkdir()
+    src_df.coalesce(1).write.parquet(str(src / "b0"))
+    with rocksdb_state(spark):
+        stream = spark.readStream.schema(src_df.schema).parquet(f"{src}/*")
+        out = tws_histogram_quantiles(
+            stream, "value", "event_type", bounds=bounds
+        )
+        _run_available_now(out, "tws_hist", str(tmp_path / "ck-hist"))
+    got = {
+        r["event_type"]: (r["n"], r["p50_centi"], r["p90_centi"], r["p99_centi"])
+        for r in spark.table("tws_hist").collect()
+    }
+    batch = sk.histogram_sketch_quantiles(src_df).collect()
+    exp = {
+        r["event_type"]: (r["n"], r["p50_centi"], r["p90_centi"], r["p99_centi"])
+        for r in batch
+    }
+    assert got == exp
