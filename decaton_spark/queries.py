@@ -3394,6 +3394,162 @@ def emb_sq_refine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# nDCG contribution: rel/log2(rank+1) rounded per term then summed in
+# DECIMAL — order-free, so the float only appears in an order-fixed
+# per-row expression both engines evaluate identically (log-derived
+# continuous values; exact halves are measure-zero — the tfidf rule)
+_NDCG_K = 10
+
+
+def _ndcg_sql(ranked: str, rank_col: str, method: str) -> str:
+    """Per-query nDCG@10 of a (query_id, {rank_col}, neighbor_id)
+    ranking against label relevance (neighbor label == query label)."""
+    return f"""
+    SELECT '{method}' AS method, r.query_id,
+           CAST(sum(CASE WHEN cl.label = ql.label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_rel_topk,
+           round(CAST(sum(CAST(round(
+                     CASE WHEN cl.label = ql.label
+                          THEN 1.0 / log2(CAST(r.{rank_col} AS DOUBLE) + 1.0)
+                          ELSE 0.0 END, 9) AS DECIMAL(20,9))) AS DOUBLE)
+                 / idcg.v, 6) AS ndcg
+    FROM {ranked} r
+    JOIN embeddings cl ON cl.vec_id = r.neighbor_id
+    JOIN embeddings ql ON ql.vec_id = r.query_id
+    JOIN ndcg_ideal idcg ON idcg.query_id = r.query_id
+    WHERE r.{rank_col} <= {_NDCG_K}
+    GROUP BY r.query_id, idcg.v
+    """
+
+
+@register(
+    "retrieval_ndcg_eval",
+    f"""
+    WITH {_SQ_DEQ_CTES},
+    d32 AS (SELECT unnest(range(32)) AS i),
+    bsig AS (
+        SELECT vec_id,
+               CAST(sum(CASE WHEN CAST(round(CAST(embedding[d.i + 1] AS DOUBLE)
+                                  * 10000000.0) AS BIGINT) > 0
+                        THEN CAST(2 ** d.i AS BIGINT) ELSE 0 END) AS BIGINT) AS h1,
+               CAST(sum(CASE WHEN CAST(round(CAST(embedding[d.i + 33] AS DOUBLE)
+                                  * 10000000.0) AS BIGINT) > 0
+                        THEN CAST(2 ** d.i AS BIGINT) ELSE 0 END) AS BIGINT) AS h2
+        FROM embeddings, d32 d GROUP BY vec_id),
+    bq2 AS (SELECT vec_id AS query_id, h1 AS q1, h2 AS q2 FROM bsig WHERE vec_id < 8),
+    branked2 AS (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY hamming, neighbor_id) AS rank
+        FROM (SELECT query_id, vec_id AS neighbor_id,
+                     bit_count(xor(q1, h1)) + bit_count(xor(q2, h2)) AS hamming
+              FROM bsig, bq2 WHERE vec_id <> query_id)),
+    eq2 AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+    ec2 AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+    eranked2 AS (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM (SELECT query_id, neighbor_id,
+                     round({_DOT_QC} / ({_NORM.format(v='qv')} * {_NORM.format(v='cv')}), 4) AS cosine
+              FROM ec2, eq2 WHERE neighbor_id <> query_id)),
+    ndcg_ideal AS (
+        -- ideal DCG: the query's total relevant corpus neighbors,
+        -- capped at k, ranked 1..R — same rounded-DECIMAL fold
+        SELECT q.vec_id AS query_id,
+               CAST(sum(CAST(round(1.0 / log2(CAST(g.i AS DOUBLE) + 1.0), 9)
+                        AS DECIMAL(20,9))) AS DOUBLE) AS v
+        FROM (SELECT vec_id, label FROM embeddings WHERE vec_id < 8) q
+        JOIN (SELECT CAST(least({_NDCG_K},
+                     (SELECT count(*) FROM embeddings c
+                      WHERE c.label = q2.label AND c.vec_id <> q2.vec_id))
+                     AS BIGINT) AS r, q2.vec_id
+              FROM embeddings q2 WHERE q2.vec_id < 8) rr
+          ON rr.vec_id = q.vec_id
+        CROSS JOIN (SELECT unnest(range(1, {_NDCG_K} + 1)) AS i) g
+        WHERE g.i <= rr.r
+        GROUP BY q.vec_id),
+    m_exact AS ({_ndcg_sql("eranked2", "rank", "exact")}),
+    m_sq AS ({_ndcg_sql("sq_ranked", "rank", "sq8")}),
+    m_bin AS ({_ndcg_sql("branked2", "rank", "binary")})
+    SELECT * FROM m_exact UNION ALL SELECT * FROM m_sq
+    UNION ALL SELECT * FROM m_bin
+    """,
+)
+def retrieval_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval evaluation harness: nDCG@10 of the exact, SQ8, and
+    binary-Hamming rankings against label relevance (neighbor shares
+    the query's label) — how a deployment quantifies what each
+    compression rung costs in ranking quality, not just recall.
+    Per-term contributions are rounded then DECIMAL-summed
+    (order-free); the ideal DCG caps at the query's relevant-corpus
+    count."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") < 8)
+    labels = emb.select("vec_id", "label")
+    qlab = labels.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel")
+    )
+    # ideal DCG per query
+    rel_count = (
+        emb.alias("c")
+        .join(F.broadcast(qlab), F.col("c.label") == F.col("qlabel"))
+        .filter(F.col("c.vec_id") != F.col("query_id"))
+        .groupBy("query_id")
+        .agg(F.least(F.lit(_NDCG_K), F.count(F.lit(1))).alias("r"))
+    )
+    grid = rel_count.select(
+        "query_id",
+        F.explode(F.sequence(F.lit(1), F.lit(_NDCG_K))).alias("i"),
+        "r",
+    ).filter(F.col("i") <= F.col("r"))
+    ideal = grid.groupBy("query_id").agg(
+        F.sum(
+            F.round(
+                F.lit(1.0) / F.log2(F.col("i").cast("double") + 1.0), 9
+            ).cast("decimal(20,9)")
+        )
+        .cast("double")
+        .alias("v")
+    )
+
+    def ndcg_of(ranked: DataFrame, method: str) -> DataFrame:
+        topk = ranked.filter(F.col("rank") <= _NDCG_K)
+        j = (
+            topk.join(
+                labels.select(
+                    F.col("vec_id").alias("neighbor_id"),
+                    F.col("label").alias("nlabel"),
+                ),
+                "neighbor_id",
+            )
+            .join(F.broadcast(qlab), "query_id")
+            .join(F.broadcast(ideal), "query_id")
+        )
+        rel = F.col("nlabel") == F.col("qlabel")
+        contrib = F.round(
+            F.when(
+                rel, F.lit(1.0) / F.log2(F.col("rank").cast("double") + 1.0)
+            ).otherwise(0.0),
+            9,
+        ).cast("decimal(20,9)")
+        return j.groupBy("query_id", "v").agg(
+            F.sum(F.when(rel, 1).otherwise(0)).cast("long").alias("n_rel_topk"),
+            F.round(F.sum(contrib).cast("double") / F.first("v"), 6).alias("ndcg"),
+        ).select(
+            F.lit(method).alias("method"), "query_id", "n_rel_topk", "ndcg"
+        )
+
+    exact = sim.brute_force_topk(emb, q, k=_NDCG_K)
+    sq = qt.sq_topk(emb, q, k=_NDCG_K)
+    binr = qt.hamming_topk(emb, q, k=_NDCG_K)
+    return (
+        ndcg_of(exact, "exact")
+        .unionByName(ndcg_of(sq, "sq8"))
+        .unionByName(ndcg_of(binr, "binary"))
+    )
+
+
 @register(
     "emb_sq_recall",
     f"""

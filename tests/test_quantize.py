@@ -110,3 +110,19 @@ def test_sq_refine_recall_beats_raw_sq(spark, sf_dir):
     refined_recall = 100.0 * len(ex & rf) / len(ex)
     assert refined_recall >= raw_recall["recall_pct"].mean()
     assert refined_recall >= 80.0
+
+
+def test_ndcg_quality_orders_by_compression(spark, sf_dir):
+    """The eval harness must rank the rungs sensibly on average:
+    exact ≥ SQ8, and every nDCG lies in [0, 1]."""
+    from decaton_spark.queries import EXTRA_QUERIES, QUERIES
+
+    pdf = (
+        {**QUERIES, **EXTRA_QUERIES}["retrieval_ndcg_eval"]
+        .fn(spark, sf_dir)
+        .toPandas()
+    )
+    assert set(pdf["method"]) == {"exact", "sq8", "binary"}
+    assert pdf["ndcg"].between(0, 1).all()
+    by = pdf.groupby("method")["ndcg"].mean()
+    assert by["exact"] >= by["sq8"] - 1e-9
