@@ -2593,6 +2593,111 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "docs_rater_agreement",
+    f"""
+    WITH ka_exact AS (
+        SELECT doc_id,
+               CASE WHEN count(*) OVER (PARTITION BY md5(text)) = 1
+                    THEN 1 ELSE 0 END AS a
+        FROM documents),
+    {_minhash_sigs_cte(source="documents", suffix="_ka")},
+    ka_cand AS (
+        SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        FROM sigs_ka x JOIN sigs_ka y
+          ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
+    ka_sets AS MATERIALIZED (
+        SELECT doc_id AS id, list_distinct(string_split(text, ' ')) AS grams
+        FROM documents),
+    ka_cont AS (
+        SELECT DISTINCT CASE WHEN len(sa.grams) < len(sb.grams)
+                          OR (len(sa.grams) = len(sb.grams) AND id_a > id_b)
+                        THEN id_a ELSE id_b END AS doc_id
+        FROM ka_cand
+        JOIN ka_sets sa ON sa.id = ka_cand.id_a
+        JOIN ka_sets sb ON sb.id = ka_cand.id_b
+        WHERE (CAST(len(list_intersect(sa.grams, sb.grams)) AS BIGINT) * 1000)
+              // least(len(sa.grams), len(sb.grams)) >= 700),
+    ka_v AS (
+        SELECT e.doc_id, e.a,
+               CASE WHEN c.doc_id IS NULL THEN 1 ELSE 0 END AS b
+        FROM ka_exact e LEFT JOIN ka_cont c ON e.doc_id = c.doc_id),
+    ka_m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) AS agree,
+               CAST(sum(a) AS BIGINT) AS a1, CAST(sum(b) AS BIGINT) AS b1
+        FROM ka_v)
+    SELECT n, agree, a1, b1,
+           (agree * 1000) // n AS po_pml,
+           CASE WHEN n * n - (a1 * b1 + (n - a1) * (n - b1)) = 0 THEN NULL
+                ELSE CAST(((n * agree - (a1 * b1 + (n - a1) * (n - b1)))
+                           * 1000)
+                          // (n * n - (a1 * b1 + (n - a1) * (n - b1)))
+                     AS BIGINT) END AS kappa_milli
+    FROM ka_m
+    """,
+)
+def docs_rater_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-rater agreement (Cohen's κ) between two dedup verdicts —
+    'exact-unique' (text md5 appears once) vs 'not-contained' (no LSH
+    candidate contains it): the chance-corrected overlap measure a
+    pipeline reads when deciding whether a second dedup stage adds
+    signal beyond the first. κ is the exact rational
+    (n·agree − E)/(n² − E) with E = a₁b₁ + a₀b₀, emitted in sign-safe
+    floor milli-units (the winsorize mean trick — trunc-plus-
+    correction so both engines floor identically on negatives)."""
+    docs = load_table(spark, "documents", sf_dir)
+    w = Window.partitionBy(F.md5("text"))
+    ex = docs.select(
+        "doc_id",
+        F.when(F.count(F.lit(1)).over(w) == 1, 1).otherwise(0).alias("a"),
+    )
+    cand = dd.minhash_candidate_pairs(
+        docs, k=3, bands=4,
+        num_partitions=spark.sparkContext.defaultParallelism,
+    )
+    contained = (
+        dd.verify_pairs_containment(docs, cand, n=1, threshold_pml=700)
+        .select(F.col("contained_id").alias("doc_id"))
+        .distinct()
+        .withColumn("_c", F.lit(1))
+    )
+    v = ex.join(contained, "doc_id", "left").select(
+        "a", F.when(F.col("_c").isNull(), 1).otherwise(0).alias("b")
+    )
+    m = v.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("a") == F.col("b"), 1).otherwise(0))
+        .cast("long")
+        .alias("agree"),
+        F.sum("a").cast("long").alias("a1"),
+        F.sum("b").cast("long").alias("b1"),
+    )
+    return m.select(
+        "n",
+        "agree",
+        "a1",
+        "b1",
+        F.expr("(agree * 1000) DIV n").alias("po_pml"),
+        # sign-safe FLOOR((NUM*1000)/DEN): Spark DIV truncates toward
+        # zero, so subtract 1 denominator when a negative dividend
+        # leaves a remainder (DuckDB's // floors natively — the
+        # winsorize mean trick); NULL when chance agreement is total
+        F.expr(
+            "CASE WHEN n * n - (a1 * b1 + (n - a1) * (n - b1)) = 0 THEN NULL"
+            " ELSE CAST((((n * agree - (a1 * b1 + (n - a1) * (n - b1)))"
+            "             * 1000)"
+            " - CASE WHEN ((n * agree - (a1 * b1 + (n - a1) * (n - b1)))"
+            "              * 1000)"
+            "             % (n * n - (a1 * b1 + (n - a1) * (n - b1))) != 0"
+            "         AND (n * agree - (a1 * b1 + (n - a1) * (n - b1))) < 0"
+            "        THEN (n * n - (a1 * b1 + (n - a1) * (n - b1)))"
+            "        ELSE 0 END)"
+            " DIV (n * n - (a1 * b1 + (n - a1) * (n - b1))) AS BIGINT) END"
+        ).alias("kappa_milli"),
+    )
+
+
+@register(
     "dedup_containment",
     f"""
     WITH {_minhash_sigs_cte()},

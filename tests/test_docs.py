@@ -136,3 +136,32 @@ def test_topic_tag_argmax_ties_and_nulls(spark):
 
     p = plan_of(tx.topic_tag(df, topics), "simple")
     assert "Exchange" not in p, "topic tagging must be a pure projection"
+
+
+def test_rater_agreement_kappa_on_planted_fixture(spark, tmp_path):
+    """Mixed verdicts → nonzero κ, hand-computed: a=(0,0,1,1,1),
+    b=(1,0,1,1,1) ⇒ agree=4, E=14, κ = 6/11 → 545 milli. (On the
+    driver fixture κ is exactly 0 — rater A has no variance, the
+    intended insight that containment adds signal exact dedup lacks.)"""
+    from pyspark.sql import functions as F
+
+    from decaton_spark.queries import EXTRA_QUERIES, QUERIES
+
+    filler = " ".join(f"w{i}" for i in range(40))
+    rows = [
+        (1, filler + " alpha beta gamma", "s"),   # container of 2
+        (2, filler + " alpha beta gamma", "s"),   # exact dup of 1
+        (3, "completely different text one x1 y1 z1 q1 r1", "s"),
+        (4, "another unrelated document here x2 y2 z2 q2 r2", "s"),
+        (5, "third standalone unique row now x3 y3 z3 q3 r3", "s"),
+    ]
+    df = spark.createDataFrame(
+        rows, schema="doc_id long, text string, source string"
+    ).withColumn("lang", F.lit("en")).withColumn(
+        "n_chars", F.length("text").cast("int")
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    spec = {**QUERIES, **EXTRA_QUERIES}["docs_rater_agreement"]
+    r = spec.fn(spark, str(tmp_path)).collect()[0]
+    assert (r["n"], r["a1"], r["b1"], r["agree"]) == (5, 3, 4, 4)
+    assert r["kappa_milli"] == (5 * 4 - 14) * 1000 // (25 - 14)  # 545
