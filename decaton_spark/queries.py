@@ -2796,6 +2796,75 @@ def dedup_near_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.connected_components(edges)
 
 
+@register(
+    "split_leakage_check",
+    f"""
+    WITH {_dedup_edges_cte(4, 3, 0.8)},
+    slk_sp AS (
+        SELECT doc_id,
+               CASE WHEN {_SPLIT_BUCKET_ORACLE} < 80 THEN 'train'
+                    WHEN {_SPLIT_BUCKET_ORACLE} < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents)
+    SELECT least(sa.split, sb.split) AS split_a,
+           greatest(sa.split, sb.split) AS split_b,
+           CAST(count(*) AS BIGINT) AS n_near_dup_pairs,
+           least(sa.split, sb.split) <> greatest(sa.split, sb.split) AS leaked
+    FROM edges
+    JOIN slk_sp sa ON sa.doc_id = edges.id_a
+    JOIN slk_sp sb ON sb.doc_id = edges.id_b
+    GROUP BY 1, 2
+    """,
+)
+def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test leakage gate: verified near-dup pairs (LSH
+    candidates, Jaccard ≥ 0.8) whose endpoints land in DIFFERENT
+    deterministic splits — the release check that catches eval
+    contamination the split hash can't see (a near-copy of a test doc
+    sitting in train). Rows with ``leaked = true`` are the violations;
+    per split-pair counts localize them. Same bucket-bounded candidate
+    plan as the near-dup pipeline plus two broadcastable split joins."""
+    docs = load_table(spark, "documents", sf_dir)
+    cand = dd.minhash_candidate_pairs(
+        docs, k=3, bands=4,
+        num_partitions=spark.sparkContext.defaultParallelism,
+    )
+    edges = dd.verify_pairs_jaccard(docs, cand, n=1, threshold=0.8)
+    bucket = F.expr(_SPLIT_BUCKET_SPARK)
+    sp = docs.select(
+        "doc_id",
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+    j = (
+        edges.join(
+            sp.select(F.col("doc_id").alias("id_a"), F.col("split").alias("sa")),
+            "id_a",
+        )
+        .join(
+            sp.select(F.col("doc_id").alias("id_b"), F.col("split").alias("sb")),
+            "id_b",
+        )
+    )
+    return (
+        j.select(
+            F.least("sa", "sb").alias("split_a"),
+            F.greatest("sa", "sb").alias("split_b"),
+        )
+        .groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_near_dup_pairs"))
+        .select(
+            "split_a",
+            "split_b",
+            "n_near_dup_pairs",
+            (F.col("split_a") != F.col("split_b")).alias("leaked"),
+        )
+    )
+
+
+
 _PR_SCALE, _PR_ITERS, _PR_DAMP = 10**12, 3, 85
 
 
