@@ -1270,6 +1270,131 @@ def events_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sk.histogram_sketch_quantiles(load_table(spark, "events", sf_dir))
 
 
+_CUSUM_K, _CUSUM_H = 1, 20
+
+
+@register(
+    "events_cusum_changepoints",
+    f"""
+    WITH cb0 AS (
+        SELECT event_type,
+               (epoch_ms(ts) // {HOUR_MS}) * {HOUR_MS} AS bucket_ms,
+               CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2),
+    cgrid AS (
+        SELECT event_type, unnest(range(mn, mx + {HOUR_MS}, {HOUR_MS}))
+                   AS bucket_ms
+        FROM (SELECT event_type, min(bucket_ms) AS mn, max(bucket_ms) AS mx
+              FROM cb0 GROUP BY event_type)),
+    cb AS (
+        SELECT g.event_type AS event_type, g.bucket_ms AS bucket_ms,
+               COALESCE(cb0.x, 0) AS x
+        FROM cgrid g LEFT JOIN cb0
+          ON cb0.event_type = g.event_type AND cb0.bucket_ms = g.bucket_ms),
+    cbase AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_buckets,
+               CAST(sum(x) AS BIGINT) // CAST(count(*) AS BIGINT) AS baseline
+        FROM cb GROUP BY event_type),
+    cser AS (
+        SELECT cb.event_type AS event_type, n_buckets, baseline, bucket_ms,
+               sum(x - baseline - {_CUSUM_K}) OVER w AS p
+        FROM cb JOIN cbase ON cb.event_type = cbase.event_type
+        WINDOW w AS (PARTITION BY cb.event_type ORDER BY bucket_ms
+                     ROWS UNBOUNDED PRECEDING)),
+    cs AS (
+        SELECT event_type, n_buckets, baseline, bucket_ms,
+               p - least(CAST(0 AS BIGINT),
+                         min(p) OVER (PARTITION BY event_type ORDER BY bucket_ms
+                                      ROWS UNBOUNDED PRECEDING)) AS s
+        FROM cser)
+    SELECT event_type, n_buckets, baseline,
+           CAST(count(*) FILTER (WHERE s >= {_CUSUM_H}) AS BIGINT)
+               AS n_alarm_buckets,
+           CAST(min(bucket_ms) FILTER (WHERE s >= {_CUSUM_H}) AS BIGINT)
+               AS first_alarm_bucket_ms
+    FROM cs GROUP BY event_type, n_buckets, baseline
+    """,
+)
+def events_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection per event type: the one-sided
+    cumulative-sum control chart over hourly event counts —
+    s ← max(0, s + x − baseline − k), alarm while s ≥ h — catching
+    sustained rate shifts single-bucket thresholds miss.
+
+    The recursive reset has the closed form
+    ``sᵢ = Pᵢ − min(0, min_{{t≤i}} Pₜ)`` over prefix sums of
+    (x − baseline − k), so the whole chart is plain window functions
+    over each type's bounded hourly series — pure integers, no fold.
+    (The first cut used a list_reduce fold; DuckDB 1.0's
+    list_reduce + struct_pack rebinds the accumulator to
+    partially-built fields mid-struct, silently corrupting any
+    multi-field fold — the closed form sidesteps the quirk AND drops
+    the collect entirely.) The hourly reduction is the only
+    corpus-sized work (partial-agg groupBy); the hourly grid is
+    densified (resample_gapfill pattern) because empty hours are
+    exactly what a rate-drop chart must see."""
+    ev = load_table(spark, "events", sf_dir)
+    cb0 = (
+        ev.select(
+            "event_type",
+            ((F.unix_millis("ts") / HOUR_MS).cast("long") * HOUR_MS).alias(
+                "bucket_ms"
+            ),
+        )
+        .groupBy("event_type", "bucket_ms")
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    # densify: empty hours are exactly what a rate-DROP chart must see
+    # (the resample_gapfill grid pattern — distributed sequence())
+    grid = (
+        cb0.groupBy("event_type")
+        .agg(F.min("bucket_ms").alias("mn"), F.max("bucket_ms").alias("mx"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(
+                    F.col("mn"), F.col("mx"), F.lit(HOUR_MS).cast("long")
+                )
+            ).alias("bucket_ms"),
+        )
+    )
+    cb = grid.join(cb0, ["event_type", "bucket_ms"], "left").select(
+        "event_type",
+        "bucket_ms",
+        F.coalesce(F.col("x"), F.lit(0)).cast("long").alias("x"),
+    )
+    base = cb.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.expr("CAST(sum(x) DIV count(1) AS BIGINT)").alias("baseline"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_ms")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ser = (
+        cb.join(F.broadcast(base), "event_type")
+        .withColumn(
+            "p",
+            F.sum(
+                F.col("x") - F.col("baseline") - F.lit(_CUSUM_K)
+            ).over(w),
+        )
+        .withColumn("mp", F.min("p").over(w))
+        .withColumn("s", F.col("p") - F.least(F.lit(0).cast("long"), F.col("mp")))
+    )
+    alarmed = F.col("s") >= _CUSUM_H
+    return ser.groupBy("event_type", "n_buckets", "baseline").agg(
+        F.sum(F.when(alarmed, 1).otherwise(0)).cast("long").alias(
+            "n_alarm_buckets"
+        ),
+        F.min(F.when(alarmed, F.col("bucket_ms"))).cast("long").alias(
+            "first_alarm_bucket_ms"
+        ),
+    )
+
+
 @register(
     "events_anomaly_mad",
     """

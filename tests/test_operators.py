@@ -544,3 +544,45 @@ def test_pagerank_star_hub_dominates_and_dedups_input(spark):
     assert got == _pr_mirror(raw)
     assert got[0][0] == 3  # hub degree counts each neighbour once
     assert all(got[0][1] > got[v][1] for v in (1, 2, 3))
+
+
+def test_cusum_closed_form_equals_recursion(spark, tmp_path):
+    """The window closed form s_i = P_i - min(0, running_min(P)) must
+    equal the recursive chart s <- max(0, s + x - base - k) on a
+    series that exercises resets, sustained drift, and recovery."""
+    from decaton_spark.queries import EXTRA_QUERIES, QUERIES, HOUR_MS
+
+    xs = [5, 0, 0, 9, 9, 9, 9, 9, 0, 0, 0, 0, 30, 0, 9, 9, 9, 9, 9, 9]
+    base_epoch = 1_700_000_000_000 - (1_700_000_000_000 % HOUR_MS)
+    rows = []
+    eid = 0
+    for i, x in enumerate(xs):
+        for _ in range(x):
+            rows.append((eid, base_epoch + i * HOUR_MS + eid % 1000, 1, "t", 1.0, "{}"))
+            eid += 1
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ms", "user_id", "event_type", "value", "props"]
+    )
+    pdf["ts"] = pd.to_datetime(pdf["ms"], unit="ms")
+    sdf = spark.createDataFrame(pdf.drop(columns=["ms"]))
+    sdf.coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    spec = {**QUERIES, **EXTRA_QUERIES}["events_cusum_changepoints"]
+    r = spec.fn(spark, str(tmp_path)).collect()[0]
+
+    # recursive reference with the query's own baseline/k/h
+    n = len(xs)
+    baseline = sum(xs) // n
+    s = 0
+    na = 0
+    fb = None
+    for i, x in enumerate(xs):
+        s = max(0, s + x - baseline - 1)
+        if s >= 20:
+            na += 1
+            if fb is None:
+                fb = base_epoch + i * HOUR_MS
+    assert (r["n_buckets"], r["baseline"]) == (n, baseline)
+    assert (r["n_alarm_buckets"], r["first_alarm_bucket_ms"]) == (na, fb)
+    assert na > 0, "the fixture must actually alarm"
