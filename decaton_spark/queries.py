@@ -8221,7 +8221,7 @@ _DRIVER_TIER = [
     # freshness bound is preserved by construction.
     #
     # ROUND-4 FULL-REGISTRY CERTIFICATION (final): tools/drive_harness.py
-    # --all (untuned local[8], sf0.01, side-by-side DuckDB) = **165/165
+    # --all (untuned local[8], sf0.01, side-by-side DuckDB) = **169/169
     # MATCH** — the COMPLETE registry including every round-4 addition:
     # the mid-round batch (t1_compaction_hash, text_bpe_merges,
     # docs_bpe_compression, text_bpe_symbol_vocab, events_kmv_distinct,
@@ -8244,7 +8244,7 @@ _DRIVER_TIER = [
     # Earlier-in-round also re-certified 140/140 under TZ=Asia/Tokyo.
     # Full-registry partition-invariance sweep
     # (DECATON_FULL_INVARIANCE=1): 138/138 mid-round + every late
-    # registration swept green on registration = 165/165.
+    # registration swept green on registration = 169/169.
     #
     # ROUND-5 TIER QUEUE (build the next tier in this order).
     #   0. zero-evidence: the 15 registry entries added after this
@@ -8256,8 +8256,10 @@ _DRIVER_TIER = [
     #      docs_lm_score_bigram, docs_topic_tag, docs_stratified_sample,
     #      corpus_dataset_card, events_anomaly_mad,
     #      events_histogram_quantiles, events_assoc_pairs,
-    #      docs_mixture_by_topic, docs_curation_pipeline_v3 — all
-    #      locally certified 165/165 by drive_harness --all and swept
+    #      docs_mixture_by_topic, docs_curation_pipeline_v3,
+    #      retrieval_ndcg_eval, docs_rater_agreement,
+    #      split_leakage_check, events_cusum_changepoints — all
+    #      locally certified 169/169 by drive_harness --all and swept
     #      partition-invariant) — zero-evidence always outranks
     #      re-verification;
     #   1. newest-row-is-r2 (at the 3-round freshness bound): the 31
