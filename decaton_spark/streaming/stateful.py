@@ -945,3 +945,97 @@ def _round_half_away(x: float) -> int:
     import math
 
     return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
+
+
+def streaming_cusum(
+    events: DataFrame,
+    bucket_col: str,
+    x_col: str,
+    group_col: str,
+    *,
+    baselines: dict[str, int],
+    bucket_ms: int = 3_600_000,
+    k: int = 1,
+    h: int = 20,
+) -> DataFrame:
+    """Streaming CUSUM drift monitor: the closed-form chart state is
+    just the running prefix sum and its running minimum — two BIGINTs
+    per group — so the control chart streams with O(1) state
+    (``s = P − min(0, minP)``, alarm while s ≥ h; the batch operator's
+    exact arithmetic). Baselines come from a per-group calibration
+    pass, like the histogram bounds and the quantizer stores.
+
+    Bucket rows must arrive in bucket order per group (the upstream is
+    a windowed count aggregation, which emits in watermark order);
+    gaps between consecutive buckets are synthesized as zero-count
+    hours in-processor, so the stream sees exactly the densified
+    series the batch chart uses.
+
+    Emits (group, last_bucket_ms, s, n_alarm_buckets,
+    first_alarm_bucket_ms) after each microbatch that advances a
+    group.
+    """
+    out_schema = (
+        f"{group_col} string, last_bucket_ms long, s long,"
+        " n_alarm_buckets long, first_alarm_bucket_ms long"
+    )
+    state_schema = "lb long, p long, pmin long, na long, fb long"
+
+    def update(key, pdfs, state: GroupState):
+        if key[0] not in baselines:
+            return
+        c = baselines[key[0]] + k
+        if state.exists:
+            lb, p, pmin, na, fb = state.get
+        else:
+            lb, p, pmin, na, fb = None, 0, 0, 0, None
+        rows = []
+        for batch in pdfs:
+            for b, x in zip(batch[bucket_col], batch[x_col]):
+                rows.append((int(b), int(x)))
+        if not rows:
+            return
+        rows.sort()
+
+        def step(b, x):
+            nonlocal p, pmin, na, fb
+            p += x - c
+            pmin = min(pmin, p)
+            s = p - min(0, pmin)
+            if s >= h:
+                na += 1
+                if fb is None:
+                    fb = b
+            return s
+
+        s = None
+        for b, x in rows:
+            if lb is not None:
+                g = lb + bucket_ms
+                while g < b:  # synthesize empty hours
+                    step(g, 0)
+                    g += bucket_ms
+            s = step(b, x)
+            lb = b
+        state.update((lb, p, pmin, na, fb))
+        yield pd.DataFrame(
+            {
+                group_col: [key[0]],
+                "last_bucket_ms": [lb],
+                "s": [s],
+                "n_alarm_buckets": [na],
+                "first_alarm_bucket_ms": [fb],
+            }
+        )
+
+    return (
+        events.select(group_col, bucket_col, x_col)
+        .groupBy(group_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

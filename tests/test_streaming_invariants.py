@@ -647,3 +647,87 @@ def test_streaming_histogram_equals_batch(spark, sf_dir, tmp_path):
         for r in batch
     }
     assert last == exp
+
+
+def test_streaming_cusum_equals_batch(spark, sf_dir, tmp_path):
+    """The LAST emitted chart state per group equals the batch CUSUM
+    query over the same events with the same calibrated baselines, for
+    an arbitrary time-ordered 3-way microbatch split (state = two
+    BIGINTs; gaps synthesized in-processor)."""
+    import time
+
+    from decaton_spark.queries import EXTRA_QUERIES, HOUR_MS, QUERIES
+    from decaton_spark.streaming.stateful import streaming_cusum
+
+    ev = load_table(spark, "events", sf_dir)
+    cb = (
+        ev.select(
+            "event_type",
+            ((F.unix_millis("ts") / HOUR_MS).cast("long") * HOUR_MS).alias(
+                "bucket_ms"
+            ),
+        )
+        .groupBy("event_type", "bucket_ms")
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    ).cache()
+    baselines = {
+        r["event_type"]: int(r["b"])
+        for r in cb.groupBy("event_type")
+        .agg(F.expr("CAST(sum(x) DIV count(1) AS BIGINT)").alias("b"))
+        .collect()
+    }
+
+    # time-ordered thirds (bucket rows must arrive in order per group)
+    bounds = cb.agg(F.min("bucket_ms").alias("lo"), F.max("bucket_ms").alias("hi")).first()
+    lo, hi = bounds["lo"], bounds["hi"]
+    step = (hi - lo) // 3 + 1
+    d = tmp_path / "cusumstream"
+    d.mkdir()
+    for i in range(3):
+        (
+            cb.filter(
+                (F.col("bucket_ms") >= lo + i * step)
+                & (F.col("bucket_ms") < lo + (i + 1) * step)
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(str(d))
+        )
+        time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema("event_type string, bucket_ms long, x long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    rows = []
+    q = (
+        streaming_cusum(
+            stream, "bucket_ms", "x", "event_type", baselines=baselines
+        )
+        .writeStream.queryName("cusum")
+        .foreachBatch(lambda df, bid: rows.append((bid, df.collect())))
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt-cusum"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    last = {}
+    for bid, rs in sorted(rows):
+        for r in rs:
+            last[r["event_type"]] = (
+                r["n_alarm_buckets"], r["first_alarm_bucket_ms"]
+            )
+
+    batch = (
+        {**QUERIES, **EXTRA_QUERIES}["events_cusum_changepoints"]
+        .fn(spark, sf_dir)
+        .collect()
+    )
+    exp = {
+        r["event_type"]: (r["n_alarm_buckets"], r["first_alarm_bucket_ms"])
+        for r in batch
+    }
+    assert last == exp
