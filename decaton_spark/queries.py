@@ -4484,10 +4484,11 @@ def events_assoc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TRAJ_CAP = 16
 
 
-@register(
-    "events_trajectories",
-    f"""
-    WITH tev AS (
+def _traj_ctes() -> str:
+    """CTE chain ``tev .. traj_rows`` replaying session assembly +
+    capped trajectory + rolling-hash fingerprint (shared by the
+    trajectory query and the trajectory-dedup query)."""
+    return """tev AS (
         SELECT user_id, epoch_ms(ts) AS ms, event_id, event_type,
                CAST(round(value * 100) AS BIGINT) AS cv
         FROM events),
@@ -4495,7 +4496,7 @@ _TRAJ_CAP = 16
         SELECT *, lag(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev
         FROM tev),
     tisl AS (
-        SELECT *, sum(CASE WHEN prev IS NULL OR ms - prev >= {{gap}}
+        SELECT *, sum(CASE WHEN prev IS NULL OR ms - prev >= {gap}
                            THEN 1 ELSE 0 END)
                   OVER (PARTITION BY user_id ORDER BY ms, event_id
                         ROWS UNBOUNDED PRECEDING) AS sid
@@ -4509,19 +4510,27 @@ _TRAJ_CAP = 16
         FROM tisl GROUP BY user_id, sid),
     tcut AS (
         SELECT key, session_start_ms, n_steps_total,
-               traj[1:{_TRAJ_CAP}] AS steps16
-        FROM ttraj)
-    SELECT key, session_start_ms, n_steps_total,
-           CAST(len(steps16) AS BIGINT) AS n_steps,
-           n_steps_total > {_TRAJ_CAP} AS truncated,
-           array_to_string(steps16, '|') AS trajectory,
-           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
-                    list_transform(steps16, t -> {{fptok}})),
-                (acc, t) -> (acc * 31 + t) % 1000000007) AS BIGINT) AS traj_fp
-    FROM tcut
-    """.format(gap="{SESSION_GAP_MS}", fptok="{_FP_TOK}").format(
-        SESSION_GAP_MS=SESSION_GAP_MS, _FP_TOK=_FP_TOK
-    ),
+               traj[1:{cap}] AS steps16
+        FROM ttraj),
+    traj_rows AS MATERIALIZED (
+        SELECT key, session_start_ms, n_steps_total,
+               CAST(len(steps16) AS BIGINT) AS n_steps,
+               n_steps_total > {cap} AS truncated,
+               array_to_string(steps16, '|') AS trajectory,
+               CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                        list_transform(steps16, t -> {fptok})),
+                    (acc, t) -> (acc * 31 + t) % 1000000007) AS BIGINT) AS traj_fp
+        FROM tcut)""".format(gap=SESSION_GAP_MS, cap=_TRAJ_CAP, fptok=_FP_TOK)
+
+
+@register(
+    "events_trajectories",
+    f"""
+    WITH {_traj_ctes()}
+    SELECT key, session_start_ms, n_steps_total, n_steps, truncated,
+           trajectory, traj_fp
+    FROM traj_rows
+    """,
 )
 def events_trajectories(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Agent-trace dataset prep: assemble each user session's ordered
@@ -4577,6 +4586,40 @@ def events_trajectories(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(token_fingerprint("steps16")).alias("traj_fp"),
     )
 
+
+
+@register(
+    "events_trajectory_dedup",
+    f"""
+    WITH {_traj_ctes()}
+    SELECT traj_fp,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(count(DISTINCT key) AS BIGINT) AS n_users,
+           min(session_start_ms) AS first_seen_ms,
+           min(trajectory) AS trajectory
+    FROM traj_rows
+    GROUP BY traj_fp
+    HAVING count(*) >= 2
+    """,
+)
+def events_trajectory_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trajectory-level dedup: sessions whose capped step sequences
+    share a rolling-hash fingerprint — bot/replay detection and the
+    dedup pass an agent-trace dataset runs before training (identical
+    interaction traces teach nothing twice). One partial-agg groupBy
+    over the fingerprint; the trajectory assembly is the same
+    session-window pipeline the trajectory query pins."""
+    traj = events_trajectories(spark, sf_dir)
+    return (
+        traj.groupBy("traj_fp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.countDistinct("key").cast("long").alias("n_users"),
+            F.min("session_start_ms").alias("first_seen_ms"),
+            F.min("trajectory").alias("trajectory"),
+        )
+        .filter(F.col("n_sessions") >= 2)
+    )
 
 
 @register(
