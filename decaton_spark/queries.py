@@ -1270,6 +1270,86 @@ def events_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sk.histogram_sketch_quantiles(load_table(spark, "events", sf_dir))
 
 
+_BEH_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "users_behavior_similarity",
+    f"""
+    WITH bvec AS (
+        SELECT user_id,
+               {", ".join(f"CAST(count(*) FILTER (WHERE event_type = '{t}') AS BIGINT) AS c_{t}" for t in _BEH_TYPES)}
+        FROM events GROUP BY user_id),
+    bq AS (SELECT * FROM bvec WHERE user_id < 8),
+    bscored AS (
+        SELECT q.user_id, c.user_id AS neighbor_user,
+               round(
+                 ({" + ".join(f"CAST(q.c_{t} AS DOUBLE) * c.c_{t}" for t in _BEH_TYPES)})
+                 / (sqrt({" + ".join(f"CAST(q.c_{t} AS DOUBLE) * q.c_{t}" for t in _BEH_TYPES)})
+                    * sqrt({" + ".join(f"CAST(c.c_{t} AS DOUBLE) * c.c_{t}" for t in _BEH_TYPES)})),
+                 4) AS cosine
+        FROM bvec c, bq q WHERE c.user_id <> q.user_id),
+    branked3 AS (
+        SELECT *, row_number() OVER (PARTITION BY user_id
+                      ORDER BY cosine DESC, neighbor_user) AS rank
+        FROM bscored)
+    SELECT user_id, rank, neighbor_user, cosine
+    FROM branked3 WHERE rank <= 5
+    """,
+)
+def users_behavior_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral user similarity: cosine over event-type count
+    vectors — the audience-lookalike / account-cluster primitive, on
+    the brute-force ANN plan (one partial-agg scan builds the
+    vectors, seed users broadcast, candidates never shuffle, one
+    top-k window). The dot/norm sums are FIXED-ORDER five-term
+    expressions, identical in both engines — no fold needed."""
+    ev = load_table(spark, "events", sf_dir)
+    vec = ev.groupBy("user_id").agg(
+        *[
+            F.sum(F.when(F.col("event_type") == t, 1).otherwise(0))
+            .cast("long")
+            .alias(f"c_{t}")
+            for t in _BEH_TYPES
+        ]
+    )
+    q = vec.filter(F.col("user_id") < 8)
+    qcols = [F.col(f"q.c_{t}") for t in _BEH_TYPES]
+    ccols = [F.col(f"c.c_{t}") for t in _BEH_TYPES]
+
+    def dot_expr(a, b):
+        e = a[0].cast("double") * b[0]
+        for x, y in zip(a[1:], b[1:]):
+            e = e + x.cast("double") * y
+        return e
+
+    pairs = (
+        vec.alias("c")
+        .crossJoin(F.broadcast(q.alias("q")))
+        .filter(F.col("c.user_id") != F.col("q.user_id"))
+    )
+    scored = pairs.select(
+        F.col("q.user_id").alias("user_id"),
+        F.col("c.user_id").alias("neighbor_user"),
+        F.round(
+            dot_expr(qcols, ccols)
+            / (
+                F.sqrt(dot_expr(qcols, qcols))
+                * F.sqrt(dot_expr(ccols, ccols))
+            ),
+            4,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_user")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("user_id", "rank", "neighbor_user", "cosine")
+    )
+
+
 _CUSUM_K, _CUSUM_H = 1, 20
 
 
