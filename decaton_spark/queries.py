@@ -6786,6 +6786,47 @@ def emb_label_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "emb_lang_centroid_drift",
+    """
+    WITH ej AS MATERIALIZED (
+        SELECT d.lang AS lang, e.embedding AS embedding
+        FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
+    comp AS (
+        SELECT lang, i AS dim,
+               CAST(round(CAST(embedding[i] AS DOUBLE) * 1e7) AS BIGINT) AS v
+        FROM ej, generate_series(1, 64) AS s(i)),
+    lab AS (SELECT lang, dim, CAST(sum(v) AS BIGINT) AS lv
+            FROM comp GROUP BY lang, dim),
+    gcent AS (SELECT dim, CAST(sum(v) AS BIGINT) AS gv
+             FROM comp GROUP BY dim),
+    n AS (SELECT lang, count(*) AS n_vecs FROM ej GROUP BY lang),
+    dots AS (
+        SELECT l.lang,
+               CAST(sum(CAST(l.lv AS HUGEINT) * g.gv) AS DOUBLE) AS dot,
+               CAST(sum(CAST(l.lv AS HUGEINT) * l.lv) AS DOUBLE) AS nl,
+               CAST(sum(CAST(g.gv AS HUGEINT) * g.gv) AS DOUBLE) AS ng
+        FROM lab l JOIN gcent g USING (dim) GROUP BY l.lang)
+    SELECT d.lang, n.n_vecs,
+           round(d.dot / (sqrt(d.nl) * sqrt(d.ng)), 4) AS cosine_to_global
+    FROM dots d JOIN n USING (lang)
+    """,
+)
+def emb_lang_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table drift monitor: document embeddings joined to their
+    document metadata (vec_id = doc_id) and the per-LANGUAGE centroid
+    compared to the global corpus centroid — the same integer-exact
+    machinery as the label drift monitor, grouped by a dimension that
+    lives in a DIFFERENT table (the doc⋈embedding equi-join is the
+    only addition; the metadata side prunes to two columns)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "lang")
+    joined = emb.join(
+        docs, emb["vec_id"] == docs["doc_id"]
+    ).select("lang", "embedding")
+    return sim.centroid_drift(joined, group_col="lang")
+
+
+@register(
     "events_percent_rank",
     """
     SELECT event_id, event_type, value,
