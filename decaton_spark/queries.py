@@ -1636,6 +1636,97 @@ def docs_mixture_by_topic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumnRenamed("lang", "topic")
 
 
+@register(
+    "text_collocations_pmi",
+    """
+    WITH pt AS (SELECT string_split(text, ' ') AS t FROM documents),
+    puni AS MATERIALIZED (
+        SELECT u AS term, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT unnest(t) AS u FROM pt) GROUP BY u),
+    ptot AS (SELECT CAST(sum(c) AS DOUBLE) AS tt FROM puni),
+    pbi AS (
+        SELECT b.prev AS a, b.cur AS b, CAST(count(*) AS BIGINT) AS cab
+        FROM (SELECT unnest(list_transform(range(1, len(t)),
+                     i -> struct_pack(prev := t[i], cur := t[i + 1]))) AS b
+              FROM pt)
+        GROUP BY b.prev, b.cur HAVING count(*) >= 5),
+    scored AS (
+        SELECT a, b, cab,
+               round(ln((CAST(cab AS DOUBLE) * tt)
+                        / (CAST(ua.c AS DOUBLE) * ub.c)), 6) AS pmi
+        FROM pbi
+        JOIN puni ua ON pbi.a = ua.term
+        JOIN puni ub ON pbi.b = ub.term, ptot)
+    SELECT a, b, cab, pmi FROM (
+        SELECT *, row_number() OVER (ORDER BY pmi DESC, a, b) AS rn
+        FROM scored)
+    WHERE rn <= 20
+    """,
+)
+def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-20 adjacent-token pairs by pointwise
+    mutual information (min count 5) — the phrase detector that feeds
+    tokenizer merge candidates and stop-phrase lists. One bigram
+    explode + two broadcastable unigram joins; counts are exact ints,
+    the single log is rounded (the tfidf float rule); the final
+    window runs over the already-HAVING-pruned pair table."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    uni = (
+        docs.select(F.explode(toks).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    tot = uni.agg(F.sum(F.col("c").cast("decimal(28,0)")).cast("double").alias("tt"))
+    bigr = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("prev"),
+                F.element_at(toks, i + 1).alias("cur"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<prev:string,cur:string>>"))
+    bi = (
+        docs.select(F.explode(bigr).alias("bg"))
+        .select(F.col("bg.prev").alias("a"), F.col("bg.cur").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("cab"))
+        .filter(F.col("cab") >= 5)
+    )
+    scored = (
+        bi.join(
+            F.broadcast(uni.select(F.col("term").alias("a"), F.col("c").alias("ca"))),
+            "a",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("term").alias("b"), F.col("c").alias("cb"))),
+            "b",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "a",
+            "b",
+            "cab",
+            F.round(
+                F.log(
+                    (F.col("cab").cast("double") * F.col("tt"))
+                    / (F.col("ca").cast("double") * F.col("cb"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    w = Window.orderBy(F.col("pmi").desc(), F.col("a"), F.col("b"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("a", "b", "cab", "pmi")
+    )
+
+
 _BLM_LAM = 0.7
 _BLM_MU = 1.0 - _BLM_LAM  # 0.30000000000000004 — repr'd into the oracle
 # verbatim so both engines mix with the bit-identical coefficient
