@@ -1270,6 +1270,86 @@ def events_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sk.histogram_sketch_quantiles(load_table(spark, "events", sf_dir))
 
 
+def _cm_bucket_rows_sql(src: str, depth: int = 4, width: int = 64) -> str:
+    """UNION ALL of per-depth (depth, bucket) rows for ``src`` rows
+    exposing a VARCHAR ``k`` column — the oracle's copy of
+    cm_sketch_table's layout."""
+    return " UNION ALL ".join(
+        f"SELECT {d} AS depth, {md5_bucket('k', width, salt=f'd{d}|')} AS bucket"
+        f" FROM {src}"
+        for d in range(depth)
+    )
+
+
+@register(
+    "events_join_size_estimate",
+    f"""
+    WITH jha AS MATERIALIZED (
+        SELECT CAST(user_id AS VARCHAR) AS k FROM events WHERE event_id % 2 = 0),
+    jhb AS MATERIALIZED (
+        SELECT CAST(user_id AS VARCHAR) AS k FROM events WHERE event_id % 2 = 1),
+    ska AS (SELECT depth, bucket, CAST(count(*) AS BIGINT) AS cnt
+            FROM ({_cm_bucket_rows_sql("jha")}) GROUP BY depth, bucket),
+    skb AS (SELECT depth, bucket, CAST(count(*) AS BIGINT) AS cnt
+            FROM ({_cm_bucket_rows_sql("jhb")}) GROUP BY depth, bucket),
+    ip AS (
+        SELECT ska.depth, CAST(sum(ska.cnt * skb.cnt) AS BIGINT) AS est
+        FROM ska JOIN skb ON ska.depth = skb.depth AND ska.bucket = skb.bucket
+        GROUP BY ska.depth),
+    cmest AS (SELECT CAST(min(est) AS BIGINT) AS cm_estimate FROM ip),
+    ca AS (SELECT k, CAST(count(*) AS BIGINT) AS c FROM jha GROUP BY k),
+    cbb AS (SELECT k, CAST(count(*) AS BIGINT) AS c FROM jhb GROUP BY k),
+    ex AS (SELECT CAST(COALESCE(sum(ca.c * cbb.c), 0) AS BIGINT) AS exact_pairs
+           FROM ca JOIN cbb ON ca.k = cbb.k)
+    SELECT exact_pairs, cm_estimate,
+           ((cm_estimate - exact_pairs) * 1000) // exact_pairs
+               AS overestimate_pml
+    FROM ex, cmest
+    """,
+)
+def events_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based join-size estimation (the AGMS/CM optimizer-stats
+    classic): the inner product of two Count-Min sketches upper-bounds
+    the equi-join cardinality of the streams they summarize — how an
+    optimizer prices a join from depth×width counters instead of
+    scanning either side. Both sketches reuse ``cm_sketch_table``;
+    the estimate is min over depths of Σ a·b per bucket (exact
+    integers); the exact join size rides along so the overestimate is
+    measured, not assumed."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", F.col("user_id").cast("string").alias("k")
+    )
+    a = ev.filter(F.col("event_id") % 2 == 0).select("k")
+    b = ev.filter(F.col("event_id") % 2 == 1).select("k")
+    sa = sk.cm_sketch_table(a, "k")
+    sb = sk.cm_sketch_table(b, "k")
+    ip = (
+        sa.alias("a")
+        .join(F.broadcast(sb.alias("b")), ["depth", "bucket"])
+        .groupBy("depth")
+        .agg(F.sum(F.col("a.cnt") * F.col("b.cnt")).cast("long").alias("est"))
+    )
+    cmest = ip.agg(F.min("est").cast("long").alias("cm_estimate"))
+    ca = a.groupBy("k").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    cb = b.groupBy("k").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    exact = (
+        ca.alias("x")
+        .join(cb.alias("y"), "k")
+        .agg(
+            F.coalesce(F.sum(F.col("x.c") * F.col("y.c")), F.lit(0))
+            .cast("long")
+            .alias("exact_pairs")
+        )
+    )
+    return exact.crossJoin(F.broadcast(cmest)).select(
+        "exact_pairs",
+        "cm_estimate",
+        F.expr(
+            "((cm_estimate - exact_pairs) * 1000) DIV exact_pairs"
+        ).alias("overestimate_pml"),
+    )
+
+
 _BEH_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
