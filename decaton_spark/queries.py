@@ -8556,7 +8556,7 @@ _DRIVER_TIER = [
     # freshness bound is preserved by construction.
     #
     # ROUND-4 FULL-REGISTRY CERTIFICATION (final): tools/drive_harness.py
-    # --all (untuned local[8], sf0.01, side-by-side DuckDB) = **169/169
+    # --all (untuned local[8], sf0.01, side-by-side DuckDB) = **174/174
     # MATCH** — the COMPLETE registry including every round-4 addition:
     # the mid-round batch (t1_compaction_hash, text_bpe_merges,
     # docs_bpe_compression, text_bpe_symbol_vocab, events_kmv_distinct,
@@ -8579,7 +8579,7 @@ _DRIVER_TIER = [
     # Earlier-in-round also re-certified 140/140 under TZ=Asia/Tokyo.
     # Full-registry partition-invariance sweep
     # (DECATON_FULL_INVARIANCE=1): 138/138 mid-round + every late
-    # registration swept green on registration = 169/169.
+    # registration swept green on registration = 174/174.
     #
     # ROUND-5 TIER QUEUE (build the next tier in this order).
     #   0. zero-evidence: the 15 registry entries added after this
@@ -8593,8 +8593,11 @@ _DRIVER_TIER = [
     #      events_histogram_quantiles, events_assoc_pairs,
     #      docs_mixture_by_topic, docs_curation_pipeline_v3,
     #      retrieval_ndcg_eval, docs_rater_agreement,
-    #      split_leakage_check, events_cusum_changepoints — all
-    #      locally certified 169/169 by drive_harness --all and swept
+    #      split_leakage_check, events_cusum_changepoints,
+    #      events_trajectory_dedup, users_behavior_similarity,
+    #      emb_lang_centroid_drift, text_collocations_pmi,
+    #      events_join_size_estimate — all
+    #      locally certified 174/174 by drive_harness --all and swept
     #      partition-invariant) — zero-evidence always outranks
     #      re-verification;
     #   1. newest-row-is-r2 (at the 3-round freshness bound): the 31
