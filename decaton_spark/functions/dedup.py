@@ -22,7 +22,7 @@ them bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from decaton_spark.functions.hashing import hex_to_long
@@ -678,4 +678,68 @@ def exact_dups_by_priority(
             F.col("_e.id").alias("keep_id"),
             F.col("_e.src").alias("keep_source"),
         )
+    )
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 4,
+    key_chars: int = 24,
+    block_chars: int = 1,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernández & Stolfo SNM): candidate
+    pairs are documents that land within ``window`` positions of each
+    other when the corpus is sorted by a normalized blocking key — the
+    classic sort-based alternative to LSH banding for near-dup blocking.
+
+    Distributed form: the sort is scoped *within* a deterministic block
+    (first ``block_chars`` of the key), so the block is the shuffle
+    partition key and each window evaluation is local to its block —
+    the multi-pass "sorted blocks" variant real dedup systems run,
+    never a single global sort into one task. Neighbors come from
+    ``lead()`` over the in-block order (zero self-join: the candidate
+    pass shuffles each row once and emits ``window - 1`` pairs per
+    row).
+
+    At 100 TB: one hash shuffle on the block key + an in-partition
+    sort; compare LSH banding's ``bands`` shuffles. Precision is
+    traded for the single pass — run several passes with different
+    key transpositions to recover recall (each pass is this function
+    with a different ``key_chars``/normalization).
+
+    Returns candidate pairs (id_a < id_b, block, rank_gap).
+    """
+    key = F.substring(
+        F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", ""), 1, key_chars
+    )
+    keyed = df.select(
+        F.col(id_col).alias("id"),
+        key.alias("k"),
+    ).withColumn("block", F.substring(F.col("k"), 1, block_chars))
+    w = Window.partitionBy("block").orderBy("k", "id")
+    # window exprs materialize in their own projection: Spark rejects
+    # window functions nested inside a generator
+    led = keyed.select(
+        "id",
+        "block",
+        F.array(
+            *[
+                F.struct(
+                    F.lead("id", i).over(w).alias("nbr"),
+                    F.lit(i).cast("long").alias("gap"),
+                )
+                for i in range(1, window)
+            ]
+        ).alias("nbrs"),
+    )
+    paired = led.select("id", "block", F.explode("nbrs").alias("nb")).filter(
+        F.col("nb.nbr").isNotNull()
+    )
+    return paired.select(
+        F.least("id", "nb.nbr").alias("id_a"),
+        F.greatest("id", "nb.nbr").alias("id_b"),
+        "block",
+        F.col("nb.gap").alias("rank_gap"),
     )

@@ -165,3 +165,34 @@ def test_rater_agreement_kappa_on_planted_fixture(spark, tmp_path):
     r = spec.fn(spark, str(tmp_path)).collect()[0]
     assert (r["n"], r["a1"], r["b1"], r["agree"]) == (5, 3, 4, 4)
     assert r["kappa_milli"] == (5 * 4 - 14) * 1000 // (25 - 14)  # 545
+
+
+def test_sorted_neighborhood_window_and_blocks(spark):
+    """SNM candidates: only docs within `window` positions of the
+    in-block sort order pair up; blocks never mix; ids are emitted
+    least-first regardless of sort order."""
+    from decaton_spark.functions import dedup as dd
+
+    rows = [
+        (10, "aa first doc"),
+        (11, "ab second doc"),
+        (12, "ac third doc"),
+        (13, "ad fourth doc"),
+        (14, "za other block"),   # block 'z': must never pair with 'a*'
+        (15, "zb other block2"),
+    ]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+    out = dd.sorted_neighborhood_pairs(df, window=2)  # adjacent only
+    pairs = {(r["id_a"], r["id_b"]): r for r in out.collect()}
+    assert set(pairs) == {(10, 11), (11, 12), (12, 13), (14, 15)}
+    assert all(r["rank_gap"] == 1 for r in pairs.values())
+    assert pairs[(10, 11)]["block"] == "a"
+    assert pairs[(14, 15)]["block"] == "z"
+
+    # window=3 adds the gap-2 neighbours, still in-block only
+    out3 = dd.sorted_neighborhood_pairs(df, window=3)
+    got3 = {(r["id_a"], r["id_b"]) for r in out3.collect()}
+    assert got3 == {
+        (10, 11), (11, 12), (12, 13), (14, 15),
+        (10, 12), (11, 13),
+    }

@@ -44,6 +44,16 @@ if "--all" in sys.argv:  # sweep the EXTRA tier too (full registry)
         qs[name] = spec.fn
         if spec.oracle is not None:
             oracles[name] = spec.oracle
+if "--only" in sys.argv:  # fast iteration: certify a comma-separated subset
+    from decaton_spark.queries import EXTRA_QUERIES
+
+    wanted = sys.argv[sys.argv.index("--only") + 1].split(",")
+    for name in wanted:
+        if name not in qs and name in EXTRA_QUERIES:
+            qs[name] = EXTRA_QUERIES[name].fn
+            if EXTRA_QUERIES[name].oracle is not None:
+                oracles[name] = EXTRA_QUERIES[name].oracle
+    qs = {k: v for k, v in qs.items() if k in set(wanted)}
 results = {}
 for name, fn in sorted(qs.items()):
     try:
