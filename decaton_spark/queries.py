@@ -3357,6 +3357,53 @@ def dedup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_triangle_stats",
+    f"""
+    WITH {_dedup_edges_cte()},
+    tdeg AS (
+        SELECT id, count(*) AS degree FROM (
+            SELECT id_a AS id FROM edges
+            UNION ALL SELECT id_b FROM edges)
+        GROUP BY id),
+    tri AS (
+        SELECT e1.id_a AS x, e1.id_b AS y, e2.id_b AS z
+        FROM edges e1
+        JOIN edges e2 ON e1.id_b = e2.id_a
+        JOIN edges e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b),
+    pertri AS (
+        SELECT x AS id FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri),
+    tcount AS (SELECT id, count(*) AS triangles FROM pertri GROUP BY id)
+    SELECT tdeg.id, CAST(degree AS BIGINT) AS degree,
+           CAST(coalesce(triangles, 0) AS BIGINT) AS triangles,
+           CAST(CASE WHEN degree >= 2
+                THEN (2000 * coalesce(triangles, 0)) // (degree * (degree - 1))
+                ELSE 0 END AS BIGINT) AS clustering_pml
+    FROM tdeg LEFT JOIN tcount ON tdeg.id = tcount.id
+    """,
+)
+def dedup_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster density: triangle count + local clustering
+    coefficient per node of the verified near-dup graph (the same
+    LSH-candidate + Jaccard-verify edge pipeline as ``dedup_near_full``
+    / ``dedup_graph_pagerank``). Coefficient ≈1000 pml = the node's
+    neighbourhood is a clique (one template page — collapse the whole
+    cluster); low = a pairwise-drifting revision chain. Ordered wedge
+    join (``functions/graph.triangle_stats``): each triangle counted
+    once, cost Σ deg² within verified buckets, never |V|²."""
+    from decaton_spark.functions import graph as gr
+
+    docs = load_table(spark, "documents", sf_dir)
+    cand = dd.minhash_candidate_pairs(
+        docs, k=3, bands=4,
+        num_partitions=spark.sparkContext.defaultParallelism,
+    )
+    edges = dd.verify_pairs_jaccard(docs, cand, n=1, threshold=0.8)
+    return gr.triangle_stats(edges)
+
+
 def _simhash_oracle(bits: int = 16) -> str:
     return f"""
     WITH toks AS (

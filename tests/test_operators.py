@@ -586,3 +586,24 @@ def test_cusum_closed_form_equals_recursion(spark, tmp_path):
     assert (r["n_buckets"], r["baseline"]) == (n, baseline)
     assert (r["n_alarm_buckets"], r["first_alarm_bucket_ms"]) == (na, fb)
     assert na > 0, "the fixture must actually alarm"
+
+
+def test_triangle_stats_planted_graph(spark):
+    """K3 triangle {1,2,3} with pendant 4 hanging off node 3, plus a
+    disconnected edge {5,6}: exact triangle counts, degrees, and
+    integer per-mille clustering coefficients; duplicate/reversed
+    input edges must not double-count."""
+    from decaton_spark.functions.graph import triangle_stats
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (5, 6), (2, 1)],  # (2,1) dup of (1,2)
+        schema="id_a long, id_b long",
+    )
+    out = {r["id"]: r for r in triangle_stats(edges).collect()}
+    assert set(out) == {1, 2, 3, 4, 5, 6}
+    assert (out[1]["degree"], out[1]["triangles"], out[1]["clustering_pml"]) == (2, 1, 1000)
+    assert (out[2]["degree"], out[2]["triangles"], out[2]["clustering_pml"]) == (2, 1, 1000)
+    # node 3: degree 3, one triangle of 3 possible wedge closures -> 333
+    assert (out[3]["degree"], out[3]["triangles"], out[3]["clustering_pml"]) == (3, 1, 333)
+    assert (out[4]["degree"], out[4]["triangles"], out[4]["clustering_pml"]) == (1, 0, 0)
+    assert out[5]["triangles"] == 0 and out[6]["clustering_pml"] == 0
