@@ -1329,3 +1329,66 @@ def hard_negatives(
         (F.col("role") == "neg") & (F.col("rank") <= k_neg)
         | (F.col("role") == "pos") & (F.col("rank") <= k_pos)
     ).select("anchor_id", "role", "rank", "neighbor_id", "cosine")
+
+
+def jl_sign_matrix(
+    in_dim: int, out_dim: int, *, salt: str = "rp"
+) -> list[list[int]]:
+    """±1 Johnson–Lindenstrauss sign matrix derived from md5, not RNG:
+    ``s[j][i] = +1`` iff the first 8 hex digits of ``md5('{salt}:{i}:{j}')``
+    are even. Public, deterministic, and replayable inside any engine
+    that has md5 — the DuckDB oracle re-derives the matrix itself, so
+    the projection is verified end-to-end, literals included."""
+    return [
+        [
+            1
+            - 2
+            * (
+                int(hashlib.md5(f"{salt}:{i}:{j}".encode()).hexdigest()[:8], 16)
+                % 2
+            )
+            for i in range(in_dim)
+        ]
+        for j in range(out_dim)
+    ]
+
+
+def random_project(
+    df: DataFrame,
+    *,
+    vec_col: str = EMB,
+    out_col: str = "rp",
+    in_dim: int = 64,
+    out_dim: int = 16,
+    salt: str = "rp",
+    unit: int = 10_000,
+) -> DataFrame:
+    """Integer-exact JL random projection: quantize coordinates to
+    BIGINT units of ``1/unit`` then fold each output dim as
+    ``Σ sign(i,j)·v_i`` — a pure shuffle-free projection (the sign
+    matrix rides inlined as zip_with literals, the 100 TB shape: the
+    matrix is index metadata, never a join side). With ``unit=1e4``
+    and |x|≤1, |p_j| ≤ 64·10⁴ so 16-dim inner products stay ≤ ~2e12:
+    exact in BIGINT *and* in double, which is what makes the cosine
+    cross-engine reproducible.
+
+    Appends ``out_col`` as array<bigint>; downstream cosine top-k uses
+    the same brute-force/window plan as the float towers.
+    """
+    signs = jl_sign_matrix(in_dim, out_dim, salt=salt)
+    v_int = (
+        f"transform({vec_col}, x -> "
+        f"CAST(round(CAST(x AS DOUBLE) * {unit}.0) AS BIGINT))"
+    )
+    comps = []
+    for j in range(out_dim):
+        arr = "array(" + ", ".join(f"{s}L" for s in signs[j]) + ")"
+        comps.append(
+            f"aggregate(zip_with(_vint, {arr}, (a, b) -> a * b), "
+            f"CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        )
+    return (
+        df.withColumn("_vint", F.expr(v_int))
+        .withColumn(out_col, F.expr("array(" + ", ".join(comps) + ")"))
+        .drop("_vint")
+    )

@@ -3897,6 +3897,104 @@ def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # SQ8 scalar quantization replay: per-dim min/max in 1e-7 integer units,
 # floor-division codes, dequantized 1e-4-unit ints, symmetric integer
+@register(
+    "emb_random_projection_recall",
+    f"""
+    WITH rp_in AS (SELECT unnest(range(64)) AS i),
+    rp_out AS (SELECT unnest(range(16)) AS j),
+    rp_signs AS (
+        SELECT i, j,
+               CAST(1 - 2 * ({hex_to_long("md5(concat('rp:', i, ':', j))", 1, 8)} % 2)
+                    AS BIGINT) AS s
+        FROM rp_in, rp_out),
+    rp_v AS (
+        SELECT vec_id, d.i AS i,
+               CAST(round(CAST(embedding[d.i + 1] AS DOUBLE) * 10000.0) AS BIGINT) AS v4
+        FROM embeddings, rp_in d),
+    rp_proj AS (
+        SELECT vec_id, j, CAST(sum(v4 * s) AS BIGINT) AS p
+        FROM rp_v JOIN rp_signs USING (i) GROUP BY vec_id, j),
+    rp_n2 AS (SELECT vec_id, CAST(sum(p * p) AS BIGINT) AS n2
+              FROM rp_proj GROUP BY vec_id),
+    rp_dot AS (
+        SELECT qp.vec_id AS query_id, cp.vec_id AS neighbor_id,
+               CAST(sum(qp.p * cp.p) AS BIGINT) AS d
+        FROM rp_proj qp JOIN rp_proj cp USING (j)
+        WHERE qp.vec_id < 8 AND cp.vec_id <> qp.vec_id
+        GROUP BY qp.vec_id, cp.vec_id),
+    rp_scored AS (
+        SELECT query_id, neighbor_id,
+               round(CAST(d AS DOUBLE)
+                     / (sqrt(CAST(qa.n2 AS DOUBLE)) * sqrt(CAST(cb.n2 AS DOUBLE))),
+                     4) AS pcos
+        FROM rp_dot
+        JOIN rp_n2 qa ON qa.vec_id = rp_dot.query_id
+        JOIN rp_n2 cb ON cb.vec_id = rp_dot.neighbor_id),
+    rp_rank AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY pcos DESC, neighbor_id) AS rnk
+        FROM rp_scored),
+    rp_t5 AS (SELECT query_id, neighbor_id FROM rp_rank WHERE rnk <= 5),
+    rp_fq AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+    rp_fc AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+    rp_full AS (
+        SELECT query_id, neighbor_id,
+               round({_DOT_QC} / ({_NORM.format(v='qv')} * {_NORM.format(v='cv')}), 4) AS fcos
+        FROM rp_fc, rp_fq WHERE neighbor_id <> query_id),
+    rp_frank AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY fcos DESC, neighbor_id) AS rnk
+        FROM rp_full),
+    rp_f5 AS (SELECT query_id, neighbor_id FROM rp_frank WHERE rnk <= 5),
+    rp_hits AS (
+        SELECT a.query_id, count(*) AS h
+        FROM rp_t5 a JOIN rp_f5 b USING (query_id, neighbor_id)
+        GROUP BY a.query_id)
+    SELECT q.query_id,
+           CAST(COALESCE(h, 0) AS BIGINT) AS rp_hits,
+           CAST(COALESCE(h, 0) * 20 AS BIGINT) AS recall_pct
+    FROM (SELECT DISTINCT query_id FROM rp_fq) q LEFT JOIN rp_hits USING (query_id)
+    """,
+)
+def emb_random_projection_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss sign projection 64→16 dims + recall@5 vs
+    the full-dimension exact ranking — the dimensionality-reduction rung
+    between matryoshka prefix-truncation (needs trained embeddings) and
+    SQ8 (keeps all dims): JL needs NO training at all, the ±1 matrix is
+    md5-derived index metadata (``sim.jl_sign_matrix``) inlined as
+    literals, so encoding is a shuffle-free projection on any corpus.
+
+    Integer-exact: coordinates quantize to 1e-4 BIGINT units and the
+    16-dim products stay ≤ ~2e12 — exact in BIGINT and double, so the
+    DuckDB oracle re-derives the matrix from md5 itself and replays the
+    projection end-to-end. Both towers ride the standard broadcast-
+    query brute-force plan."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    proj = sim.random_project(emb, in_dim=64, out_dim=16, unit=10_000)
+    pvecs = proj.select("vec_id", F.col("rp").alias("embedding"))
+    p5 = sim.brute_force_topk(
+        pvecs, pvecs.filter(F.col("vec_id") < 8), k=5
+    ).select("query_id", "neighbor_id")
+    f5 = sim.brute_force_topk(
+        emb, emb.filter(F.col("vec_id") < 8), k=5
+    ).select("query_id", "neighbor_id")
+    hits = (
+        p5.join(f5, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("h"))
+    )
+    ids = (
+        emb.filter(F.col("vec_id") < 8)
+        .select(F.col("vec_id").alias("query_id"))
+        .distinct()
+    )
+    return ids.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("h"), F.lit(0)).cast("long").alias("rp_hits"),
+        (F.coalesce(F.col("h"), F.lit(0)) * 20).cast("long").alias("recall_pct"),
+    )
+
+
 # inner product. Every division is nonnegative-integer floor division,
 # so DuckDB `//` equals Spark's floor(double-div) exactly (proof in
 # functions/quantize.py module docstring).

@@ -218,3 +218,26 @@ def test_hard_negatives_roles_and_ranking(spark):
     assert by[("neg", 1)] == 2
     assert by[("neg", 2)] == 3
     assert len(out) == 3  # k_pos + k_neg, no self row
+
+
+def test_jl_projection_matches_python_and_is_narrow(spark):
+    """random_project must equal the plain-Python Σ sign·v4 fold, stay
+    a shuffle-free projection, and derive a roughly balanced ±1 matrix."""
+    from decaton_spark.functions import similarity as sim
+    from tests.test_plans import plan_of
+
+    signs = sim.jl_sign_matrix(8, 4)
+    assert sim.jl_sign_matrix(8, 4) == signs  # deterministic
+    flat = [s for row in signs for s in row]
+    assert set(flat) <= {-1, 1} and abs(sum(flat)) < len(flat)
+
+    vec = [0.11, -0.52, 0.3, 0.0, 0.25, -0.4, 0.07, 0.49]
+    df = spark.createDataFrame(
+        [(1, vec)], schema="vec_id long, embedding array<float>"
+    )
+    out = sim.random_project(df, in_dim=8, out_dim=4, unit=10_000)
+    got = out.collect()[0]["rp"]
+    v4 = [round(float(__import__("numpy").float32(x)) * 10_000) for x in vec]
+    want = [sum(s * v for s, v in zip(row, v4)) for row in signs]
+    assert got == want
+    assert "Exchange" not in plan_of(out), "projection must not shuffle"
