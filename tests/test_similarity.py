@@ -241,3 +241,48 @@ def test_jl_projection_matches_python_and_is_narrow(spark):
     want = [sum(s * v for s, v in zip(row, v4)) for row in signs]
     assert got == want
     assert "Exchange" not in plan_of(out), "projection must not shuffle"
+
+
+def test_margin_mining_integer_math_and_argmax(spark):
+    """margin_milli must equal the pure-Python (8000*c4) // (a_sum+b_sum)
+    fold on a tiny planted fixture, pick each source's argmax target,
+    and drop sub-threshold sources entirely."""
+    import math
+
+    from decaton_spark.functions import similarity as sim
+
+    src_rows = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    tgt_rows = [(10, [1.0, 0.0]), (11, [0.7, 0.7]), (12, [-1.0, 0.0])]
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, schema="vec_id long, embedding array<float>"
+    )
+    out = {
+        r["src_id"]: r
+        for r in sim.margin_mining(
+            mk(src_rows), mk(tgt_rows), k=2, threshold_milli=1000
+        ).collect()
+    }
+
+    def c4(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na, nb = math.sqrt(sum(x * x for x in a)), math.sqrt(sum(x * x for x in b))
+        return round(d / (na * nb) * 10_000)
+
+    cos = {(s, t): c4(sv, tv) for s, sv in src_rows for t, tv in tgt_rows}
+    a_sum = {s: sum(sorted((cos[(s, t)] for t, _ in tgt_rows), reverse=True)[:2])
+             for s, _ in src_rows}
+    b_sum = {t: sum(sorted((cos[(s, t)] for s, _ in src_rows), reverse=True)[:2])
+             for t, _ in tgt_rows}
+    expected = {}
+    for s, _ in src_rows:
+        best = None
+        for t, _ in tgt_rows:
+            if cos[(s, t)] <= 0 or a_sum[s] + b_sum[t] <= 0:
+                continue
+            m = (8000 * cos[(s, t)]) // (a_sum[s] + b_sum[t])
+            if best is None or m > best[1] or (m == best[1] and t < best[0]):
+                best = (t, m)
+        if best and best[1] >= 1000:
+            expected[s] = best
+    assert {s: (r["tgt_id"], r["margin_milli"]) for s, r in out.items()} == expected
+    assert len(expected) > 0  # fixture actually mines something
