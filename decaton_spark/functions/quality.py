@@ -540,3 +540,69 @@ def novelty_ingest_batch(
     )
     new.write.mode("overwrite").parquet(f"{store_dir}/batch={batch_id}")
     return out
+
+
+def ccnet_buckets(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    n_buckets: int = 3,
+) -> DataFrame:
+    """CCNet's per-language perplexity bucketing: score every document
+    with the corpus-unigram LM (``text.lm_score``), then cut each
+    language into ``n_buckets`` equal tertiles by score — bucket 1
+    ("head", highest mean log-prob / lowest perplexity) is what CCNet
+    keeps for LM pretraining, "tail" is the noise it drops. Per-language
+    cuts matter: absolute perplexity is not comparable across languages,
+    only ranks within one are.
+
+    Plan: the LM scorer's materialized-tf skeleton + ONE ntile window
+    per language partition (the per-language doc list is the window
+    partition — no global sort), then a partial-agg rollup. The
+    tie-break (score desc, doc_id) makes tertile assignment exact, so
+    the aggregate is oracle-replayable: counts, token sums, and the
+    mean score in integer micro-units — scores re-quantize to BIGINT
+    micros (scale-0 round of a 6-decimal double: exact), sum order-free,
+    and the mean is floor() of an exact-in-double quotient, so no
+    fractional rounding half exists to disagree on.
+
+    Returns (lang, bucket, n_docs, total_tokens, mean_logprob_micro).
+    """
+    from pyspark.sql import Window
+
+    from decaton_spark.functions.text import lm_score
+
+    scores = lm_score(df, text_col=text_col, id_col=id_col)
+    langs = df.select(F.col(id_col).alias("doc_id"), F.col(lang_col).alias("lang"))
+    w = Window.partitionBy("lang").orderBy(
+        F.col("avg_logprob").desc(), F.col("doc_id")
+    )
+    tiled = scores.join(langs, "doc_id").withColumn(
+        "tile", F.ntile(n_buckets).over(w)
+    )
+    bucket = (
+        F.when(F.col("tile") == 1, F.lit("head"))
+        .when(F.col("tile") == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        if n_buckets == 3
+        else F.concat(F.lit("b"), F.col("tile").cast("string"))
+    )
+    return (
+        tiled.groupBy("lang", bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.floor(
+                F.sum(
+                    F.round(F.col("avg_logprob") * 1_000_000).cast("long")
+                ).cast("double")
+                / F.count(F.lit(1))
+            )
+            .cast("long")
+            .alias("mean_logprob_micro"),
+        )
+        .withColumn("n_docs", F.col("n_docs").cast("long"))
+        .select("lang", "bucket", "n_docs", "total_tokens", "mean_logprob_micro")
+    )

@@ -7116,6 +7116,53 @@ def docs_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "docs_ccnet_buckets",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+    corpus AS (SELECT term, CAST(sum(tf) AS BIGINT) AS ct FROM tf GROUP BY term),
+    total AS (SELECT CAST(sum(CAST(ct AS DECIMAL(28,0))) AS DOUBLE) AS t_total
+              FROM corpus),
+    scored AS (
+        SELECT t.doc_id, t.tf,
+               round(t.tf * ln(c.ct / s.t_total), 6) AS contrib
+        FROM tf t JOIN corpus c USING (term) CROSS JOIN total s),
+    lmdoc AS (
+        SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+               round(CAST(sum(CAST(contrib AS DECIMAL(38,6))) AS DOUBLE)
+                     / sum(tf), 6) AS avg_logprob
+        FROM scored GROUP BY doc_id),
+    tiled AS (
+        SELECT l.doc_id, d.lang, n_tokens, avg_logprob,
+               ntile(3) OVER (PARTITION BY d.lang
+                              ORDER BY avg_logprob DESC, l.doc_id) AS tile
+        FROM lmdoc l JOIN documents d USING (doc_id))
+    SELECT lang,
+           CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                ELSE 'tail' END AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(floor(CAST(sum(CAST(round(avg_logprob * 1000000) AS BIGINT))
+                           AS DOUBLE) / count(*)) AS BIGINT) AS mean_logprob_micro
+    FROM tiled GROUP BY lang, tile
+    """,
+)
+def docs_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity bucketing per language: the
+    corpus-unigram LM score cut into per-language tertiles
+    (``quality.ccnet_buckets``) — head is what CCNet keeps, tail is
+    what it drops, and the cut is per-language because perplexity is
+    only rank-comparable within one language. One ntile window per
+    language partition (never a global sort) on top of the
+    materialized-tf LM skeleton; the mean score is floor() of an
+    exact-in-double micro-unit quotient, so the rollup is
+    bit-replayable in SQL."""
+    docs = load_table(spark, "documents", sf_dir)
+    return ql.ccnet_buckets(docs, n_buckets=3)
+
+
+@register(
     "events_resample_gapfill",
     f"""
     WITH {TASKS_CTE},

@@ -225,3 +225,34 @@ def test_novelty_semantics_and_plan(spark):
     assert "Window" not in p, "first-seer election must not window-sort"
     assert "partial_min" in p or "partial_count" in p
     assert "CartesianProduct" not in p
+
+
+def test_ccnet_buckets_per_lang_tertiles(spark):
+    """Tertile assignment is per-language by score rank (head = highest
+    mean log-prob), bucket sizes follow ntile's remainder rule, and the
+    micro-mean is the exact floor of the bucket's score sum / count."""
+    from decaton_spark.functions import quality as ql
+
+    # lang 'a': 4 docs with clearly ordered LM scores (repeated common
+    # token 'x' scores high; rare singletons score low); lang 'b': 2 docs
+    rows = [
+        (1, "x x x x", "a"),
+        (2, "x x r1", "a"),
+        (3, "x r2 r3", "a"),
+        (4, "r4 r5 r6", "a"),
+        (5, "x x", "b"),
+        (6, "r7 r8", "b"),
+    ]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string, lang string")
+    out = {(r["lang"], r["bucket"]): r for r in ql.ccnet_buckets(df).collect()}
+    # lang a: ntile(3) over 4 rows -> sizes 2,1,1; doc1+doc2 are head
+    assert out[("a", "head")]["n_docs"] == 2
+    assert out[("a", "middle")]["n_docs"] == 1
+    assert out[("a", "tail")]["n_docs"] == 1
+    assert out[("a", "head")]["total_tokens"] == 7
+    # lang b: 2 rows -> head and middle only, no tail bucket
+    assert out[("b", "head")]["n_docs"] == 1
+    assert out[("b", "middle")]["n_docs"] == 1
+    assert ("b", "tail") not in out
+    # ordering sanity: head scores above tail (less negative micro mean)
+    assert out[("a", "head")]["mean_logprob_micro"] > out[("a", "tail")]["mean_logprob_micro"]
