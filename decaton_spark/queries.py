@@ -8236,6 +8236,96 @@ def docs_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _fertility_oracle(n: int) -> str:
+    from decaton_spark.functions import bpe as _bpe
+
+    symn = "((length(s.state) - length(replace(s.state, '||', ''))) // 2 + 1)"
+    sel = f"""
+, fw AS (
+    SELECT lang, w AS word, CAST(count(*) AS BIGINT) AS cnt
+    FROM (SELECT lang, unnest(regexp_extract_all(lower(text), '{_bpe.WORD_RE}')) AS w
+          FROM documents)
+    GROUP BY lang, w),
+fper AS (
+    SELECT fw.lang,
+           CAST(sum(fw.cnt) AS BIGINT) AS n_words,
+           CAST(sum(fw.cnt * length(fw.word)) AS BIGINT) AS n_chars,
+           CAST(sum(fw.cnt * {symn}) AS BIGINT) AS bpe_tokens
+    FROM fw JOIN s{n} s USING (word)
+    GROUP BY fw.lang),
+fg AS (SELECT CAST(sum(bpe_tokens) AS BIGINT) AS gt,
+              CAST(sum(n_words) AS BIGINT) AS gw FROM fper)
+SELECT lang, n_words, n_chars, bpe_tokens,
+       CAST((1000000 * bpe_tokens) // n_words AS BIGINT) AS fertility_ppm,
+       CAST((1000000 * n_chars) // bpe_tokens AS BIGINT) AS chars_per_token_ppm,
+       CAST((1000 * ((1000000 * bpe_tokens) // n_words))
+            // ((1000000 * gt) // gw) AS BIGINT) AS rel_fertility_pml
+FROM fper, fg
+"""
+    return _bpe.bpe_oracle_sql(n, "").rstrip() + sel
+
+
+@register("text_fertility_by_lang", _fertility_oracle(_BPE_MERGES))
+def text_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fairness audit: per-language BPE fertility (tokens per
+    word, ppm), characters per token, and fertility relative to the
+    corpus average (per-mille) — the gauge multilingual-pretraining
+    pipelines read to catch a tokenizer that fragments some languages
+    2-3× harder than English (those languages pay more compute per
+    character and fit less text per context window).
+
+    All ratios are positive-integer DIV (truncate = floor cross-engine);
+    the relative ratio divides the two ppm gauges, never the raw token
+    products, so it cannot overflow at corpus scale. Same
+    histogram-apply skeleton as ``docs_bpe_compression``: the corpus is
+    scanned once into a word histogram; merges apply as JVM string work
+    per distinct word."""
+    from decaton_spark.functions import bpe
+
+    docs = load_table(spark, "documents", sf_dir)
+    trained = bpe.bpe_train(docs, num_merges=_BPE_MERGES)
+    merges = [(p1, p2) for p1, p2, _ in trained]
+    words = (
+        docs.select(
+            "lang",
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit(bpe.WORD_RE), F.lit(0))
+            ).alias("word"),
+        )
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    per = words.select(
+        "lang",
+        "cnt",
+        F.length("word").cast("long").alias("wlen"),
+        bpe.symbols_per_word(F.col("word"), merges).alias("symn"),
+    )
+    per_lang = per.groupBy("lang").agg(
+        F.sum("cnt").cast("long").alias("n_words"),
+        F.sum(F.col("cnt") * F.col("wlen")).cast("long").alias("n_chars"),
+        F.sum(F.col("cnt") * F.col("symn")).cast("long").alias("bpe_tokens"),
+    )
+    g = per_lang.agg(
+        F.sum("bpe_tokens").alias("gt"), F.sum("n_words").alias("gw")
+    )
+    return (
+        per_lang.crossJoin(F.broadcast(g))
+        .withColumn("fertility_ppm", F.expr("(1000000 * bpe_tokens) div n_words"))
+        .withColumn(
+            "chars_per_token_ppm", F.expr("(1000000 * n_chars) div bpe_tokens")
+        )
+        .withColumn(
+            "rel_fertility_pml",
+            F.expr("(1000 * fertility_ppm) div ((1000000 * gt) div gw)"),
+        )
+        .select(
+            "lang", "n_words", "n_chars", "bpe_tokens",
+            "fertility_ppm", "chars_per_token_ppm", "rel_fertility_pml",
+        )
+    )
+
+
 def _bpe_vocab_oracle(n: int, top_k: int) -> str:
     from decaton_spark.functions import bpe as _bpe
 
