@@ -1,0 +1,90 @@
+"""Experiment-analysis statistics over event streams.
+
+A/B measurement is the analytics counterpart of the engine's curation
+gauges: assignment must be a deterministic hash (so both engines — and
+any two runs — agree on who is in which arm), and the test statistics
+must come out bit-identical in the DuckDB oracle. The trick is the
+same one the rest of the engine uses: exact integer sufficient
+statistics (centi-quantized sums, sums of squares, counts — all
+order-free), then ONE canonical double-arithmetic formula evaluated on
+identical inputs, which IEEE 754 makes engine-identical.
+
+Reference parity note: beyond-reference analytics surface (the
+reference engine has no statistics operators).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_arm(expr: str, *, salt: str = "ab") -> Column:
+    """Deterministic 50/50 arm assignment: 'A' or 'B' by md5 parity of
+    a key expression — the assignment rule real experiment systems use
+    (sticky per key, no RNG, engine-replayable)."""
+    from decaton_spark.functions.hashing import md5_bucket
+
+    return F.when(
+        F.expr(md5_bucket(expr, 2, salt=salt)) == 0, F.lit("A")
+    ).otherwise(F.lit("B"))
+
+
+def welch_ttest(
+    df: DataFrame,
+    *,
+    group_cols: list[str],
+    arm_col: str = "arm",
+    value_col: str = "value",
+    unit: int = 100,
+) -> DataFrame:
+    """Per-group two-sample Welch t-test between arms 'A' and 'B'.
+
+    One partial-aggregable pass collects the sufficient statistics
+    (count, Σv, Σv² per arm as conditional aggregates — no pivot, no
+    second scan); values quantize to ``1/unit`` BIGINT ticks so the
+    sums are exact integers, summed as DECIMAL(38,0) so corpus-scale
+    totals cannot overflow. Mean/variance/t/dof then evaluate in one
+    canonical double formula:
+
+        var = (n·Σv² - (Σv)²) / (n·(n-1))          (sample variance)
+        t   = (S_a/n_a - S_b/n_b) / sqrt(va/n_a + vb/n_b)
+        dof = (va/n_a + vb/n_b)² /
+              ((va/n_a)²/(n_a-1) + (vb/n_b)²/(n_b-1))   (Welch–Satterthwaite)
+
+    Groups where either arm has < 2 observations report NULL t/dof.
+    Returns (group…, n_a, n_b, sum_centi_a, sum_centi_b, t_stat,
+    welch_dof) with t rounded to 6 and dof to 4 digits (sqrt-derived
+    continuous values: exact rounding halves are measure-zero).
+    """
+    v = F.round(F.col(value_col) * unit).cast("long")
+    is_a = F.col(arm_col) == "A"
+    agg = df.groupBy(*group_cols).agg(
+        F.count(F.when(is_a, 1)).cast("long").alias("n_a"),
+        F.count(F.when(~is_a, 1)).cast("long").alias("n_b"),
+        F.sum(F.when(is_a, v).cast("decimal(38,0)")).alias("_sa"),
+        F.sum(F.when(~is_a, v).cast("decimal(38,0)")).alias("_sb"),
+        F.sum(F.when(is_a, v * v).cast("decimal(38,0)")).alias("_qa"),
+        F.sum(F.when(~is_a, v * v).cast("decimal(38,0)")).alias("_qb"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    var = lambda n, s, q: (  # noqa: E731
+        (d(n) * d(q) - d(s) * d(s)) / (d(n) * (d(n) - 1))
+    )
+    va, vb = var("n_a", "_sa", "_qa"), var("n_b", "_sb", "_qb")
+    se2 = va / d("n_a") + vb / d("n_b")
+    t = (d("_sa") / d("n_a") - d("_sb") / d("n_b")) / F.sqrt(se2)
+    dof = (se2 * se2) / (
+        (va / d("n_a")) * (va / d("n_a")) / (d("n_a") - 1)
+        + (vb / d("n_b")) * (vb / d("n_b")) / (d("n_b") - 1)
+    )
+    ok = (F.col("n_a") >= 2) & (F.col("n_b") >= 2)
+    return agg.select(
+        *group_cols,
+        "n_a",
+        "n_b",
+        F.coalesce(F.col("_sa"), F.lit(0)).cast("long").alias("sum_centi_a"),
+        F.coalesce(F.col("_sb"), F.lit(0)).cast("long").alias("sum_centi_b"),
+        F.when(ok, F.round(t, 6)).alias("t_stat"),
+        F.when(ok, F.round(dof, 4)).alias("welch_dof"),
+    )

@@ -8236,6 +8236,66 @@ def docs_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_AB_ARM = "((CAST(instr('0123456789abcdef', substr(md5(concat('ab', CAST(user_id AS VARCHAR))), 1, 1)) - 1 AS BIGINT) * 268435456 + CAST(instr('0123456789abcdef', substr(md5(concat('ab', CAST(user_id AS VARCHAR))), 2, 1)) - 1 AS BIGINT) * 16777216 + CAST(instr('0123456789abcdef', substr(md5(concat('ab', CAST(user_id AS VARCHAR))), 3, 1)) - 1 AS BIGINT) * 1048576 + CAST(instr('0123456789abcdef', substr(md5(concat('ab', CAST(user_id AS VARCHAR))), 4, 1)) - 1 AS BIGINT) * 65536 + CAST(instr('0123456789abcdef', substr(md5(concat('ab', CAST(user_id AS VARCHAR))), 5, 1)) - 1 AS BIGINT) * 4096 + CAST(instr('0123456789abcdef', substr(md5(concat('ab', CAST(user_id AS VARCHAR))), 6, 1)) - 1 AS BIGINT) * 256 + CAST(instr('0123456789abcdef', substr(md5(concat('ab', CAST(user_id AS VARCHAR))), 7, 1)) - 1 AS BIGINT) * 16 + CAST(instr('0123456789abcdef', substr(md5(concat('ab', CAST(user_id AS VARCHAR))), 8, 1)) - 1 AS BIGINT) * 1) % 2)"
+_AB_VAR_A = "(CAST(n_a AS DOUBLE) * CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)) / (CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) - 1))"
+_AB_VAR_B = "(CAST(n_b AS DOUBLE) * CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)) / (CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) - 1))"
+
+
+@register(
+    "events_ab_welch_ttest",
+    f"""
+    WITH ab AS (
+        SELECT event_type,
+               CASE WHEN {_AB_ARM} = 0 THEN 'A' ELSE 'B' END AS arm,
+               CAST(round(value * 100) AS BIGINT) AS v
+        FROM events),
+    abst AS (
+        SELECT event_type,
+               CAST(count(*) FILTER (arm = 'A') AS BIGINT) AS n_a,
+               CAST(count(*) FILTER (arm = 'B') AS BIGINT) AS n_b,
+               CAST(coalesce(sum(v)     FILTER (arm = 'A'), 0) AS BIGINT) AS sa,
+               CAST(coalesce(sum(v)     FILTER (arm = 'B'), 0) AS BIGINT) AS sb,
+               CAST(coalesce(sum(v * v) FILTER (arm = 'A'), 0) AS BIGINT) AS qa,
+               CAST(coalesce(sum(v * v) FILTER (arm = 'B'), 0) AS BIGINT) AS qb
+        FROM ab GROUP BY event_type),
+    abv AS (
+        SELECT *,
+               {_AB_VAR_A} AS va,
+               {_AB_VAR_B} AS vb
+        FROM abst)
+    SELECT event_type, n_a, n_b, sa AS sum_centi_a, sb AS sum_centi_b,
+           CASE WHEN n_a >= 2 AND n_b >= 2 THEN
+               round((CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE)
+                      - CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE))
+                     / sqrt(va / CAST(n_a AS DOUBLE) + vb / CAST(n_b AS DOUBLE)), 6)
+           END AS t_stat,
+           CASE WHEN n_a >= 2 AND n_b >= 2 THEN
+               round(((va / CAST(n_a AS DOUBLE) + vb / CAST(n_b AS DOUBLE))
+                      * (va / CAST(n_a AS DOUBLE) + vb / CAST(n_b AS DOUBLE)))
+                     / ((va / CAST(n_a AS DOUBLE)) * (va / CAST(n_a AS DOUBLE))
+                            / (CAST(n_a AS DOUBLE) - 1)
+                        + (vb / CAST(n_b AS DOUBLE)) * (vb / CAST(n_b AS DOUBLE))
+                            / (CAST(n_b AS DOUBLE) - 1)), 4)
+           END AS welch_dof
+    FROM abv
+    """,
+)
+def events_ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: deterministic md5-parity assignment of
+    users to arms (sticky, RNG-free, engine-replayable), then a
+    per-event-type two-sample Welch t-test on the event value —
+    ``stats.welch_ttest``. ONE partial-aggregable pass collects exact
+    integer sufficient statistics (centi-quantized Σv, Σv², counts as
+    conditional aggregates — no pivot, no second scan of the fact);
+    the t/dof formulas then run as one canonical double expression on
+    identical inputs, which IEEE 754 makes engine-identical."""
+    from decaton_spark.functions import stats as st
+
+    ev = load_table(spark, "events", sf_dir).filter(F.col("value").isNotNull())
+    armed = ev.withColumn("arm", st.hash_arm("CAST(user_id AS STRING)"))
+    return st.welch_ttest(armed, group_cols=["event_type"], unit=100)
+
+
 def _fertility_oracle(n: int) -> str:
     from decaton_spark.functions import bpe as _bpe
 

@@ -1,0 +1,64 @@
+"""Experiment statistics (functions/stats.py)."""
+
+from __future__ import annotations
+
+import math
+
+
+def _welch_reference(a: list[float], b: list[float]):
+    """Textbook Welch on centi-quantized values, mirroring the
+    documented formula (sample variance, Welch–Satterthwaite dof)."""
+    ca = [round(x * 100) for x in a]
+    cb = [round(x * 100) for x in b]
+    na, nb = len(ca), len(cb)
+    sa, sb = sum(ca), sum(cb)
+    qa, qb = sum(x * x for x in ca), sum(x * x for x in cb)
+    va = (na * qa - sa * sa) / (na * (na - 1))
+    vb = (nb * qb - sb * sb) / (nb * (nb - 1))
+    se2 = va / na + vb / nb
+    t = (sa / na - sb / nb) / math.sqrt(se2)
+    dof = se2 * se2 / ((va / na) ** 2 / (na - 1) + (vb / nb) ** 2 / (nb - 1))
+    return round(t, 6), round(dof, 4)
+
+
+def test_welch_ttest_matches_reference_formula(spark):
+    from decaton_spark.functions import stats as st
+    from pyspark.sql import functions as F
+
+    a = [10.0, 12.5, 11.2, 9.8, 13.1]
+    b = [8.1, 8.9, 9.4, 7.6]
+    rows = [("x", "A", v) for v in a] + [("x", "B", v) for v in b]
+    df = spark.createDataFrame(rows, schema="g string, arm string, value double")
+    out = st.welch_ttest(df, group_cols=["g"], unit=100).collect()[0]
+    t, dof = _welch_reference(a, b)
+    assert out["n_a"] == 5 and out["n_b"] == 4
+    assert out["sum_centi_a"] == sum(round(v * 100) for v in a)
+    assert out["t_stat"] == t
+    assert out["welch_dof"] == dof
+    assert out["t_stat"] > 2  # the planted lift is real
+
+
+def test_welch_ttest_degenerate_arm_yields_null(spark):
+    from decaton_spark.functions import stats as st
+
+    rows = [("g1", "A", 1.0), ("g1", "B", 2.0), ("g1", "B", 3.0)]
+    df = spark.createDataFrame(rows, schema="g string, arm string, value double")
+    out = st.welch_ttest(df, group_cols=["g"]).collect()[0]
+    assert out["n_a"] == 1
+    assert out["t_stat"] is None and out["welch_dof"] is None
+    assert out["sum_centi_a"] == 100  # sums still reported
+
+
+def test_hash_arm_is_sticky_and_balanced(spark):
+    from pyspark.sql import functions as F
+
+    from decaton_spark.functions import stats as st
+
+    df = spark.range(2000).select(F.col("id"))
+    armed = df.withColumn("arm", st.hash_arm("CAST(id AS STRING)"))
+    counts = {r["arm"]: r["c"] for r in armed.groupBy("arm").agg(F.count("*").alias("c")).collect()}
+    assert set(counts) == {"A", "B"}
+    assert abs(counts["A"] - counts["B"]) < 300  # ~50/50 split
+    # sticky: same key always lands in the same arm
+    again = {r["id"]: r["arm"] for r in armed.collect()}
+    assert again == {r["id"]: r["arm"] for r in armed.collect()}
