@@ -88,3 +88,56 @@ def welch_ttest(
         F.when(ok, F.round(t, 6)).alias("t_stat"),
         F.when(ok, F.round(dof, 4)).alias("welch_dof"),
     )
+
+
+def rfm_scores(
+    df: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_ms_col: str = "ms",
+    value_centi_col: str = "v",
+    n_tiles: int = 4,
+) -> DataFrame:
+    """RFM segmentation: per-user Recency (days since last event vs the
+    corpus's latest event), Frequency (event count), Monetary (exact
+    centi sum), each scored into ``n_tiles`` quartiles by ntile — score
+    1 is best (most recent / most frequent / highest spend), ties break
+    on user id so the cut is deterministic and oracle-replayable.
+
+    The ntile windows run over the per-user AGGREGATE (|users| ≪
+    |events| — the fact table reduces first in one partial-agg pass);
+    at extreme user counts swap ntile for broadcast percentile cutoffs
+    — same downstream segment rollup.
+
+    Returns (user, recency_days, freq, monetary_centi, r_score,
+    f_score, m_score, segment) with segment = r·100 + f·10 + m.
+    """
+    from pyspark.sql import Window
+
+    per_user = df.groupBy(F.col(user_col).alias("user_id")).agg(
+        F.max(ts_ms_col).alias("last_ms"),
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        F.sum(value_centi_col).cast("long").alias("monetary_centi"),
+    )
+    anchor = per_user.agg(F.max("last_ms").alias("amax"))
+    scored = per_user.crossJoin(F.broadcast(anchor)).withColumn(
+        "recency_days", F.expr("(amax - last_ms) DIV 86400000").cast("long")
+    )
+    r_w = Window.orderBy(F.col("recency_days").asc(), F.col("user_id"))
+    f_w = Window.orderBy(F.col("freq").desc(), F.col("user_id"))
+    m_w = Window.orderBy(F.col("monetary_centi").desc(), F.col("user_id"))
+    return (
+        scored.withColumn("r_score", F.ntile(n_tiles).over(r_w))
+        .withColumn("f_score", F.ntile(n_tiles).over(f_w))
+        .withColumn("m_score", F.ntile(n_tiles).over(m_w))
+        .withColumn(
+            "segment",
+            (
+                F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")
+            ).cast("long"),
+        )
+        .select(
+            "user_id", "recency_days", "freq", "monetary_centi",
+            "r_score", "f_score", "m_score", "segment",
+        )
+    )

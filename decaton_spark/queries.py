@@ -8296,6 +8296,61 @@ def events_ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return st.welch_ttest(armed, group_cols=["event_type"], unit=100)
 
 
+@register(
+    "events_rfm_segments",
+    """
+    WITH rp AS (
+        SELECT user_id, epoch_ms(ts) AS ms,
+               CAST(round(value * 100) AS BIGINT) AS v
+        FROM events WHERE event_type = 'purchase'),
+    rper AS (
+        SELECT user_id, max(ms) AS last_ms,
+               CAST(count(*) AS BIGINT) AS freq,
+               CAST(sum(v) AS BIGINT) AS monetary_centi
+        FROM rp GROUP BY user_id),
+    ranch AS (SELECT max(last_ms) AS amax FROM rper),
+    rsc AS (
+        SELECT user_id, freq, monetary_centi,
+               (amax - last_ms) // 86400000 AS recency_days
+        FROM rper, ranch),
+    rtile AS (
+        SELECT *,
+               ntile(4) OVER (ORDER BY recency_days ASC, user_id) AS r_score,
+               ntile(4) OVER (ORDER BY freq DESC, user_id) AS f_score,
+               ntile(4) OVER (ORDER BY monetary_centi DESC, user_id) AS m_score
+        FROM rsc)
+    SELECT CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) AS segment,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(freq) AS BIGINT) AS total_freq,
+           CAST(sum(monetary_centi) AS BIGINT) AS total_monetary_centi
+    FROM rtile GROUP BY 1
+    """,
+)
+def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation over purchase events: per-user
+    recency/frequency/monetary quartile scores (``stats.rfm_scores``,
+    score 1 = best, user-id tiebreaks) rolled up to segment counts and
+    exact centi revenue. The quartile windows run over the per-user
+    aggregate — the fact table reduces in one partial-agg pass first —
+    and the segment rollup is partial-aggregable (≤64 groups)."""
+    from decaton_spark.functions import stats as st
+
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    src = ev.select(
+        "user_id",
+        F.unix_millis("ts").alias("ms"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    scores = st.rfm_scores(src)
+    return scores.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("freq").cast("long").alias("total_freq"),
+        F.sum("monetary_centi").cast("long").alias("total_monetary_centi"),
+    )
+
+
 def _fertility_oracle(n: int) -> str:
     from decaton_spark.functions import bpe as _bpe
 
