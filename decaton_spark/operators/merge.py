@@ -229,3 +229,43 @@ def corpus_merge_neardup(
     return parts.filter(F.col("origin") != "insert").unionByName(
         survivors.withColumn("origin", F.lit("insert"))
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus snapshot diff — the audit companion to ``corpus_merge``:
+    classify every id across two corpus versions as ``added`` (new
+    only), ``removed`` (old only), ``changed`` (both, content hash
+    differs) or ``unchanged``. Release pipelines publish this table
+    with every corpus version bump (what moved between v3.1 and v3.2,
+    and how much retraining data it invalidates).
+
+    Content compare is md5-of-text computed per side as a projection
+    BEFORE the join, so the (wide) payload never rides the shuffle —
+    each side ships (id, 32-byte hash) into one full-outer equi-join
+    on the id. On bucketed/Iceberg tables co-partitioned by id the
+    exchange disappears entirely.
+
+    Returns (doc_id, change, old_hash, new_hash).
+    """
+    o = old.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(F.col(text_col).cast("binary")).alias("old_hash"),
+    )
+    n = new.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(F.col(text_col).cast("binary")).alias("new_hash"),
+    )
+    j = o.join(n, "doc_id", "full_outer")
+    change = (
+        F.when(F.col("old_hash").isNull(), F.lit("added"))
+        .when(F.col("new_hash").isNull(), F.lit("removed"))
+        .when(F.col("old_hash") != F.col("new_hash"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select("doc_id", change.alias("change"), "old_hash", "new_hash")

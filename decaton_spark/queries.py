@@ -8351,6 +8351,56 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "corpus_snapshot_diff",
+    """
+    WITH sd_old AS (
+        SELECT doc_id, md5(text) AS old_hash
+        FROM documents WHERE doc_id % 11 <> 3),
+    sd_new AS (
+        SELECT doc_id,
+               md5(CASE WHEN doc_id % 13 = 2 THEN text || ' v2'
+                        ELSE text END) AS new_hash
+        FROM documents WHERE doc_id % 11 <> 7),
+    sd AS (
+        SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+               CASE WHEN o.doc_id IS NULL THEN 'added'
+                    WHEN n.doc_id IS NULL THEN 'removed'
+                    WHEN o.old_hash <> n.new_hash THEN 'changed'
+                    ELSE 'unchanged' END AS change
+        FROM sd_old o FULL OUTER JOIN sd_new n ON o.doc_id = n.doc_id)
+    SELECT change, CAST(count(*) AS BIGINT) AS n_docs,
+           min(doc_id) AS min_id, max(doc_id) AS max_id
+    FROM sd GROUP BY change
+    """,
+)
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus version diff (``merge.snapshot_diff``): classify every id
+    across two snapshot versions as added / removed / changed /
+    unchanged — the audit table a release pipeline publishes with each
+    corpus bump. The two versions derive deterministically from the
+    fixture (different residue drops, a ' v2' content edit on the
+    13-residue class). Hashes are per-side projections so the payload
+    never rides the shuffle; the classifier is ONE full-outer equi-join
+    on the id, and the rollup is partial-aggregable (4 groups)."""
+    from decaton_spark.operators.merge import snapshot_diff
+
+    docs = load_table(spark, "documents", sf_dir)
+    old = docs.filter(F.col("doc_id") % 11 != 3)
+    new = docs.filter(F.col("doc_id") % 11 != 7).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 13 == 2, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    d = snapshot_diff(old, new)
+    return d.groupBy("change").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
 def _fertility_oracle(n: int) -> str:
     from decaton_spark.functions import bpe as _bpe
 

@@ -149,3 +149,22 @@ def test_neardup_update_always_applies(spark):
     incoming = _mk(spark, [(1, _BASE + " kilo")])
     out = _origins(corpus_merge_neardup(existing, incoming))
     assert out == {(1, "update"), (2, "kept")}
+
+
+def test_snapshot_diff_classifies_all_four_ways(spark):
+    from decaton_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "was this"), (3, "gone")],
+        schema="doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "now this"), (4, "fresh")],
+        schema="doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in snapshot_diff(old, new).collect()}
+    assert out[1]["change"] == "unchanged"
+    assert out[2]["change"] == "changed"
+    assert out[3]["change"] == "removed" and out[3]["new_hash"] is None
+    assert out[4]["change"] == "added" and out[4]["old_hash"] is None
+    assert set(out) == {1, 2, 3, 4}
