@@ -627,3 +627,32 @@ def test_bt_duel_matrix_partial_aggregates(spark, sf_dir):
     p = plan_of(m)
     assert "partial_count" in p or "partial_sum" in p
     assert "CartesianProduct" not in p
+
+
+def test_r4_late_additions_plan_shapes(spark, sf_dir):
+    """Plan gates for the blocking/statistics/retrieval additions: no
+    cartesian products; BNLJ only as 1-row scalar broadcasts or the
+    bounded broadcast-query ANN pairing; shuffle ceilings pinned.
+    (SortMergeJoins here are small-side joins AQE converts to broadcast
+    at runtime — the static plan is the conservative shape.)"""
+    shapes = {
+        # query: max shuffle exchanges in the static plan
+        "dedup_sorted_neighborhood": 3,    # block window + verify gram joins
+        "dedup_triangle_stats": 15,        # LSH+verify lineage (checkpointed at run) + wedge joins
+        "emb_random_projection_recall": 7, # two top-k windows + hits join
+        "emb_bitext_margin_mining": 6,     # fwd/rev top-k + margins + argmax
+        "docs_ccnet_buckets": 6,           # tf agg + corpus agg + ntile + rollup
+        "text_fertility_by_lang": 6,       # word histogram + per-lang rollup
+        "events_ab_welch_ttest": 1,        # ONE conditional-agg pass
+        "events_rfm_segments": 5,          # user agg + 3 quartile windows + rollup
+        "corpus_snapshot_diff": 4,         # full-outer join sides + rollup
+    }
+    for name, max_shuffles in shapes.items():
+        p = plan_of(QUERIES[name].fn(spark, sf_dir), "simple")
+        assert "CartesianProduct" not in p, name
+        shuffles = p.count("Exchange") - p.count("BroadcastExchange")
+        assert shuffles <= max_shuffles, (name, shuffles)
+    # the Welch pass must partial-aggregate: sufficient statistics ride
+    # the shuffle as per-partition partials, never raw events
+    p = plan_of(QUERIES["events_ab_welch_ttest"].fn(spark, sf_dir))
+    assert "partial_count" in p or "partial_sum" in p
