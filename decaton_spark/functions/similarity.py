@@ -1402,6 +1402,7 @@ def margin_mining(
     vec_col: str = EMB,
     k: int = 4,
     threshold_milli: int = 1050,
+    bucket_dims: tuple[int, ...] | None = None,
 ) -> DataFrame:
     """Margin-based parallel-pair mining (the CCMatrix/LASER criterion):
     score(x, y) = cos(x, y) / mean(avg-top-k(x→tgt), avg-top-k(y→src)),
@@ -1416,29 +1417,43 @@ def margin_mining(
     nonnegativity pre-filter (c4 > 0 AND sums > 0) keeps truncating
     DIV equal to floor division cross-engine.
 
-    Plan: the scoring join is the brute-force broadcast shape here
-    (exact, oracle-replayable); at 100 TB both towers take ANN
-    candidates (IVF cells / LSH buckets) in place of the cross join —
-    the margin/argmax tail is identical. Returns
-    (src_id, tgt_id, cos_c4, margin_milli).
+    Plan: the scoring join is the brute-force broadcast shape by
+    default (exact, oracle-replayable); with ``bucket_dims`` set it
+    becomes the 100 TB shape — both towers hash into sign-LSH buckets
+    (``hyperplane_bucket``) and score only within-bucket candidates
+    via an EQUI-join on the bucket id, so pair cost is Σ bucket²
+    and the top-k neighbourhoods are within-bucket k-NN (the standard
+    blocked-mining recall/cost trade; run several bucket saltings to
+    recover recall). The margin/argmax tail is identical either way.
+    Returns (src_id, tgt_id, cos_c4, margin_milli).
     """
+    bsel = (
+        []
+        if bucket_dims is None
+        else [hyperplane_bucket(vec_col, bucket_dims).alias("bucket")]
+    )
     q = src.select(
         F.col(id_col).alias("sid"),
         F.col(vec_col).alias("q_vec"),
         norm(F.col(vec_col)).alias("q_norm"),
+        *bsel,
     )
     c = tgt.select(
         F.col(id_col).alias("tid"),
         F.col(vec_col).alias("c_vec"),
         norm(F.col(vec_col)).alias("c_norm"),
+        *bsel,
     )
     c4 = F.round(
         dot(F.col("q_vec"), F.col("c_vec"))
         / (F.col("q_norm") * F.col("c_norm"))
         * 10_000
     ).cast("long")
+    paired = (
+        c.join(q, "bucket") if bucket_dims is not None else c.crossJoin(F.broadcast(q))
+    )
     scored = (
-        c.crossJoin(F.broadcast(q))
+        paired
         .select("sid", "tid", c4.alias("c4"))
         .localCheckpoint(eager=False)  # consumed 3x: fwd top-k, rev top-k, margins
     )

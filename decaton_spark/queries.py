@@ -4789,6 +4789,60 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.lsh_topk(emb, q, k=5)
 
 
+
+@register(
+    "emb_bitext_margin_lsh",
+    f"""
+    WITH bl_q AS (SELECT vec_id AS sid, embedding AS qv,
+                         CAST({_BUCKET} AS INT) AS bucket
+                  FROM embeddings WHERE label % 2 = 0),
+    bl_c AS (SELECT vec_id AS tid, embedding AS cv,
+                    CAST({_BUCKET} AS INT) AS bucket
+             FROM embeddings WHERE label % 2 = 1),
+    bl_cos AS (
+        SELECT sid, tid,
+               CAST(round(({_DOT_QC} / ({_NORM.format(v='qv')}
+                    * {_NORM.format(v='cv')})) * 10000) AS BIGINT) AS c4
+        FROM bl_c JOIN bl_q USING (bucket)),
+    bl_a AS (
+        SELECT sid, CAST(sum(c4) AS BIGINT) AS a_sum FROM (
+            SELECT *, row_number() OVER (PARTITION BY sid
+                          ORDER BY c4 DESC, tid) AS rnk
+            FROM bl_cos) WHERE rnk <= 4 GROUP BY sid),
+    bl_b AS (
+        SELECT tid, CAST(sum(c4) AS BIGINT) AS b_sum FROM (
+            SELECT *, row_number() OVER (PARTITION BY tid
+                          ORDER BY c4 DESC, sid) AS rnk
+            FROM bl_cos) WHERE rnk <= 4 GROUP BY tid),
+    bl_m AS (
+        SELECT sid, tid, c4, (8000 * c4) // (a_sum + b_sum) AS margin_milli
+        FROM bl_cos JOIN bl_a USING (sid) JOIN bl_b USING (tid)
+        WHERE c4 > 0 AND a_sum + b_sum > 0),
+    bl_best AS (
+        SELECT *, row_number() OVER (PARTITION BY sid
+                      ORDER BY margin_milli DESC, tid) AS rnk
+        FROM bl_m)
+    SELECT sid AS src_id, tid AS tgt_id, c4 AS cos_c4, margin_milli
+    FROM bl_best WHERE rnk = 1 AND margin_milli >= 1050
+    """,
+)
+def emb_bitext_margin_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB shape of bitext mining: both language towers hash
+    into sign-LSH buckets and the margin criterion scores only
+    within-bucket candidates via an EQUI-join on the bucket id — pair
+    cost Σ bucket² instead of |src|·|tgt|, neighbourhood sums become
+    within-bucket k-NN (the standard blocked-mining recall/cost
+    trade; several bucket saltings recover recall). Same integer
+    margin arithmetic and argmax tail as the exact
+    ``emb_bitext_margin_mining``."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    src = emb.filter(F.col("label") % 2 == 0)
+    tgt = emb.filter(F.col("label") % 2 == 1)
+    return sim.margin_mining(
+        src, tgt, k=4, threshold_milli=1050, bucket_dims=(0, 1, 2, 3)
+    )
+
+
 @register(
     "dedup_embedding_cosine",
     f"""

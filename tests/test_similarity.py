@@ -286,3 +286,26 @@ def test_margin_mining_integer_math_and_argmax(spark):
             expected[s] = best
     assert {s: (r["tgt_id"], r["margin_milli"]) for s, r in out.items()} == expected
     assert len(expected) > 0  # fixture actually mines something
+
+
+def test_margin_mining_bucketed_is_equijoin_and_within_bucket(spark):
+    """bucket_dims must turn the scoring join into a bucket equi-join:
+    cross-bucket pairs never score, and the plan carries no
+    BroadcastNestedLoopJoin/CartesianProduct."""
+    from decaton_spark.functions import similarity as sim
+    from tests.test_plans import plan_of
+
+    # bucket on sign of dim0: src 1 (+), 2 (-); tgt 10 (+), 11 (-)
+    src = spark.createDataFrame(
+        [(1, [1.0, 0.2]), (2, [-1.0, 0.2])],
+        schema="vec_id long, embedding array<float>",
+    )
+    tgt = spark.createDataFrame(
+        [(10, [0.9, 0.1]), (11, [-0.9, 0.1])],
+        schema="vec_id long, embedding array<float>",
+    )
+    out = sim.margin_mining(src, tgt, k=1, threshold_milli=0, bucket_dims=(0,))
+    got = {(r["src_id"], r["tgt_id"]) for r in out.collect()}
+    assert got == {(1, 10), (2, 11)}  # same-bucket partners only
+    p = plan_of(out, "simple")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
