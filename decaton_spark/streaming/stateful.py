@@ -1039,3 +1039,88 @@ def streaming_cusum(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_ab_monitor(
+    events: DataFrame,
+    *,
+    group_col: str = "event_type",
+    arm_col: str = "arm",
+    value_centi_col: str = "v",
+) -> DataFrame:
+    """Continuous A/B readout: the streaming twin of
+    ``functions.stats.welch_ttest``. State per group is the six exact
+    integer sufficient statistics (n, Σv, Σv² per arm — O(1) per group
+    at any traffic volume); each microbatch folds its rows in
+    (order-free integer sums, so ANY microbatch split yields the same
+    state) and emits the current t/dof through the identical canonical
+    double formula the batch operator uses — the final emission per
+    group is bit-equal to the batch Welch over the same rows (pinned
+    in the invariant suite).
+
+    This is how an experiment dashboard actually consumes the test: a
+    per-trigger readout, not a batch query rerun over history.
+
+    Emits (group, n_a, n_b, sum_centi_a, sum_centi_b, t_stat,
+    welch_dof) per group per microbatch that touches it.
+    """
+    import math
+
+    out_schema = (
+        f"{group_col} string, n_a long, n_b long,"
+        " sum_centi_a long, sum_centi_b long,"
+        " t_stat double, welch_dof double"
+    )
+    state_schema = "na long, nb long, sa long, sb long, qa long, qb long"
+
+    def update(pkey, pdfs, state: GroupState):
+        na, nb, sa, sb, qa, qb = state.get if state.exists else (0, 0, 0, 0, 0, 0)
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if not len(batch):
+            return
+        a = batch[batch[arm_col] == "A"][value_centi_col]
+        b = batch[batch[arm_col] == "B"][value_centi_col]
+        na, nb = na + len(a), nb + len(b)
+        sa, sb = sa + int(a.sum()), sb + int(b.sum())
+        qa, qb = qa + int((a * a).sum()), qb + int((b * b).sum())
+        state.update((na, nb, sa, sb, qa, qb))
+        t = dof = None
+        if na >= 2 and nb >= 2:
+            # the batch operator's formula, double-op for double-op
+            dna, dnb = float(na), float(nb)
+            dsa, dsb, dqa, dqb = float(sa), float(sb), float(qa), float(qb)
+            va = (dna * dqa - dsa * dsa) / (dna * (dna - 1))
+            vb = (dnb * dqb - dsb * dsb) / (dnb * (dnb - 1))
+            se2 = va / dna + vb / dnb
+            t = _round_half_away((dsa / dna - dsb / dnb) / math.sqrt(se2) * 1e6) / 1e6
+            dof = _round_half_away(
+                (se2 * se2)
+                / (
+                    (va / dna) * (va / dna) / (dna - 1)
+                    + (vb / dnb) * (vb / dnb) / (dnb - 1)
+                )
+                * 1e4
+            ) / 1e4
+        yield pd.DataFrame(
+            {
+                group_col: [pkey[0]],
+                "n_a": [na],
+                "n_b": [nb],
+                "sum_centi_a": [sa],
+                "sum_centi_b": [sb],
+                "t_stat": [t],
+                "welch_dof": [dof],
+            }
+        )
+
+    return (
+        events.select(group_col, arm_col, value_centi_col)
+        .groupBy(group_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

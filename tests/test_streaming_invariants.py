@@ -731,3 +731,78 @@ def test_streaming_cusum_equals_batch(spark, sf_dir, tmp_path):
         for r in batch
     }
     assert last == exp
+
+
+def test_streaming_ab_monitor_equals_batch(spark, sf_dir, tmp_path):
+    """The LAST emitted A/B readout per group is identical to the batch
+    Welch t-test over the same rows, for an arbitrary 3-way microbatch
+    split — integer sufficient statistics make the fold order-free."""
+    import time
+
+    from decaton_spark.functions import stats as st
+    from decaton_spark.streaming.stateful import streaming_ab_monitor
+
+    ev = (
+        load_table(spark, "events", sf_dir)
+        .filter(F.col("value").isNotNull())
+        .withColumn("arm", st.hash_arm("CAST(user_id AS STRING)"))
+        .select(
+            "event_type",
+            "arm",
+            F.round(F.col("value") * 100).cast("long").alias("v"),
+            "event_id",
+        )
+    )
+    d = tmp_path / "abstream"
+    d.mkdir()
+    n = ev.count()
+    step = (n + 2) // 3
+    for i in range(3):
+        (
+            ev.filter(
+                (F.col("event_id") >= i * step) & (F.col("event_id") < (i + 1) * step)
+            )
+            .drop("event_id")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(str(d))
+        )
+        time.sleep(1.1)
+    stream = (
+        spark.readStream.schema("event_type string, arm string, v long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    rows = []
+    q = (
+        streaming_ab_monitor(stream)
+        .writeStream.queryName("abmon")
+        .foreachBatch(lambda df, bid: rows.append((bid, df.collect())))
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt-ab"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    last = {}
+    for bid, rs in sorted(rows):
+        for r in rs:
+            last[r["event_type"]] = (
+                r["n_a"], r["n_b"], r["sum_centi_a"], r["sum_centi_b"],
+                r["t_stat"], r["welch_dof"],
+            )
+    armed = ev.drop("event_id").withColumnRenamed("v", "value_c")
+    batch = st.welch_ttest(
+        armed.withColumn("value", F.col("value_c") / 100.0),
+        group_cols=["event_type"],
+        unit=100,
+    ).collect()
+    exp = {
+        r["event_type"]: (
+            r["n_a"], r["n_b"], r["sum_centi_a"], r["sum_centi_b"],
+            r["t_stat"], r["welch_dof"],
+        )
+        for r in batch
+    }
+    assert last == exp
