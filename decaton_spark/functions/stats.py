@@ -141,3 +141,103 @@ def rfm_scores(
             "r_score", "f_score", "m_score", "segment",
         )
     )
+
+
+def cuped_adjustment(
+    df: DataFrame,
+    *,
+    group_col: str = "event_type",
+    user_col: str = "user_id",
+    ms_col: str = "ms",
+    value_centi_col: str = "v",
+    arm_col: str = "arm",
+) -> DataFrame:
+    """CUPED variance reduction (Deng et al. 2013): regress each user's
+    experiment-period outcome on their PRE-period covariate and report
+    the adjusted treatment effect plus the variance a dashboard gets
+    back — the standard trick that cuts A/B run time by the squared
+    pre/post correlation.
+
+    Construction is exact end-to-end:
+
+    - the pre/post split point is the global ts midpoint (1-row
+      broadcast);
+    - per (group, user): conditional integer sums for both periods in
+      one partial-agg pass; users lacking either period drop;
+    - per-user covariate/outcome quantize to BIGINT 1e-4 units
+      (scale-0 round of identical IEEE quotients);
+    - per group: the moment sums (Σx, Σy, Σx², Σy², Σxy as
+      DECIMAL(38,0) — overflow-proof at corpus scale) plus per-arm
+      sums, again one partial-agg pass;
+    - θ = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²), the variance-reduction ratio
+      is corr² = cov²/(varX·varY) — CUPED's reduction needs NO second
+      pass over adjusted values, the algebra gives it from the same
+      moments — and the adjusted effect subtracts θ·(covariate arm
+      imbalance) from the raw effect. All ratios are one canonical
+      double formula over exact integers: engine-identical.
+
+    Returns (group, n_users, theta, variance_reduction_ppm,
+    effect_raw, effect_cuped) — effects in centi units, NULL-guarded
+    for degenerate groups.
+    """
+    bounds = df.agg(
+        F.min(ms_col).alias("_mn"), F.max(ms_col).alias("_mx")
+    ).select(F.expr("(_mn + _mx) DIV 2").alias("_mid"))
+    pre = F.col(ms_col) < F.col("_mid")
+    per_user = (
+        df.crossJoin(F.broadcast(bounds))
+        .groupBy(group_col, user_col, arm_col)
+        .agg(
+            F.count(F.when(pre, 1)).alias("n1"),
+            F.sum(F.when(pre, F.col(value_centi_col))).alias("s1"),
+            F.count(F.when(~pre, 1)).alias("n2"),
+            F.sum(F.when(~pre, F.col(value_centi_col))).alias("s2"),
+        )
+        .filter((F.col("n1") > 0) & (F.col("n2") > 0))
+        .select(
+            group_col,
+            arm_col,
+            F.round(
+                F.col("s1").cast("double") / F.col("n1").cast("double") * 100
+            ).cast("long").alias("x4"),
+            F.round(
+                F.col("s2").cast("double") / F.col("n2").cast("double") * 100
+            ).cast("long").alias("y4"),
+        )
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    is_a = F.col(arm_col) == "A"
+    m = per_user.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dec(F.col("x4"))).alias("sx"),
+        F.sum(dec(F.col("y4"))).alias("sy"),
+        F.sum(dec(F.col("x4") * F.col("x4"))).alias("sxx"),
+        F.sum(dec(F.col("y4") * F.col("y4"))).alias("syy"),
+        F.sum(dec(F.col("x4") * F.col("y4"))).alias("sxy"),
+        F.count(F.when(is_a, 1)).cast("long").alias("na"),
+        F.count(F.when(~is_a, 1)).cast("long").alias("nb"),
+        F.sum(F.when(is_a, dec(F.col("x4")))).alias("sxa"),
+        F.sum(F.when(~is_a, dec(F.col("x4")))).alias("sxb"),
+        F.sum(F.when(is_a, dec(F.col("y4")))).alias("sya"),
+        F.sum(F.when(~is_a, dec(F.col("y4")))).alias("syb"),
+    )
+    d = lambda e: e.cast("double")  # noqa: E731
+    covn = d(dec(F.col("n")) * F.col("sxy") - F.col("sx") * F.col("sy"))
+    vxn = d(dec(F.col("n")) * F.col("sxx") - F.col("sx") * F.col("sx"))
+    vyn = d(dec(F.col("n")) * F.col("syy") - F.col("sy") * F.col("sy"))
+    theta = covn / vxn
+    raw = d(F.col("sya")) / d(F.col("na")) - d(F.col("syb")) / d(F.col("nb"))
+    ximb = d(F.col("sxa")) / d(F.col("na")) - d(F.col("sxb")) / d(F.col("nb"))
+    ok = (F.col("na") > 0) & (F.col("nb") > 0) & (vxn > 0) & (vyn > 0)
+    return m.select(
+        group_col,
+        F.col("n").alias("n_users"),
+        F.when(ok, F.round(theta, 6)).alias("theta"),
+        F.when(ok, F.round(covn * covn / (vxn * vyn) * 1_000_000))
+        .cast("long")
+        .alias("variance_reduction_ppm"),
+        # effects reported in centi units: the per-user values are 1e-4
+        # (centi·1e-2), so scale the means back by 1e-2
+        F.when(ok, F.round(raw / 100, 4)).alias("effect_raw"),
+        F.when(ok, F.round((raw - theta * ximb) / 100, 4)).alias("effect_cuped"),
+    )

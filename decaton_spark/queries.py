@@ -8455,6 +8455,93 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_ab_cuped",
+    f"""
+    WITH cu_ev AS (
+        SELECT event_type, user_id,
+               CASE WHEN {_AB_ARM} = 0 THEN 'A' ELSE 'B' END AS arm,
+               epoch_ms(ts) AS ms,
+               CAST(round(value * 100) AS BIGINT) AS v
+        FROM events WHERE value IS NOT NULL),
+    cu_b AS (SELECT (min(ms) + max(ms)) // 2 AS mid FROM cu_ev),
+    cu_u AS (
+        SELECT event_type, arm,
+               CAST(round(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) * 100)
+                    AS BIGINT) AS x4,
+               CAST(round(CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) * 100)
+                    AS BIGINT) AS y4
+        FROM (
+            SELECT event_type, user_id, arm,
+                   count(*) FILTER (ms < mid) AS n1,
+                   coalesce(sum(v) FILTER (ms < mid), 0) AS s1,
+                   count(*) FILTER (ms >= mid) AS n2,
+                   coalesce(sum(v) FILTER (ms >= mid), 0) AS s2
+            FROM cu_ev, cu_b GROUP BY event_type, user_id, arm)
+        WHERE n1 > 0 AND n2 > 0),
+    cu_m AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               sum(CAST(x4 AS HUGEINT)) AS sx,
+               sum(CAST(y4 AS HUGEINT)) AS sy,
+               sum(CAST(x4 * x4 AS HUGEINT)) AS sxx,
+               sum(CAST(y4 * y4 AS HUGEINT)) AS syy,
+               sum(CAST(x4 * y4 AS HUGEINT)) AS sxy,
+               CAST(count(*) FILTER (arm = 'A') AS BIGINT) AS na,
+               CAST(count(*) FILTER (arm = 'B') AS BIGINT) AS nb,
+               sum(CAST(x4 AS HUGEINT)) FILTER (arm = 'A') AS sxa,
+               sum(CAST(x4 AS HUGEINT)) FILTER (arm = 'B') AS sxb,
+               sum(CAST(y4 AS HUGEINT)) FILTER (arm = 'A') AS sya,
+               sum(CAST(y4 AS HUGEINT)) FILTER (arm = 'B') AS syb
+        FROM cu_u GROUP BY event_type),
+    cu_f AS (
+        SELECT event_type, n,
+               CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE) AS covn,
+               CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE) AS vxn,
+               CAST(CAST(n AS HUGEINT) * syy - sy * sy AS DOUBLE) AS vyn,
+               na, nb,
+               CAST(sxa AS DOUBLE) AS dsxa, CAST(sxb AS DOUBLE) AS dsxb,
+               CAST(sya AS DOUBLE) AS dsya, CAST(syb AS DOUBLE) AS dsyb
+        FROM cu_m)
+    SELECT event_type, n AS n_users,
+           CASE WHEN na > 0 AND nb > 0 AND vxn > 0 AND vyn > 0 THEN
+               round(covn / vxn, 6) END AS theta,
+           CAST(CASE WHEN na > 0 AND nb > 0 AND vxn > 0 AND vyn > 0 THEN
+               round(covn * covn / (vxn * vyn) * 1000000) END AS BIGINT)
+               AS variance_reduction_ppm,
+           CASE WHEN na > 0 AND nb > 0 AND vxn > 0 AND vyn > 0 THEN
+               round((dsya / CAST(na AS DOUBLE) - dsyb / CAST(nb AS DOUBLE))
+                     / 100, 4) END AS effect_raw,
+           CASE WHEN na > 0 AND nb > 0 AND vxn > 0 AND vyn > 0 THEN
+               round(((dsya / CAST(na AS DOUBLE) - dsyb / CAST(nb AS DOUBLE))
+                      - (covn / vxn)
+                        * (dsxa / CAST(na AS DOUBLE) - dsxb / CAST(nb AS DOUBLE)))
+                     / 100, 4) END AS effect_cuped
+    FROM cu_f
+    """,
+)
+def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED-adjusted A/B readout (``stats.cuped_adjustment``): per
+    event type, regress each user's experiment-period outcome on their
+    pre-period covariate (global ts-midpoint split), report θ, the
+    variance reduction CUPED buys (corr² — derived from the SAME moment
+    sums, no second pass over adjusted values), and the raw vs adjusted
+    treatment effect. Two partial-agg passes (user reduce, moment
+    reduce); every ratio is a canonical double formula over exact
+    DECIMAL integer moments."""
+    from decaton_spark.functions import stats as st
+
+    ev = load_table(spark, "events", sf_dir).filter(F.col("value").isNotNull())
+    src = ev.select(
+        "event_type",
+        "user_id",
+        st.hash_arm("CAST(user_id AS STRING)").alias("arm"),
+        F.unix_millis("ts").alias("ms"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    return st.cuped_adjustment(src)
+
+
 def _fertility_oracle(n: int) -> str:
     from decaton_spark.functions import bpe as _bpe
 

@@ -95,3 +95,36 @@ def test_rfm_scores_planted_quartiles(spark):
 
     for axis in ("r_score", "f_score", "m_score"):
         assert Counter(out[u][axis] for u in range(8)) == {1: 2, 2: 2, 3: 2, 4: 2}
+
+
+def test_cuped_reduces_variance_on_correlated_fixture(spark):
+    """Users with a stable personal level (pre mean ≈ post mean +
+    arm lift): CUPED should find theta ≈ 1, a large variance
+    reduction, and an adjusted effect closer to the true +2.0 lift
+    than the raw effect."""
+    from decaton_spark.functions import stats as st
+
+    rows = []
+    # 20 users, half per arm; user u's personal level is 10 + u (big
+    # between-user spread); arm A gets +2.0 in the post period
+    for u in range(20):
+        arm = "A" if u % 2 == 0 else "B"
+        level = 1000 + 100 * u  # centi
+        lift = 200 if arm == "A" else 0
+        for t in (0, 1):          # pre period (ms < mid)
+            rows.append(("m", u, arm, t, level))
+        for t in (100, 101):      # post period
+            rows.append(("m", u, arm, t, level + lift))
+    df = spark.createDataFrame(
+        rows, schema="event_type string, user_id long, arm string, ms long, v long"
+    )
+    out = st.cuped_adjustment(df).collect()[0]
+    assert out["n_users"] == 20
+    # personal level dominates -> near-perfect pre/post correlation
+    assert out["theta"] is not None and 0.9 < out["theta"] < 1.1
+    assert out["variance_reduction_ppm"] > 900_000  # >90% variance removed
+    # raw effect carries the arm-level imbalance (A users are even ->
+    # slightly lower mean level); CUPED should land near the true +200
+    # centi lift (effects are reported in centi units)
+    assert abs(out["effect_cuped"] - 200.0) < 20
+    assert abs(out["effect_cuped"] - 200.0) <= abs(out["effect_raw"] - 200.0)
