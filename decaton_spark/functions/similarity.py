@@ -1493,3 +1493,45 @@ def margin_mining(
             "margin_milli",
         )
     )
+
+
+def ivf_cell_stats(
+    df: DataFrame,
+    *,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = EMB,
+    round_digits: int = 4,
+) -> DataFrame:
+    """IVF index health report: per-cell occupancy and cohesion — the
+    diagnostics a vector-store operator reads before trusting an index
+    (a fat cell means probe cost skew and a stale centroid; a cell with
+    low mean cosine-to-centroid means the partition boundary cuts
+    through a real cluster and recall will suffer there).
+
+    Same inlined-literal assignment fold as search-time
+    (``_cell_scores`` / argmax — a pure shuffle-free projection over
+    the corpus), then ONE partial-agg groupBy over ≤nlist groups.
+    Cohesion is exact: the rounded cosine re-quantizes to 1e-4 BIGINT
+    units and the mean is floor() of an exact-in-double quotient.
+
+    Returns (cell, n_vectors, mean_cos_c4, min_cos_c4, max_cos_c4).
+    """
+    cents = _centroid_literals(centroids)
+    init = F.struct(F.lit(-2.0).alias("cos"), F.lit(-1).cast("long").alias("cid"))
+    best = F.aggregate(
+        _cell_scores(vec_col, cents, round_digits),
+        init,
+        lambda acc, s: F.when(s["cos"] > acc["cos"], s).otherwise(acc),
+    )
+    assigned = df.select(
+        best["cid"].alias("cell"),
+        F.round(best["cos"] * 10_000).cast("long").alias("c4"),
+    )
+    return assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.floor(F.sum("c4").cast("double") / F.count(F.lit(1)))
+        .cast("long")
+        .alias("mean_cos_c4"),
+        F.min("c4").alias("min_cos_c4"),
+        F.max("c4").alias("max_cos_c4"),
+    )

@@ -4489,6 +4489,45 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivf_topk(emb, q, k=5, nlist=16, nprobe=4, centroids=cents)
 
 
+@register(
+    "emb_ivf_cell_stats",
+    f"""
+    WITH c0 AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+                FROM embeddings WHERE vec_id < 16),
+    {_kmeans_iter_sql('c0', 'c1')},
+    {_kmeans_iter_sql('c1', 'c2')},
+    cent AS (SELECT cid, cv FROM c2),
+    csc AS (
+        SELECT e.vec_id, c.cid,
+               round({_dot64('e.embedding', 'c.cv')}
+                     / ({_NORM.format(v='e.embedding')} * {_NORM.format(v='c.cv')}), 4) + 0.0 AS cos
+        FROM embeddings e CROSS JOIN cent c),
+    cassign AS (
+        SELECT vec_id, cid AS cell,
+               CAST(round(cos * 10000) AS BIGINT) AS c4,
+               row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+        FROM csc)
+    SELECT cell, CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(floor(CAST(sum(c4) AS DOUBLE) / count(*)) AS BIGINT) AS mean_cos_c4,
+           min(c4) AS min_cos_c4, max(c4) AS max_cos_c4
+    FROM cassign WHERE rn = 1 GROUP BY cell
+    """,
+)
+def emb_ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index health report (``sim.ivf_cell_stats``): per-cell
+    occupancy (probe-cost skew) and cohesion (mean/min/max cosine to
+    the owning centroid, exact 1e-4 integers) over the SAME persisted
+    centroid store every IVF search query uses — the diagnostics pass
+    a vector-store operator runs after each index build. Assignment is
+    the search-time shuffle-free literal fold; the report is one
+    partial-agg groupBy over ≤nlist groups."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    cents = sim.trained_centroids(
+        emb, dataset=f"{sf_dir}/embeddings", nlist=16, iters=2
+    )
+    return sim.ivf_cell_stats(emb, centroids=cents)
+
+
 @register("ann_ivf_topk_vec", QUERIES["ann_ivf_topk"].oracle)
 def ann_ivf_topk_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN, fused BLAS kernel — same trained centroids and oracle."""

@@ -309,3 +309,27 @@ def test_margin_mining_bucketed_is_equijoin_and_within_bucket(spark):
     assert got == {(1, 10), (2, 11)}  # same-bucket partners only
     p = plan_of(out, "simple")
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_ivf_cell_stats_planted_clusters(spark):
+    """Two tight planted clusters around orthogonal axes: every vector
+    lands in its seed's cell, occupancy matches, and cohesion is near
+    10000 (cosine ~1.0 to the converged centroid); the assignment stays
+    a shuffle-free projection."""
+    from decaton_spark.functions import similarity as sim
+    from tests.test_plans import plan_of
+
+    rows = []
+    for i in range(6):  # cluster 0: x-axis-ish (ids 0..5)
+        rows.append((i, [1.0, 0.01 * i, 0.0, 0.0]))
+    for i in range(4):  # cluster 1: y-axis-ish (ids 6..9)
+        rows.append((6 + i, [0.01 * i, 1.0, 0.0, 0.0]))
+    df = spark.createDataFrame(rows, schema="vec_id long, embedding array<float>")
+    cents = sim.train_centroids(df, nlist=2, iters=2)
+    out = {r["cell"]: r for r in sim.ivf_cell_stats(df, centroids=cents).collect()}
+    assert out[0]["n_vectors"] == 6 and out[1]["n_vectors"] == 4
+    for c in (0, 1):
+        assert out[c]["mean_cos_c4"] > 9900
+        assert out[c]["min_cos_c4"] <= out[c]["mean_cos_c4"] <= out[c]["max_cos_c4"]
+    p = plan_of(sim.ivf_cell_stats(df, centroids=cents), "simple")
+    assert p.count("Exchange") - p.count("BroadcastExchange") <= 1  # the groupBy only
