@@ -256,15 +256,47 @@ def verify_pairs_jaccard(
     Returns (id_a, id_b, jaccard) for pairs at/above threshold. The two
     gram lookups are equi-joins on the id — each shuffles only the
     candidate ids + gram arrays, not the corpus cross product."""
+    par = df.sparkSession.sparkContext.defaultParallelism
     grams = (
-        F.array_distinct(F.split(F.col(text_col), " "))
+        F.array_distinct(F.split(F.col("_t"), " "))
         if n == 1
-        else word_shingles(text_col, n)
+        else word_shingles("_t", n)
     )
-    sets = df.select(F.col(id_col).alias("id"), grams.alias("grams"))
+    # compute the gram sets AFTER an id-hash exchange of the (narrow)
+    # raw text: a fixture/corpus that arrives as few input splits would
+    # otherwise shingle the whole corpus on those few scan tasks (the
+    # measured straggler); the id partitioning is exactly what the
+    # candidate equi-join needs, so this exchange replaces — not adds
+    # to — the join's own shuffle of the gram arrays
+    sets = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
+        .repartition(par, "id")
+        .select("id", grams.alias("grams"))
+    )
+    # spread the probe side: upstream blocking stages (LSH buckets, SNM
+    # block windows) often leave the candidate list in a handful of
+    # AQE-coalesced partitions — cheap to reshuffle (two ids/row), and
+    # the per-pair intersect work (the expensive part) then runs at
+    # full parallelism instead of on the coalesced remnant
+    pairs = pairs.repartition(par, "id_a")
+    # SHUFFLE_HASH: the gram-set side is corpus-sized (one ~kB array
+    # per document) — letting Spark broadcast it builds and ships the
+    # whole corpus's shingle sets through the driver TWICE (measured
+    # 16 s -> 7 s at 50k docs), and at real scale it simply OOMs.
+    # Shuffle-hash keeps both legs partition-local equi-joins.
     joined = (
-        pairs.join(sets.select(F.col("id").alias("id_a"), F.col("grams").alias("grams_a")), "id_a")
-        .join(sets.select(F.col("id").alias("id_b"), F.col("grams").alias("grams_b")), "id_b")
+        pairs.join(
+            sets.select(
+                F.col("id").alias("id_a"), F.col("grams").alias("grams_a")
+            ).hint("SHUFFLE_HASH"),
+            "id_a",
+        )
+        .join(
+            sets.select(
+                F.col("id").alias("id_b"), F.col("grams").alias("grams_b")
+            ).hint("SHUFFLE_HASH"),
+            "id_b",
+        )
     )
     inter = F.size(F.array_intersect("grams_a", "grams_b"))
     union = F.size("grams_a") + F.size("grams_b") - inter
