@@ -646,6 +646,9 @@ def test_r4_late_additions_plan_shapes(spark, sf_dir):
         "events_ab_welch_ttest": 1,        # ONE conditional-agg pass
         "events_rfm_segments": 5,          # user agg + 3 quartile windows + rollup
         "corpus_snapshot_diff": 4,         # full-outer join sides + rollup
+        "emb_bitext_margin_lsh": 6,        # bucket equi-join + top-k windows + argmax
+        "events_ab_cuped": 4,              # user reduce + moment reduce (+1-row bounds BNLJ)
+        "emb_ivf_cell_stats": 1,           # literal-fold assign + ONE groupBy
     }
     for name, max_shuffles in shapes.items():
         p = plan_of(QUERIES[name].fn(spark, sf_dir), "simple")
