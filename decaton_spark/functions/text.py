@@ -656,3 +656,64 @@ def topic_tag(
         F.when(total > 0, -best["neg"]).cast("long").alias("topic_hits"),
         total.alias("total_hits"),
     )
+
+
+def zipf_fit(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    top_k: int = 100,
+) -> DataFrame:
+    """Zipf's-law fit over the corpus frequency spectrum: least-squares
+    slope/intercept/R² of ln(freq) vs ln(rank) for the ``top_k`` most
+    frequent terms — the drift gauge a corpus pipeline watches across
+    versions (natural text sits near slope −1; a crawl gone wrong —
+    boilerplate floods, template spam, tokenizer breakage — bends the
+    spectrum before any downstream metric moves).
+
+    One corpus scan into term counts (partial-agg), a bounded top-k
+    (TakeOrdered, never a global sort), then the regression runs over
+    ≤``top_k`` rows: ln values quantize to exact 1e-6 BIGINT micros
+    (scale-0 round of identical IEEE ln), moments sum order-free, and
+    slope/intercept/R² evaluate in one canonical double formula —
+    engine-identical.
+
+    Returns one row: (n_terms, slope, intercept, r2_ppm).
+    """
+    tf = (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    top = tf.orderBy(F.col("ct").desc(), F.col("term")).limit(top_k)
+    w = Window.orderBy(F.col("ct").desc(), F.col("term"))
+    xy = top.withColumn("rank", F.row_number().over(w)).select(
+        F.round(F.log(F.col("rank").cast("double")) * 1_000_000)
+        .cast("long")
+        .alias("x"),
+        F.round(F.log(F.col("ct").cast("double")) * 1_000_000)
+        .cast("long")
+        .alias("y"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    m = xy.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dec(F.col("x"))).alias("sx"),
+        F.sum(dec(F.col("y"))).alias("sy"),
+        F.sum(dec(F.col("x") * F.col("x"))).alias("sxx"),
+        F.sum(dec(F.col("y") * F.col("y"))).alias("syy"),
+        F.sum(dec(F.col("x") * F.col("y"))).alias("sxy"),
+    )
+    d = lambda e: e.cast("double")  # noqa: E731
+    covn = d(dec(F.col("n")) * F.col("sxy") - F.col("sx") * F.col("sy"))
+    vxn = d(dec(F.col("n")) * F.col("sxx") - F.col("sx") * F.col("sx"))
+    vyn = d(dec(F.col("n")) * F.col("syy") - F.col("sy") * F.col("sy"))
+    slope = covn / vxn
+    intercept = (d(F.col("sy")) - slope * d(F.col("sx"))) / d(F.col("n")) / 1e6
+    return m.select(
+        F.col("n").alias("n_terms"),
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+        F.round(covn * covn / (vxn * vyn) * 1_000_000).cast("long").alias("r2_ppm"),
+    )

@@ -8587,6 +8587,51 @@ def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return st.cuped_adjustment(src)
 
 
+@register(
+    "docs_zipf_fit",
+    """
+    WITH zf_tf AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS ct
+        FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+        WHERE term <> '' GROUP BY term),
+    zf_top AS (SELECT * FROM zf_tf ORDER BY ct DESC, term LIMIT 100),
+    zf_xy AS (
+        SELECT CAST(round(ln(CAST(row_number() OVER (ORDER BY ct DESC, term)
+                                  AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+               CAST(round(ln(CAST(ct AS DOUBLE)) * 1000000) AS BIGINT) AS y
+        FROM zf_top),
+    zf_m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+               sum(CAST(x * x AS HUGEINT)) AS sxx,
+               sum(CAST(y * y AS HUGEINT)) AS syy,
+               sum(CAST(x * y AS HUGEINT)) AS sxy
+        FROM zf_xy),
+    zf_f AS (
+        SELECT n,
+               CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE) AS covn,
+               CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE) AS vxn,
+               CAST(CAST(n AS HUGEINT) * syy - sy * sy AS DOUBLE) AS vyn,
+               CAST(sx AS DOUBLE) AS dsx, CAST(sy AS DOUBLE) AS dsy
+        FROM zf_m)
+    SELECT n AS n_terms,
+           round(covn / vxn, 6) AS slope,
+           round((dsy - (covn / vxn) * dsx) / CAST(n AS DOUBLE) / 1e6, 6)
+               AS intercept,
+           CAST(round(covn * covn / (vxn * vyn) * 1000000) AS BIGINT) AS r2_ppm
+    FROM zf_f
+    """,
+)
+def docs_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus frequency-spectrum drift gauge (``tx.zipf_fit``): the
+    least-squares Zipf slope/intercept/R² of ln(freq) vs ln(rank) over
+    the top-100 terms. One partial-agg term count, a bounded top-k,
+    and a ≤100-row regression on exact micro-quantized logs — the
+    whole fit is a canonical double formula over integer moments."""
+    docs = load_table(spark, "documents", sf_dir)
+    return tx.zipf_fit(docs, top_k=100)
+
+
 def _fertility_oracle(n: int) -> str:
     from decaton_spark.functions import bpe as _bpe
 

@@ -196,3 +196,22 @@ def test_sorted_neighborhood_window_and_blocks(spark):
         (10, 11), (11, 12), (12, 13), (14, 15),
         (10, 12), (11, 13),
     }
+
+
+def test_zipf_fit_recovers_planted_power_law(spark):
+    """A corpus whose term frequencies are an exact power law
+    freq(r) = 1000·r^(-0.8) must regress to slope ≈ -0.8 with
+    near-perfect R²; natural-ish tie-breaking keeps ranks stable."""
+    from decaton_spark.functions import text as tx
+
+    words = []
+    for r in range(1, 21):
+        words += [f"w{r:02d}"] * int(1000 * r ** -0.8)
+    df = spark.createDataFrame(
+        [(1, " ".join(words))], schema="doc_id long, text string"
+    )
+    out = tx.zipf_fit(df, top_k=20).collect()[0]
+    assert out["n_terms"] == 20
+    assert abs(out["slope"] - (-0.8)) < 0.02  # int() floors distort slightly
+    assert out["r2_ppm"] > 990_000
+    assert abs(out["intercept"] - 6.907755) < 0.05  # ln(1000)
