@@ -775,3 +775,43 @@ def sorted_neighborhood_pairs(
         "block",
         F.col("nb.gap").alias("rank_gap"),
     )
+
+
+def minhash_values(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(id, mh: array<long>): EIGHT independent min-hash values per
+    document over its k-word shingle set — two salted md5 digests per
+    shingle, four 8-hex-digit slices each — the estimator behind the
+    sketch-accuracy gauge (``dedup_minhash_accuracy``): the fraction
+    of matching slots between two documents is an unbiased estimate
+    of their shingle-set Jaccard, resolvable to 125-per-mille steps
+    at m=8.
+
+    Same hoisted-digest discipline as ``minhash_signature`` (one
+    transform projection per salt, referenced by all four slices —
+    Catalyst does not CSE across lambda scopes).
+    """
+    if num_partitions:
+        df = df.repartition(num_partitions)
+    base = (
+        df.withColumn("_sh", word_shingles(text_col, k))
+        .withColumn("_h1", F.expr("transform(_sh, s -> md5(s))"))
+        .withColumn("_h2", F.expr("transform(_sh, s -> md5(concat('mh2:', s)))"))
+    )
+    slots = [
+        F.expr(
+            f"array_min(transform(_h{src}, "
+            f"h -> {hex_to_long('h', start=1 + 8 * b, ndigits=8)}))"
+        )
+        for src in (1, 2)
+        for b in range(4)
+    ]
+    return base.select(
+        F.col(id_col).alias("id"), F.array(*slots).alias("mh")
+    )

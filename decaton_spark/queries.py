@@ -8632,6 +8632,89 @@ def docs_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.zipf_fit(docs, top_k=100)
 
 
+@register(
+    "dedup_minhash_accuracy",
+    f"""
+    WITH ma_tok AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    ma_sh AS (SELECT doc_id,
+        list_distinct(list_transform(range(greatest(len(l) - 2, 1)),
+            i -> array_to_string(l[i+1:i+3], chr(31)))) AS sh
+        FROM ma_tok),
+    ma_h AS (SELECT doc_id,
+        list_transform(sh, s -> md5(s)) AS h1,
+        list_transform(sh, s -> md5('mh2:' || s)) AS h2
+        FROM ma_sh),
+    ma_mh AS (SELECT doc_id, [
+        {", ".join(f"list_min(list_transform(h{src}, h -> {hex_to_long('h', start=1 + 8 * b, ndigits=8)}))" for src in (1, 2) for b in range(4))}
+        ] AS mh FROM ma_h),
+    ma_cand AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.mh AS mh_a, b.mh AS mh_b
+        FROM ma_mh a JOIN ma_mh b
+          ON a.doc_id < b.doc_id
+         AND (a.mh[1] = b.mh[1] OR a.mh[2] = b.mh[2]
+              OR a.mh[3] = b.mh[3] OR a.mh[4] = b.mh[4])),
+    ma_j AS (
+        SELECT id_a, id_b, mh_a, mh_b,
+               round(len(list_intersect(sa.sh, sb.sh)) * 1.0 /
+                     (len(sa.sh) + len(sb.sh)
+                      - len(list_intersect(sa.sh, sb.sh))), 6) AS jacc
+        FROM ma_cand JOIN ma_sh sa ON sa.doc_id = ma_cand.id_a
+                     JOIN ma_sh sb ON sb.doc_id = ma_cand.id_b)
+    SELECT id_a, id_b,
+           CAST(round(jacc * 1000) AS BIGINT) AS jacc_pml,
+           CAST(125 * len(list_filter(range(8),
+                i -> mh_a[i + 1] = mh_b[i + 1])) AS BIGINT) AS est_pml,
+           abs(CAST(round(jacc * 1000) AS BIGINT)
+               - CAST(125 * len(list_filter(range(8),
+                     i -> mh_a[i + 1] = mh_b[i + 1])) AS BIGINT)) AS err_pml
+    FROM ma_j
+    """,
+)
+def dedup_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy gauge for the MinHash estimator — "measure,
+    don't guess" applied to the dedup infrastructure itself: for every
+    LSH candidate pair, the m=8 slot-match Jaccard ESTIMATE
+    (``dd.minhash_values``, 125-pml resolution) side by side with the
+    exact 3-gram-shingle Jaccard and the absolute error. A pipeline
+    reads this before trusting a banding threshold at a new shingle
+    size or corpus mix. All joins are id/band equi-joins over the
+    bounded candidate set."""
+    par = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, "documents", sf_dir)
+    cand = dd.minhash_candidate_pairs(
+        docs, k=3, bands=4, num_partitions=par
+    ).localCheckpoint(eager=False)
+    exact = dd.verify_pairs_jaccard(docs, cand, n=3, threshold=0.0)
+    mh = dd.minhash_values(docs, k=3, num_partitions=par)
+    paired = (
+        cand.join(
+            mh.select(F.col("id").alias("id_a"), F.col("mh").alias("mh_a")), "id_a"
+        )
+        .join(
+            mh.select(F.col("id").alias("id_b"), F.col("mh").alias("mh_b")), "id_b"
+        )
+        .withColumn(
+            "est_pml",
+            F.expr(
+                "125 * aggregate(zip_with(mh_a, mh_b,"
+                " (a, b) -> IF(a = b, CAST(1 AS BIGINT), CAST(0 AS BIGINT))),"
+                " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+            ),
+        )
+    )
+    out = paired.join(exact, ["id_a", "id_b"]).withColumn(
+        "jacc_pml", F.round(F.col("jaccard") * 1000).cast("long")
+    )
+    return out.select(
+        "id_a",
+        "id_b",
+        "jacc_pml",
+        "est_pml",
+        F.abs(F.col("jacc_pml") - F.col("est_pml")).alias("err_pml"),
+    )
+
+
 def _fertility_oracle(n: int) -> str:
     from decaton_spark.functions import bpe as _bpe
 

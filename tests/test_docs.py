@@ -215,3 +215,25 @@ def test_zipf_fit_recovers_planted_power_law(spark):
     assert abs(out["slope"] - (-0.8)) < 0.02  # int() floors distort slightly
     assert out["r2_ppm"] > 990_000
     assert abs(out["intercept"] - 6.907755) < 0.05  # ln(1000)
+
+
+def test_minhash_values_estimate_identical_and_disjoint(spark):
+    """Identical documents match on all 8 slots (est 1000 pml);
+    shingle-disjoint documents match on none (est 0) up to md5
+    coincidence; the slot arrays are deterministic."""
+    from decaton_spark.functions import dedup as dd
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "a b c d e f g h"),
+        (2, "a b c d e f g h"),          # identical -> all slots equal
+        (3, "p q r s t u v w"),          # disjoint 3-gram shingles
+    ]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+    mh = {r["id"]: list(r["mh"]) for r in dd.minhash_values(df, k=3).collect()}
+    assert len(mh[1]) == 8 and mh[1] == mh[2]
+    matches_13 = sum(1 for a, b in zip(mh[1], mh[3]) if a == b)
+    assert matches_13 == 0
+    # deterministic across evaluations
+    again = {r["id"]: list(r["mh"]) for r in dd.minhash_values(df, k=3).collect()}
+    assert again == mh
