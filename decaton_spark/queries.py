@@ -9464,15 +9464,17 @@ _DRIVER_TIER = [
     #      emb_lang_centroid_drift, text_collocations_pmi,
     #      events_join_size_estimate — all
     #      locally certified 174/174 by drive_harness --all and swept
-    #      partition-invariant), PLUS the 9 continuation-session
+    #      partition-invariant), PLUS the 14 continuation-session
     #      registrations (dedup_sorted_neighborhood,
     #      dedup_triangle_stats, emb_random_projection_recall,
-    #      emb_bitext_margin_mining, docs_ccnet_buckets,
-    #      text_fertility_by_lang, events_ab_welch_ttest,
-    #      events_rfm_segments, corpus_snapshot_diff — each certified
-    #      individually at registration and in the final full-registry
-    #      drive_harness --all sweep) — zero-evidence always outranks
-    #      re-verification;
+    #      emb_bitext_margin_mining, emb_bitext_margin_lsh,
+    #      docs_ccnet_buckets, text_fertility_by_lang,
+    #      events_ab_welch_ttest, events_ab_cuped,
+    #      events_rfm_segments, corpus_snapshot_diff,
+    #      emb_ivf_cell_stats, docs_zipf_fit, dedup_minhash_accuracy —
+    #      each certified individually at registration and in the
+    #      final full-registry drive_harness --all sweep) —
+    #      zero-evidence always outranks re-verification;
     #   1. newest-row-is-r2 (at the 3-round freshness bound): the 31
     #      r2-row holders (q2/q4-q7/q10-q14/q16/q17/q19/q20/q22, f1-f3,
     #      p1, t1_compaction_windowed, t3, t4, s7, s8_legacy_envelope,
