@@ -1047,6 +1047,7 @@ def streaming_ab_monitor(
     group_col: str = "event_type",
     arm_col: str = "arm",
     value_centi_col: str = "v",
+    api: str = "auto",
 ) -> DataFrame:
     """Continuous A/B readout: the streaming twin of
     ``functions.stats.welch_ttest``. State per group is the six exact
@@ -1065,6 +1066,16 @@ def streaming_ab_monitor(
     welch_dof) per group per microbatch that touches it.
     """
     import math
+
+    if _use_tws(api):
+        from decaton_spark.streaming.tws import tws_ab_monitor
+
+        return tws_ab_monitor(
+            events,
+            group_col=group_col,
+            arm_col=arm_col,
+            value_centi_col=value_centi_col,
+        )
 
     out_schema = (
         f"{group_col} string, n_a long, n_b long,"

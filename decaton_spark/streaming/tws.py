@@ -929,3 +929,98 @@ def tws_histogram_quantiles(
             timeMode="None",
         )
     )
+
+
+class AbMonitorProcessor(StatefulProcessor):
+    """Continuous A/B readout in TWS form: the six exact integer
+    sufficient statistics (n, Σv, Σv² per arm) as one typed value
+    state — the ``stateful.streaming_ab_monitor`` semantics on the
+    Spark 4 primitive. Integer sums are commutative, so Arrow chunking
+    order cannot affect the readout; t/dof evaluate through the batch
+    operator's canonical double formula on every microbatch."""
+
+    def __init__(self, group_col: str):
+        self.group_col = group_col
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self.stats = handle.getValueState(
+            "stats", "na long, nb long, sa long, sb long, qa long, qb long"
+        )
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+        import math
+
+        na, nb, sa, sb, qa, qb = (
+            tuple(int(x) for x in self.stats.get())
+            if self.stats.exists()
+            else (0, 0, 0, 0, 0, 0)
+        )
+        touched = False
+        for pdf in rows:
+            if not len(pdf):
+                continue
+            touched = True
+            a = pdf[pdf["arm"] == "A"]["v"]
+            b = pdf[pdf["arm"] == "B"]["v"]
+            na, nb = na + len(a), nb + len(b)
+            sa, sb = sa + int(a.sum()), sb + int(b.sum())
+            qa, qb = qa + int((a * a).sum()), qb + int((b * b).sum())
+        if not touched:
+            return
+        self.stats.update((na, nb, sa, sb, qa, qb))
+        t = dof = None
+        if na >= 2 and nb >= 2:
+            from decaton_spark.streaming.stateful import _round_half_away
+
+            dna, dnb = float(na), float(nb)
+            dsa, dsb, dqa, dqb = float(sa), float(sb), float(qa), float(qb)
+            va = (dna * dqa - dsa * dsa) / (dna * (dna - 1))
+            vb = (dnb * dqb - dsb * dsb) / (dnb * (dnb - 1))
+            se2 = va / dna + vb / dnb
+            t = _round_half_away((dsa / dna - dsb / dnb) / math.sqrt(se2) * 1e6) / 1e6
+            dof = _round_half_away(
+                (se2 * se2)
+                / (
+                    (va / dna) * (va / dna) / (dna - 1)
+                    + (vb / dnb) * (vb / dnb) / (dnb - 1)
+                )
+                * 1e4
+            ) / 1e4
+        yield pd.DataFrame(
+            {
+                self.group_col: [key[0]],
+                "n_a": [na],
+                "n_b": [nb],
+                "sum_centi_a": [sa],
+                "sum_centi_b": [sb],
+                "t_stat": [t],
+                "welch_dof": [dof],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def tws_ab_monitor(
+    events: DataFrame,
+    *,
+    group_col: str = "event_type",
+    arm_col: str = "arm",
+    value_centi_col: str = "v",
+) -> DataFrame:
+    out_schema = (
+        f"{group_col} string, n_a long, n_b long,"
+        " sum_centi_a long, sum_centi_b long,"
+        " t_stat double, welch_dof double"
+    )
+    return (
+        events.selectExpr(group_col, f"{arm_col} AS arm", f"{value_centi_col} AS v")
+        .groupBy(group_col)
+        .transformWithStateInPandas(
+            AbMonitorProcessor(group_col),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

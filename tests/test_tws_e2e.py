@@ -635,3 +635,51 @@ def test_tws_histogram_matches_batch_sketch(spark, tmp_path):
         for r in batch
     }
     assert got == exp
+
+
+def test_tws_ab_monitor_end_to_end(spark, tmp_path):
+    """The A/B monitor's LAST readout per group through a REAL TWS
+    query (RocksDB state, two microbatches) equals the batch Welch
+    t-test over the same rows — both state APIs satisfy the same
+    equivalence contract."""
+    from decaton_spark.functions import stats as st
+    from decaton_spark.streaming.stateful import streaming_ab_monitor
+
+    rows = [
+        ("m", "A", 1000), ("m", "A", 1200), ("m", "B", 900),
+        ("m", "B", 800), ("x", "A", 50), ("x", "B", 60),
+        ("m", "A", 1100), ("m", "B", 950), ("x", "A", 70), ("x", "B", 40),
+    ]
+    df = spark.createDataFrame(rows, "event_type string, arm string, v long")
+    src = tmp_path / "absrc"
+    src.mkdir()
+    df.limit(6).coalesce(1).write.parquet(str(src / "b0"))
+    df.subtract(df.limit(6)).coalesce(1).write.parquet(str(src / "b1"))
+    with rocksdb_state(spark):
+        stream = (
+            spark.readStream.schema("event_type string, arm string, v long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src) + "/*")
+        )
+        out = streaming_ab_monitor(stream, api="tws")
+        _run_available_now(out, "twsab", str(tmp_path / "ckpt"))
+    emitted = spark.sql("SELECT * FROM twsab").collect()
+    last = {}
+    for r in emitted:  # counts grow monotonically: keep the fullest readout
+        cur = last.get(r["event_type"])
+        if cur is None or r["n_a"] + r["n_b"] > cur[0] + cur[1]:
+            last[r["event_type"]] = (
+                r["n_a"], r["n_b"], r["sum_centi_a"], r["sum_centi_b"],
+                r["t_stat"], r["welch_dof"],
+            )
+    batch = st.welch_ttest(
+        df.withColumn("value", F.col("v") / 100.0), group_cols=["event_type"]
+    ).collect()
+    exp = {
+        r["event_type"]: (
+            r["n_a"], r["n_b"], r["sum_centi_a"], r["sum_centi_b"],
+            r["t_stat"], r["welch_dof"],
+        )
+        for r in batch
+    }
+    assert last == exp
