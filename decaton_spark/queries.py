@@ -9421,7 +9421,16 @@ _DRIVER_TIER = [
     # old and hold the round-5 re-verification queue — the 3-round
     # freshness bound is preserved by construction.
     #
-    # ROUND-4 FULL-REGISTRY CERTIFICATION (final): tools/drive_harness.py
+    # ROUND-4 CONTINUATION CERTIFICATION (latest): tools/drive_harness.py
+    # --all (untuned local[8], sf0.01, side-by-side DuckDB) = **188/188
+    # MATCH** after the continuation band (the 14 registrations listed
+    # in the round-5 queue above) and the verifier scale fixes
+    # (post-exchange shingling, SHUFFLE_HASH gram joins, SNM 2-char
+    # blocks) — every verifier-consumer query re-certified after the
+    # plan change. Continuation ladder rows in SCALE_LADDER.json
+    # (SNM 310 s -> 32 s at x100 from the fixes).
+    #
+    # ROUND-4 FULL-REGISTRY CERTIFICATION (mid-round): tools/drive_harness.py
     # --all (untuned local[8], sf0.01, side-by-side DuckDB) = **174/174
     # MATCH** — the COMPLETE registry including every round-4 addition:
     # the mid-round batch (t1_compaction_hash, text_bpe_merges,
