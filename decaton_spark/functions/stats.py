@@ -241,3 +241,53 @@ def cuped_adjustment(
         F.when(ok, F.round(raw / 100, 4)).alias("effect_raw"),
         F.when(ok, F.round((raw - theta * ximb) / 100, 4)).alias("effect_cuped"),
     )
+
+
+def conversion_ztest(
+    per_user: DataFrame,
+    *,
+    arm_col: str = "arm",
+    convert_col: str = "converted",
+) -> DataFrame:
+    """Two-proportion z-test on a per-user conversion frame — the
+    binary-outcome sibling of ``welch_ttest`` (signup/purchase rates
+    rather than revenue). One conditional-aggregate pass collects the
+    four exact counts; the pooled-variance z statistic evaluates in one
+    canonical double formula:
+
+        z = (c_a/n_a − c_b/n_b) /
+            sqrt(p̂(1−p̂)(1/n_a + 1/n_b)),  p̂ = (c_a+c_b)/(n_a+n_b)
+
+    Returns one row (n_a, n_b, conv_a, conv_b, rate_a_pml, rate_b_pml,
+    z_stat) — rates as exact per-mille integers, z rounded to 6 digits
+    and NULL when either arm is empty or the pooled rate is degenerate
+    (0 or 1, where the variance vanishes).
+    """
+    is_a = F.col(arm_col) == "A"
+    conv = F.col(convert_col).cast("long")
+    agg = per_user.agg(
+        F.count(F.when(is_a, 1)).cast("long").alias("n_a"),
+        F.count(F.when(~is_a, 1)).cast("long").alias("n_b"),
+        F.coalesce(F.sum(F.when(is_a, conv)), F.lit(0)).cast("long").alias("conv_a"),
+        F.coalesce(F.sum(F.when(~is_a, conv)), F.lit(0)).cast("long").alias("conv_b"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    p = (d("conv_a") + d("conv_b")) / (d("n_a") + d("n_b"))
+    z = (d("conv_a") / d("n_a") - d("conv_b") / d("n_b")) / F.sqrt(
+        p * (1 - p) * (1 / d("n_a") + 1 / d("n_b"))
+    )
+    ok = (
+        (F.col("n_a") > 0)
+        & (F.col("n_b") > 0)
+        & (F.col("conv_a") + F.col("conv_b") > 0)
+        & (F.col("conv_a") + F.col("conv_b") < F.col("n_a") + F.col("n_b"))
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        F.expr("(1000 * conv_a) DIV n_a").cast("long").alias("rate_a_pml"),
+        F.expr("(1000 * conv_b) DIV n_b").cast("long").alias("rate_b_pml"),
+        F.when(ok, F.round(z, 6)).alias("z_stat"),
+    )

@@ -8715,6 +8715,58 @@ def dedup_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_ab_conversion_ztest",
+    f"""
+    WITH zt_u AS (
+        SELECT user_id,
+               CASE WHEN {_AB_ARM} = 0 THEN 'A' ELSE 'B' END AS arm,
+               CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS converted
+        FROM events GROUP BY user_id),
+    zt_a AS (
+        SELECT CAST(count(*) FILTER (arm = 'A') AS BIGINT) AS n_a,
+               CAST(count(*) FILTER (arm = 'B') AS BIGINT) AS n_b,
+               CAST(coalesce(sum(converted) FILTER (arm = 'A'), 0) AS BIGINT)
+                   AS conv_a,
+               CAST(coalesce(sum(converted) FILTER (arm = 'B'), 0) AS BIGINT)
+                   AS conv_b
+        FROM zt_u)
+    SELECT n_a, n_b, conv_a, conv_b,
+           (1000 * conv_a) // n_a AS rate_a_pml,
+           (1000 * conv_b) // n_b AS rate_b_pml,
+           CASE WHEN n_a > 0 AND n_b > 0
+                 AND conv_a + conv_b > 0 AND conv_a + conv_b < n_a + n_b
+           THEN round(
+               (CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+               / sqrt(((CAST(conv_a AS DOUBLE) + CAST(conv_b AS DOUBLE))
+                       / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+                      * (1 - (CAST(conv_a AS DOUBLE) + CAST(conv_b AS DOUBLE))
+                             / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+                      * (1 / CAST(n_a AS DOUBLE) + 1 / CAST(n_b AS DOUBLE))), 6)
+           END AS z_stat
+    FROM zt_a
+    """,
+)
+def events_ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-rate A/B readout: per-user purchase conversion under
+    the same md5-parity assignment, tested with the pooled two-
+    proportion z statistic (``stats.conversion_ztest``) — the binary
+    sibling of the Welch readout. One partial-agg user reduce + one
+    conditional-aggregate pass; rates exact per-mille, z a canonical
+    double formula over the four counts."""
+    from decaton_spark.functions import stats as st
+
+    ev = load_table(spark, "events", sf_dir)
+    per_user = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).cast("long").alias("converted")
+    ).withColumn("arm", st.hash_arm("CAST(user_id AS STRING)"))
+    return st.conversion_ztest(per_user)
+
+
 def _fertility_oracle(n: int) -> str:
     from decaton_spark.functions import bpe as _bpe
 

@@ -128,3 +128,23 @@ def test_cuped_reduces_variance_on_correlated_fixture(spark):
     # centi lift (effects are reported in centi units)
     assert abs(out["effect_cuped"] - 200.0) < 20
     assert abs(out["effect_cuped"] - 200.0) <= abs(out["effect_raw"] - 200.0)
+
+
+def test_conversion_ztest_reference_formula_and_guards(spark):
+    import math
+
+    from decaton_spark.functions import stats as st
+
+    rows = [("A", 1)] * 30 + [("A", 0)] * 70 + [("B", 1)] * 20 + [("B", 0)] * 80
+    df = spark.createDataFrame(rows, "arm string, converted long")
+    out = st.conversion_ztest(df).collect()[0]
+    assert (out["n_a"], out["n_b"], out["conv_a"], out["conv_b"]) == (100, 100, 30, 20)
+    assert out["rate_a_pml"] == 300 and out["rate_b_pml"] == 200
+    p = 50 / 200
+    z = (0.3 - 0.2) / math.sqrt(p * (1 - p) * (1 / 100 + 1 / 100))
+    assert out["z_stat"] == round(z, 6)
+
+    # degenerate: nobody converts -> variance 0 -> NULL z, rates still exact
+    d0 = spark.createDataFrame([("A", 0), ("B", 0)], "arm string, converted long")
+    r0 = st.conversion_ztest(d0).collect()[0]
+    assert r0["z_stat"] is None and r0["rate_a_pml"] == 0
