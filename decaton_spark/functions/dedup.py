@@ -720,6 +720,7 @@ def sorted_neighborhood_pairs(
     window: int = 4,
     key_chars: int = 24,
     block_chars: int = 1,
+    key_expr: Column | None = None,
 ) -> DataFrame:
     """Sorted-neighborhood blocking (Hernández & Stolfo SNM): candidate
     pairs are documents that land within ``window`` positions of each
@@ -739,12 +740,17 @@ def sorted_neighborhood_pairs(
     sort; compare LSH banding's ``bands`` shuffles. Precision is
     traded for the single pass — run several passes with different
     key transpositions to recover recall (each pass is this function
-    with a different ``key_chars``/normalization).
+    with a different ``key_expr``; union the candidate sets before one
+    shared verify — see ``dedup_snm_multipass``).
 
     Returns candidate pairs (id_a < id_b, block, rank_gap).
     """
     key = F.substring(
-        F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", ""), 1, key_chars
+        F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", "")
+        if key_expr is None
+        else key_expr,
+        1,
+        key_chars,
     )
     keyed = df.select(
         F.col(id_col).alias("id"),

@@ -3177,6 +3177,85 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_snm_multipass",
+    """
+    WITH mp_k AS (
+        SELECT doc_id,
+               substr(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                      1, 24) AS k1,
+               substr(array_to_string(list_sort(list_distinct(
+                      string_split(lower(text), ' '))), ' '), 1, 24) AS k2
+        FROM documents),
+    mp_b1 AS (
+        SELECT doc_id, k1 AS k, substr(k1, 1, 2) AS block,
+               row_number() OVER (PARTITION BY substr(k1, 1, 2)
+                                  ORDER BY k1, doc_id) AS rn
+        FROM mp_k),
+    mp_b2 AS (
+        SELECT doc_id, k2 AS k, substr(k2, 1, 2) AS block,
+               row_number() OVER (PARTITION BY substr(k2, 1, 2)
+                                  ORDER BY k2, doc_id) AS rn
+        FROM mp_k),
+    mp_c AS (
+        SELECT least(a.doc_id, b.doc_id) AS id_a,
+               greatest(a.doc_id, b.doc_id) AS id_b
+        FROM mp_b1 a JOIN mp_b1 b
+          ON a.block = b.block AND b.rn - a.rn BETWEEN 1 AND 3
+        UNION ALL
+        SELECT least(a.doc_id, b.doc_id), greatest(a.doc_id, b.doc_id)
+        FROM mp_b2 a JOIN mp_b2 b
+          ON a.block = b.block AND b.rn - a.rn BETWEEN 1 AND 3),
+    mp_cand AS (
+        SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_passes
+        FROM mp_c GROUP BY id_a, id_b),
+    mp_tok AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    mp_sets AS (SELECT doc_id AS id,
+               list_distinct(list_transform(range(greatest(len(l) - 2, 1)),
+                   i -> array_to_string(l[i+1:i+3], chr(31)))) AS grams
+               FROM mp_tok)
+    SELECT id_a, id_b, n_passes,
+           round(len(list_intersect(sa.grams, sb.grams)) * 1.0 /
+                 (len(sa.grams) + len(sb.grams)
+                  - len(list_intersect(sa.grams, sb.grams))), 6) AS jaccard
+    FROM mp_cand JOIN mp_sets sa ON sa.id = mp_cand.id_a
+                 JOIN mp_sets sb ON sb.id = mp_cand.id_b
+    WHERE round(len(list_intersect(sa.grams, sb.grams)) * 1.0 /
+                (len(sa.grams) + len(sb.grams)
+                 - len(list_intersect(sa.grams, sb.grams))), 6) >= 0.2
+    """,
+)
+def dedup_snm_multipass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-pass sorted-neighborhood dedup — the production SNM recipe
+    (Hernández & Stolfo run several passes with transposed keys): pass
+    1 sorts on the normalized text prefix, pass 2 on the SORTED
+    distinct-token prefix (order-insensitive — catches near-dups whose
+    edit moved the leading words, which any single prefix sort misses
+    by construction). Candidate sets union by pair with a pass count,
+    then ONE shared Jaccard verify; ``n_passes`` attributes recall to
+    passes (2 = found by both). Each pass is one block shuffle; the
+    union/verify work is bounded by Σ pass candidates."""
+    docs = load_table(spark, "documents", sf_dir)
+    p1 = dd.sorted_neighborhood_pairs(docs, window=4, key_chars=24, block_chars=2)
+    key2 = F.array_join(
+        F.array_sort(F.array_distinct(F.split(F.lower(F.col("text")), " "))), " "
+    )
+    p2 = dd.sorted_neighborhood_pairs(
+        docs, window=4, key_chars=24, block_chars=2, key_expr=key2
+    )
+    cand = (
+        p1.select("id_a", "id_b")
+        .unionAll(p2.select("id_a", "id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_passes"))
+        .localCheckpoint(eager=False)
+    )
+    ver = dd.verify_pairs_jaccard(docs, cand, n=3, threshold=0.2)
+    return cand.join(ver, ["id_a", "id_b"]).select(
+        "id_a", "id_b", "n_passes", "jaccard"
+    )
+
+
 def _dedup_edges_cte(bands: int = 4, k: int = 3, threshold: float = 0.8) -> str:
     """CTE chain ``sh, sigs, cand, sets, edges`` replaying the LSH
     candidate + Jaccard-verify pipeline — the verified near-dup edge

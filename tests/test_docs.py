@@ -237,3 +237,30 @@ def test_minhash_values_estimate_identical_and_disjoint(spark):
     # deterministic across evaluations
     again = {r["id"]: list(r["mh"]) for r in dd.minhash_values(df, k=3).collect()}
     assert again == mh
+
+
+def test_snm_multipass_sorted_key_catches_leading_word_edit(spark):
+    """A near-dup whose edit swapped the two LEADING words sorts far
+    from its original under the prefix key but adjacent under the
+    sorted-token key: pass 2 must recover the pair a single-pass prefix
+    SNM misses (the Hernández & Stolfo transposed-key rationale)."""
+    from pyspark.sql import functions as F
+
+    from decaton_spark.functions import dedup as dd
+
+    body = " ".join(f"w{i}" for i in range(20))
+    rows = [
+        (1, "alpha zebra " + body),
+        (2, "zebra alpha " + body),   # same token set, leading words swapped
+        (3, "mmm nnn unrelated words here entirely different"),
+    ]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+
+    p1 = dd.sorted_neighborhood_pairs(df, window=2, block_chars=1)
+    assert (1, 2) not in {(r["id_a"], r["id_b"]) for r in p1.collect()}
+
+    key2 = F.array_join(
+        F.array_sort(F.array_distinct(F.split(F.lower(F.col("text")), " "))), " "
+    )
+    p2 = dd.sorted_neighborhood_pairs(df, window=2, block_chars=1, key_expr=key2)
+    assert (1, 2) in {(r["id_a"], r["id_b"]) for r in p2.collect()}
