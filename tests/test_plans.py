@@ -649,6 +649,10 @@ def test_r4_late_additions_plan_shapes(spark, sf_dir):
         "emb_bitext_margin_lsh": 6,        # bucket equi-join + top-k windows + argmax
         "events_ab_cuped": 4,              # user reduce + moment reduce (+1-row bounds BNLJ)
         "emb_ivf_cell_stats": 1,           # literal-fold assign + ONE groupBy
+        "events_ab_conversion_ztest": 2,   # user reduce + 1-row final agg
+        "dedup_snm_multipass": 6,          # two block windows + pair union + verify
+        "dedup_minhash_accuracy": 9,       # banding + mh slots + verify + spreads
+        "docs_zipf_fit": 2,                # ONE term count + bounded top-k windows
     }
     for name, max_shuffles in shapes.items():
         p = plan_of(QUERIES[name].fn(spark, sf_dir), "simple")
