@@ -8846,6 +8846,113 @@ def events_ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return st.conversion_ztest(per_user)
 
 
+@register(
+    "events_k_anonymity",
+    """
+    WITH ka_q AS (
+        SELECT event_type,
+               (epoch_ms(ts) // 3600000) % 24 AS hour_of_day,
+               CAST(floor(value / 50.0) AS BIGINT) AS value_band
+        FROM events WHERE value IS NOT NULL),
+    ka_g AS (
+        SELECT event_type, hour_of_day, value_band,
+               CAST(count(*) AS BIGINT) AS sz
+        FROM ka_q GROUP BY 1, 2, 3)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(count(*) FILTER (sz < 5) AS BIGINT) AS groups_below_k,
+           CAST(coalesce(sum(sz) FILTER (sz < 5), 0) AS BIGINT) AS rows_at_risk,
+           min(sz) AS min_group_size
+    FROM ka_g GROUP BY event_type
+    """,
+)
+def events_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity release gauge (k=5): bucket every event by its
+    quasi-identifier tuple (type, hour-of-day, 50-unit value band) and
+    report, per event type, how many buckets — and how many rows —
+    fall below the k threshold, i.e. are re-identifiable in a data
+    release. Two partial-agg passes (QI bucket count, per-type
+    rollup); the hour is pure epoch arithmetic (no session-timezone
+    dependence), and the value band is a nonneg floor division."""
+    ev = load_table(spark, "events", sf_dir).filter(F.col("value").isNotNull())
+    q = ev.select(
+        "event_type",
+        F.expr("(unix_millis(ts) DIV 3600000) % 24").alias("hour_of_day"),
+        F.floor(F.col("value") / 50.0).cast("long").alias("value_band"),
+    )
+    g = q.groupBy("event_type", "hour_of_day", "value_band").agg(
+        F.count(F.lit(1)).cast("long").alias("sz")
+    )
+    below = F.col("sz") < 5
+    return g.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.count(F.when(below, 1)).cast("long").alias("groups_below_k"),
+        F.coalesce(F.sum(F.when(below, F.col("sz"))), F.lit(0))
+        .cast("long")
+        .alias("rows_at_risk"),
+        F.min("sz").alias("min_group_size"),
+    )
+
+
+@register(
+    "tpch_referential_audit",
+    """
+    WITH ra_oc AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_child,
+               CAST(count(*) FILTER (c.c_custkey IS NULL) AS BIGINT) AS n_orphans
+        FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey),
+    ra_lo AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_child,
+               CAST(count(*) FILTER (o.o_orderkey IS NULL) AS BIGINT) AS n_orphans
+        FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    ra_ls AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_child,
+               CAST(count(*) FILTER (s.s_suppkey IS NULL) AS BIGINT) AS n_orphans
+        FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey)
+    SELECT 'orders->customer' AS fk_edge, n_child, n_orphans,
+           (1000000 * n_orphans) // n_child AS orphan_ppm FROM ra_oc
+    UNION ALL
+    SELECT 'lineitem->orders', n_child, n_orphans,
+           (1000000 * n_orphans) // n_child FROM ra_lo
+    UNION ALL
+    SELECT 'lineitem->supplier', n_child, n_orphans,
+           (1000000 * n_orphans) // n_child FROM ra_ls
+    """,
+)
+def tpch_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the fact schema's FK edges:
+    orphan counts and exact ppm rates for orders→customer,
+    lineitem→orders, lineitem→supplier — the ingestion gate that
+    catches a partial dimension load before queries silently drop
+    rows through inner joins. Each edge is one left join where BOTH
+    sides carry only their key column (pruned scans — the shuffle
+    moves 8-byte keys, never payloads; AQE broadcasts whichever parent
+    actually fits instead of hardcoding a fact-sized broadcast),
+    aggregated to a single row."""
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir).select("c_custkey")
+    li = load_table(spark, "lineitem", sf_dir)
+    s = load_table(spark, "supplier", sf_dir).select("s_suppkey")
+
+    def edge(child, key, parent, pkey, name):
+        j = child.select(F.col(key)).join(
+            parent, child[key] == parent[pkey], "left"
+        )
+        return j.agg(
+            F.lit(name).alias("fk_edge"),
+            F.count(F.lit(1)).cast("long").alias("n_child"),
+            F.count(F.when(F.col(pkey).isNull(), 1)).cast("long").alias("n_orphans"),
+        ).withColumn("orphan_ppm", F.expr("(1000000 * n_orphans) DIV n_child"))
+
+    return (
+        edge(o, "o_custkey", c, "c_custkey", "orders->customer")
+        .unionAll(edge(li.select("l_orderkey"), "l_orderkey",
+                       o.select("o_orderkey"), "o_orderkey", "lineitem->orders"))
+        .unionAll(edge(li.select("l_suppkey"), "l_suppkey",
+                       s, "s_suppkey", "lineitem->supplier"))
+    )
+
+
 def _fertility_oracle(n: int) -> str:
     from decaton_spark.functions import bpe as _bpe
 
