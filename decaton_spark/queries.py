@@ -3573,6 +3573,33 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "docs_langid_confusion",
+    f"""
+    WITH lc AS (
+        SELECT doc_id, lang,
+               {_SCORES}
+        FROM documents)
+    SELECT lang, {_WINNER} AS predicted_lang,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM lc GROUP BY 1, 2
+    """,
+)
+def docs_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the engine's own marker-stopword language
+    identifier against the labeled ``lang`` column — the eval harness
+    a pipeline runs before trusting a classifier as a routing gate
+    (per-language accuracy, systematic confusions, and the 'und'
+    abstention rate all read off the cells). One shuffle-free scoring
+    projection + one partial-agg groupBy over ≤|langs|² cells."""
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        tx.lang_id(docs)
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+
+
+@register(
     "text_quality",
     """
     SELECT doc_id,
