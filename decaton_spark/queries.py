@@ -8980,6 +8980,48 @@ def tpch_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "regex_functions_bridge",
+    """
+    SELECT doc_id,
+           regexp_extract(text, 's[a-z]+n', 0) AS first_sn_word,
+           regexp_extract(text, '([a-z]+) ([a-z]+)', 2) AS second_word,
+           regexp_replace(substr(text, 1, 40), '[aeiou]', '_', 'g') AS devoweled,
+           CAST(len(regexp_extract_all(text, 'ta[a-z]+')) AS INT) AS n_ta_words,
+           CASE WHEN regexp_matches(text, '(query|scan) (big|slow)')
+                THEN 1 ELSE 0 END AS has_slow_scan,
+           CASE WHEN regexp_matches(text, '^[a-z]')
+                THEN 1 ELSE 0 END AS starts_lower
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def regex_functions_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex-function parity bridge: pins the regex subset the quality/
+    PII/normalization layers stand on — extraction with group indexing,
+    global replacement, match counting via extract_all, boolean match,
+    and anchors — to identical behavior across Java regex (Spark) and
+    RE2 (DuckDB). Restricted to the dialect intersection (character
+    classes, alternation, quantifiers, anchors; no lookaround or
+    backreferences, which the two flavors DO disagree on — the bridge
+    documents the safe envelope). Pure projection, pruned scan."""
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 200)
+    return docs.select(
+        "doc_id",
+        F.regexp_extract("text", "s[a-z]+n", 0).alias("first_sn_word"),
+        F.regexp_extract("text", "([a-z]+) ([a-z]+)", 2).alias("second_word"),
+        F.regexp_replace(F.substring("text", 1, 40), "[aeiou]", "_").alias(
+            "devoweled"
+        ),
+        F.size(F.expr("regexp_extract_all(text, 'ta[a-z]+', 0)")).alias(
+            "n_ta_words"
+        ),
+        F.when(F.col("text").rlike("(query|scan) (big|slow)"), 1)
+        .otherwise(0)
+        .alias("has_slow_scan"),
+        F.when(F.col("text").rlike("^[a-z]"), 1).otherwise(0).alias("starts_lower"),
+    )
+
+
 def _fertility_oracle(n: int) -> str:
     from decaton_spark.functions import bpe as _bpe
 
