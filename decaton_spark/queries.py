@@ -9780,16 +9780,19 @@ _DRIVER_TIER = [
     #      emb_lang_centroid_drift, text_collocations_pmi,
     #      events_join_size_estimate — all
     #      locally certified 174/174 by drive_harness --all and swept
-    #      partition-invariant), PLUS the 14 continuation-session
+    #      partition-invariant), PLUS the 20 continuation-session
     #      registrations (dedup_sorted_neighborhood,
     #      dedup_triangle_stats, emb_random_projection_recall,
     #      emb_bitext_margin_mining, emb_bitext_margin_lsh,
     #      docs_ccnet_buckets, text_fertility_by_lang,
     #      events_ab_welch_ttest, events_ab_cuped,
-    #      events_rfm_segments, corpus_snapshot_diff,
-    #      emb_ivf_cell_stats, docs_zipf_fit, dedup_minhash_accuracy —
-    #      each certified individually at registration and in the
-    #      final full-registry drive_harness --all sweep) —
+    #      events_ab_conversion_ztest, events_rfm_segments,
+    #      corpus_snapshot_diff, emb_ivf_cell_stats, docs_zipf_fit,
+    #      dedup_minhash_accuracy, dedup_snm_multipass,
+    #      events_k_anonymity, tpch_referential_audit,
+    #      docs_langid_confusion, regex_functions_bridge — each
+    #      certified individually at registration and in the final
+    #      full-registry drive_harness --all sweep) —
     #      zero-evidence always outranks re-verification;
     #   1. newest-row-is-r2 (at the 3-round freshness bound): the 31
     #      r2-row holders (q2/q4-q7/q10-q14/q16/q17/q19/q20/q22, f1-f3,
