@@ -328,3 +328,114 @@ def test_heavy_hitters_equals_exact_filter(spark, counts, threshold):
     }
     want = {(k, n) for k, n in counts.items() if n >= threshold}
     assert got == want
+
+
+@given(
+    vals=st.lists(
+        st.tuples(st.sampled_from(["A", "B"]), st.integers(-10_000, 10_000)),
+        min_size=4,
+        max_size=40,
+    ).filter(
+        lambda rows: sum(1 for a, _ in rows if a == "A") >= 2
+        and sum(1 for a, _ in rows if a == "B") >= 2
+    )
+)
+@SET
+def test_welch_matches_python_reference(spark, vals):
+    """Welch t/dof over arbitrary centi-integer samples equals the
+    plain-Python sufficient-statistics fold (same canonical formula) —
+    including negative values and tied samples; zero-variance pairs
+    produce consistent NULL/inf handling."""
+    import math
+
+    from decaton_spark.functions import stats as stt
+
+    df = spark.createDataFrame(
+        [("g", a, v) for a, v in vals], "g string, arm string, v long"
+    )
+    out = stt.welch_ttest(
+        df.withColumn("value", F.col("v").cast("double")),
+        group_cols=["g"],
+        unit=1,
+    ).collect()[0]
+    a = [v for arm, v in vals if arm == "A"]
+    b = [v for arm, v in vals if arm == "B"]
+    na, nb, sa, sb = len(a), len(b), sum(a), sum(b)
+    qa, qb = sum(x * x for x in a), sum(x * x for x in b)
+    va = (na * qa - sa * sa) / (na * (na - 1))
+    vb = (nb * qb - sb * sb) / (nb * (nb - 1))
+    se2 = va / na + vb / nb
+    assert (out["n_a"], out["n_b"]) == (na, nb)
+    assert (out["sum_centi_a"], out["sum_centi_b"]) == (sa, sb)
+    if se2 > 0:
+        t = (sa / na - sb / nb) / math.sqrt(se2)
+        assert out["t_stat"] == round(t, 6)
+    else:
+        # both arms constant: t degenerates (NULL/NaN/inf) — just must
+        # not produce a finite wrong number
+        assert out["t_stat"] is None or not math.isfinite(out["t_stat"])
+
+
+@given(
+    src=st.lists(
+        st.lists(st.integers(-5, 5), min_size=3, max_size=3),
+        min_size=1,
+        max_size=5,
+    ),
+    tgt=st.lists(
+        st.lists(st.integers(-5, 5), min_size=3, max_size=3),
+        min_size=1,
+        max_size=5,
+    ),
+)
+@SET
+def test_margin_mining_matches_python_reference(spark, src, tgt):
+    """Mined (src, tgt, margin) set over arbitrary small integer
+    vectors equals the plain-Python implementation of the documented
+    integer-margin algorithm (k=2, threshold 0)."""
+    import math
+
+    from decaton_spark.functions import similarity as sim
+
+    # drop zero vectors (cosine undefined) before both implementations
+    src = [v for v in src if any(v)] or [[1, 0, 0]]
+    tgt = [v for v in tgt if any(v)] or [[0, 1, 0]]
+    mk = lambda rows, base: spark.createDataFrame(  # noqa: E731
+        [(base + i, [float(x) for x in v]) for i, v in enumerate(rows)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        (r["src_id"], r["tgt_id"], r["margin_milli"])
+        for r in sim.margin_mining(
+            mk(src, 0), mk(tgt, 100), k=2, threshold_milli=0
+        ).collect()
+    }
+
+    def c4(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(d / (na * nb) * 10_000)
+
+    cos = {(s, 100 + t): c4(sv, tv) for s, sv in enumerate(src) for t, tv in enumerate(tgt)}
+    a_sum = {
+        s: sum(sorted((cos[(s, 100 + t)] for t in range(len(tgt))), reverse=True)[:2])
+        for s in range(len(src))
+    }
+    b_sum = {
+        100 + t: sum(sorted((cos[(s, 100 + t)] for s in range(len(src))), reverse=True)[:2])
+        for t in range(len(tgt))
+    }
+    want = set()
+    for s in range(len(src)):
+        best = None
+        for t in range(len(tgt)):
+            cc, tid = cos[(s, 100 + t)], 100 + t
+            if cc <= 0 or a_sum[s] + b_sum[tid] <= 0:
+                continue
+            m = (8000 * cc) // (a_sum[s] + b_sum[tid])
+            if best is None or m > best[1] or (m == best[1] and tid < best[0]):
+                best = (tid, m)
+        if best is not None and best[1] >= 0:
+            want.add((s, best[0], best[1]))
+    assert got == want
