@@ -9729,13 +9729,14 @@ _DRIVER_TIER = [
     # freshness bound is preserved by construction.
     #
     # ROUND-4 CONTINUATION CERTIFICATION (latest): tools/drive_harness.py
-    # --all (untuned local[8], sf0.01, side-by-side DuckDB) = **188/188
-    # MATCH** after the continuation band (the 14 registrations listed
-    # in the round-5 queue above) and the verifier scale fixes
-    # (post-exchange shingling, SHUFFLE_HASH gram joins, SNM 2-char
-    # blocks) — every verifier-consumer query re-certified after the
-    # plan change. Continuation ladder rows in SCALE_LADDER.json
-    # (SNM 310 s -> 32 s at x100 from the fixes).
+    # --all (untuned local[8], sf0.01, side-by-side DuckDB) = **194/194
+    # MATCH** — the complete registry including the 20-query
+    # continuation band (listed in the round-5 queue above) and the
+    # verifier scale fixes (post-exchange shingling, SHUFFLE_HASH gram
+    # joins, SNM 2-char blocks) — every verifier-consumer query
+    # re-certified after the plan change; events_* additions also
+    # certified under TZ=Asia/Tokyo. Continuation ladder rows in
+    # SCALE_LADDER.json (SNM 310 s -> 32 s at x100 from the fixes).
     #
     # ROUND-4 FULL-REGISTRY CERTIFICATION (mid-round): tools/drive_harness.py
     # --all (untuned local[8], sf0.01, side-by-side DuckDB) = **174/174
