@@ -291,3 +291,77 @@ def conversion_ztest(
         F.expr("(1000 * conv_b) DIV n_b").cast("long").alias("rate_b_pml"),
         F.when(ok, F.round(z, 6)).alias("z_stat"),
     )
+
+
+def mannwhitney_u(
+    df: DataFrame,
+    *,
+    group_cols: list[str],
+    arm_col: str = "arm",
+    value_col: str = "v",
+) -> DataFrame:
+    """Per-group Mann–Whitney U test between arms 'A' and 'B' — the
+    rank-based (outlier-robust) sibling of ``welch_ttest`` for metrics
+    whose distributions are skewed enough that a mean comparison lies.
+
+    Exact end-to-end on integers: the rank pass runs over DISTINCT
+    VALUES, not rows — one partial-agg groupBy (group, value) collects
+    per-arm counts, a window over the (bounded) distinct-value list
+    accumulates counts-below, and doubled average ranks
+    (2·rank = 2·below + t + 1) stay integers through every tie. The
+    statistic keeps the doubled form (2U = ΣA 2rank − n_a(n_a+1)) and
+    the normal approximation applies the standard tie correction:
+
+        z = (2U − n_a·n_b) / (2·sqrt(var)),
+        var = n_a·n_b/12 · ((n+1) − Σ(t³−t)/(n(n−1)))
+
+    — one canonical double formula over exact integer moments.
+
+    Returns (group…, n_a, n_b, u2_a, z_stat): ``u2_a`` is 2·U_A
+    (integer-exact; U_A = u2_a/2), z NULL when an arm is empty or all
+    values tie (variance 0).
+    """
+    from pyspark.sql import Window
+
+    is_a = F.col(arm_col) == "A"
+    per_val = df.groupBy(*group_cols, value_col).agg(
+        F.count(F.when(is_a, 1)).cast("long").alias("ca"),
+        F.count(F.when(~is_a, 1)).cast("long").alias("cb"),
+    )
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = per_val.withColumn("t", F.col("ca") + F.col("cb")).withColumn(
+        "below", F.coalesce(F.sum("t").over(w), F.lit(0))
+    )
+    rank2 = 2 * F.col("below") + F.col("t") + 1
+    agg = ranked.groupBy(*group_cols).agg(
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum("cb").cast("long").alias("n_b"),
+        F.sum((F.col("ca") * rank2).cast("decimal(38,0)")).alias("_r2a"),
+        F.sum(
+            (F.col("t") * F.col("t") * F.col("t") - F.col("t")).cast("decimal(38,0)")
+        ).alias("_tie"),
+    )
+    d = lambda e: e.cast("double")  # noqa: E731
+    u2a = d(F.col("_r2a")) - d(F.col("n_a")) * (d(F.col("n_a")) + 1)
+    n = d(F.col("n_a")) + d(F.col("n_b"))
+    var = (
+        d(F.col("n_a"))
+        * d(F.col("n_b"))
+        / 12
+        * ((n + 1) - d(F.col("_tie")) / (n * (n - 1)))
+    )
+    z = (u2a - d(F.col("n_a")) * d(F.col("n_b"))) / (2 * F.sqrt(var))
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0) & (var > 0)
+    return agg.select(
+        *group_cols,
+        "n_a",
+        "n_b",
+        (F.col("_r2a").cast("long") - F.col("n_a") * (F.col("n_a") + 1)).alias(
+            "u2_a"
+        ),
+        F.when(ok, F.round(z, 6)).alias("z_stat"),
+    )

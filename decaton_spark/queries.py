@@ -9022,6 +9022,70 @@ def regex_functions_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_ab_mannwhitney",
+    f"""
+    WITH mw_v AS (
+        SELECT event_type,
+               CASE WHEN {_AB_ARM} = 0 THEN 'A' ELSE 'B' END AS arm,
+               CAST(round(value * 100) AS BIGINT) AS v
+        FROM events WHERE value IS NOT NULL),
+    mw_pv AS (
+        SELECT event_type, v,
+               CAST(count(*) FILTER (arm = 'A') AS BIGINT) AS ca,
+               CAST(count(*) FILTER (arm = 'B') AS BIGINT) AS cb
+        FROM mw_v GROUP BY 1, 2),
+    mw_r AS (
+        SELECT event_type, ca, cb, ca + cb AS t,
+               coalesce(sum(ca + cb) OVER (
+                   PARTITION BY event_type ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+        FROM mw_pv),
+    mw_a AS (
+        SELECT event_type,
+               CAST(sum(ca) AS BIGINT) AS n_a,
+               CAST(sum(cb) AS BIGINT) AS n_b,
+               sum(CAST(ca * (2 * below + t + 1) AS HUGEINT)) AS r2a,
+               sum(CAST(t * t * t - t AS HUGEINT)) AS tie
+        FROM mw_r GROUP BY 1),
+    mw_f AS (
+        SELECT event_type, n_a, n_b,
+               CAST(r2a - n_a * (n_a + 1) AS BIGINT) AS u2_a,
+               CAST(r2a AS DOUBLE) AS dr2a,
+               CAST(tie AS DOUBLE) AS dtie,
+               CAST(n_a AS DOUBLE) AS dna, CAST(n_b AS DOUBLE) AS dnb,
+               CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) AS dn
+        FROM mw_a)
+    SELECT event_type, n_a, n_b, u2_a,
+           CASE WHEN n_a > 0 AND n_b > 0
+                 AND dna * dnb / 12 * ((dn + 1) - dtie / (dn * (dn - 1))) > 0
+           THEN round(
+               ((dr2a - dna * (dna + 1)) - dna * dnb)
+               / (2 * sqrt(dna * dnb / 12
+                           * ((dn + 1) - dtie / (dn * (dn - 1))))), 6)
+           END AS z_stat
+    FROM mw_f
+    """,
+)
+def events_ab_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-based A/B readout: per-event-type Mann–Whitney U between
+    the md5-parity arms (``stats.mannwhitney_u``) — the outlier-robust
+    nonparametric sibling of the Welch readout for skewed value
+    metrics. The rank pass runs over DISTINCT VALUES (partial-agg
+    count per (type, value) + a window over the bounded value list),
+    doubled average ranks keep ties integer-exact, and the
+    tie-corrected normal z evaluates in one canonical double formula."""
+    from decaton_spark.functions import stats as st
+
+    ev = load_table(spark, "events", sf_dir).filter(F.col("value").isNotNull())
+    armed = ev.select(
+        "event_type",
+        st.hash_arm("CAST(user_id AS STRING)").alias("arm"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    return st.mannwhitney_u(armed, group_cols=["event_type"])
+
+
 def _fertility_oracle(n: int) -> str:
     from decaton_spark.functions import bpe as _bpe
 

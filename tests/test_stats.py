@@ -148,3 +148,42 @@ def test_conversion_ztest_reference_formula_and_guards(spark):
     d0 = spark.createDataFrame([("A", 0), ("B", 0)], "arm string, converted long")
     r0 = st.conversion_ztest(d0).collect()[0]
     assert r0["z_stat"] is None and r0["rate_a_pml"] == 0
+
+
+def test_mannwhitney_matches_scipy_style_reference(spark):
+    """U and tie-corrected z on a small tied fixture equal the
+    textbook computation (average ranks, tie-corrected variance)."""
+    import math
+
+    from decaton_spark.functions import stats as st
+
+    a = [1, 2, 2, 5, 7]
+    b = [2, 3, 3, 6]
+    rows = [("g", "A", v) for v in a] + [("g", "B", v) for v in b]
+    df = spark.createDataFrame(rows, "g string, arm string, v long")
+    out = st.mannwhitney_u(df, group_cols=["g"]).collect()[0]
+
+    allv = sorted(a + b)
+    # average rank per value (1-based)
+    def avg_rank(v):
+        below = sum(1 for x in allv if x < v)
+        t = sum(1 for x in allv if x == v)
+        return below + (t + 1) / 2
+
+    ra = sum(avg_rank(v) for v in a)
+    na, nb = len(a), len(b)
+    u_a = ra - na * (na + 1) / 2
+    assert out["u2_a"] == int(2 * u_a)
+    n = na + nb
+    from collections import Counter
+
+    tie = sum(t**3 - t for t in Counter(allv).values())
+    var = na * nb / 12 * ((n + 1) - tie / (n * (n - 1)))
+    z = (2 * u_a - na * nb) / (2 * math.sqrt(var))
+    assert out["z_stat"] == round(z, 6)
+
+    # all-tied group: variance 0 -> NULL z
+    d0 = spark.createDataFrame(
+        [("g", "A", 5), ("g", "A", 5), ("g", "B", 5)], "g string, arm string, v long"
+    )
+    assert st.mannwhitney_u(d0, group_cols=["g"]).collect()[0]["z_stat"] is None
