@@ -365,3 +365,58 @@ def mannwhitney_u(
         ),
         F.when(ok, F.round(z, 6)).alias("z_stat"),
     )
+
+
+def theilsen_trend(
+    df: DataFrame,
+    *,
+    group_cols: list[str],
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Per-group Theil–Sen trend estimate: the median of all pairwise
+    slopes — the robust regression line (up to ~29% outliers cannot
+    move it) a monitoring pipeline fits to bucketed series instead of
+    least squares, which one bad hour drags arbitrarily.
+
+    Input is the (bounded) BUCKETED series — pair cost is buckets² per
+    group by construction, never rows². Slopes are doubles of exact
+    integer differences (identical IEEE both engines) rounded to 6;
+    the median is the deterministic LOWER median — the row at position
+    ⌈n/2⌉ of the (slope, x1, x2) order — so tie-breaking is exact and
+    oracle-replayable.
+
+    Returns (group…, n_points, n_pairs, median_slope).
+    """
+    from pyspark.sql import Window
+
+    a = df.select(
+        *group_cols, F.col(x_col).alias("x1"), F.col(y_col).alias("y1")
+    )
+    b = df.select(
+        *group_cols, F.col(x_col).alias("x2"), F.col(y_col).alias("y2")
+    )
+    pairs = a.join(b, group_cols).filter(F.col("x1") < F.col("x2"))
+    slope = F.round(
+        (F.col("y2").cast("double") - F.col("y1").cast("double"))
+        / (F.col("x2").cast("double") - F.col("x1").cast("double")),
+        6,
+    )
+    scored = pairs.select(*group_cols, slope.alias("slope"), "x1", "x2")
+    w_all = Window.partitionBy(*group_cols)
+    w_ord = Window.partitionBy(*group_cols).orderBy("slope", "x1", "x2")
+    ranked = scored.withColumn("n_pairs", F.count(F.lit(1)).over(w_all)).withColumn(
+        "rn", F.row_number().over(w_ord)
+    )
+    med = ranked.filter(
+        F.col("rn") == F.expr("(n_pairs + 1) DIV 2")
+    ).select(*group_cols, "n_pairs", F.col("slope").alias("median_slope"))
+    n_points = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_points")
+    )
+    return n_points.join(med, group_cols).select(
+        *group_cols,
+        "n_points",
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        "median_slope",
+    )

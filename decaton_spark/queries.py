@@ -9086,6 +9086,54 @@ def events_ab_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     return st.mannwhitney_u(armed, group_cols=["event_type"])
 
 
+@register(
+    "events_theilsen_trend",
+    """
+    WITH th_b AS (
+        SELECT event_type, epoch_ms(ts) // 3600000 AS h,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s
+        FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+    th_p AS (
+        SELECT a.event_type,
+               round((CAST(b.s AS DOUBLE) - CAST(a.s AS DOUBLE))
+                     / (CAST(b.h AS DOUBLE) - CAST(a.h AS DOUBLE)), 6) AS slope,
+               a.h AS x1, b.h AS x2
+        FROM th_b a JOIN th_b b
+          ON a.event_type = b.event_type AND a.h < b.h),
+    th_r AS (
+        SELECT event_type, slope, x1, x2,
+               count(*) OVER (PARTITION BY event_type) AS n_pairs,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY slope, x1, x2) AS rn
+        FROM th_p),
+    th_n AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_points
+        FROM th_b GROUP BY 1)
+    SELECT th_n.event_type, n_points,
+           CAST(n_pairs AS BIGINT) AS n_pairs, slope AS median_slope
+    FROM th_r JOIN th_n USING (event_type)
+    WHERE rn = (n_pairs + 1) // 2
+    """,
+)
+def events_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust trend per event type: the Theil–Sen median of pairwise
+    slopes over the HOURLY value series (``stats.theilsen_trend``) —
+    the fit one pathological hour cannot drag, unlike least squares.
+    Pair cost is buckets² per group by construction (the series is
+    pre-aggregated); the median is the deterministic lower median with
+    (slope, x1, x2) tie-breaking, so the whole estimate replays in
+    SQL."""
+    from decaton_spark.functions import stats as st
+
+    ev = load_table(spark, "events", sf_dir).filter(F.col("value").isNotNull())
+    hourly = ev.select(
+        "event_type",
+        F.expr("unix_millis(ts) DIV 3600000").alias("h"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    ).groupBy("event_type", "h").agg(F.sum("v").cast("long").alias("s"))
+    return st.theilsen_trend(hourly, group_cols=["event_type"], x_col="h", y_col="s")
+
+
 def _fertility_oracle(n: int) -> str:
     from decaton_spark.functions import bpe as _bpe
 

@@ -187,3 +187,30 @@ def test_mannwhitney_matches_scipy_style_reference(spark):
         [("g", "A", 5), ("g", "A", 5), ("g", "B", 5)], "g string, arm string, v long"
     )
     assert st.mannwhitney_u(d0, group_cols=["g"]).collect()[0]["z_stat"] is None
+
+
+def test_theilsen_ignores_outlier_least_squares_cannot(spark):
+    """A clean slope-2 series with one wild outlier: Theil-Sen recovers
+    2.0 exactly (median pairwise slope), and the deterministic lower
+    median matches the Python reference on the same tie-break order."""
+    from decaton_spark.functions import stats as st
+
+    pts = [(h, 2 * h) for h in range(10)]
+    pts[5] = (5, 1000)  # outlier
+    df = spark.createDataFrame(
+        [("g", x, y) for x, y in pts], "g string, x long, y long"
+    )
+    out = st.theilsen_trend(df, group_cols=["g"]).collect()[0]
+    assert out["n_points"] == 10 and out["n_pairs"] == 45
+    assert out["median_slope"] == 2.0
+
+    slopes = sorted(
+        (
+            round((y2 - y1) / (x2 - x1), 6),
+            x1,
+            x2,
+        )
+        for i, (x1, y1) in enumerate(pts)
+        for (x2, y2) in pts[i + 1:]
+    )
+    assert out["median_slope"] == slopes[(45 + 1) // 2 - 1][0]
