@@ -420,3 +420,51 @@ def theilsen_trend(
         F.col("n_pairs").cast("long").alias("n_pairs"),
         "median_slope",
     )
+
+
+def gini_concentration(
+    df: DataFrame,
+    *,
+    group_cols: list[str],
+    id_col: str = "member_id",
+    value_col: str = "v",
+) -> DataFrame:
+    """Per-group Gini coefficient of a nonnegative integer measure —
+    the inequality gauge (revenue concentration, token-budget skew)
+    in its exact rank form:
+
+        G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx)
+
+    with x_(i) ascending and ranks tie-broken by the member id, so the
+    estimate is deterministic. The rank window runs over the per-member
+    AGGREGATE the caller provides (members ≪ rows); Σ i·x accumulates
+    as DECIMAL(38,0) (rank·value products at corpus scale), and the
+    final ratio is one canonical double formula, reported in exact
+    micro-units.
+
+    Returns (group…, n_members, total_value, gini_micro).
+    """
+    from pyspark.sql import Window
+
+    ranked = df.select(
+        *group_cols, F.col(id_col).alias("_m"), F.col(value_col).alias("_v")
+    ).withColumn(
+        "_i",
+        F.row_number().over(Window.partitionBy(*group_cols).orderBy("_v", "_m")),
+    )
+    agg = ranked.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.sum(F.col("_v").cast("decimal(38,0)")).alias("_sx"),
+        F.sum((F.col("_i").cast("decimal(38,0)") * F.col("_v"))).alias("_six"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    g = (2 * d("_six") - (d("n_members") + 1) * d("_sx")) / (
+        d("n_members") * d("_sx")
+    )
+    ok = (F.col("n_members") > 0) & (F.col("_sx") > 0)
+    return agg.select(
+        *group_cols,
+        "n_members",
+        F.col("_sx").cast("long").alias("total_value"),
+        F.when(ok, F.round(g * 1_000_000)).cast("long").alias("gini_micro"),
+    )

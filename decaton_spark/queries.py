@@ -9134,6 +9134,215 @@ def events_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return st.theilsen_trend(hourly, group_cols=["event_type"], x_col="h", y_col="s")
 
 
+@register(
+    "orders_benford_audit",
+    """
+    WITH bf AS (
+        SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        FROM orders WHERE o_totalprice > 0),
+    bft AS (SELECT CAST(count(*) AS BIGINT) AS total FROM bf)
+    SELECT digit, CAST(count(*) AS BIGINT) AS n_obs,
+           (1000 * count(*)) // total AS obs_pml,
+           CAST(round(1000 * ln(1 + 1.0 / digit) / ln(10)) AS BIGINT)
+               AS benford_pml
+    FROM bf, bft GROUP BY digit, total
+    """,
+)
+def orders_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of order totals — the classic
+    fabricated-data / unit-mix-up detector: observed first-significant-
+    digit shares vs Benford's log expectation, side by side per digit.
+    Digit extraction goes through the exact centi BIGINT's string form
+    (no floating log10 near power-of-ten boundaries); shares are exact
+    per-mille integer DIV; one partial-agg scan + a 1-row total."""
+    o = load_table(spark, "orders", sf_dir).filter(F.col("o_totalprice") > 0)
+    dig = o.select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100).cast("long").cast("string"), 1, 1
+        )
+        .cast("long")
+        .alias("digit")
+    )
+    total = dig.agg(F.count(F.lit(1)).cast("long").alias("total"))
+    return (
+        dig.groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n_obs",
+            F.expr("(1000 * n_obs) DIV total").cast("long").alias("obs_pml"),
+            F.round(1000 * F.log(1 + 1.0 / F.col("digit")) / F.log(F.lit(10.0)))
+            .cast("long")
+            .alias("benford_pml"),
+        )
+    )
+
+
+@register(
+    "orders_gini_by_nation",
+    """
+    WITH gi_c AS (
+        SELECT c.c_nationkey AS nationkey, o.o_custkey AS member_id,
+               CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS v
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2),
+    gi_r AS (
+        SELECT nationkey, v,
+               row_number() OVER (PARTITION BY nationkey
+                                  ORDER BY v, member_id) AS i
+        FROM gi_c),
+    gi_a AS (
+        SELECT nationkey, CAST(count(*) AS BIGINT) AS n_members,
+               sum(CAST(v AS HUGEINT)) AS sx,
+               sum(CAST(i AS HUGEINT) * CAST(v AS HUGEINT)) AS six
+        FROM gi_r GROUP BY 1)
+    SELECT g.nationkey, n.n_name AS nation, n_members,
+           CAST(sx AS BIGINT) AS total_value,
+           CAST(CASE WHEN n_members > 0 AND sx > 0 THEN
+               round((2 * CAST(six AS DOUBLE)
+                      - (CAST(n_members AS DOUBLE) + 1) * CAST(sx AS DOUBLE))
+                     / (CAST(n_members AS DOUBLE) * CAST(sx AS DOUBLE))
+                     * 1000000)
+           END AS BIGINT) AS gini_micro
+    FROM gi_a g JOIN nation n ON g.nationkey = n.n_nationkey
+    """,
+)
+def orders_gini_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration inequality per nation: the exact rank-form
+    Gini coefficient over per-customer order totals
+    (``stats.gini_concentration``) — the gauge that distinguishes "a
+    few whales" from broad demand, which q11's top-k share cannot.
+    The rank window runs over the per-customer aggregate partitioned
+    by nation; Σ i·x accumulates in DECIMAL/HUGEINT; micro-unit
+    output."""
+    from decaton_spark.functions import stats as st
+
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir).select("c_custkey", "c_nationkey")
+    n = load_table(spark, "nation", sf_dir).select("n_nationkey", "n_name")
+    per_cust = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(F.col("c_nationkey").alias("nationkey"),
+                 F.col("o_custkey").alias("member_id"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("v")
+        )
+    )
+    g = st.gini_concentration(per_cust, group_cols=["nationkey"])
+    return g.join(F.broadcast(n), g["nationkey"] == n["n_nationkey"]).select(
+        "nationkey",
+        F.col("n_name").alias("nation"),
+        "n_members",
+        "total_value",
+        "gini_micro",
+    )
+
+
+@register(
+    "corpus_term_jsd",
+    """
+    WITH js_o AS (
+        SELECT unnest(string_split(text, ' ')) AS term
+        FROM documents WHERE doc_id % 11 <> 3),
+    js_n AS (
+        SELECT unnest(string_split(CASE WHEN doc_id % 13 = 2
+                                        THEN text || ' v2' ELSE text END, ' ')) AS term
+        FROM documents WHERE doc_id % 11 <> 7),
+    js_co AS (SELECT term, CAST(count(*) AS BIGINT) AS co FROM js_o GROUP BY term),
+    js_cn AS (SELECT term, CAST(count(*) AS BIGINT) AS cn FROM js_n GROUP BY term),
+    js_t AS (
+        SELECT coalesce(o.term, n.term) AS term,
+               coalesce(co, 0) AS co, coalesce(cn, 0) AS cn
+        FROM js_co o FULL OUTER JOIN js_cn n ON o.term = n.term),
+    js_tot AS (
+        SELECT CAST(sum(co) AS DOUBLE) AS to_, CAST(sum(cn) AS DOUBLE) AS tn_
+        FROM js_t),
+    js_c AS (
+        SELECT term,
+               round(
+                 0.5 * (CASE WHEN co > 0 THEN (co / to_)
+                         * ln((co / to_) / ((co / to_ + cn / tn_) / 2))
+                        ELSE 0 END
+                      + CASE WHEN cn > 0 THEN (cn / tn_)
+                         * ln((cn / tn_) / ((co / to_ + cn / tn_) / 2))
+                        ELSE 0 END), 9) AS contrib
+        FROM js_t, js_tot)
+    SELECT CAST(count(*) AS BIGINT) AS n_terms_union,
+           round(CAST(sum(CAST(contrib AS DECIMAL(38,9))) AS DOUBLE), 6) AS jsd_nats
+    FROM js_c
+    """,
+)
+def corpus_term_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift between two corpus snapshots: Jensen–Shannon
+    divergence of the term frequency distributions (same deterministic
+    version derivation as ``corpus_snapshot_diff``) — the scalar a
+    release pipeline alerts on when the word mix moves, complementing
+    the row-level diff and the Zipf shape gauge. Per-term contributions
+    round to 9dp and sum as DECIMAL (order-free, the lm_score
+    discipline); one full-outer equi-join of two partial-agg term
+    counts."""
+    docs = load_table(spark, "documents", sf_dir)
+    old_t = (
+        docs.filter(F.col("doc_id") % 11 != 3)
+        .select(F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("co"))
+    )
+    new_t = (
+        docs.filter(F.col("doc_id") % 11 != 7)
+        .select(
+            F.explode(
+                F.split(
+                    F.when(
+                        F.col("doc_id") % 13 == 2,
+                        F.concat(F.col("text"), F.lit(" v2")),
+                    ).otherwise(F.col("text")),
+                    " ",
+                )
+            ).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("cn"))
+    )
+    t = (
+        old_t.join(new_t, "term", "full_outer")
+        .select(
+            "term",
+            F.coalesce("co", F.lit(0)).alias("co"),
+            F.coalesce("cn", F.lit(0)).alias("cn"),
+        )
+    )
+    tot = t.agg(
+        F.sum("co").cast("double").alias("to_"),
+        F.sum("cn").cast("double").alias("tn_"),
+    )
+    p = F.col("co") / F.col("to_")
+    q = F.col("cn") / F.col("tn_")
+    m = (p + q) / 2
+    contrib = F.round(
+        0.5
+        * (
+            F.when(F.col("co") > 0, p * F.log(p / m)).otherwise(F.lit(0.0))
+            + F.when(F.col("cn") > 0, q * F.log(q / m)).otherwise(F.lit(0.0))
+        ),
+        9,
+    )
+    return (
+        t.crossJoin(F.broadcast(tot))
+        .select(contrib.alias("contrib"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms_union"),
+            F.round(
+                F.sum(F.col("contrib").cast("decimal(38,9)")).cast("double"), 6
+            ).alias("jsd_nats"),
+        )
+    )
+
+
 def _fertility_oracle(n: int) -> str:
     from decaton_spark.functions import bpe as _bpe
 

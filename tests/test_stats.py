@@ -214,3 +214,23 @@ def test_theilsen_ignores_outlier_least_squares_cannot(spark):
         for (x2, y2) in pts[i + 1:]
     )
     assert out["median_slope"] == slopes[(45 + 1) // 2 - 1][0]
+
+
+def test_gini_boundaries_equal_and_concentrated(spark):
+    """Equal shares -> Gini ~ 0 (exactly (n-1)/n·0 = 0 in rank form);
+    one member holding everything -> (n-1)/n."""
+    from decaton_spark.functions import stats as st
+
+    eq = spark.createDataFrame(
+        [("g", i, 100) for i in range(10)], "g string, member_id long, v long"
+    )
+    out = st.gini_concentration(eq, group_cols=["g"]).collect()[0]
+    assert out["n_members"] == 10 and out["total_value"] == 1000
+    assert out["gini_micro"] == 0
+
+    conc = spark.createDataFrame(
+        [("g", i, 0) for i in range(9)] + [("g", 9, 1000)],
+        "g string, member_id long, v long",
+    )
+    out2 = st.gini_concentration(conc, group_cols=["g"]).collect()[0]
+    assert out2["gini_micro"] == 900_000  # (n-1)/n with n=10
