@@ -9343,6 +9343,142 @@ def corpus_term_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "corpus_release_audit",
+    """
+    WITH ra_old AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 11 <> 3),
+    ra_new AS (
+        SELECT doc_id, CASE WHEN doc_id % 13 = 2 THEN text || ' v2'
+                            ELSE text END AS text
+        FROM documents WHERE doc_id % 11 <> 7),
+    ra_d AS (
+        SELECT CASE WHEN o.doc_id IS NULL THEN 'added'
+                    WHEN n.doc_id IS NULL THEN 'removed'
+                    WHEN md5(o.text) <> md5(n.text) THEN 'changed'
+                    ELSE 'unchanged' END AS change
+        FROM ra_old o FULL OUTER JOIN ra_new n ON o.doc_id = n.doc_id),
+    ra_dc AS (
+        SELECT CAST(count(*) FILTER (change = 'added') AS BIGINT) AS n_added,
+               CAST(count(*) FILTER (change = 'removed') AS BIGINT) AS n_removed,
+               CAST(count(*) FILTER (change = 'changed') AS BIGINT) AS n_changed,
+               CAST(count(*) FILTER (change = 'unchanged') AS BIGINT) AS n_unchanged
+        FROM ra_d),
+    ra_co AS (SELECT term, CAST(count(*) AS BIGINT) AS co FROM
+              (SELECT unnest(string_split(text, ' ')) AS term FROM ra_old)
+              GROUP BY term),
+    ra_cn AS (SELECT term, CAST(count(*) AS BIGINT) AS cn FROM
+              (SELECT unnest(string_split(text, ' ')) AS term FROM ra_new)
+              GROUP BY term),
+    ra_t AS (
+        SELECT coalesce(co, 0) AS co, coalesce(cn, 0) AS cn
+        FROM ra_co o FULL OUTER JOIN ra_cn n ON o.term = n.term),
+    ra_tot AS (SELECT CAST(sum(co) AS DOUBLE) AS to_,
+                      CAST(sum(cn) AS DOUBLE) AS tn_ FROM ra_t),
+    ra_j AS (
+        SELECT round(CAST(sum(CAST(round(
+                 0.5 * (CASE WHEN co > 0 THEN (co / to_)
+                         * ln((co / to_) / ((co / to_ + cn / tn_) / 2))
+                        ELSE 0 END
+                      + CASE WHEN cn > 0 THEN (cn / tn_)
+                         * ln((cn / tn_) / ((co / to_ + cn / tn_) / 2))
+                        ELSE 0 END), 9) AS DECIMAL(38,9))) AS DOUBLE), 6)
+               AS jsd_nats
+        FROM ra_t, ra_tot),
+    ra_ztop AS (
+        SELECT term, cn AS ct FROM ra_cn WHERE term <> ''
+        ORDER BY cn DESC, term LIMIT 100),
+    ra_zxy AS (
+        SELECT CAST(round(ln(CAST(row_number() OVER (ORDER BY ct DESC, term)
+                                  AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+               CAST(round(ln(CAST(ct AS DOUBLE)) * 1000000) AS BIGINT) AS y
+        FROM ra_ztop),
+    ra_zm AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+               sum(CAST(x * x AS HUGEINT)) AS sxx,
+               sum(CAST(x * y AS HUGEINT)) AS sxy
+        FROM ra_zxy),
+    ra_z AS (
+        SELECT round(CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+                     / CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE), 6)
+               AS new_zipf_slope
+        FROM ra_zm)
+    SELECT n_added, n_removed, n_changed, n_unchanged, jsd_nats, new_zipf_slope
+    FROM ra_dc, ra_j, ra_z
+    """,
+)
+def corpus_release_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus release gate, composed: row-level snapshot diff
+    counts (``merge.snapshot_diff``), term-distribution JSD drift, and
+    the candidate version's Zipf slope — ONE row a release pipeline
+    thresholds before publishing a corpus bump. Each member keeps its
+    standalone plan shape (hash/full-outer diff, order-free DECIMAL
+    JSD sum, bounded top-k regression); the composition is three 1-row
+    broadcasts."""
+    from decaton_spark.operators.merge import snapshot_diff
+
+    docs = load_table(spark, "documents", sf_dir)
+    old = docs.filter(F.col("doc_id") % 11 != 3)
+    new = docs.filter(F.col("doc_id") % 11 != 7).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 13 == 2, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    dc = snapshot_diff(old, new).agg(
+        *[
+            F.count(F.when(F.col("change") == c, 1))
+            .cast("long")
+            .alias(f"n_{c}")
+            for c in ("added", "removed", "changed", "unchanged")
+        ]
+    )
+
+    def term_counts(df, alias):
+        return (
+            df.select(F.explode(F.split("text", " ")).alias("term"))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).cast("long").alias(alias))
+        )
+
+    t = (
+        term_counts(old, "co")
+        .join(term_counts(new, "cn"), "term", "full_outer")
+        .select(
+            F.coalesce("co", F.lit(0)).alias("co"),
+            F.coalesce("cn", F.lit(0)).alias("cn"),
+        )
+    )
+    tot = t.agg(
+        F.sum("co").cast("double").alias("to_"),
+        F.sum("cn").cast("double").alias("tn_"),
+    )
+    p, q = F.col("co") / F.col("to_"), F.col("cn") / F.col("tn_")
+    m = (p + q) / 2
+    contrib = F.round(
+        0.5
+        * (
+            F.when(F.col("co") > 0, p * F.log(p / m)).otherwise(F.lit(0.0))
+            + F.when(F.col("cn") > 0, q * F.log(q / m)).otherwise(F.lit(0.0))
+        ),
+        9,
+    )
+    jsd = (
+        t.crossJoin(F.broadcast(tot))
+        .select(contrib.alias("c"))
+        .agg(
+            F.round(
+                F.sum(F.col("c").cast("decimal(38,9)")).cast("double"), 6
+            ).alias("jsd_nats")
+        )
+    )
+    zslope = tx.zipf_fit(new, top_k=100).select(
+        F.col("slope").alias("new_zipf_slope")
+    )
+    return dc.crossJoin(F.broadcast(jsd)).crossJoin(F.broadcast(zslope))
+
+
 def _fertility_oracle(n: int) -> str:
     from decaton_spark.functions import bpe as _bpe
 
@@ -10051,7 +10187,10 @@ _DRIVER_TIER = [
     #
     # ROUND-4 CONTINUATION CERTIFICATION (latest): tools/drive_harness.py
     # --all (untuned local[8], sf0.01, side-by-side DuckDB) = **194/194
-    # MATCH** — the complete registry including the 20-query
+    # MATCH** mid-continuation; the six registrations after that sweep
+    # (mannwhitney, theilsen, benford, gini, term_jsd, release_audit)
+    # certified individually at registration and in the FINAL sweep
+    # recorded below. Includes the 20-query
     # continuation band (listed in the round-5 queue above) and the
     # verifier scale fixes (post-exchange shingling, SHUFFLE_HASH gram
     # joins, SNM 2-char blocks) — every verifier-consumer query
@@ -10102,7 +10241,7 @@ _DRIVER_TIER = [
     #      emb_lang_centroid_drift, text_collocations_pmi,
     #      events_join_size_estimate — all
     #      locally certified 174/174 by drive_harness --all and swept
-    #      partition-invariant), PLUS the 20 continuation-session
+    #      partition-invariant), PLUS the 26 continuation-session
     #      registrations (dedup_sorted_neighborhood,
     #      dedup_triangle_stats, emb_random_projection_recall,
     #      emb_bitext_margin_mining, emb_bitext_margin_lsh,
@@ -10112,7 +10251,10 @@ _DRIVER_TIER = [
     #      corpus_snapshot_diff, emb_ivf_cell_stats, docs_zipf_fit,
     #      dedup_minhash_accuracy, dedup_snm_multipass,
     #      events_k_anonymity, tpch_referential_audit,
-    #      docs_langid_confusion, regex_functions_bridge — each
+    #      docs_langid_confusion, regex_functions_bridge,
+    #      events_ab_mannwhitney, events_theilsen_trend,
+    #      orders_benford_audit, orders_gini_by_nation,
+    #      corpus_term_jsd, corpus_release_audit — each
     #      certified individually at registration and in the final
     #      full-registry drive_harness --all sweep) —
     #      zero-evidence always outranks re-verification;
