@@ -269,3 +269,86 @@ def snapshot_diff(
         .otherwise(F.lit("unchanged"))
     )
     return j.select("doc_id", change.alias("change"), "old_hash", "new_hash")
+
+
+def scd2_merge(
+    dim: DataFrame,
+    batch: DataFrame,
+    *,
+    key: str,
+    compare_cols: list[str],
+    batch_ts_ms: int,
+    valid_from: str = "valid_from_ms",
+    valid_to: str = "valid_to_ms",
+) -> DataFrame:
+    """Slowly-changing-dimension Type 2 merge: close-and-insert.
+
+    ``dim`` is the versioned dimension (attribute columns + validity
+    interval ``[valid_from, valid_to)``; ``valid_to`` NULL = current
+    row). ``batch`` carries one candidate row per key with the attribute
+    columns. Per batch key:
+
+    - attributes identical to the current row (null-safe compare over
+      ``compare_cols``) → no-op, the current row stands (re-sending an
+      unchanged record must NOT mint a version — change detection, not
+      blind upsert);
+    - attributes differ → the current row closes (``valid_to`` :=
+      ``batch_ts_ms``) and a new current row opens (``valid_from`` :=
+      ``batch_ts_ms``, ``valid_to`` NULL);
+    - keys absent from the batch, and all historical (already-closed)
+      rows, pass through untouched.
+
+    Precondition: ``batch`` is key-unique (same contract as
+    ``corpus_merge``) and every batch key exists in the dimension
+    (pair with ``corpus_merge`` / an insert pass for brand-new keys).
+
+    100 TB shape — like ``corpus_merge``, the dimension NEVER
+    shuffles: the batch is broadcast into one left join against the
+    current rows, and the three output legs (untouched / closed / new)
+    are projections of that single joined frame, unioned with the
+    historical passthrough. On a date-partitioned dimension the
+    ``valid_to IS NULL`` current-row predicate prunes to the live
+    partition before the join.
+
+    Reference parity: beyond-reference warehouse-maintenance layer
+    (SURVEY.md §7.1), the keyed-upsert kin of the reference's
+    last-wins compaction (processor/.../CompactionProcessor.java)
+    with version history retained instead of discarded.
+    """
+    cur = dim.filter(F.col(valid_to).isNull())
+    hist = dim.filter(F.col(valid_to).isNotNull())
+    bk = f"__b_{key}"
+    b = F.broadcast(
+        batch.select(
+            F.col(key).alias(bk), *[F.col(c).alias(f"__b_{c}") for c in compare_cols]
+        )
+    )
+    j = cur.join(b, F.col(key) == F.col(bk), "left")
+    same = F.lit(True)
+    for c in compare_cols:
+        same = same & F.col(c).eqNullSafe(F.col(f"__b_{c}"))
+    matched = F.col(bk).isNotNull()
+    dim_cols = dim.columns
+    untouched = j.filter(~matched | same).select(*dim_cols)
+    changed = j.filter(matched & ~same)
+    closed = changed.select(
+        *[
+            F.lit(batch_ts_ms).cast("long").alias(c) if c == valid_to else F.col(c)
+            for c in dim_cols
+        ]
+    )
+    opened = changed.select(
+        *[
+            F.col(f"__b_{c}").alias(c)
+            if c in compare_cols
+            else F.lit(batch_ts_ms).cast("long").alias(c)
+            if c == valid_from
+            else F.lit(None).cast("long").alias(c)
+            if c == valid_to
+            else F.col(c)
+            for c in dim_cols
+        ]
+    )
+    return (
+        untouched.unionByName(closed).unionByName(opened).unionByName(hist)
+    )

@@ -10052,6 +10052,426 @@ def docs_curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Feature-engineering / warehouse-maintenance band (round-4 continuation):
+# the training-table prep steps between "curated corpus" and "model input"
+# — leakage-safe categorical encoding, multi-touch label attribution,
+# versioned dimension maintenance, behavior-chain steady state, seasonal
+# profiles, and fuzzy record linkage.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_target_encoding",
+    """
+    WITH te_b AS (
+        SELECT event_id,
+               CAST(json_extract(props, '$.k') AS BIGINT) % 16 AS cat,
+               CAST(round(value * 100) AS BIGINT) AS y
+        FROM events WHERE value IS NOT NULL),
+    te_s AS (
+        SELECT cat, CAST(sum(y) AS BIGINT) AS sc, CAST(count(*) AS BIGINT) AS nc
+        FROM te_b GROUP BY 1),
+    te_g AS (
+        SELECT CAST(sum(y) AS BIGINT) // CAST(count(*) AS BIGINT) AS gm FROM te_b)
+    SELECT b.event_id, b.cat,
+           (s.sc - b.y + 20 * g.gm) // (s.nc - 1 + 20) AS enc_loo_centi
+    FROM te_b b JOIN te_s s USING (cat), te_g g
+    """,
+)
+def events_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out smoothed target encoding of a categorical feature
+    (the ML-table prep step that leaks if done naively): category =
+    ``props.k % 16``, target = the centi-exact event value, encoding =
+    ``(Σ_cat y − y_i + m·ȳ_global) / (n_cat − 1 + m)`` with m=20 —
+    each row's own target is excluded from its encoding (the
+    leakage-safe form) and thin categories shrink toward the global
+    mean instead of memorizing noise.
+
+    All arithmetic is integer: centi targets, integer global mean,
+    one integer DIV at the end — bit-replayable in SQL. Precondition
+    (asserted by the fixture, value ≥ 0): numerators stay non-negative
+    so trunc-DIV == floor-`//` (the `events_value_winsorized` lesson).
+
+    100 TB shape: one partial-agg scan builds the |categories|-row
+    stats and the 1-row global mean; both broadcast back onto the
+    fact — the fact table itself never shuffles."""
+    ev = load_table(spark, "events", sf_dir).filter(F.col("value").isNotNull())
+    base = ev.select(
+        "event_id",
+        (F.from_json(F.col("props"), "k BIGINT")["k"] % 16).alias("cat"),
+        F.round(F.col("value") * 100).cast("long").alias("y"),
+    )
+    stats = base.groupBy("cat").agg(
+        F.sum("y").cast("long").alias("sc"),
+        F.count(F.lit(1)).cast("long").alias("nc"),
+    )
+    glob = base.agg(
+        F.expr("CAST(sum(y) AS BIGINT) DIV count(*)").cast("long").alias("gm")
+    )
+    return (
+        base.join(F.broadcast(stats), "cat")
+        .crossJoin(F.broadcast(glob))
+        .select(
+            "event_id",
+            "cat",
+            F.expr("(sc - y + 20 * gm) DIV (nc - 1 + 20)")
+            .cast("long")
+            .alias("enc_loo_centi"),
+        )
+    )
+
+
+@register(
+    "events_linear_attribution",
+    """
+    WITH la_c AS (
+        SELECT event_id AS conv_id, user_id, epoch_ms(ts) AS cms
+        FROM events WHERE event_type = 'purchase'),
+    la_t AS (
+        SELECT user_id, event_type AS channel, epoch_ms(ts) AS tms
+        FROM events WHERE event_type IN ('view', 'click')),
+    la_h AS (
+        SELECT c.conv_id, t.channel,
+               count(*) OVER (PARTITION BY c.conv_id) AS conv_touches
+        FROM la_c c JOIN la_t t
+          ON c.user_id = t.user_id
+         AND t.tms <= c.cms AND t.tms > c.cms - 604800000)
+    SELECT channel,
+           CAST(count(*) AS BIGINT) AS n_touches,
+           CAST(sum(1000000 // conv_touches) AS BIGINT) AS credit_micro,
+           CAST(count(DISTINCT conv_id) AS BIGINT) AS n_conversions
+    FROM la_h GROUP BY channel
+    """,
+)
+def events_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution — the equal-credit counterpart
+    of ``events_last_touch_attribution``: every view/click in the 7-day
+    window before a purchase shares that conversion's credit equally.
+    Credit is integer micro-units (``1000000 DIV n_touches`` per
+    touch), so channel totals are exact sums, not float shares whose
+    addition order matters.
+
+    100 TB shape: the conversion↔touch pairing is an EQUI-join on
+    user_id (the time window is a post-join predicate, never an
+    inequality join condition that would force a nested loop); the
+    per-conversion touch count is a window over conv_id — both
+    shuffles are keyed and partial-agg friendly, and per-user event
+    counts bound the join fan-out."""
+    ev = load_table(spark, "events", sf_dir)
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"),
+        F.col("user_id").alias("c_uid"),
+        F.unix_millis("ts").alias("cms"),
+    )
+    touch = ev.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("user_id").alias("t_uid"),
+        F.col("event_type").alias("channel"),
+        F.unix_millis("ts").alias("tms"),
+    )
+    hits = conv.join(
+        touch,
+        (F.col("c_uid") == F.col("t_uid"))
+        & (F.col("tms") <= F.col("cms"))
+        & (F.col("tms") > F.col("cms") - 7 * DAY_MS),
+    )
+    w = Window.partitionBy("conv_id")
+    return (
+        hits.withColumn("conv_touches", F.count(F.lit(1)).over(w))
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_touches"),
+            F.sum(F.expr("1000000 DIV conv_touches"))
+            .cast("long")
+            .alias("credit_micro"),
+            F.countDistinct("conv_id").cast("long").alias("n_conversions"),
+        )
+    )
+
+
+@register(
+    "customer_scd2_merge",
+    """
+    WITH sc_d AS (
+        SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_centi
+        FROM customer),
+    sc_b AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 10 = 0 THEN acctbal_centi + 10000
+                    ELSE acctbal_centi END AS acctbal_centi
+        FROM sc_d WHERE c_custkey % 5 = 0),
+    sc_ch AS (
+        SELECT b.c_custkey, b.acctbal_centi AS new_bal
+        FROM sc_b b JOIN sc_d d USING (c_custkey)
+        WHERE b.acctbal_centi IS DISTINCT FROM d.acctbal_centi)
+    SELECT d.c_custkey, d.acctbal_centi,
+           CAST(0 AS BIGINT) AS valid_from_ms,
+           CASE WHEN ch.c_custkey IS NULL THEN CAST(NULL AS BIGINT)
+                ELSE CAST(86400000 AS BIGINT) END AS valid_to_ms
+    FROM sc_d d LEFT JOIN sc_ch ch ON d.c_custkey = ch.c_custkey
+    UNION ALL
+    SELECT c_custkey, new_bal, CAST(86400000 AS BIGINT), CAST(NULL AS BIGINT)
+    FROM sc_ch
+    """,
+)
+def customer_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension maintenance (``operators/merge.scd2_merge``):
+    a batch re-sends ~20% of customer records — half with a changed
+    balance (keys % 10 = 0, +100.00), half byte-identical (keys
+    % 10 = 5). Changed keys close their current row at the batch
+    timestamp and open a new version; identical re-sends mint NOTHING
+    (change detection via null-safe attribute compare, not blind
+    upsert — the property naive MERGE implementations get wrong).
+
+    The oracle replays the close-and-insert semantics declaratively
+    (LEFT JOIN + UNION ALL), so the hash match proves the merge
+    contract, not the implementation.
+
+    100 TB shape: the dimension never shuffles — the batch broadcasts
+    into one left join against the current rows and all three output
+    legs are projections of that single joined frame
+    (``corpus_merge``'s topology, with version history retained)."""
+    from decaton_spark.operators.merge import scd2_merge
+
+    c = load_table(spark, "customer", sf_dir)
+    dim = c.select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("acctbal_centi"),
+        F.lit(0).cast("long").alias("valid_from_ms"),
+        F.lit(None).cast("long").alias("valid_to_ms"),
+    )
+    batch = dim.filter(F.col("c_custkey") % 5 == 0).select(
+        "c_custkey",
+        F.when(
+            F.col("c_custkey") % 10 == 0, F.col("acctbal_centi") + 10000
+        )
+        .otherwise(F.col("acctbal_centi"))
+        .alias("acctbal_centi"),
+    )
+    return scd2_merge(
+        dim,
+        batch,
+        key="c_custkey",
+        compare_cols=["acctbal_centi"],
+        batch_ts_ms=DAY_MS,
+    )
+
+
+def _markov_oracle(iters: int = 20) -> str:
+    """Unrolled power-iteration oracle: 20 fixed iterations as chained
+    CTEs (recursive CTEs forbid the GROUP BY each step needs). Each
+    step is normalized to one row per state so mass additions happen
+    BEFORE the next step's integer DIV — the same order the Spark-side
+    driver loop uses (floor on non-negative masses == trunc). Every
+    step is MATERIALIZED: DuckDB inlines plain CTEs per reference, and
+    each step references its predecessor twice — unmaterialized, the
+    tree re-expands 2^20 scans of the base table."""
+    parts = [
+        """
+    WITH mk_seq AS (
+        SELECT user_id, event_type AS src,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS dst
+        FROM events),
+    mk_tr AS MATERIALIZED (
+        SELECT src, dst, CAST(count(*) AS BIGINT) AS cnt
+        FROM mk_seq WHERE dst IS NOT NULL GROUP BY 1, 2),
+    mk_rt AS (SELECT src, CAST(sum(cnt) AS BIGINT) AS total FROM mk_tr GROUP BY 1),
+    mk_t AS MATERIALIZED (SELECT tr.src, tr.dst, tr.cnt, rt.total
+             FROM mk_tr tr JOIN mk_rt rt USING (src)),
+    mk_states AS MATERIALIZED (
+        SELECT DISTINCT src AS state FROM mk_tr
+        UNION SELECT DISTINCT dst FROM mk_tr),
+    mk_k AS (SELECT CAST(count(*) AS BIGINT) AS n FROM mk_states),
+    mk_v0 AS MATERIALIZED (SELECT state, 1000000000 // n AS mass FROM mk_states, mk_k)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""",
+    mk_v{i}r AS MATERIALIZED (
+        SELECT t.dst AS state, (v.mass * t.cnt) // t.total AS mass
+        FROM mk_v{i - 1} v JOIN mk_t t ON v.state = t.src
+        UNION ALL
+        SELECT v.state, v.mass FROM mk_v{i - 1} v
+        WHERE v.state NOT IN (SELECT src FROM mk_t)),
+    mk_v{i} AS MATERIALIZED (
+        SELECT state, CAST(sum(mass) AS BIGINT) AS mass
+        FROM mk_v{i}r GROUP BY state)"""
+        )
+    parts.append(
+        f"""
+    SELECT s.state, CAST(coalesce(v.mass, 0) AS BIGINT) AS mass_ppb
+    FROM mk_states s LEFT JOIN mk_v{iters} v ON s.state = v.state"""
+    )
+    return "".join(parts)
+
+
+@register("events_markov_stationary", _markov_oracle())
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the per-user event-type transition
+    chain: where does user behavior settle if today's transition
+    matrix keeps acting? 20 synchronous power-iteration steps from the
+    uniform vector, all in integer parts-per-billion (per-edge
+    ``(mass·cnt) DIV row_total``, summed — integer sums are
+    order-free, so the result is bit-identical however the work is
+    distributed). Dangling states keep their own mass (self-loop).
+
+    100 TB shape: the DISTRIBUTED work is the lag/lead transition
+    extraction and the (src,dst) count — one window shuffle on
+    user_id + one partial-agg. The matrix itself is |event_types|² ≤
+    a few hundred cells regardless of row count, so the driver-side
+    iteration is a bounded collect (the IVF-centroid pattern), not a
+    scale risk. The oracle unrolls the same 20 steps as chained CTEs."""
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    rows = (
+        pairs.groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .collect()
+    )  # bounded: ≤ |event_types|² rows by construction
+    states = sorted({r["src"] for r in rows} | {r["dst"] for r in rows})
+    totals: dict[str, int] = {}
+    for r in rows:
+        totals[r["src"]] = totals.get(r["src"], 0) + r["cnt"]
+    k = len(states)
+    mass = {s: 10**9 // k for s in states}
+    for _ in range(20):
+        new = {s: 0 for s in states}
+        for r in rows:
+            new[r["dst"]] += (mass[r["src"]] * r["cnt"]) // totals[r["src"]]
+        for s in states:
+            if s not in totals:  # dangling: keep own mass
+                new[s] += mass[s]
+        mass = new
+    return spark.createDataFrame(
+        sorted(mass.items()), "state string, mass_ppb long"
+    )
+
+
+@register(
+    "events_seasonality_hod",
+    """
+    WITH sh_h AS (
+        SELECT event_type, (epoch_ms(ts) // 3600000) % 24 AS hod FROM events),
+    sh_c AS (
+        SELECT event_type, hod, CAST(count(*) AS BIGINT) AS n_events
+        FROM sh_h GROUP BY 1, 2),
+    sh_t AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_total
+        FROM sh_h GROUP BY 1)
+    SELECT c.event_type, c.hod, c.n_events,
+           (24000 * c.n_events) // t.n_total AS share_pml
+    FROM sh_c c JOIN sh_t t USING (event_type)
+    """,
+)
+def events_seasonality_hod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonal profile per event type: each (type, hour)
+    cell's share of the type's traffic, normalized so 1000 per-mille =
+    exactly uniform (>1000 = the type's hot hours). Hours come from
+    epoch-ms arithmetic (``DIV 3600000 % 24``), never calendar
+    functions — timezone-free, identical in both engines (the
+    TZ=Asia/Tokyo certification lesson).
+
+    100 TB shape: two partial-agg scans collapse to |types|·24 and
+    |types| rows; the totals broadcast back. Nothing bigger than the
+    profile itself ever moves."""
+    ev = load_table(spark, "events", sf_dir)
+    h = ev.select(
+        "event_type",
+        (F.expr("unix_millis(ts) DIV 3600000") % 24).alias("hod"),
+    )
+    cells = h.groupBy("event_type", "hod").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    tot = h.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_total")
+    )
+    return cells.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "hod",
+        "n_events",
+        F.expr("(24000 * n_events) DIV n_total").cast("long").alias("share_pml"),
+    )
+
+
+@register(
+    "parts_fuzzy_linkage",
+    """
+    WITH fl_p AS (
+        SELECT p_partkey, p_name, split_part(p_name, ' ', 2) AS blk FROM part),
+    fl_pairs AS (
+        SELECT a.blk, a.p_partkey AS key_a, b.p_partkey AS key_b,
+               CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+        FROM fl_p a JOIN fl_p b
+          ON a.blk = b.blk AND a.p_partkey < b.p_partkey),
+    fl_sized AS (
+        SELECT blk, CAST(count(*) AS BIGINT) AS n_pairs FROM fl_pairs GROUP BY 1),
+    fl_ranked AS (
+        SELECT blk, key_a, key_b, dist,
+               row_number() OVER (PARTITION BY blk
+                                  ORDER BY dist, key_a, key_b) AS rn
+        FROM fl_pairs WHERE dist <= 4)
+    SELECT r.blk, r.key_a, r.key_b, r.dist, s.n_pairs
+    FROM fl_ranked r JOIN fl_sized s USING (blk) WHERE r.rn <= 3
+    """,
+)
+def parts_fuzzy_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy record linkage (Fellegi–Sunter's blocking step +
+    an edit-distance field comparator): part records block on the name
+    noun, candidate pairs form ONLY within a block, and
+    ``levenshtein`` scores each pair; the 3 tightest links per block
+    (deterministic (dist, key, key) tie-break) surface for review,
+    alongside the block's total candidate count — the audit number
+    that tells you if a block is degenerating toward all-pairs.
+
+    100 TB shape: the pair generator is a bucketed EQUI-join on the
+    blocking key (Σ block² comparisons, never corpus²) — the same
+    bound the MinHash-LSH dedup path pins; the top-k is a per-block
+    window over pre-filtered (dist ≤ 4) pairs, no global sort. Skewed
+    blocks are the known failure mode; the n_pairs column is the
+    gauge, and the SNM 2-char-block lesson (staged candidates) is the
+    fix when one fires."""
+    p = load_table(spark, "part", sf_dir).select(
+        "p_partkey",
+        "p_name",
+        F.element_at(F.split(F.col("p_name"), " "), 2).alias("blk"),
+    )
+    a = p.select(
+        F.col("blk"),
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_name").alias("name_a"),
+    )
+    b = p.select(
+        F.col("blk").alias("blk_b"),
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_name").alias("name_b"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("blk") == F.col("blk_b")) & (F.col("key_a") < F.col("key_b")),
+    ).select(
+        "blk",
+        "key_a",
+        "key_b",
+        F.levenshtein("name_a", "name_b").cast("long").alias("dist"),
+    )
+    sized = pairs.groupBy("blk").agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    w = Window.partitionBy("blk").orderBy("dist", "key_a", "key_b")
+    ranked = (
+        pairs.filter(F.col("dist") <= 4)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )
+    return ranked.join(F.broadcast(sized), "blk").select(
+        "blk", "key_a", "key_b", "dist", "n_pairs"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry tiers.
 #
 # The round-harness driver verifies at most 50 registry entries per run
@@ -10256,7 +10676,14 @@ _DRIVER_TIER = [
     #      orders_benford_audit, orders_gini_by_nation,
     #      corpus_term_jsd, corpus_release_audit — each
     #      certified individually at registration and in the final
-    #      full-registry drive_harness --all sweep) —
+    #      full-registry drive_harness --all sweep), PLUS the 6
+    #      feature-engineering/warehouse-band registrations
+    #      (events_target_encoding, events_linear_attribution,
+    #      customer_scd2_merge, events_markov_stationary,
+    #      events_seasonality_hod, parts_fuzzy_linkage — certified
+    #      6/6 at sf0.01 via drive_harness --only at registration,
+    #      partition-invariance swept, plan-gated in
+    #      tests/test_plans.py::test_feature_band_plan_shapes) —
     #      zero-evidence always outranks re-verification;
     #   1. newest-row-is-r2 (at the 3-round freshness bound): the 31
     #      r2-row holders (q2/q4-q7/q10-q14/q16/q17/q19/q20/q22, f1-f3,

@@ -168,3 +168,54 @@ def test_snapshot_diff_classifies_all_four_ways(spark):
     assert out[3]["change"] == "removed" and out[3]["new_hash"] is None
     assert out[4]["change"] == "added" and out[4]["old_hash"] is None
     assert set(out) == {1, 2, 3, 4}
+
+
+def _scd2(spark, dim_rows, batch_rows, ts=1000):
+    from decaton_spark.operators.merge import scd2_merge
+
+    dim = spark.createDataFrame(
+        dim_rows, "k long, attr string, valid_from_ms long, valid_to_ms long"
+    )
+    batch = spark.createDataFrame(batch_rows, "k long, attr string")
+    return scd2_merge(
+        dim, batch, key="k", compare_cols=["attr"], batch_ts_ms=ts
+    ).collect()
+
+
+def test_scd2_changed_key_closes_and_opens(spark):
+    out = _scd2(spark, [(1, "a", 0, None)], [(1, "b")])
+    rows = {(r.k, r.attr, r.valid_from_ms, r.valid_to_ms) for r in out}
+    assert rows == {(1, "a", 0, 1000), (1, "b", 1000, None)}
+
+
+def test_scd2_identical_resend_mints_nothing(spark):
+    out = _scd2(spark, [(1, "a", 0, None)], [(1, "a")])
+    assert [(r.k, r.attr, r.valid_from_ms, r.valid_to_ms) for r in out] == [
+        (1, "a", 0, None)
+    ]
+
+
+def test_scd2_null_attr_compares_null_safe(spark):
+    # NULL == NULL is a match (no version); NULL -> value is a change
+    out = _scd2(spark, [(1, None, 0, None), (2, None, 0, None)], [(1, None), (2, "v")])
+    rows = {(r.k, r.attr, r.valid_from_ms, r.valid_to_ms) for r in out}
+    assert rows == {
+        (1, None, 0, None),
+        (2, None, 0, 1000),
+        (2, "v", 1000, None),
+    }
+
+
+def test_scd2_absent_keys_and_history_pass_through(spark):
+    out = _scd2(
+        spark,
+        [(1, "old", 0, 500), (1, "cur", 500, None), (2, "other", 0, None)],
+        [(1, "new")],
+    )
+    rows = {(r.k, r.attr, r.valid_from_ms, r.valid_to_ms) for r in out}
+    assert rows == {
+        (1, "old", 0, 500),        # closed history untouched
+        (1, "cur", 500, 1000),     # current row closes at batch ts
+        (1, "new", 1000, None),    # new version opens
+        (2, "other", 0, None),     # key absent from batch: untouched
+    }

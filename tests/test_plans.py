@@ -663,3 +663,40 @@ def test_r4_late_additions_plan_shapes(spark, sf_dir):
     # the shuffle as per-partition partials, never raw events
     p = plan_of(QUERIES["events_ab_welch_ttest"].fn(spark, sf_dir))
     assert "partial_count" in p or "partial_sum" in p
+
+
+def test_feature_band_plan_shapes(spark, sf_dir):
+    """Plan gates for the feature-engineering/warehouse band: encoding
+    and seasonality broadcast their profile frames back onto the fact
+    (the fact never shuffles); the SCD2 dimension never shuffles (one
+    broadcast of the batch); attribution and fuzzy linkage pair via
+    keyed EQUI-joins, never a nested loop over the fact."""
+    shapes = {
+        # query: max shuffle exchanges in the static plan
+        "events_target_encoding": 2,   # cat stats + global mean reduces
+        "events_seasonality_hod": 2,   # cell agg + per-type totals
+        "customer_scd2_merge": 0,      # dim scan x3 + broadcast batch, NO shuffle
+        "events_linear_attribution": 4,  # user equi-join sides + conv window + agg
+        "events_markov_stationary": 0,   # result is a driver-built literal frame
+        "parts_fuzzy_linkage": 4,      # block equi-join sides + sizes + topk window
+    }
+    from decaton_spark.queries import EXTRA_QUERIES as _EX
+
+    for name, max_shuffles in shapes.items():
+        p = plan_of(_EX[name].fn(spark, sf_dir), "simple")
+        assert "CartesianProduct" not in p, name
+        if name == "events_target_encoding":
+            # the global-mean scalar rides a 1-row broadcast BNLJ (the
+            # events_ab_cuped pattern) — bounded by construction
+            assert p.count("BroadcastNestedLoopJoin") <= 1, name
+        else:
+            assert "BroadcastNestedLoopJoin" not in p, name
+        shuffles = p.count("Exchange") - p.count("BroadcastExchange")
+        assert shuffles <= max_shuffles, (name, shuffles)
+    # SCD2: the batch side broadcasts; the dimension side never exchanges
+    p = plan_of(_EX["customer_scd2_merge"].fn(spark, sf_dir))
+    assert "BroadcastExchange" in p
+    # attribution + linkage: the pair generators are hash equi-joins
+    for name in ("events_linear_attribution", "parts_fuzzy_linkage"):
+        p = plan_of(_EX[name].fn(spark, sf_dir), "simple")
+        assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p, name
