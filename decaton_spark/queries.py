@@ -10471,6 +10471,349 @@ def parts_fuzzy_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Poisson(λ=1) CDF thresholds scaled to u32 space (floor(cum·2³²)) — the
+# per-(row, resample) multiplicity lottery of the Poisson bootstrap.
+_BOOT_T = (1580030168, 3160060337, 3950075421, 4213413783, 4279248373)
+
+
+def _boot_weight_sql(cast_ty: str) -> str:
+    """weight ∈ {0..5} for (event_id, b): md5-uniform u32 through the
+    Poisson(1) inverse CDF (tail mass lands on 5). ``cast_ty`` is
+    'STRING' for Spark, 'VARCHAR' for DuckDB — same bytes hashed."""
+    u = md5_long(f"concat(CAST(event_id AS {cast_ty}), ':', CAST(b AS {cast_ty}))")
+    t = _BOOT_T
+    return (
+        f"CASE WHEN {u} < {t[0]} THEN 0 WHEN {u} < {t[1]} THEN 1 "
+        f"WHEN {u} < {t[2]} THEN 2 WHEN {u} < {t[3]} THEN 3 "
+        f"WHEN {u} < {t[4]} THEN 4 ELSE 5 END"
+    )
+
+
+@register(
+    "events_bootstrap_ci",
+    f"""
+    WITH bc_b AS (
+        SELECT event_type, event_id, CAST(round(value * 100) AS BIGINT) AS y
+        FROM events WHERE value IS NOT NULL),
+    bc_r AS (
+        SELECT event_type, b.b,
+               CAST({_boot_weight_sql("VARCHAR")} AS BIGINT) AS w, y
+        FROM bc_b CROSS JOIN (SELECT unnest(range(32)) AS b) b),
+    bc_m AS (
+        SELECT event_type, b,
+               CAST(sum(w * y) AS BIGINT) // CAST(sum(w) AS BIGINT) AS mean_centi
+        FROM bc_r GROUP BY 1, 2 HAVING sum(w) > 0),
+    bc_rn AS (
+        SELECT event_type, mean_centi,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY mean_centi, b) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS nr
+        FROM bc_m),
+    bc_ci AS (
+        SELECT event_type, CAST(max(nr) AS BIGINT) AS n_resamples,
+               CAST(max(CASE WHEN rn = 2 THEN mean_centi END) AS BIGINT)
+                   AS boot_lo_centi,
+               CAST(max(CASE WHEN rn = nr - 1 THEN mean_centi END) AS BIGINT)
+                   AS boot_hi_centi
+        FROM bc_rn GROUP BY 1),
+    bc_p AS (
+        SELECT event_type,
+               CAST(sum(y) AS BIGINT) // CAST(count(*) AS BIGINT)
+                   AS point_mean_centi
+        FROM bc_b GROUP BY 1)
+    SELECT p.event_type, p.point_mean_centi, c.n_resamples,
+           c.boot_lo_centi, c.boot_hi_centi
+    FROM bc_p p JOIN bc_ci c USING (event_type)
+    """,
+)
+def events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap confidence interval for the per-type mean —
+    THE bootstrap that works at 100 TB (Chamandy et al., Google 2012):
+    instead of materializing B resampled datasets, each row draws an
+    independent Poisson(1) multiplicity per resample, so one scan
+    computes all B=32 resample means as weighted partial aggregates.
+    The multiplicity lottery is md5-deterministic per (row, resample)
+    — no RNG, bit-replayable, partition-invariant.
+
+    The band is the (2nd, 31st) order statistic of the 32 resample
+    means (~94% central coverage), tie-broken by resample index.
+    Integer centi arithmetic end-to-end; value ≥ 0 in the fixture so
+    trunc-DIV == floor.
+
+    100 TB shape: the 32× row expansion is map-side only (explode +
+    partial agg in the same stage); the shuffle carries ≤
+    |types|·32·|partitions| partial rows, not data. The per-type
+    window orders 32 rows. Nothing global ever sorts."""
+    ev = load_table(spark, "events", sf_dir).filter(F.col("value").isNotNull())
+    base = ev.select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("y"),
+    )
+    bs = base.withColumn("b", F.explode(F.sequence(F.lit(0), F.lit(31))))
+    res = (
+        bs.withColumn("w", F.expr(_boot_weight_sql("STRING")).cast("long"))
+        .groupBy("event_type", "b")
+        .agg(
+            F.sum(F.col("w") * F.col("y")).cast("long").alias("swy"),
+            F.sum("w").cast("long").alias("sw"),
+        )
+        .filter(F.col("sw") > 0)
+        .select(
+            "event_type",
+            "b",
+            F.expr("swy DIV sw").cast("long").alias("mean_centi"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("mean_centi", "b")
+    wn = Window.partitionBy("event_type")
+    ci = (
+        res.withColumn("rn", F.row_number().over(w))
+        .withColumn("nr", F.count(F.lit(1)).over(wn))
+        .groupBy("event_type")
+        .agg(
+            F.max("nr").cast("long").alias("n_resamples"),
+            F.max(F.when(F.col("rn") == 2, F.col("mean_centi")))
+            .cast("long")
+            .alias("boot_lo_centi"),
+            F.max(F.when(F.col("rn") == F.col("nr") - 1, F.col("mean_centi")))
+            .cast("long")
+            .alias("boot_hi_centi"),
+        )
+    )
+    point = base.groupBy("event_type").agg(
+        F.expr("CAST(sum(y) AS BIGINT) DIV count(*)")
+        .cast("long")
+        .alias("point_mean_centi")
+    )
+    return point.join(F.broadcast(ci), "event_type").select(
+        "event_type",
+        "point_mean_centi",
+        "n_resamples",
+        "boot_lo_centi",
+        "boot_hi_centi",
+    )
+
+
+@register(
+    "events_ab_diff_in_diff",
+    f"""
+    WITH dd_m AS (
+        SELECT (CAST(min(epoch_ms(ts)) AS BIGINT)
+                + CAST(max(epoch_ms(ts)) AS BIGINT)) // 2 AS mid
+        FROM events WHERE value IS NOT NULL),
+    dd_b AS (
+        SELECT event_type,
+               CASE WHEN {_AB_ARM} = 0 THEN 1 ELSE 0 END AS treated,
+               CASE WHEN epoch_ms(ts) >= m.mid THEN 1 ELSE 0 END AS post,
+               CAST(round(value * 100) AS BIGINT) AS y
+        FROM events, dd_m m WHERE value IS NOT NULL),
+    dd_c AS (
+        SELECT event_type,
+               CAST(count(*) FILTER (treated = 1 AND post = 0) AS BIGINT) AS n_t_pre,
+               CAST(count(*) FILTER (treated = 1 AND post = 1) AS BIGINT) AS n_t_post,
+               CAST(count(*) FILTER (treated = 0 AND post = 0) AS BIGINT) AS n_c_pre,
+               CAST(count(*) FILTER (treated = 0 AND post = 1) AS BIGINT) AS n_c_post,
+               CAST(sum(y) FILTER (treated = 1 AND post = 0) AS BIGINT) AS s_t_pre,
+               CAST(sum(y) FILTER (treated = 1 AND post = 1) AS BIGINT) AS s_t_post,
+               CAST(sum(y) FILTER (treated = 0 AND post = 0) AS BIGINT) AS s_c_pre,
+               CAST(sum(y) FILTER (treated = 0 AND post = 1) AS BIGINT) AS s_c_post
+        FROM dd_b GROUP BY 1),
+    dd_f AS (
+        SELECT event_type, n_t_pre, n_t_post, n_c_pre, n_c_post,
+               CASE WHEN n_t_pre > 0 THEN s_t_pre // n_t_pre END AS m_t_pre,
+               CASE WHEN n_t_post > 0 THEN s_t_post // n_t_post END AS m_t_post,
+               CASE WHEN n_c_pre > 0 THEN s_c_pre // n_c_pre END AS m_c_pre,
+               CASE WHEN n_c_post > 0 THEN s_c_post // n_c_post END AS m_c_post
+        FROM dd_c)
+    SELECT event_type, n_t_pre, n_t_post, n_c_pre, n_c_post,
+           m_t_pre AS mean_t_pre_centi, m_t_post AS mean_t_post_centi,
+           m_c_pre AS mean_c_pre_centi, m_c_post AS mean_c_post_centi,
+           (m_t_post - m_t_pre) - (m_c_post - m_c_pre) AS did_centi
+    FROM dd_f
+    """,
+)
+def events_ab_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences readout: per event type, the treated
+    arm's pre→post mean shift minus the control arm's — the
+    causal-inference workhorse when treatment switches on mid-stream
+    and raw post-period deltas would absorb the trend both arms share.
+    Arms are the experiment system's sticky md5-parity assignment
+    (``stats.hash_arm``, same salt as the Welch/CUPED/z-test band);
+    pre/post splits at the observed time-range midpoint.
+
+    100 TB shape: ONE conditional-aggregation pass (the Welch shape) —
+    the 2×2 cell design collapses map-side into eight partial sums per
+    type; the midpoint is a 1-row broadcast. Integer centi means
+    (cells guarded against emptiness); the DiD contrast is arithmetic
+    over the four cell means."""
+    from decaton_spark.functions import stats as st
+
+    ev = load_table(spark, "events", sf_dir).filter(F.col("value").isNotNull())
+    mid = ev.agg(
+        F.expr(
+            "(CAST(min(unix_millis(ts)) AS BIGINT)"
+            " + CAST(max(unix_millis(ts)) AS BIGINT)) DIV 2"
+        ).alias("mid")
+    )
+    base = ev.crossJoin(F.broadcast(mid)).select(
+        "event_type",
+        F.when(
+            st.hash_arm("CAST(user_id AS STRING)") == "A", F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("treated"),
+        (F.unix_millis("ts") >= F.col("mid")).cast("int").alias("post"),
+        F.round(F.col("value") * 100).cast("long").alias("y"),
+    )
+
+    def cell(t: int, p: int, agg: str) -> F.Column:
+        cond = (F.col("treated") == t) & (F.col("post") == p)
+        if agg == "n":
+            return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+        return F.sum(F.when(cond, F.col("y"))).cast("long")
+
+    cells = base.groupBy("event_type").agg(
+        cell(1, 0, "n").alias("n_t_pre"),
+        cell(1, 1, "n").alias("n_t_post"),
+        cell(0, 0, "n").alias("n_c_pre"),
+        cell(0, 1, "n").alias("n_c_post"),
+        cell(1, 0, "s").alias("s_t_pre"),
+        cell(1, 1, "s").alias("s_t_post"),
+        cell(0, 0, "s").alias("s_c_pre"),
+        cell(0, 1, "s").alias("s_c_post"),
+    )
+    m = {
+        f"m_{a}_{p}": F.expr(
+            f"CASE WHEN n_{a}_{p} > 0 THEN s_{a}_{p} DIV n_{a}_{p} END"
+        ).cast("long")
+        for a in ("t", "c")
+        for p in ("pre", "post")
+    }
+    return cells.select(
+        "event_type",
+        "n_t_pre",
+        "n_t_post",
+        "n_c_pre",
+        "n_c_post",
+        m["m_t_pre"].alias("mean_t_pre_centi"),
+        m["m_t_post"].alias("mean_t_post_centi"),
+        m["m_c_pre"].alias("mean_c_pre_centi"),
+        m["m_c_post"].alias("mean_c_post_centi"),
+        (
+            (m["m_t_post"] - m["m_t_pre"]) - (m["m_c_post"] - m["m_c_pre"])
+        ).alias("did_centi"),
+    )
+
+
+@register(
+    "retrieval_mrr_eval",
+    f"""
+    WITH mr_q AS (
+        SELECT vec_id AS query_id, embedding AS qv, label AS qlabel
+        FROM embeddings WHERE vec_id < 8),
+    mr_c AS (
+        SELECT vec_id AS neighbor_id, embedding AS cv, label AS nlabel
+        FROM embeddings),
+    mr_s AS (
+        SELECT query_id, neighbor_id, nlabel, qlabel,
+               round({_DOT_QC} / ({_NORM.format(v='qv')} * {_NORM.format(v='cv')}), 4)
+                   AS cosine
+        FROM mr_c, mr_q WHERE neighbor_id <> query_id),
+    mr_r AS (
+        SELECT query_id, nlabel, qlabel,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM mr_s)
+    SELECT query_id,
+           CAST(min(rank) FILTER (nlabel = qlabel) AS BIGINT)
+               AS first_rel_rank,
+           1000000 // CAST(min(rank) FILTER (nlabel = qlabel) AS BIGINT)
+               AS rr_micro
+    FROM mr_r GROUP BY query_id
+    """,
+)
+def retrieval_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR companion to ``retrieval_ndcg_eval``: the rank of each
+    query's FIRST relevant neighbor (same label) under the exact
+    cosine ranking, and its reciprocal in exact micro units.
+
+    The rank is computed WITHOUT ranking the corpus: elect the best
+    relevant neighbor per query (max_by over (cosine, -id) — one
+    partial-agg reduction), then count the candidates ordered strictly
+    ahead of it. Two bounded aggregations replace the global top-k
+    window — at 100 TB the corpus streams through twice map-side and
+    shuffles only |queries|-row partials (the oracle uses the naive
+    window form precisely so the hash match proves the count-better
+    trick equals the true rank)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    labels = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nlabel")
+    )
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_vec"),
+        sim.norm(F.col("embedding")).alias("q_norm"),
+        F.col("label").alias("qlabel"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_vec"),
+        sim.norm(F.col("embedding")).alias("c_norm"),
+        F.col("label").alias("clabel"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "clabel",
+            "qlabel",
+            F.round(
+                sim.dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm")),
+                4,
+            ).alias("cosine"),
+        )
+    )
+    best = (
+        scored.filter(F.col("clabel") == F.col("qlabel"))
+        .groupBy("query_id")
+        .agg(
+            F.max(F.struct(F.col("cosine"), (-F.col("neighbor_id")).alias("nid")))
+            .alias("b")
+        )
+        .select(
+            "query_id",
+            F.col("b.cosine").alias("best_cos"),
+            (-F.col("b.nid")).alias("best_id"),
+        )
+    )
+    ahead = (
+        scored.join(F.broadcast(best), "query_id")
+        .select(
+            "query_id",
+            (
+                (F.col("cosine") > F.col("best_cos"))
+                | (
+                    (F.col("cosine") == F.col("best_cos"))
+                    & (F.col("neighbor_id") < F.col("best_id"))
+                )
+            )
+            .cast("long")
+            .alias("is_ahead"),
+        )
+        .groupBy("query_id")
+        .agg((F.sum("is_ahead") + 1).cast("long").alias("first_rel_rank"))
+    )
+    return ahead.select(
+        "query_id",
+        "first_rel_rank",
+        F.expr("1000000 DIV first_rel_rank").cast("long").alias("rr_micro"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry tiers.
 #
@@ -10683,7 +11026,11 @@ _DRIVER_TIER = [
     #      events_seasonality_hod, parts_fuzzy_linkage — certified
     #      6/6 at sf0.01 via drive_harness --only at registration,
     #      partition-invariance swept, plan-gated in
-    #      tests/test_plans.py::test_feature_band_plan_shapes) —
+    #      tests/test_plans.py::test_feature_band_plan_shapes), PLUS
+    #      the stats band 2 (events_bootstrap_ci [Poisson bootstrap],
+    #      events_ab_diff_in_diff, retrieval_mrr_eval — certified 3/3
+    #      at sf0.01, invariance-swept, plan-gated in
+    #      test_stats_band2_plan_shapes) —
     #      zero-evidence always outranks re-verification;
     #   1. newest-row-is-r2 (at the 3-round freshness bound): the 31
     #      r2-row holders (q2/q4-q7/q10-q14/q16/q17/q19/q20/q22, f1-f3,

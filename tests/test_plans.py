@@ -700,3 +700,30 @@ def test_feature_band_plan_shapes(spark, sf_dir):
     for name in ("events_linear_attribution", "parts_fuzzy_linkage"):
         p = plan_of(_EX[name].fn(spark, sf_dir), "simple")
         assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p, name
+
+
+def test_stats_band2_plan_shapes(spark, sf_dir):
+    """Bootstrap/DiD/MRR gates: the bootstrap's 32x expansion stays
+    map-side (explode + partial agg, ONE shuffle of partials + the
+    32-row-per-type window); DiD is ONE conditional-agg pass; MRR
+    replaces the global ranking window with two bounded reductions
+    (broadcast queries, no corpus window)."""
+    from decaton_spark.queries import EXTRA_QUERIES as _EX
+
+    shapes = {
+        "events_bootstrap_ci": 4,      # resample agg + ci window + point agg
+        "events_ab_diff_in_diff": 2,   # 1-row midpoint reduce + cell agg
+        "retrieval_mrr_eval": 2,       # best-relevant reduce + count-ahead agg
+    }
+    for name, max_shuffles in shapes.items():
+        p = plan_of(_EX[name].fn(spark, sf_dir), "simple")
+        assert "CartesianProduct" not in p, name
+        shuffles = p.count("Exchange") - p.count("BroadcastExchange")
+        assert shuffles <= max_shuffles, (name, shuffles)
+    # bootstrap: the Poisson weights must partial-aggregate before the
+    # shuffle — resample means ride as (sum, count) partials
+    p = plan_of(_EX["events_bootstrap_ci"].fn(spark, sf_dir))
+    assert "partial_sum" in p or "partial_count" in p
+    # MRR: the corpus pairing must broadcast the 8-query side
+    p = plan_of(_EX["retrieval_mrr_eval"].fn(spark, sf_dir))
+    assert "BroadcastExchange" in p
