@@ -10814,6 +10814,174 @@ def retrieval_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_covisitation_recs",
+    """
+    WITH cv_i AS (
+        SELECT DISTINCT user_id,
+               CAST(json_extract(props, '$.k') AS BIGINT) AS item
+        FROM events),
+    cv_n AS (SELECT item, CAST(count(*) AS BIGINT) AS n FROM cv_i GROUP BY 1),
+    cv_t AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS nu FROM cv_i),
+    cv_p AS (
+        SELECT a.item AS item_a, b.item AS item_b,
+               CAST(count(*) AS BIGINT) AS n_ab
+        FROM cv_i a JOIN cv_i b
+          ON a.user_id = b.user_id AND a.item <> b.item
+        GROUP BY 1, 2),
+    cv_l AS (
+        SELECT p.item_a, p.item_b, p.n_ab,
+               (1000000 * p.n_ab * t.nu) // (na.n * nb.n) AS lift_ppm
+        FROM cv_p p
+        JOIN cv_n na ON na.item = p.item_a
+        JOIN cv_n nb ON nb.item = p.item_b
+        CROSS JOIN cv_t t),
+    cv_r AS (
+        SELECT *, row_number() OVER (PARTITION BY item_a
+                      ORDER BY lift_ppm DESC, n_ab DESC, item_b) AS rnk
+        FROM cv_l WHERE n_ab >= 3)
+    SELECT item_a, rnk, item_b, n_ab, lift_ppm FROM cv_r WHERE rnk <= 5
+    """,
+)
+def events_covisitation_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item co-visitation recommender (the covisitation-matrix
+    batch job behind 'users who touched X also touched Y'): distinct
+    (user, item) pairs from the props item id, co-occurrence counts
+    via a self-equi-join on user, association strength as integer-ppm
+    lift ``P(a,b)/(P(a)P(b))``, and the top-5 recommendations per item
+    under (lift, support, id) ordering with a minimum-support floor of
+    3 co-occurrences (rule-of-thumb noise gate).
+
+    100 TB shape: the pair generator is an EQUI-join on user_id whose
+    fan-out is Σ(per-user distinct items)² — bounded by the distinct
+    collapse, the classic covisitation bound (cap items/user upstream
+    for power users; the distinct pass is where such a cap plugs in).
+    Item marginals and the user total are broadcast; the top-5 is a
+    per-item window over support-filtered pairs, no global sort."""
+    ev = load_table(spark, "events", sf_dir)
+    # the distinct (user, item) frame feeds FOUR consumers (marginals,
+    # user total, both join sides) — stage it through ONE
+    # localCheckpoint so the distinct shuffle happens once, not four
+    # times (the corpus-merge staging lesson)
+    items = (
+        ev.select(
+            "user_id",
+            F.from_json(F.col("props"), "k BIGINT")["k"].alias("item"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    marg = items.groupBy("item").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    nu = items.agg(F.countDistinct("user_id").cast("long").alias("nu"))
+    a = items.select(F.col("user_id").alias("u"), F.col("item").alias("item_a"))
+    b = items.select(F.col("user_id").alias("u2"), F.col("item").alias("item_b"))
+    pairs = (
+        a.join(b, (F.col("u") == F.col("u2")) & (F.col("item_a") != F.col("item_b")))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+    )
+    lifted = (
+        pairs.join(
+            F.broadcast(marg.select(F.col("item").alias("item_a"), F.col("n").alias("na"))),
+            "item_a",
+        )
+        .join(
+            F.broadcast(marg.select(F.col("item").alias("item_b"), F.col("n").alias("nb"))),
+            "item_b",
+        )
+        .crossJoin(F.broadcast(nu))
+        .select(
+            "item_a",
+            "item_b",
+            "n_ab",
+            F.expr("(1000000 * n_ab * nu) DIV (na * nb)")
+            .cast("long")
+            .alias("lift_ppm"),
+        )
+    )
+    w = Window.partitionBy("item_a").orderBy(
+        F.col("lift_ppm").desc(), F.col("n_ab").desc(), F.col("item_b")
+    )
+    return (
+        lifted.filter(F.col("n_ab") >= 3)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("item_a", "rnk", "item_b", "n_ab", "lift_ppm")
+    )
+
+
+@register(
+    "events_ab_power",
+    f"""
+    WITH pw_v AS (
+        SELECT event_type,
+               CAST(round(value * 100) AS BIGINT) AS v
+        FROM events WHERE value IS NOT NULL),
+    pw_s AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(v) AS BIGINT) AS s,
+               CAST(sum(CAST(v AS HUGEINT) * CAST(v AS HUGEINT)) AS DOUBLE) AS q
+        FROM pw_v GROUP BY 1)
+    SELECT event_type, n,
+           s // n AS mean_centi,
+           round((CAST(n AS DOUBLE) * q - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)), 6) AS var_centi2,
+           CAST(ceil(2.0 * 7.849 *
+                ((CAST(n AS DOUBLE) * q - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)))
+                / ((0.05 * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                   * (0.05 * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))))
+               AS BIGINT) AS n_per_arm
+    FROM pw_s WHERE n > 1 AND s > 0
+    """,
+)
+def events_ab_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment power analysis from observed moments: per metric
+    (event type), the sample size each arm needs to detect a 5%
+    relative lift at α=0.05 / 80% power — ``n = 2(z_{{α/2}}+z_β)²σ²/Δ²``
+    with (1.96+0.8416)² = 7.849 folded to a constant. The planning
+    readout every experimentation platform runs BEFORE launching an
+    A/B test; the Welch/CUPED/DiD band then reads the results.
+
+    One conditional-moment scan (the Welch shape): count, sum, sum of
+    squares per type — all partial-aggregable; variance and the ceil'd
+    n are driver-free arithmetic on the 5-row result. Sum-of-squares
+    accumulates in HUGEINT/DECIMAL before the double cast so the
+    partials stay exact and order-free."""
+    ev = load_table(spark, "events", sf_dir).filter(F.col("value").isNotNull())
+    s = (
+        ev.select(
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("v"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("v").cast("long").alias("s"),
+            F.sum(
+                F.col("v").cast("decimal(38,0)") * F.col("v").cast("decimal(38,0)")
+            )
+            .cast("double")
+            .alias("q"),
+        )
+        .filter((F.col("n") > 1) & (F.col("s") > 0))
+    )
+    dn = F.col("n").cast("double")
+    ds = F.col("s").cast("double")
+    var = (dn * F.col("q") - ds * ds) / (dn * (dn - 1))
+    delta = F.lit(0.05) * ds / dn
+    return s.select(
+        "event_type",
+        "n",
+        F.expr("s DIV n").cast("long").alias("mean_centi"),
+        F.round(var, 6).alias("var_centi2"),
+        F.ceil(F.lit(2.0) * F.lit(7.849) * var / (delta * delta))
+        .cast("long")
+        .alias("n_per_arm"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry tiers.
 #

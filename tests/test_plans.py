@@ -727,3 +727,23 @@ def test_stats_band2_plan_shapes(spark, sf_dir):
     # MRR: the corpus pairing must broadcast the 8-query side
     p = plan_of(_EX["retrieval_mrr_eval"].fn(spark, sf_dir))
     assert "BroadcastExchange" in p
+
+
+def test_covisitation_and_power_plan_shapes(spark, sf_dir):
+    """Covisitation: the pair generator is a user-keyed EQUI-join
+    (never all-pairs over items); marginals broadcast back. Power: ONE
+    conditional-moment pass with map-side partials."""
+    from decaton_spark.queries import EXTRA_QUERIES as _EX
+
+    p = plan_of(_EX["events_covisitation_recs"].fn(spark, sf_dir), "simple")
+    assert "CartesianProduct" not in p
+    shuffles = p.count("Exchange") - p.count("BroadcastExchange")
+    # pair agg + 2 marginal aggs + 2-level user countDistinct + topk
+    # window; the (user,item) distinct shuffle happens ONCE at the
+    # localCheckpoint, outside this static plan
+    assert shuffles <= 6, shuffles
+    p = plan_of(_EX["events_ab_power"].fn(spark, sf_dir), "simple")
+    shuffles = p.count("Exchange") - p.count("BroadcastExchange")
+    assert shuffles <= 1, shuffles  # the single moment aggregation
+    p = plan_of(_EX["events_ab_power"].fn(spark, sf_dir))
+    assert "partial_sum" in p or "partial_count" in p
