@@ -717,3 +717,133 @@ def zipf_fit(
         F.round(intercept, 6).alias("intercept"),
         F.round(covn * covn / (vxn * vyn) * 1_000_000).cast("long").alias("r2_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# WordPiece greedy tokenization (inference): longest-match-first over a
+# fixed piece vocabulary, BERT display form ('##' marks continuations).
+# The match/advance step is generated as ENGINE-NEUTRAL SQL text (substr/
+# length/concat/CASE — identical semantics in Spark and DuckDB), so one
+# generator feeds both the Spark withColumn chain and the oracle replay —
+# the inlined-literal-fold trick the IVF cell assignment uses.
+# ---------------------------------------------------------------------------
+
+#: static piece vocabulary for the synthetic corpus: a few whole words,
+#: common multi-char fragments, and every lowercase letter (so any a-z
+#: word tokenizes; [UNK] covers anything else). Longest-first then
+#: lexicographic — the greedy tie-break order.
+WORDPIECE_VOCAB: tuple[str, ...] = tuple(
+    sorted(
+        {
+            "scan", "join", "sort", "hash", "part", "the",
+            "col", "win", "dow", "val", "mer", "que", "gro",
+            "vec", "tor", "agg", "key", "ine", "tch",
+            "um", "er", "ow", "or", "in", "ue", "ge", "ry", "up",
+            "sh", "an", "ta", "bl", "le", "li", "ne", "st", "re",
+            "am", "fa", "sl", "ba", "da", "sp", "ar", "qu", "ro",
+            *"abcdefghijklmnopqrstuvwxyz",
+        },
+        key=lambda p: (-len(p), p),
+    )
+)
+
+
+def wordpiece_match_sql(
+    word: str, pos: str, vocab: tuple[str, ...] = WORDPIECE_VOCAB
+) -> str:
+    """Longest-match CASE: the first (longest, then lexicographically
+    smallest) vocab piece equal to the substring of ``word`` at 1-based
+    ``pos``; NULL when nothing matches ([UNK])."""
+    branches = "".join(
+        f" WHEN substr({word}, {pos}, {len(v)}) = '{v}' THEN '{v}'" for v in vocab
+    )
+    return f"CASE{branches} ELSE NULL END"
+
+
+def wordpiece_step_sql(i: int, word: str = "w") -> tuple[str, str]:
+    """(toks_i, pos_i) advance expressions over columns ``m{i}``,
+    ``toks{i-1}``, ``pos{i-1}``: append the matched piece ('##'-marked
+    past position 1) or [UNK]-and-stop; carry state once the word is
+    consumed."""
+    m, tp, pp = f"m{i}", f"toks{i - 1}", f"pos{i - 1}"
+    sep = f"CASE WHEN {tp} = '' THEN '' ELSE ' ' END"
+    cont = f"CASE WHEN {pp} > 1 THEN '##' ELSE '' END"
+    toks = (
+        f"CASE WHEN {pp} > length({word}) THEN {tp}"
+        f" WHEN {m} IS NULL THEN concat({tp}, {sep}, '[UNK]')"
+        f" ELSE concat({tp}, {sep}, {cont}, {m}) END"
+    )
+    pos = (
+        f"CASE WHEN {pp} > length({word}) THEN {pp}"
+        f" WHEN {m} IS NULL THEN length({word}) + 1"
+        f" ELSE {pp} + length({m}) END"
+    )
+    return toks, pos
+
+
+def wordpiece_tokenize_words(
+    words: DataFrame,
+    *,
+    word_col: str = "w",
+    steps: int = 10,
+    vocab: tuple[str, ...] = WORDPIECE_VOCAB,
+) -> DataFrame:
+    """Greedy WordPiece over a word column: returns (word, pieces,
+    n_pieces) with pieces space-joined in BERT display form.
+
+    The per-word loop is unrolled into ``steps`` expression stages
+    (every stage consumes ≥1 char, so ``steps`` ≥ max word length
+    guarantees completion; shorter words no-op through the tail) — the
+    whole tokenizer is ONE shuffle-free projection in whole-stage
+    codegen, no UDF, no Python on the hot path. Vocab sizes beyond a
+    few hundred pieces should move the match step to a broadcast
+    prefix-table join; the greedy control flow is unchanged.
+    """
+    out = words.withColumn("toks0", F.lit("")).withColumn("pos0", F.lit(1))
+    for i in range(1, steps + 1):
+        out = out.withColumn(
+            f"m{i}", F.expr(wordpiece_match_sql(word_col, f"pos{i - 1}", vocab))
+        )
+        toks, pos = wordpiece_step_sql(i, word_col)
+        out = out.withColumn(f"toks{i}", F.expr(toks)).withColumn(
+            f"pos{i}", F.expr(pos)
+        )
+    t = f"toks{steps}"
+    return out.select(
+        F.col(word_col).alias("word"),
+        F.col(t).alias("pieces"),
+        F.expr(
+            f"CAST(length({t}) - length(replace({t}, ' ', '')) + 1 AS BIGINT)"
+        ).alias("n_pieces"),
+    )
+
+
+def wordpiece_oracle_sql(
+    *, steps: int = 10, vocab: tuple[str, ...] = WORDPIECE_VOCAB
+) -> str:
+    """DuckDB replay of ``wordpiece_tokenize_words`` over the distinct
+    words of ``documents.text`` — the identical generated step
+    expressions threaded through chained CTEs (each referenced once:
+    linear expansion, no materialization needed)."""
+    ctes = [
+        "wp_w AS (SELECT DISTINCT t AS w FROM (SELECT unnest(string_split(text,"
+        " ' ')) AS t FROM documents) WHERE t <> '')",
+        "lvl0 AS (SELECT w, CAST('' AS VARCHAR) AS toks0, 1 AS pos0 FROM wp_w)",
+    ]
+    for i in range(1, steps + 1):
+        ctes.append(
+            f"lvl{i}a AS (SELECT *, "
+            f"{wordpiece_match_sql('w', f'pos{i - 1}', vocab)} AS m{i} "
+            f"FROM lvl{i - 1})"
+        )
+        toks, pos = wordpiece_step_sql(i, "w")
+        ctes.append(
+            f"lvl{i} AS (SELECT w, {toks} AS toks{i}, {pos} AS pos{i} "
+            f"FROM lvl{i}a)"
+        )
+    t = f"toks{steps}"
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT w AS word, {t} AS pieces, "
+        f"CAST(length({t}) - length(replace({t}, ' ', '')) + 1 AS BIGINT)"
+        f" AS n_pieces FROM lvl{steps}"
+    )

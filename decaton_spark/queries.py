@@ -10982,6 +10982,34 @@ def events_ab_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("text_wordpiece_tokens", None)  # placeholder; oracle set below
+def text_wordpiece_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy WordPiece tokenization (inference side of the BPE band):
+    longest-match-first over a fixed piece vocabulary, continuations
+    '##'-marked, [UNK] fallback — ``text.wordpiece_tokenize_words``.
+    The per-word greedy loop is UNROLLED into 10 generated expression
+    stages (every stage consumes ≥1 character and the corpus's longest
+    word is 8 chars), so the whole tokenizer is one shuffle-free
+    codegen projection — no UDF, no Python, no loop. The oracle runs
+    the IDENTICAL generated step expressions through chained CTEs.
+
+    Runs over DISTINCT corpus words (the fertility-table shape): at
+    100 TB the distinct word table is the bounded surface, and a doc-
+    level tokenization is this table broadcast-joined back to docs."""
+    docs = load_table(spark, "documents", sf_dir)
+    words = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .distinct()
+    )
+    return tx.wordpiece_tokenize_words(words)
+
+
+QUERIES["text_wordpiece_tokens"] = QuerySpec(
+    QUERIES["text_wordpiece_tokens"].fn, tx.wordpiece_oracle_sql()
+)
+
+
 # ---------------------------------------------------------------------------
 # Registry tiers.
 #
@@ -11198,7 +11226,10 @@ _DRIVER_TIER = [
     #      the stats band 2 (events_bootstrap_ci [Poisson bootstrap],
     #      events_ab_diff_in_diff, retrieval_mrr_eval — certified 3/3
     #      at sf0.01, invariance-swept, plan-gated in
-    #      test_stats_band2_plan_shapes) —
+    #      test_stats_band2_plan_shapes), PLUS events_covisitation_recs,
+    #      events_ab_power, text_wordpiece_tokens (same certification
+    #      discipline; WordPiece is a generated shuffle-free unrolled
+    #      fold, gated in test_wordpiece_is_codegen_projection) —
     #      zero-evidence always outranks re-verification;
     #   1. newest-row-is-r2 (at the 3-round freshness bound): the 31
     #      r2-row holders (q2/q4-q7/q10-q14/q16/q17/q19/q20/q22, f1-f3,

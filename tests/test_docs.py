@@ -264,3 +264,32 @@ def test_snm_multipass_sorted_key_catches_leading_word_edit(spark):
     )
     p2 = dd.sorted_neighborhood_pairs(df, window=2, block_chars=1, key_expr=key2)
     assert (1, 2) in {(r["id_a"], r["id_b"]) for r in p2.collect()}
+
+
+def test_wordpiece_greedy_longest_match(spark):
+    from decaton_spark.functions import text as tx
+
+    words = spark.createDataFrame(
+        [("column",), ("hash",), ("x9z",), ("a",)], "w string"
+    )
+    out = {r["word"]: (r["pieces"], r["n_pieces"]) for r in
+           tx.wordpiece_tokenize_words(words).collect()}
+    # greedy longest-first: 'col' beats 'c'; continuations ##-marked
+    assert out["column"] == ("col ##um ##n", 3)
+    # whole-word piece wins in one step
+    assert out["hash"] == ("hash", 1)
+    # digit is out-of-vocab: [UNK] stops the word
+    assert out["x9z"] == ("x [UNK]", 2)
+    assert out["a"] == ("a", 1)
+
+
+def test_wordpiece_vocab_order_is_greedy(spark):
+    from decaton_spark.functions import text as tx
+
+    lens = [len(v) for v in tx.WORDPIECE_VOCAB]
+    assert lens == sorted(lens, reverse=True) or all(
+        lens[i] > lens[i + 1]
+        or (lens[i] == lens[i + 1]
+            and tx.WORDPIECE_VOCAB[i] < tx.WORDPIECE_VOCAB[i + 1])
+        for i in range(len(lens) - 1)
+    )

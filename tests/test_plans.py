@@ -747,3 +747,15 @@ def test_covisitation_and_power_plan_shapes(spark, sf_dir):
     assert shuffles <= 1, shuffles  # the single moment aggregation
     p = plan_of(_EX["events_ab_power"].fn(spark, sf_dir))
     assert "partial_sum" in p or "partial_count" in p
+
+
+def test_wordpiece_is_codegen_projection(spark, sf_dir):
+    """The unrolled WordPiece fold must add ZERO shuffles beyond the
+    distinct-words aggregation, and stay inside whole-stage codegen."""
+    from decaton_spark.functions import text as tx
+
+    words = spark.createDataFrame([("column",), ("batch",)], "w string")
+    p = plan_of(tx.wordpiece_tokenize_words(words))
+    assert "Exchange" not in p, "tokenizer must be a pure projection"
+    p = plan_of(tx.wordpiece_tokenize_words(words), mode="codegen")
+    assert "WholeStageCodegen" in p
