@@ -11010,6 +11010,227 @@ QUERIES["text_wordpiece_tokens"] = QuerySpec(
 )
 
 
+@register(
+    "events_psi_drift",
+    """
+    WITH ps_m AS (
+        SELECT (CAST(min(epoch_ms(ts)) AS BIGINT)
+                + CAST(max(epoch_ms(ts)) AS BIGINT)) // 2 AS mid
+        FROM events WHERE value IS NOT NULL),
+    ps_b AS (
+        SELECT event_type,
+               CASE WHEN epoch_ms(ts) >= m.mid THEN 1 ELSE 0 END AS post,
+               least(CAST(round(value * 100) AS BIGINT) // 2500, 19) AS bucket
+        FROM events, ps_m m WHERE value IS NOT NULL),
+    ps_c AS (
+        SELECT event_type, bucket,
+               CAST(count(*) FILTER (post = 0) AS BIGINT) AS n_pre,
+               CAST(count(*) FILTER (post = 1) AS BIGINT) AS n_post
+        FROM ps_b GROUP BY 1, 2),
+    ps_t AS (
+        SELECT event_type,
+               CAST(sum(n_pre) AS BIGINT) AS t_pre,
+               CAST(sum(n_post) AS BIGINT) AS t_post
+        FROM ps_c GROUP BY 1),
+    ps_s AS (
+        SELECT c.event_type, c.bucket,
+               (1000000.0 * c.n_pre + 1.0) / (t.t_pre + 20) AS p,
+               (1000000.0 * c.n_post + 1.0) / (t.t_post + 20) AS q
+        FROM ps_c c JOIN ps_t t USING (event_type))
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(round(sum(CAST(round((p - q) * ln(p / q), 6)
+                               AS DECIMAL(24,6)))) AS BIGINT) AS psi_upm
+    FROM ps_s GROUP BY event_type
+    """,
+)
+def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the pre- and post-midpoint
+    value distributions per metric — the drift gauge ML monitoring
+    fires retraining on (PSI > 0.2 ≈ 200000 µPSI = major shift).
+    Values bucket into fixed 25.00-wide centi bins capped at 20;
+    Laplace-smoothed shares keep empty bins finite; per-bucket
+    contributions sum in micro-PSI units.
+
+    The double arithmetic is identical-IEEE on both engines (same
+    expression shape; ln/division on exact-integer-derived inputs) and
+    the final round is scale-0 — the certified tfidf/ANN pattern.
+
+    100 TB shape: ONE bucket-count pass with map-side partials
+    (|types|·20 cells), totals joined back at cell granularity —
+    nothing bigger than the histogram ever moves."""
+    ev = load_table(spark, "events", sf_dir).filter(F.col("value").isNotNull())
+    mid = ev.agg(
+        F.expr(
+            "(CAST(min(unix_millis(ts)) AS BIGINT)"
+            " + CAST(max(unix_millis(ts)) AS BIGINT)) DIV 2"
+        ).alias("mid")
+    )
+    b = ev.crossJoin(F.broadcast(mid)).select(
+        "event_type",
+        (F.unix_millis("ts") >= F.col("mid")).cast("int").alias("post"),
+        F.least(
+            F.expr("CAST(round(value * 100) AS BIGINT) DIV 2500"), F.lit(19)
+        ).alias("bucket"),
+    )
+    cells = (
+        b.groupBy("event_type", "bucket")
+        .agg(
+            F.sum(F.when(F.col("post") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_pre"),
+            F.sum(F.when(F.col("post") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_post"),
+        )
+        # the |types|·20 histogram feeds the totals AND the contrib
+        # join — stage it once so the raw scan never re-runs
+        .localCheckpoint(eager=False)
+    )
+    tot = cells.groupBy("event_type").agg(
+        F.sum("n_pre").cast("long").alias("t_pre"),
+        F.sum("n_post").cast("long").alias("t_post"),
+    )
+    p = (F.lit(1000000.0) * F.col("n_pre") + 1.0) / (F.col("t_pre") + 20)
+    q = (F.lit(1000000.0) * F.col("n_post") + 1.0) / (F.col("t_post") + 20)
+    return (
+        cells.join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type",
+            # per-bucket contributions round then DECIMAL-sum so the
+            # total is order-free (the ndcg pattern) — a raw double
+            # sum would depend on partition order
+            F.round((p - q) * F.log(p / q), 6)
+            .cast("decimal(24,6)")
+            .alias("contrib"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_buckets"),
+            F.round(F.sum("contrib")).cast("long").alias("psi_upm"),
+        )
+    )
+
+
+@register(
+    "events_forecast_backtest",
+    """
+    WITH fb_h AS (
+        SELECT event_type, epoch_ms(ts) // 3600000 AS h,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s
+        FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+    fb_cut AS (
+        SELECT min(h) + 3 * (max(h) - min(h) + 1) // 4 AS cutoff FROM fb_h),
+    fb_test AS (
+        SELECT a.event_type, CAST(abs(a.s - b.s) AS BIGINT) AS err
+        FROM fb_h a JOIN fb_h b
+          ON a.event_type = b.event_type AND b.h = a.h - 24
+        CROSS JOIN fb_cut c
+        WHERE a.h >= c.cutoff),
+    fb_train AS (
+        SELECT a.event_type, CAST(abs(a.s - b.s) AS BIGINT) AS err
+        FROM fb_h a JOIN fb_h b
+          ON a.event_type = b.event_type AND b.h = a.h - 1
+        CROSS JOIN fb_cut c
+        WHERE a.h < c.cutoff),
+    fb_te AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_test,
+               CAST(sum(err) AS BIGINT) AS sum_test
+        FROM fb_test GROUP BY 1),
+    fb_tr AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_train,
+               CAST(sum(err) AS BIGINT) AS sum_train
+        FROM fb_train GROUP BY 1)
+    SELECT t.event_type, t.n_test,
+           t.sum_test // t.n_test AS mae_test_centi,
+           (1000000 * t.sum_test * r.n_train) // (t.n_test * r.sum_train)
+               AS mase_ppm
+    FROM fb_te t JOIN fb_tr r USING (event_type)
+    WHERE r.sum_train > 0 AND t.n_test > 0
+    """,
+)
+def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast backtest: seasonal-naive (ŷ_h = y_{h-24}) over the last
+    quarter of the hourly value series, scored by MASE — the test error
+    scaled by the TRAIN-period naive-1 MAE (Hyndman's scale-free
+    standard; < 1e6 ppm = beats the naive benchmark). The eval loop a
+    forecasting pipeline runs before promoting any model; seasonal
+    naive is the benchmark that model must beat.
+
+    Everything is integer-exact: hourly sums in centi, absolute errors,
+    and one cross-multiplied DIV for the ratio of means — no float
+    drift, order-free. Hours with a missing 24h-back partner drop from
+    the backtest on both engines (inner lag join).
+
+    100 TB shape: one partial-agg scan builds the series; lag pairing
+    is an EQUI-join on (type, h−k) — never a window over raw events;
+    the cutoff is a 1-row broadcast."""
+    ev = load_table(spark, "events", sf_dir).filter(F.col("value").isNotNull())
+    hourly = (
+        ev.select(
+            "event_type",
+            F.expr("unix_millis(ts) DIV 3600000").alias("h"),
+            F.round(F.col("value") * 100).cast("long").alias("v"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.sum("v").cast("long").alias("s"))
+        .localCheckpoint(eager=False)  # four consumers: one series build
+    )
+    cut = hourly.agg(
+        F.expr("min(h) + 3 * (max(h) - min(h) + 1) DIV 4").alias("cutoff")
+    )
+
+    def lag_pairs(k: int):
+        b = hourly.select(
+            F.col("event_type").alias("et2"),
+            (F.col("h") + k).alias("h2"),
+            F.col("s").alias("s2"),
+        )
+        return (
+            hourly.join(
+                b, (F.col("event_type") == F.col("et2")) & (F.col("h") == F.col("h2"))
+            )
+            .crossJoin(F.broadcast(cut))
+            .select(
+                "event_type",
+                "h",
+                F.abs(F.col("s") - F.col("s2")).cast("long").alias("err"),
+                "cutoff",
+            )
+        )
+
+    test = (
+        lag_pairs(24)
+        .filter(F.col("h") >= F.col("cutoff"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum("err").cast("long").alias("sum_test"),
+        )
+    )
+    train = (
+        lag_pairs(1)
+        .filter(F.col("h") < F.col("cutoff"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_train"),
+            F.sum("err").cast("long").alias("sum_train"),
+        )
+    )
+    return (
+        test.join(train, "event_type")
+        .filter((F.col("sum_train") > 0) & (F.col("n_test") > 0))
+        .select(
+            "event_type",
+            "n_test",
+            F.expr("sum_test DIV n_test").cast("long").alias("mae_test_centi"),
+            F.expr("(1000000 * sum_test * n_train) DIV (n_test * sum_train)")
+            .cast("long")
+            .alias("mase_ppm"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry tiers.
 #
@@ -11229,7 +11450,10 @@ _DRIVER_TIER = [
     #      test_stats_band2_plan_shapes), PLUS events_covisitation_recs,
     #      events_ab_power, text_wordpiece_tokens (same certification
     #      discipline; WordPiece is a generated shuffle-free unrolled
-    #      fold, gated in test_wordpiece_is_codegen_projection) —
+    #      fold, gated in test_wordpiece_is_codegen_projection), PLUS
+    #      the monitoring band (events_psi_drift, events_forecast_backtest
+    #      — certified at sf0.01, invariance-swept, plan-gated in
+    #      test_monitoring_band_plan_shapes) —
     #      zero-evidence always outranks re-verification;
     #   1. newest-row-is-r2 (at the 3-round freshness bound): the 31
     #      r2-row holders (q2/q4-q7/q10-q14/q16/q17/q19/q20/q22, f1-f3,

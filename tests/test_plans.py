@@ -759,3 +759,21 @@ def test_wordpiece_is_codegen_projection(spark, sf_dir):
     assert "Exchange" not in p, "tokenizer must be a pure projection"
     p = plan_of(tx.wordpiece_tokenize_words(words), mode="codegen")
     assert "WholeStageCodegen" in p
+
+
+def test_monitoring_band_plan_shapes(spark, sf_dir):
+    """PSI: one histogram pass, totals joined back at cell granularity.
+    Backtest: series built ONCE (localCheckpoint), lag pairing is an
+    equi-join on (type, h-k), cutoff broadcasts."""
+    from decaton_spark.queries import EXTRA_QUERIES as _EX
+
+    p = plan_of(_EX["events_psi_drift"].fn(spark, sf_dir), "simple")
+    assert "CartesianProduct" not in p
+    shuffles = p.count("Exchange") - p.count("BroadcastExchange")
+    assert shuffles <= 4, shuffles  # midpoint reduce + cells + totals + final
+    p = plan_of(_EX["events_forecast_backtest"].fn(spark, sf_dir), "simple")
+    assert "CartesianProduct" not in p
+    shuffles = p.count("Exchange") - p.count("BroadcastExchange")
+    # 2 lag joins + 2 error aggs + cutoff reduce + final join; the
+    # hourly-series shuffle happens once at the localCheckpoint
+    assert shuffles <= 9, shuffles
