@@ -11231,6 +11231,133 @@ def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_survival_km",
+    """
+    WITH km_s AS (
+        SELECT user_id, min(epoch_ms(ts)) AS t0 FROM events
+        WHERE event_type = 'signup' GROUP BY 1),
+    km_e AS (
+        SELECT e.user_id, min(epoch_ms(e.ts)) AS tp
+        FROM events e JOIN km_s s ON e.user_id = s.user_id
+        WHERE e.event_type = 'purchase' AND epoch_ms(e.ts) >= s.t0
+        GROUP BY 1),
+    km_end AS (SELECT max(epoch_ms(ts)) AS tmax FROM events),
+    km_d AS (
+        SELECT s.user_id,
+               CASE WHEN e.user_id IS NULL
+                    THEN (x.tmax - s.t0) // 3600000
+                    ELSE (e.tp - s.t0) // 3600000 END AS dur,
+               CASE WHEN e.user_id IS NULL THEN 0 ELSE 1 END AS observed
+        FROM km_s s LEFT JOIN km_e e ON s.user_id = e.user_id
+        CROSS JOIN km_end x),
+    km_c AS (
+        SELECT dur,
+               CAST(count(*) FILTER (observed = 1) AS BIGINT) AS d,
+               CAST(count(*) AS BIGINT) AS leave_t
+        FROM km_d GROUP BY 1),
+    km_n AS (
+        SELECT dur, d,
+               (SELECT count(*) FROM km_d) -
+               coalesce(sum(leave_t) OVER (ORDER BY dur
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS n_at_risk
+        FROM km_c),
+    km_f AS (
+        SELECT dur, d, CAST(n_at_risk AS BIGINT) AS n_at_risk,
+               sum(CAST(round(ln(1.0 - CAST(d AS DOUBLE)
+                                  / CAST(n_at_risk AS DOUBLE)), 9)
+                        AS DECIMAL(24,9)))
+                   OVER (ORDER BY dur) AS logsum
+        FROM km_n WHERE d > 0 AND n_at_risk > d)
+    SELECT CAST(dur AS BIGINT) AS t_hours, n_at_risk, d AS d_events,
+           CAST(round(exp(CAST(logsum AS DOUBLE)) * 1000000) AS BIGINT)
+               AS surv_ppm
+    FROM km_f
+    """,
+)
+def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curve for signup→purchase conversion with
+    right censoring: users who never purchase are censored at the
+    study end instead of silently dropped — the estimator retention /
+    time-to-event analyses need when the observation window truncates
+    the slow converters (naive conversion-latency means understate).
+
+    S(t) = Π (1 − d/n) accumulates as a cumulative sum of
+    round-to-9-decimals log terms in DECIMAL (order-free, the ndcg
+    pattern), exponentiated once per row — a product of doubles would
+    depend on evaluation order. Durations, death counts, and risk sets
+    are exact integers (risk set = N minus the running leave count).
+
+    100 TB shape: two per-user reductions (first signup, first
+    qualifying purchase) + a per-duration partial agg; the KM windows
+    run over the bounded distinct-duration frame (≤ observation hours),
+    never over users."""
+    ev = load_table(spark, "events", sf_dir)
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.unix_millis("ts")).alias("t0"))
+    )
+    e = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.unix_millis("ts").alias("tp"))
+        .join(s, "user_id")
+        .filter(F.col("tp") >= F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("tp").alias("tp"))
+    )
+    end = ev.agg(F.max(F.unix_millis("ts")).alias("tmax"))
+    durs = (
+        s.join(e, "user_id", "left")
+        .crossJoin(F.broadcast(end))
+        .select(
+            F.when(
+                F.col("tp").isNull(),
+                F.expr("(tmax - t0) DIV 3600000"),
+            )
+            .otherwise(F.expr("(tp - t0) DIV 3600000"))
+            .alias("dur"),
+            F.col("tp").isNotNull().cast("int").alias("observed"),
+        )
+        .localCheckpoint(eager=False)  # feeds the table AND the N count
+    )
+    counts = durs.groupBy("dur").agg(
+        F.sum("observed").cast("long").alias("d"),
+        F.count(F.lit(1)).cast("long").alias("leave_t"),
+    )
+    n_total = durs.agg(F.count(F.lit(1)).cast("long").alias("n_tot"))
+    w_prev = (
+        Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    at_risk = (
+        counts.crossJoin(F.broadcast(n_total))
+        .withColumn(
+            "n_at_risk",
+            (
+                F.col("n_tot")
+                - F.coalesce(F.sum("leave_t").over(w_prev), F.lit(0))
+            ).cast("long"),
+        )
+        .filter((F.col("d") > 0) & (F.col("n_at_risk") > F.col("d")))
+    )
+    logterm = F.round(
+        F.log(
+            F.lit(1.0) - F.col("d").cast("double") / F.col("n_at_risk").cast("double")
+        ),
+        9,
+    ).cast("decimal(24,9)")
+    w_cum = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, 0)
+    return at_risk.select(
+        F.col("dur").cast("long").alias("t_hours"),
+        "n_at_risk",
+        F.col("d").alias("d_events"),
+        F.round(F.exp(F.sum(logterm).over(w_cum).cast("double")) * 1000000)
+        .cast("long")
+        .alias("surv_ppm"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry tiers.
 #
@@ -11451,9 +11578,9 @@ _DRIVER_TIER = [
     #      events_ab_power, text_wordpiece_tokens (same certification
     #      discipline; WordPiece is a generated shuffle-free unrolled
     #      fold, gated in test_wordpiece_is_codegen_projection), PLUS
-    #      the monitoring band (events_psi_drift, events_forecast_backtest
-    #      — certified at sf0.01, invariance-swept, plan-gated in
-    #      test_monitoring_band_plan_shapes) —
+    #      the monitoring band (events_psi_drift, events_forecast_backtest,
+    #      events_survival_km — certified at sf0.01, invariance-swept,
+    #      plan-gated in test_monitoring_band_plan_shapes) —
     #      zero-evidence always outranks re-verification;
     #   1. newest-row-is-r2 (at the 3-round freshness bound): the 31
     #      r2-row holders (q2/q4-q7/q10-q14/q16/q17/q19/q20/q22, f1-f3,

@@ -777,3 +777,14 @@ def test_monitoring_band_plan_shapes(spark, sf_dir):
     # 2 lag joins + 2 error aggs + cutoff reduce + final join; the
     # hourly-series shuffle happens once at the localCheckpoint
     assert shuffles <= 9, shuffles
+
+
+def test_km_windows_are_bounded(spark, sf_dir):
+    """KM's only windows run over the distinct-duration frame (bounded
+    by observation hours), never over users; the per-user reductions
+    partial-aggregate."""
+    from decaton_spark.queries import EXTRA_QUERIES as _EX
+
+    p = plan_of(_EX["events_survival_km"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "partial_min" in p or "partial_count" in p or "partial_sum" in p
