@@ -11358,6 +11358,97 @@ def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_anova_oneway",
+    """
+    WITH an_g AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s,
+               sum(CAST(round(value * 100) AS HUGEINT)
+                   * CAST(round(value * 100) AS HUGEINT)) AS q
+        FROM events WHERE value IS NOT NULL GROUP BY 1),
+    an_t AS (
+        SELECT CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(n) AS BIGINT) AS n_tot,
+               sum(CAST(s AS HUGEINT)) AS s_tot,
+               sum(q) AS q_tot,
+               sum(CAST(round(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                              / CAST(n AS DOUBLE), 4) AS DECIMAL(30,4)))
+                   AS ssb_part
+        FROM an_g)
+    SELECT k AS n_groups, n_tot,
+           round((CAST(ssb_part AS DOUBLE)
+                  - CAST(s_tot AS DOUBLE) * CAST(s_tot AS DOUBLE)
+                    / CAST(n_tot AS DOUBLE)) / (k - 1), 4) AS msb_centi2,
+           round((CAST(q_tot AS DOUBLE) - CAST(ssb_part AS DOUBLE))
+                 / (n_tot - k), 4) AS msw_centi2,
+           round(((CAST(ssb_part AS DOUBLE)
+                   - CAST(s_tot AS DOUBLE) * CAST(s_tot AS DOUBLE)
+                     / CAST(n_tot AS DOUBLE)) / (k - 1))
+                 / ((CAST(q_tot AS DOUBLE) - CAST(ssb_part AS DOUBLE))
+                    / (n_tot - k)), 6) AS f_stat
+    FROM an_t WHERE k > 1 AND n_tot > k
+    """,
+)
+def events_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA across event types: does the metric's mean differ
+    anywhere among the k groups? — the k-group generalization of the
+    Welch/z-test pair (run this first; pairwise tests after, on the
+    types it flags). F = MSB/MSW from sufficient statistics only:
+    per-group (n, Σy, Σy²) in exact integer centi (Σy² in
+    HUGEINT/DECIMAL so partials stay order-free), one double formula
+    at the end.
+
+    Caveat vs Welch: classic ANOVA assumes equal variances; the Welch
+    registry entry is the unequal-variance pairwise follow-up.
+
+    100 TB shape: ONE conditional-moment pass (k-row output), then a
+    1-row reduction — the same two-level shape as the A/B band; HUGEINT
+    `s²/n` keeps the between-group sum exact before the single double
+    division."""
+    ev = load_table(spark, "events", sf_dir).filter(F.col("value").isNotNull())
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    g = (
+        ev.select(
+            "event_type", F.round(F.col("value") * 100).cast("long").alias("v")
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("v").cast("long").alias("s"),
+            F.sum(dec(F.col("v")) * dec(F.col("v"))).alias("q"),
+        )
+    )
+    t = g.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("n_tot"),
+        F.sum(dec(F.col("s"))).alias("s_tot"),
+        F.sum("q").alias("q_tot"),
+        # per-group s²/n as an identical-IEEE double rounded to 4
+        # decimals then DECIMAL-summed — order-free in both engines
+        # (raw decimal/HUGEINT division semantics differ across them)
+        F.sum(
+            F.round(
+                F.col("s").cast("double") * F.col("s").cast("double")
+                / F.col("n").cast("double"),
+                4,
+            ).cast("decimal(30,4)")
+        ).alias("ssb_part"),
+    ).filter((F.col("k") > 1) & (F.col("n_tot") > F.col("k")))
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    ssb = d("ssb_part") - d("s_tot") * d("s_tot") / d("n_tot")
+    msb = ssb / (F.col("k") - 1)
+    msw = (d("q_tot") - d("ssb_part")) / (F.col("n_tot") - F.col("k"))
+    return t.select(
+        F.col("k").alias("n_groups"),
+        "n_tot",
+        F.round(msb, 4).alias("msb_centi2"),
+        F.round(msw, 4).alias("msw_centi2"),
+        F.round(msb / msw, 6).alias("f_stat"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry tiers.
 #
@@ -11579,8 +11670,8 @@ _DRIVER_TIER = [
     #      discipline; WordPiece is a generated shuffle-free unrolled
     #      fold, gated in test_wordpiece_is_codegen_projection), PLUS
     #      the monitoring band (events_psi_drift, events_forecast_backtest,
-    #      events_survival_km — certified at sf0.01, invariance-swept,
-    #      plan-gated in test_monitoring_band_plan_shapes) —
+    #      events_survival_km, events_anova_oneway — certified at
+    #      sf0.01, invariance-swept, plan-gated) —
     #      zero-evidence always outranks re-verification;
     #   1. newest-row-is-r2 (at the 3-round freshness bound): the 31
     #      r2-row holders (q2/q4-q7/q10-q14/q16/q17/q19/q20/q22, f1-f3,
