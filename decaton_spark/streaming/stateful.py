@@ -1135,3 +1135,90 @@ def streaming_ab_monitor(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_psi_monitor(
+    events: DataFrame,
+    *,
+    baselines: dict[str, list[int]],
+    group_col: str = "event_type",
+    bucket_col: str = "bucket",
+    n_bins: int = 20,
+) -> DataFrame:
+    """Streaming PSI drift monitor: the streaming twin of the batch
+    ``events_psi_drift`` gauge. The reference (pre-period) histogram
+    arrives as a per-group calibration vector (the CUSUM-baseline
+    pattern); state per group is the running ``n_bins``-bucket count
+    vector + total — O(n_bins) longs regardless of traffic. Each
+    microbatch folds its bucket counts in (integer sums — any
+    microbatch split replays to the same state) and emits the current
+    PSI through the batch operator's exact arithmetic (Laplace-
+    smoothed shares, per-bucket contributions rounded at 6 decimals
+    and integer-summed, half-up final round) — the final emission per
+    group is bit-equal to the batch PSI over the same rows (pinned in
+    the invariant suite).
+
+    This is how drift monitoring actually deploys: the reference
+    freezes at model training time, production traffic streams, and
+    retraining fires on the live PSI crossing threshold — not a batch
+    recompute over history.
+
+    Emits (group, n_obs, n_buckets, psi_upm) per touched group per
+    microbatch.
+    """
+    import math
+
+    out_schema = f"{group_col} string, n_obs long, n_buckets long, psi_upm long"
+    state_schema = "counts array<bigint>, n long"
+    pre_tot = {g: sum(v) for g, v in baselines.items()}
+
+    def update(key, pdfs, state: GroupState):
+        g = key[0]
+        if g not in baselines:
+            return
+        if state.exists:
+            counts, n = state.get
+            counts = list(counts)
+        else:
+            counts, n = [0] * n_bins, 0
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if not len(batch):
+            return
+        vc = batch[bucket_col].value_counts()
+        for b, c in vc.items():
+            counts[int(b)] += int(c)
+        n += int(len(batch))
+        state.update((counts, n))
+        pre, tp, tq = baselines[g], pre_tot[g], n
+        su6 = 0
+        nb = 0
+        for i in range(n_bins):
+            if pre[i] == 0 and counts[i] == 0:
+                continue  # cell unobserved on both sides: not a bucket
+            nb += 1
+            p = (1e6 * pre[i] + 1.0) / (tp + 20)
+            q = (1e6 * counts[i] + 1.0) / (tq + 20)
+            # mirror F.round(contrib, 6) + DECIMAL sum: 6-decimal
+            # integer units, half-away rounding (contributions >= 0)
+            su6 += _round_half_away((p - q) * math.log(p / q) * 1e6)
+        psi = (su6 + 500000) // 1000000  # HALF_UP at scale 0, su6 >= 0
+        yield pd.DataFrame(
+            {
+                group_col: [g],
+                "n_obs": [n],
+                "n_buckets": [nb],
+                "psi_upm": [psi],
+            }
+        )
+
+    return (
+        events.select(group_col, bucket_col)
+        .groupBy(group_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

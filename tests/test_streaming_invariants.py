@@ -806,3 +806,85 @@ def test_streaming_ab_monitor_equals_batch(spark, sf_dir, tmp_path):
         for r in batch
     }
     assert last == exp
+
+
+def test_streaming_psi_monitor_equals_batch(spark, sf_dir, tmp_path):
+    """The LAST emitted PSI per group equals the batch events_psi_drift
+    gauge over the same pre/post split, for an arbitrary 3-way
+    microbatch split of the post-period stream — integer bucket counts
+    make the fold order-free, and the emission arithmetic mirrors the
+    batch operator's rounded-contribution sum."""
+    import time
+
+    from decaton_spark.queries import _ALL_QUERIES
+    from decaton_spark.streaming.stateful import streaming_psi_monitor
+
+    ev = load_table(spark, "events", sf_dir).filter(F.col("value").isNotNull())
+    mid_row = ev.agg(
+        F.expr(
+            "(CAST(min(unix_millis(ts)) AS BIGINT)"
+            " + CAST(max(unix_millis(ts)) AS BIGINT)) DIV 2"
+        ).alias("mid")
+    ).collect()[0]
+    mid = mid_row["mid"]
+    bucketed = ev.select(
+        "event_type",
+        "event_id",
+        (F.unix_millis("ts") >= F.lit(mid)).cast("int").alias("post"),
+        F.least(
+            F.expr("CAST(round(value * 100) AS BIGINT) DIV 2500"), F.lit(19)
+        ).alias("bucket"),
+    )
+    # calibration: the pre-period histogram per group
+    baselines = {}
+    for r in (
+        bucketed.filter(F.col("post") == 0)
+        .groupBy("event_type", "bucket")
+        .count()
+        .collect()
+    ):
+        baselines.setdefault(r["event_type"], [0] * 20)[r["bucket"]] += r["count"]
+
+    post = bucketed.filter(F.col("post") == 1).select(
+        "event_type", "bucket", "event_id"
+    )
+    d = tmp_path / "psistream"
+    d.mkdir()
+    n = post.count()
+    ids = [r["event_id"] for r in post.select("event_id").collect()]
+    ids.sort()
+    cut1, cut2 = ids[n // 3], ids[2 * n // 3]
+    for lo, hi in ((None, cut1), (cut1, cut2), (cut2, None)):
+        part = post
+        if lo is not None:
+            part = part.filter(F.col("event_id") >= lo)
+        if hi is not None:
+            part = part.filter(F.col("event_id") < hi)
+        part.drop("event_id").coalesce(1).write.mode("append").parquet(str(d))
+        time.sleep(1.1)
+    stream = (
+        spark.readStream.schema("event_type string, bucket long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    rows = []
+    q = (
+        streaming_psi_monitor(stream, baselines=baselines)
+        .writeStream.queryName("psimon")
+        .foreachBatch(lambda df, bid: rows.append((bid, df.collect())))
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt-psi"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    last = {}
+    for bid, rs in sorted(rows):
+        for r in rs:
+            last[r["event_type"]] = (r["n_buckets"], r["psi_upm"])
+    batch = {
+        r["event_type"]: (r["n_buckets"], r["psi_upm"])
+        for r in _ALL_QUERIES["events_psi_drift"].fn(spark, sf_dir).collect()
+    }
+    assert last == batch
