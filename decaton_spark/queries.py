@@ -11449,6 +11449,101 @@ def events_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_cohort_ltv",
+    """
+    WITH lt_s AS (
+        SELECT user_id,
+               min(epoch_ms(ts)) // 86400000 // 7 AS cohort_wk
+        FROM events WHERE event_type = 'signup' GROUP BY 1),
+    lt_v AS (
+        SELECT s.cohort_wk,
+               epoch_ms(e.ts) // 86400000 // 7 - s.cohort_wk AS age_wk,
+               CAST(round(e.value * 100) AS BIGINT) AS v
+        FROM events e JOIN lt_s s ON e.user_id = s.user_id
+        WHERE e.event_type = 'purchase' AND e.value IS NOT NULL
+          AND epoch_ms(e.ts) // 86400000 // 7 >= s.cohort_wk),
+    lt_n AS (
+        SELECT cohort_wk, CAST(count(*) AS BIGINT) AS cohort_users
+        FROM lt_s GROUP BY 1),
+    lt_c AS (
+        SELECT cohort_wk, age_wk,
+               CAST(count(*) AS BIGINT) AS n_purchases,
+               CAST(sum(v) AS BIGINT) AS wk_value
+        FROM lt_v GROUP BY 1, 2)
+    SELECT c.cohort_wk, c.age_wk, n.cohort_users, c.n_purchases,
+           CAST(sum(c.wk_value) OVER (PARTITION BY c.cohort_wk
+                ORDER BY c.age_wk) AS BIGINT) AS cum_value_centi,
+           CAST(sum(c.wk_value) OVER (PARTITION BY c.cohort_wk
+                ORDER BY c.age_wk) AS BIGINT) // n.cohort_users
+               AS ltv_per_user_centi
+    FROM lt_c c JOIN lt_n n USING (cohort_wk)
+    """,
+)
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: users cohorted by signup week,
+    purchase value accumulated by cohort age — the LTV-by-age table
+    growth teams read payback periods off (and the label source for
+    LTV-prediction training data). Cumulative sums are exact centi
+    integers; per-user LTV is an integer DIV against the cohort's user
+    count (denominator = signups, not purchasers — the curve must
+    dilute by the whole cohort).
+
+    100 TB shape: one per-user signup reduction joined back to
+    purchases (user-keyed equi-join), a (cohort, age) partial agg, and
+    a cumulative window over the BOUNDED (cohorts × ages) frame —
+    never over raw events; epoch-week arithmetic is timezone-free."""
+    ev = load_table(spark, "events", sf_dir)
+    wk = lambda c: F.expr(f"unix_millis({c}) DIV 86400000 DIV 7")  # noqa: E731
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(wk("ts")).alias("cohort_wk"))
+        .localCheckpoint(eager=False)  # feeds the join AND cohort sizes
+    )
+    sizes = s.groupBy("cohort_wk").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_users")
+    )
+    v = (
+        ev.filter(
+            (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+        )
+        .select(
+            "user_id",
+            wk("ts").alias("ev_wk"),
+            F.round(F.col("value") * 100).cast("long").alias("v"),
+        )
+        .join(s, "user_id")
+        .filter(F.col("ev_wk") >= F.col("cohort_wk"))
+        .select(
+            "cohort_wk", (F.col("ev_wk") - F.col("cohort_wk")).alias("age_wk"), "v"
+        )
+    )
+    cells = v.groupBy("cohort_wk", "age_wk").agg(
+        F.count(F.lit(1)).cast("long").alias("n_purchases"),
+        F.sum("v").cast("long").alias("wk_value"),
+    )
+    w = (
+        Window.partitionBy("cohort_wk")
+        .orderBy("age_wk")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        cells.join(F.broadcast(sizes), "cohort_wk")
+        .withColumn("cum_value_centi", F.sum("wk_value").over(w).cast("long"))
+        .select(
+            "cohort_wk",
+            "age_wk",
+            "cohort_users",
+            "n_purchases",
+            "cum_value_centi",
+            F.expr("cum_value_centi DIV cohort_users")
+            .cast("long")
+            .alias("ltv_per_user_centi"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry tiers.
 #
@@ -11670,8 +11765,9 @@ _DRIVER_TIER = [
     #      discipline; WordPiece is a generated shuffle-free unrolled
     #      fold, gated in test_wordpiece_is_codegen_projection), PLUS
     #      the monitoring band (events_psi_drift, events_forecast_backtest,
-    #      events_survival_km, events_anova_oneway — certified at
-    #      sf0.01, invariance-swept, plan-gated) —
+    #      events_survival_km, events_anova_oneway, events_cohort_ltv,
+    #      streaming_psi_monitor [streaming-only, invariant-tested] —
+    #      certified at sf0.01, invariance-swept, plan-gated) —
     #      zero-evidence always outranks re-verification;
     #   1. newest-row-is-r2 (at the 3-round freshness bound): the 31
     #      r2-row holders (q2/q4-q7/q10-q14/q16/q17/q19/q20/q22, f1-f3,
