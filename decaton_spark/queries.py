@@ -11544,6 +11544,124 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_nprobe_sweep_oracle(probes: tuple[int, ...] = (1, 2, 4)) -> str:
+    """Replay of the IVF training + assignment (the ann_ivf_topk
+    fragments) with the probe list swept, each rung's top-5 scored for
+    recall against the exact ranking."""
+    head = f"""
+    WITH c0 AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+                FROM embeddings WHERE vec_id < 16),
+    {_kmeans_iter_sql('c0', 'c1')},
+    {_kmeans_iter_sql('c1', 'c2')},
+    cent AS (SELECT cid, cv FROM c2),
+    ascore AS (
+        SELECT e.vec_id, c.cid,
+               round({_dot64('e.embedding', 'c.cv')}
+                     / ({_NORM.format(v='e.embedding')} * {_NORM.format(v='c.cv')}), 4) + 0.0 AS cos
+        FROM embeddings e CROSS JOIN cent c),
+    assign AS (
+        SELECT vec_id, cid AS cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+        FROM ascore),
+    cell AS (SELECT vec_id, cell FROM assign WHERE rn = 1),
+    probe AS (
+        SELECT vec_id AS query_id, cid AS cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+        FROM ascore WHERE vec_id < 8),
+    q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+    c AS (SELECT e.vec_id AS neighbor_id, e.embedding AS nv, cl.cell
+          FROM embeddings e JOIN cell cl ON e.vec_id = cl.vec_id),
+    ex_scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               round({_dot64('q.qv', 'e.embedding')}
+                     / ({_NORM.format(v='q.qv')} * {_NORM.format(v='e.embedding')}), 4) + 0.0 AS cosine
+        FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+    ex_ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY cosine DESC, neighbor_id) AS erank
+        FROM ex_scored),
+    ex5 AS (SELECT query_id, neighbor_id FROM ex_ranked WHERE erank <= 5)"""
+    parts = [head]
+    finals = []
+    for np_ in probes:
+        parts.append(
+            f""",
+    scored_{np_} AS (
+        SELECT q.query_id, c.neighbor_id,
+               round({_dot64('q.qv', 'c.nv')}
+                     / ({_NORM.format(v='q.qv')} * {_NORM.format(v='c.nv')}), 4) + 0.0 AS cosine
+        FROM c JOIN probe p ON c.cell = p.cell AND p.rn <= {np_}
+               JOIN q ON q.query_id = p.query_id
+        WHERE c.neighbor_id <> p.query_id),
+    top5_{np_} AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                          ORDER BY cosine DESC, neighbor_id) AS rank
+            FROM scored_{np_}) WHERE rank <= 5),
+    hits_{np_} AS (
+        SELECT t.query_id, CAST(count(*) AS BIGINT) AS h
+        FROM top5_{np_} t JOIN ex5 e USING (query_id, neighbor_id)
+        GROUP BY 1)"""
+        )
+        finals.append(
+            f"""
+    SELECT CAST({np_} AS BIGINT) AS nprobe, i.query_id,
+           CAST(coalesce(h.h, 0) AS BIGINT) AS ivf_hits,
+           CAST(coalesce(h.h, 0) * 20 AS BIGINT) AS recall_pct
+    FROM (SELECT DISTINCT query_id FROM q) i
+    LEFT JOIN hits_{np_} h USING (query_id)"""
+        )
+    return "".join(parts) + " UNION ALL ".join(finals)
+
+
+@register("ann_ivf_nprobe_sweep", _ivf_nprobe_sweep_oracle())
+def ann_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF operating-point sweep: recall@5 vs the exact ranking at
+    nprobe ∈ {1, 2, 4} over the SAME persisted centroid store the
+    search queries use — the tuning curve that picks an index's
+    recall/cost trade (each probe rung touches ~nprobe/nlist of the
+    corpus; this table says what that buys). Companion to
+    ``emb_sq_recall`` (quantization rung) and ``emb_ivf_cell_stats``
+    (occupancy skew).
+
+    100 TB shape: each rung is the production probe join (broadcast
+    queries, cell-bucketed corpus); recall joins are |queries|·k-row
+    frames. The exact baseline is the one corpus-wide scan — shared
+    across rungs, amortized (at deployment scale the baseline comes
+    from a labeled eval slice, not the full corpus)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") < 8)
+    cents = sim.trained_centroids(
+        emb, dataset=f"{sf_dir}/embeddings", nlist=16, iters=2
+    )
+    ex5 = (
+        sim.brute_force_topk(emb, q, k=5)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=False)  # shared baseline across rungs
+    )
+    ids = q.select(F.col("vec_id").alias("query_id")).distinct()
+    out = None
+    for np_ in (1, 2, 4):
+        top5 = sim.ivf_topk(
+            emb, q, k=5, nlist=16, nprobe=np_, centroids=cents
+        ).select("query_id", "neighbor_id")
+        hits = (
+            top5.join(ex5, ["query_id", "neighbor_id"])
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("h"))
+        )
+        rung = ids.join(hits, "query_id", "left").select(
+            F.lit(np_).cast("long").alias("nprobe"),
+            "query_id",
+            F.coalesce(F.col("h"), F.lit(0)).cast("long").alias("ivf_hits"),
+            (F.coalesce(F.col("h"), F.lit(0)) * 20)
+            .cast("long")
+            .alias("recall_pct"),
+        )
+        out = rung if out is None else out.unionByName(rung)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Registry tiers.
 #
@@ -11766,7 +11884,8 @@ _DRIVER_TIER = [
     #      fold, gated in test_wordpiece_is_codegen_projection), PLUS
     #      the monitoring band (events_psi_drift, events_forecast_backtest,
     #      events_survival_km, events_anova_oneway, events_cohort_ltv,
-    #      streaming_psi_monitor [streaming-only, invariant-tested] —
+    #      streaming_psi_monitor [streaming-only, invariant-tested],
+    #      ann_ivf_nprobe_sweep —
     #      certified at sf0.01, invariance-swept, plan-gated) —
     #      zero-evidence always outranks re-verification;
     #   1. newest-row-is-r2 (at the 3-round freshness bound): the 31
