@@ -11662,6 +11662,119 @@ def ann_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _lsh_banding_sweep_oracle(rungs: tuple[int, ...] = (1, 2, 4)) -> str:
+    """Replay the banding sweep: ONE 4-band signature table (bands read
+    disjoint md5 hex ranges, so rung b = 'first b bands'), candidate
+    sets per rung, precision/recall vs the exact unigram-Jaccard truth
+    on the bounded doc_id<150 cohort."""
+    head = f"""
+    WITH bs_sets AS MATERIALIZED (
+        SELECT doc_id AS id, list_distinct(string_split(text, ' ')) AS grams
+        FROM documents WHERE doc_id < 150),
+    bs_truth AS MATERIALIZED (
+        SELECT a.id AS id_a, b.id AS id_b
+        FROM bs_sets a JOIN bs_sets b ON a.id < b.id
+        WHERE round(len(list_intersect(a.grams, b.grams)) * 1.0 /
+              (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))), 6)
+              >= 0.8),
+    bs_tn AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM bs_truth),
+    {_minhash_sigs_cte(bands=4, k=1,
+                       source="(SELECT * FROM documents WHERE doc_id < 150)",
+                       suffix="_sw")}"""
+    parts = [head]
+    finals = []
+    for b in rungs:
+        parts.append(
+            f""",
+    bs_cand_{b} AS MATERIALIZED (
+        SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        FROM sigs_sw x JOIN sigs_sw y
+          ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
+        WHERE x.band < {b}),
+    bs_n_{b} AS (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM bs_cand_{b}),
+    bs_h_{b} AS (SELECT CAST(count(*) AS BIGINT) AS hits
+                 FROM bs_cand_{b} c JOIN bs_truth t
+                   ON c.id_a = t.id_a AND c.id_b = t.id_b)"""
+        )
+        finals.append(
+            f"""
+    SELECT CAST({b} AS BIGINT) AS bands, n_cand AS n_candidates,
+           n_true AS n_true_pairs, hits,
+           CASE WHEN n_cand > 0 THEN (1000 * hits) // n_cand END
+               AS precision_pml,
+           CASE WHEN n_true > 0 THEN (1000 * hits) // n_true END
+               AS recall_pml
+    FROM bs_n_{b}, bs_h_{b}, bs_tn"""
+        )
+    return "".join(parts) + " UNION ALL ".join(finals)
+
+
+@register("dedup_lsh_banding_sweep", _lsh_banding_sweep_oracle())
+def dedup_lsh_banding_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding tuning curve — the dedup twin of the IVF nprobe
+    sweep: candidate precision/recall at bands ∈ {1, 2, 4} against the
+    exact unigram-Jaccard ≥ 0.8 truth on the bounded doc_id<150 audit
+    cohort (the truth needs all-pairs, so it runs where all-pairs is
+    affordable — the sweep's verdict then sets the production band
+    count). More bands = more candidates = recall up, precision down;
+    this table prices that trade with measurements, not S-curve
+    theory (`dedup_minhash_accuracy` gauges the estimator itself).
+
+    The signature table is computed ONCE (bands read disjoint md5 hex
+    ranges, so rung b is literally 'the first b bands') and staged
+    through one localCheckpoint; each rung's candidate join is the
+    production bucketed equi-join."""
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 150)
+    sigs = dd.minhash_band_signatures(docs, k=1, bands=4).localCheckpoint(
+        eager=False
+    )
+    truth = (
+        dd.ngram_jaccard_pairs(docs, n=1, threshold=0.8, max_id=150)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=False)
+    )
+    tn = truth.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+    out = None
+    for b in (1, 2, 4):
+        rung_sigs = sigs.filter(F.col("band") < b)
+        a = rung_sigs.select("band", "sig", F.col("doc_id").alias("id_a"))
+        bb = rung_sigs.select("band", "sig", F.col("doc_id").alias("id_b"))
+        cand = (
+            a.join(bb, ["band", "sig"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        nc = cand.agg(F.count(F.lit(1)).cast("long").alias("n_cand"))
+        h = (
+            cand.join(truth, ["id_a", "id_b"])
+            .agg(F.count(F.lit(1)).cast("long").alias("hits"))
+        )
+        rung = (
+            nc.crossJoin(h)
+            .crossJoin(tn)
+            .select(
+                F.lit(b).cast("long").alias("bands"),
+                F.col("n_cand").alias("n_candidates"),
+                F.col("n_true").alias("n_true_pairs"),
+                "hits",
+                F.expr(
+                    "CASE WHEN n_cand > 0 THEN (1000 * hits) DIV n_cand END"
+                )
+                .cast("long")
+                .alias("precision_pml"),
+                F.expr(
+                    "CASE WHEN n_true > 0 THEN (1000 * hits) DIV n_true END"
+                )
+                .cast("long")
+                .alias("recall_pml"),
+            )
+        )
+        out = rung if out is None else out.unionByName(rung)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Registry tiers.
 #
@@ -11885,7 +11998,7 @@ _DRIVER_TIER = [
     #      the monitoring band (events_psi_drift, events_forecast_backtest,
     #      events_survival_km, events_anova_oneway, events_cohort_ltv,
     #      streaming_psi_monitor [streaming-only, invariant-tested],
-    #      ann_ivf_nprobe_sweep —
+    #      ann_ivf_nprobe_sweep, dedup_lsh_banding_sweep —
     #      certified at sf0.01, invariance-swept, plan-gated) —
     #      zero-evidence always outranks re-verification;
     #   1. newest-row-is-r2 (at the 3-round freshness bound): the 31
