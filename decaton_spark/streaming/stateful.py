@@ -1144,6 +1144,7 @@ def streaming_psi_monitor(
     group_col: str = "event_type",
     bucket_col: str = "bucket",
     n_bins: int = 20,
+    api: str = "auto",
 ) -> DataFrame:
     """Streaming PSI drift monitor: the streaming twin of the batch
     ``events_psi_drift`` gauge. The reference (pre-period) histogram
@@ -1167,6 +1168,17 @@ def streaming_psi_monitor(
     microbatch.
     """
     import math
+
+    if _use_tws(api):
+        from decaton_spark.streaming.tws import tws_psi_monitor
+
+        return tws_psi_monitor(
+            events,
+            baselines=baselines,
+            group_col=group_col,
+            bucket_col=bucket_col,
+            n_bins=n_bins,
+        )
 
     out_schema = f"{group_col} string, n_obs long, n_buckets long, psi_upm long"
     state_schema = "counts array<bigint>, n long"

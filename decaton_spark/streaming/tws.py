@@ -1024,3 +1024,93 @@ def tws_ab_monitor(
             timeMode="None",
         )
     )
+
+
+class PsiMonitorProcessor(StatefulProcessor):
+    """Streaming PSI drift monitor in TWS form: the running bucket
+    counters + total as one typed value state — the
+    ``stateful.streaming_psi_monitor`` semantics on the Spark 4
+    primitive. Counter addition is commutative, so Arrow chunking
+    order cannot affect the readout; the PSI emission mirrors the
+    batch operator's rounded-contribution arithmetic exactly."""
+
+    def __init__(
+        self, group_col: str, baselines: dict[str, list[int]], n_bins: int
+    ):
+        self.group_col = group_col
+        self.baselines = baselines
+        self.pre_tot = {g: sum(v) for g, v in baselines.items()}
+        self.n_bins = n_bins
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self.state = handle.getValueState(
+            "psi", f"counts array<bigint>, n long"
+        )
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+        import math
+
+        from decaton_spark.streaming.stateful import _round_half_away
+
+        g = key[0]
+        if g not in self.baselines:
+            return
+        if self.state.exists():
+            counts, n = self.state.get()
+            counts = [int(c) for c in counts]
+            n = int(n)
+        else:
+            counts, n = [0] * self.n_bins, 0
+        touched = False
+        for pdf in rows:
+            if not len(pdf):
+                continue
+            touched = True
+            for b, c in pdf["bucket"].value_counts().items():
+                counts[int(b)] += int(c)
+            n += int(len(pdf))
+        if not touched:
+            return
+        self.state.update((counts, n))
+        pre, tp, tq = self.baselines[g], self.pre_tot[g], n
+        su6 = 0
+        nb = 0
+        for i in range(self.n_bins):
+            if pre[i] == 0 and counts[i] == 0:
+                continue
+            nb += 1
+            p = (1e6 * pre[i] + 1.0) / (tp + 20)
+            q = (1e6 * counts[i] + 1.0) / (tq + 20)
+            su6 += _round_half_away((p - q) * math.log(p / q) * 1e6)
+        yield pd.DataFrame(
+            {
+                self.group_col: [g],
+                "n_obs": [n],
+                "n_buckets": [nb],
+                "psi_upm": [(su6 + 500000) // 1000000],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def tws_psi_monitor(
+    events: DataFrame,
+    *,
+    baselines: dict[str, list[int]],
+    group_col: str = "event_type",
+    bucket_col: str = "bucket",
+    n_bins: int = 20,
+) -> DataFrame:
+    out_schema = f"{group_col} string, n_obs long, n_buckets long, psi_upm long"
+    return (
+        events.selectExpr(group_col, f"{bucket_col} AS bucket")
+        .groupBy(group_col)
+        .transformWithStateInPandas(
+            PsiMonitorProcessor(group_col, baselines, n_bins),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

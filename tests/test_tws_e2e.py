@@ -683,3 +683,64 @@ def test_tws_ab_monitor_end_to_end(spark, tmp_path):
         for r in batch
     }
     assert last == exp
+
+
+def test_tws_psi_monitor_end_to_end(spark, tmp_path):
+    """The PSI monitor's fullest readout per group through a REAL TWS
+    query (RocksDB state, two microbatches) equals the streaming
+    semantics' closed-form PSI over the same rows — both state APIs
+    satisfy the same equivalence contract."""
+    import math
+
+    from decaton_spark.streaming.stateful import (
+        _round_half_away,
+        streaming_psi_monitor,
+    )
+
+    baselines = {"m": [5, 3, 0, 2] + [0] * 16, "x": [1] * 20}
+    rows = [("m", 0), ("m", 0), ("m", 1), ("m", 3), ("x", 19),
+            ("m", 2), ("m", 0), ("x", 0), ("x", 5)]
+    idx = [(i, g, b) for i, (g, b) in enumerate(rows)]
+    df = spark.createDataFrame(idx, "i long, event_type string, bucket long")
+    src = tmp_path / "psisrc"
+    src.mkdir()
+    # split by row index — a set subtract would collapse duplicate rows
+    df.filter("i < 5").drop("i").coalesce(1).write.parquet(str(src / "b0"))
+    df.filter("i >= 5").drop("i").coalesce(1).write.parquet(str(src / "b1"))
+    with rocksdb_state(spark):
+        stream = (
+            spark.readStream.schema("event_type string, bucket long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src) + "/*")
+        )
+        out = streaming_psi_monitor(stream, baselines=baselines, api="tws")
+        _run_available_now(out, "twspsi", str(tmp_path / "ckpt-psi"))
+    emitted = spark.sql("SELECT * FROM twspsi").collect()
+    last = {}
+    for r in emitted:
+        cur = last.get(r["event_type"])
+        if cur is None or r["n_obs"] > cur[0]:
+            last[r["event_type"]] = (r["n_obs"], r["n_buckets"], r["psi_upm"])
+
+    def psi(pre, counts, n):
+        tp, su6, nb = sum(pre), 0, 0
+        for i in range(20):
+            if pre[i] == 0 and counts[i] == 0:
+                continue
+            nb += 1
+            p = (1e6 * pre[i] + 1.0) / (tp + 20)
+            q = (1e6 * counts[i] + 1.0) / (n + 20)
+            su6 += _round_half_away((p - q) * math.log(p / q) * 1e6)
+        return nb, (su6 + 500000) // 1000000
+
+    cm = [0] * 20
+    for g, b in rows:
+        if g == "m":
+            cm[b] += 1
+    cx = [0] * 20
+    for g, b in rows:
+        if g == "x":
+            cx[b] += 1
+    nbm, pm = psi(baselines["m"], cm, sum(cm))
+    nbx, px = psi(baselines["x"], cx, sum(cx))
+    assert last == {"m": (sum(cm), nbm, pm), "x": (sum(cx), nbx, px)}
