@@ -10550,7 +10550,14 @@ def events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.round(F.col("value") * 100).cast("long").alias("y"),
     )
-    bs = base.withColumn("b", F.explode(F.sequence(F.lit(0), F.lit(31))))
+    # spread the md5-heavy explode stage across all cores: the source
+    # may have fewer scan splits than cores (the SNM shingling lesson);
+    # the pre-shuffle moves only (type, id, y) triples once and is
+    # repaid 32-fold on the hash stage (x100 ladder: one straggler task
+    # burned 10 CPU-minutes before this)
+    bs = base.repartition(spark.sparkContext.defaultParallelism).withColumn(
+        "b", F.explode(F.sequence(F.lit(0), F.lit(31)))
+    )
     res = (
         bs.withColumn("w", F.expr(_boot_weight_sql("STRING")).cast("long"))
         .groupBy("event_type", "b")

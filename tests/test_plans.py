@@ -711,7 +711,7 @@ def test_stats_band2_plan_shapes(spark, sf_dir):
     from decaton_spark.queries import EXTRA_QUERIES as _EX
 
     shapes = {
-        "events_bootstrap_ci": 4,      # resample agg + ci window + point agg
+        "events_bootstrap_ci": 5,      # hash-spread repartition + resample agg + ci window + point agg
         "events_ab_diff_in_diff": 2,   # 1-row midpoint reduce + cell agg
         "retrieval_mrr_eval": 2,       # best-relevant reduce + count-ahead agg
     }
