@@ -11782,6 +11782,145 @@ def dedup_lsh_banding_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@register(
+    "events_pit_features",
+    """
+    WITH pf_l AS (
+        SELECT event_id AS label_id, user_id, epoch_ms(ts) AS lts,
+               CAST(round(value * 100) AS BIGINT) AS label_centi
+        FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+    pf_p AS (
+        SELECT l.label_id, l.user_id, l.lts, l.label_centi,
+               CAST(count(e.event_id) AS BIGINT) AS n_prior,
+               CAST(coalesce(sum(CASE WHEN e.value IS NOT NULL
+                    THEN CAST(round(e.value * 100) AS BIGINT) END), 0)
+                    AS BIGINT) AS prior_value_centi,
+               max(epoch_ms(e.ts)) AS last_prior_ms
+        FROM pf_l l LEFT JOIN events e
+          ON e.user_id = l.user_id AND epoch_ms(e.ts) < l.lts
+        GROUP BY 1, 2, 3, 4)
+    SELECT label_id, user_id, label_centi, n_prior, prior_value_centi,
+           CASE WHEN last_prior_ms IS NOT NULL
+                THEN lts - last_prior_ms END AS recency_ms
+    FROM pf_p
+    """,
+)
+def events_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct feature join — THE feature-store
+    operator: for every label row (a purchase), the user's activity
+    features computed from events STRICTLY BEFORE the label timestamp
+    (count, value sum, recency). The strict `<` is the leakage
+    contract: a feature computed at-or-after the label time trains a
+    model on its own answer. Exact centi integers throughout.
+
+    100 TB shape: the feature pass is a user-keyed EQUI-join (the
+    time predicate filters inside the join, never drives a nested
+    loop) with fan-out bounded by per-user history; at deployment
+    scale the same shape runs against a pre-aggregated daily feature
+    table via ``asof_join`` (operators/asof.py) rather than raw
+    events — the join topology is identical."""
+    ev = load_table(spark, "events", sf_dir)
+    labels = ev.filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    ).select(
+        F.col("event_id").alias("label_id"),
+        F.col("user_id").alias("l_uid"),
+        F.unix_millis("ts").alias("lts"),
+        F.round(F.col("value") * 100).cast("long").alias("label_centi"),
+    )
+    hist = ev.select(
+        F.col("user_id").alias("h_uid"),
+        F.col("event_id").alias("h_id"),
+        F.unix_millis("ts").alias("hts"),
+        F.round(F.col("value") * 100).cast("long").alias("h_centi"),
+    )
+    j = labels.join(
+        hist,
+        (F.col("l_uid") == F.col("h_uid")) & (F.col("hts") < F.col("lts")),
+        "left",
+    )
+    return j.groupBy("label_id", "l_uid", "lts", "label_centi").agg(
+        F.count("h_id").cast("long").alias("n_prior"),
+        F.coalesce(F.sum("h_centi"), F.lit(0)).cast("long").alias(
+            "prior_value_centi"
+        ),
+        F.max("hts").alias("last_prior_ms"),
+    ).select(
+        "label_id",
+        F.col("l_uid").alias("user_id"),
+        "label_centi",
+        "n_prior",
+        "prior_value_centi",
+        F.expr(
+            "CASE WHEN last_prior_ms IS NOT NULL THEN lts - last_prior_ms END"
+        )
+        .cast("long")
+        .alias("recency_ms"),
+    )
+
+
+@register(
+    "events_negative_samples",
+    f"""
+    WITH ns_i AS (
+        SELECT DISTINCT user_id,
+               CAST(json_extract(props, '$.k') AS BIGINT) AS item
+        FROM events),
+    ns_items AS (SELECT DISTINCT item FROM ns_i),
+    ns_users AS (SELECT DISTINCT user_id FROM ns_i WHERE user_id < 40),
+    ns_cand AS (
+        SELECT u.user_id, i.item
+        FROM ns_users u CROSS JOIN ns_items i
+        WHERE NOT EXISTS (SELECT 1 FROM ns_i p
+                          WHERE p.user_id = u.user_id AND p.item = i.item)),
+    ns_r AS (
+        SELECT user_id, item,
+               row_number() OVER (PARTITION BY user_id ORDER BY
+                   {md5_long("concat(CAST(user_id AS VARCHAR), ':', CAST(item AS VARCHAR))", salt="neg")},
+                   item) AS rn
+        FROM ns_cand)
+    SELECT user_id, rn AS neg_rank, item AS neg_item
+    FROM ns_r WHERE rn <= 3
+    """,
+)
+def events_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for implicit-feedback training:
+    per user (audit cohort user_id < 40), 3 items the user has NEVER
+    interacted with, elected by salted md5 rank — sticky across runs
+    and engines (no RNG), so training sets are reproducible and
+    incremental rebuilds don't churn the negatives.
+
+    100 TB shape: the item vocabulary is the SMALL side (broadcast —
+    items number thousands-to-millions while interactions number
+    billions); candidates form as user × broadcast(items) minus the
+    user's own interaction set (left-anti), and the per-user top-k is
+    a window over ≤|items| rows per user. The md5 rank doubles as the
+    uniform sampler — the same trick the token-budget sampler uses."""
+    ev = load_table(spark, "events", sf_dir)
+    inter = (
+        ev.select(
+            "user_id",
+            F.from_json(F.col("props"), "k BIGINT")["k"].alias("item"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds items, users, and the anti-join
+    )
+    items = inter.select("item").distinct()
+    users = inter.filter(F.col("user_id") < 40).select("user_id").distinct()
+    cand = users.crossJoin(F.broadcast(items)).join(
+        inter, ["user_id", "item"], "left_anti"
+    )
+    rank_expr = md5_long(
+        "concat(CAST(user_id AS STRING), ':', CAST(item AS STRING))", salt="neg"
+    )
+    w = Window.partitionBy("user_id").orderBy(F.expr(rank_expr), F.col("item"))
+    return (
+        cand.withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= 3)
+        .select("user_id", F.col("neg_rank").cast("long"), F.col("item").alias("neg_item"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry tiers.
 #
@@ -12005,7 +12144,8 @@ _DRIVER_TIER = [
     #      the monitoring band (events_psi_drift, events_forecast_backtest,
     #      events_survival_km, events_anova_oneway, events_cohort_ltv,
     #      streaming_psi_monitor [streaming-only, invariant-tested],
-    #      ann_ivf_nprobe_sweep, dedup_lsh_banding_sweep —
+    #      ann_ivf_nprobe_sweep, dedup_lsh_banding_sweep,
+    #      events_pit_features, events_negative_samples —
     #      certified at sf0.01, invariance-swept, plan-gated) —
     #      zero-evidence always outranks re-verification;
     #   1. newest-row-is-r2 (at the 3-round freshness bound): the 31
