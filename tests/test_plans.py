@@ -788,3 +788,28 @@ def test_km_windows_are_bounded(spark, sf_dir):
     p = plan_of(_EX["events_survival_km"].fn(spark, sf_dir))
     assert "CartesianProduct" not in p
     assert "partial_min" in p or "partial_count" in p or "partial_sum" in p
+
+
+def test_tuning_and_featurestore_plan_shapes(spark, sf_dir):
+    """Gates for the sweep/feature-store band: no cartesian products
+    anywhere; the PIT feature join and LTV cohort join are keyed
+    equi-joins; ANOVA is a two-level reduction; the sweeps stage their
+    shared frames once (localCheckpoint) so rungs don't re-run
+    lineage."""
+    from decaton_spark.queries import EXTRA_QUERIES as _EX
+
+    shapes = {
+        "events_cohort_ltv": 5,        # signup reduce + cells + ltv window (+bcast sizes)
+        "events_anova_oneway": 2,      # group moments + 1-row reduce
+        "events_pit_features": 3,      # label/history join + per-label agg
+        "events_negative_samples": 4,  # distinct + items + anti-join + topk window
+        # 3 independent production probe queries unioned into one report:
+        # each rung carries its own probe join + topk + hits/ids aggs
+        "ann_ivf_nprobe_sweep": 15,
+        "dedup_lsh_banding_sweep": 12, # 3 rungs x (pair join + counts) + truth
+    }
+    for name, max_shuffles in shapes.items():
+        p = plan_of(_EX[name].fn(spark, sf_dir), "simple")
+        assert "CartesianProduct" not in p, name
+        shuffles = p.count("Exchange") - p.count("BroadcastExchange")
+        assert shuffles <= max_shuffles, (name, shuffles)
