@@ -806,7 +806,7 @@ def test_tuning_and_featurestore_plan_shapes(spark, sf_dir):
         # 3 independent production probe queries unioned into one report:
         # each rung carries its own probe join + topk + hits/ids aggs
         "ann_ivf_nprobe_sweep": 15,
-        "dedup_lsh_banding_sweep": 12, # 3 rungs x (pair join + counts) + truth
+        "dedup_lsh_banding_sweep": 15, # 3 rungs x (pair join + 2 count reduces) + truth count
     }
     for name, max_shuffles in shapes.items():
         p = plan_of(_EX[name].fn(spark, sf_dir), "simple")
