@@ -11921,6 +11921,51 @@ def events_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_simhash_hamming",
+    f"""
+    WITH sh_toks AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+        FROM documents),
+    sh_hx AS (SELECT doc_id, md5(tok) AS h FROM sh_toks),
+    sh_bits AS (
+        SELECT doc_id, i,
+               CASE WHEN sum(CASE WHEN (instr('0123456789abcdef',
+                       substr(h, CAST(i + 1 AS INT), 1)) - 1) % 2 = 1
+                   THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END AS b
+        FROM sh_hx, range(16) t(i) GROUP BY doc_id, i),
+    sh_sig AS MATERIALIZED (
+        SELECT doc_id, CAST(sum(b * (1 << i)) AS BIGINT) AS simhash
+        FROM sh_bits GROUP BY doc_id),
+    sh_band AS (
+        SELECT doc_id, simhash, t.b AS band,
+               (simhash >> (t.b * 4)) & 15 AS nib
+        FROM sh_sig, range(4) t(b)),
+    sh_pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(CAST(a.simhash AS BIT),
+                                  CAST(b.simhash AS BIT))) AS BIGINT) AS hamming
+        FROM sh_band a JOIN sh_band b
+          ON a.band = b.band AND a.nib = b.nib AND a.doc_id < b.doc_id)
+    SELECT id_a, id_b, hamming FROM sh_pairs WHERE hamming <= 3
+    """,
+)
+def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pipeline (``dedup.simhash_near_dup_pairs``) —
+    the Google web-dedup construction completing the ``dedup_simhash``
+    signature query: 4-nibble banding makes every pair within Hamming
+    3 share a bucket BY PIGEONHOLE (bands−1 flips can't touch every
+    band) — deterministic recall, unlike MinHash's probabilistic
+    S-curve; the XOR-popcount verifier then prices each candidate.
+    The third dedup family alongside MinHash-Jaccard and embedding
+    SemDeDup: token-permutation-sensitive, cheap (one BIGINT/doc).
+
+    Scale: projection signature, (band, nibble) equi-join (Σ bucket²),
+    one popcount per candidate — no all-pairs anywhere."""
+    docs = load_table(spark, "documents", sf_dir)
+    return dd.simhash_near_dup_pairs(docs, bits=16, bands=4, max_hamming=3)
+
+
 # ---------------------------------------------------------------------------
 # Registry tiers.
 #
@@ -12145,7 +12190,8 @@ _DRIVER_TIER = [
     #      events_survival_km, events_anova_oneway, events_cohort_ltv,
     #      streaming_psi_monitor [streaming-only, invariant-tested],
     #      ann_ivf_nprobe_sweep, dedup_lsh_banding_sweep,
-    #      events_pit_features, events_negative_samples —
+    #      events_pit_features, events_negative_samples,
+    #      dedup_simhash_hamming [pigeonhole-complete, property-tested] —
     #      certified at sf0.01, invariance-swept, plan-gated) —
     #      zero-evidence always outranks re-verification;
     #   1. newest-row-is-r2 (at the 3-round freshness bound): the 31

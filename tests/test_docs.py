@@ -293,3 +293,33 @@ def test_wordpiece_vocab_order_is_greedy(spark):
             and tx.WORDPIECE_VOCAB[i] < tx.WORDPIECE_VOCAB[i + 1])
         for i in range(len(lens) - 1)
     )
+
+
+def test_simhash_banding_pigeonhole_complete(spark):
+    """Every pair within Hamming ≤ 3 of a 16-bit simhash MUST share one
+    of the 4 nibble bands — verified against brute force on a corpus
+    crafted to differ by 0-5 tokens."""
+    from itertools import combinations
+
+    from decaton_spark.functions import dedup as dd
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = [(0, base)]
+    words = base.split()
+    for i in range(1, 12):
+        toks = list(words)
+        for j in range(i % 6):
+            toks[(i + j) % len(toks)] = f"mut{i}_{j}"
+        docs.append((i, " ".join(toks)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dd.simhash_near_dup_pairs(df).collect()
+    }
+    sigs = {r["doc_id"]: r["simhash"] for r in dd.simhash(df, bits=16).collect()}
+    brute = {
+        (a, b): bin(sigs[a] ^ sigs[b]).count("1")
+        for a, b in combinations(sorted(sigs), 2)
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    assert got == brute  # complete AND exact distances
