@@ -11966,6 +11966,82 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash_near_dup_pairs(docs, bits=16, bands=4, max_hamming=3)
 
 
+@register(
+    "corpus_source_overlap",
+    """
+    WITH so_g AS (
+        SELECT DISTINCT source, unnest(list_distinct(list_transform(
+            range(greatest(len(string_split(text, ' ')) - 2, 1)),
+            i -> array_to_string(string_split(text, ' ')[i + 1 : i + 3],
+                                 chr(31))))) AS gram
+        FROM documents),
+    so_n AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_grams
+        FROM so_g GROUP BY 1),
+    so_x AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(count(*) AS BIGINT) AS n_shared
+        FROM so_g a JOIN so_g b
+          ON a.gram = b.gram AND a.source <> b.source
+        GROUP BY 1, 2)
+    SELECT x.source_a, x.source_b, na.n_grams AS grams_a, x.n_shared,
+           (1000000 * x.n_shared) // na.n_grams AS containment_ppm
+    FROM so_x x JOIN so_n na ON na.source = x.source_a
+    """,
+)
+def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: for every ordered source
+    pair, how much of source A's distinct 3-gram vocabulary also
+    appears in source B (directional containment, ppm) — the release-
+    audit table that catches one crawl re-ingesting another (and the
+    source-level sibling of ``docs_decontaminate``'s eval-set check).
+
+    100 TB shape: gram sets collapse to DISTINCT (source, gram) rows
+    first (a partial-agg scan), then the pair counting is an EQUI-join
+    on the gram — per-gram cost is (sources sharing it)², bounded by
+    the SOURCE COUNT (dozens), never by corpus size. Marginals
+    broadcast back onto the |sources|²-row matrix."""
+    docs = load_table(spark, "documents", sf_dir)
+    grams = (
+        docs.select(
+            "source",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        "transform(sequence(0, greatest(size(split(text, ' ')) - 3, 0)),"
+                        " i -> array_join(slice(split(text, ' '), i + 1, 3),"
+                        " chr(31)))"
+                    )
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds marginals AND both join sides
+    )
+    marg = grams.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams")
+    )
+    a = grams.select(F.col("source").alias("source_a"), "gram")
+    b = grams.select(F.col("source").alias("source_b"), "gram")
+    shared = (
+        a.join(b, "gram")
+        .filter(F.col("source_a") != F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    return shared.join(
+        F.broadcast(marg.withColumnRenamed("source", "source_a")), "source_a"
+    ).select(
+        "source_a",
+        "source_b",
+        F.col("n_grams").alias("grams_a"),
+        "n_shared",
+        F.expr("(1000000 * n_shared) DIV n_grams")
+        .cast("long")
+        .alias("containment_ppm"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry tiers.
 #
@@ -12191,7 +12267,8 @@ _DRIVER_TIER = [
     #      streaming_psi_monitor [streaming-only, invariant-tested],
     #      ann_ivf_nprobe_sweep, dedup_lsh_banding_sweep,
     #      events_pit_features, events_negative_samples,
-    #      dedup_simhash_hamming [pigeonhole-complete, property-tested] —
+    #      dedup_simhash_hamming [pigeonhole-complete, property-tested],
+    #      corpus_source_overlap —
     #      certified at sf0.01, invariance-swept, plan-gated) —
     #      zero-evidence always outranks re-verification;
     #   1. newest-row-is-r2 (at the 3-round freshness bound): the 31
