@@ -12042,6 +12042,90 @@ def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_score_calibration",
+    """
+    WITH ca_c AS (
+        SELECT event_id, user_id, epoch_ms(ts) AS cts,
+               CAST(json_extract(props, '$.k') AS BIGINT) AS score
+        FROM events WHERE event_type = 'click'),
+    ca_p AS (
+        SELECT user_id, epoch_ms(ts) AS pts
+        FROM events WHERE event_type = 'purchase'),
+    ca_o AS (
+        SELECT c.event_id, c.score,
+               max(CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END) AS y
+        FROM ca_c c LEFT JOIN ca_p p
+          ON p.user_id = c.user_id
+         AND p.pts > c.cts AND p.pts <= c.cts + 86400000
+        GROUP BY 1, 2)
+    SELECT score // 10 AS decile,
+           CAST(count(*) AS BIGINT) AS n_clicks,
+           (10 * CAST(sum(score) AS BIGINT)) // count(*) AS mean_score_pml,
+           CAST(sum(y) AS BIGINT) AS converted,
+           (1000 * CAST(sum(y) AS BIGINT)) // count(*) AS conv_rate_pml,
+           CAST(sum((score - 100 * y) * (score - 100 * y)) AS BIGINT)
+               // count(*) AS brier_p4
+    FROM ca_o GROUP BY 1
+    """,
+)
+def events_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-score calibration (reliability diagram): clicks carry a
+    0–99 score (``props.k`` standing in for a CTR model's output);
+    outcome = the user purchases within 24h. Per score decile: volume,
+    mean score vs realized conversion rate (both per-mille — a
+    calibrated model has them equal), and the decile Brier score in
+    1e-4 units — the eval table that decides whether scores need
+    recalibration (Platt/isotonic) before they gate traffic.
+
+    All-integer arithmetic; the outcome probe is a user-keyed
+    EQUI-join (time window as a join-condition filter, EXISTS
+    collapsed via max) — the PIT-features topology, so it scales the
+    same way. Deciles are a 10-row table; nothing bigger moves."""
+    ev = load_table(spark, "events", sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id",
+        F.col("user_id").alias("c_uid"),
+        F.unix_millis("ts").alias("cts"),
+        F.from_json(F.col("props"), "k BIGINT")["k"].alias("score"),
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_uid"), F.unix_millis("ts").alias("pts")
+    )
+    outcomes = (
+        clicks.join(
+            buys,
+            (F.col("c_uid") == F.col("p_uid"))
+            & (F.col("pts") > F.col("cts"))
+            & (F.col("pts") <= F.col("cts") + DAY_MS),
+            "left",
+        )
+        .groupBy("event_id", "score")
+        .agg(
+            F.max(F.when(F.col("p_uid").isNotNull(), 1).otherwise(0)).alias("y")
+        )
+    )
+    return (
+        outcomes.groupBy(F.expr("score DIV 10").cast("long").alias("decile"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clicks"),
+            F.expr("(10 * CAST(sum(score) AS BIGINT)) DIV count(*)")
+            .cast("long")
+            .alias("mean_score_pml"),
+            F.sum("y").cast("long").alias("converted"),
+            F.expr("(1000 * CAST(sum(y) AS BIGINT)) DIV count(*)")
+            .cast("long")
+            .alias("conv_rate_pml"),
+            F.expr(
+                "CAST(sum((score - 100 * y) * (score - 100 * y)) AS BIGINT)"
+                " DIV count(*)"
+            )
+            .cast("long")
+            .alias("brier_p4"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry tiers.
 #
@@ -12268,7 +12352,7 @@ _DRIVER_TIER = [
     #      ann_ivf_nprobe_sweep, dedup_lsh_banding_sweep,
     #      events_pit_features, events_negative_samples,
     #      dedup_simhash_hamming [pigeonhole-complete, property-tested],
-    #      corpus_source_overlap —
+    #      corpus_source_overlap, events_score_calibration —
     #      certified at sf0.01, invariance-swept, plan-gated) —
     #      zero-evidence always outranks re-verification;
     #   1. newest-row-is-r2 (at the 3-round freshness bound): the 31
