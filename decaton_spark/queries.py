@@ -10439,26 +10439,41 @@ def parts_fuzzy_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_name",
         F.element_at(F.split(F.col("p_name"), " "), 2).alias("blk"),
     )
+    # salt the pair join: the block key alone has ~8 distinct values, so
+    # an unsalted join caps parallelism at 8 tasks (x100 ladder: 76 s
+    # with 24 idle cores). One side keys by (blk, key % NS), the other
+    # replicates across the NS salts — every pair produced exactly
+    # once, levenshtein work spread over blocks × NS tasks (the
+    # salted_agg trade: replicate the small side, spread the compute).
+    ns = 8
     a = p.select(
         F.col("blk"),
+        (F.col("p_partkey") % ns).cast("int").alias("salt"),
         F.col("p_partkey").alias("key_a"),
         F.col("p_name").alias("name_a"),
     )
     b = p.select(
         F.col("blk").alias("blk_b"),
+        F.explode(F.sequence(F.lit(0), F.lit(ns - 1))).alias("salt_b"),
         F.col("p_partkey").alias("key_b"),
         F.col("p_name").alias("name_b"),
     )
     pairs = a.join(
         b,
-        (F.col("blk") == F.col("blk_b")) & (F.col("key_a") < F.col("key_b")),
+        (F.col("blk") == F.col("blk_b"))
+        & (F.col("salt") == F.col("salt_b"))
+        & (F.col("key_a") < F.col("key_b")),
     ).select(
         "blk",
         "key_a",
         "key_b",
         F.levenshtein("name_a", "name_b").cast("long").alias("dist"),
     )
-    sized = pairs.groupBy("blk").agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    # n_pairs = C(block_size, 2) — arithmetic on the block sizes, so the
+    # expensive levenshtein join has exactly ONE consumer
+    sized = p.groupBy("blk").agg(
+        F.expr("(count(*) * (count(*) - 1)) DIV 2").cast("long").alias("n_pairs")
+    )
     w = Window.partitionBy("blk").orderBy("dist", "key_a", "key_b")
     ranked = (
         pairs.filter(F.col("dist") <= 4)
