@@ -12146,6 +12146,143 @@ def events_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pca_oracle(iters: int = 15) -> str:
+    """Unrolled integer power iteration over the exact covariance
+    matrix. Every step is MATERIALIZED (each referenced twice — the
+    markov-oracle lesson); all arithmetic is HUGEINT with floor `//`,
+    mirroring the Spark driver's Python ints bit-for-bit."""
+    head = """
+    WITH pc_e AS (
+        SELECT vec_id, t.i,
+               CAST(round(CAST(embedding[t.i + 1] AS DOUBLE) * 10000000.0)
+                    AS BIGINT) AS x
+        FROM embeddings, range(64) t(i)),
+    pc_m AS (
+        SELECT i, CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) // count(*) AS mi
+        FROM pc_e GROUP BY i),
+    pc_c AS (
+        SELECT vec_id, e.i, CAST(e.x AS HUGEINT) - m.mi AS cx
+        FROM pc_e e JOIN pc_m m ON e.i = m.i),
+    pc_cov AS MATERIALIZED (
+        SELECT a.i AS i, b.i AS j,
+               CAST(sum(a.cx * b.cx) AS HUGEINT) AS cij
+        FROM pc_c a JOIN pc_c b ON a.vec_id = b.vec_id
+        GROUP BY 1, 2),
+    pc_v0 AS (SELECT i, CAST(1000000000 AS HUGEINT) AS v
+              FROM range(64) t(i))"""
+    parts = [head]
+    for k in range(1, iters + 1):
+        parts.append(
+            f""",
+    pc_u{k} AS MATERIALIZED (
+        SELECT c.i, CAST(sum(c.cij * v.v) AS HUGEINT) AS u
+        FROM pc_cov c JOIN pc_v{k - 1} v ON c.j = v.i GROUP BY 1),
+    pc_x{k} AS (SELECT greatest(max(abs(u)) // 1000000000, 1) AS d
+                FROM pc_u{k}),
+    pc_v{k} AS MATERIALIZED (
+        SELECT u.i, u.u // x.d AS v FROM pc_u{k} u, pc_x{k} x)"""
+        )
+    parts.append(
+        f""",
+    pc_w AS MATERIALIZED (SELECT i, v // 1000 AS w FROM pc_v{iters}),
+    pc_num AS (
+        SELECT CAST(sum(a.w * c.cij * b.w) AS HUGEINT) AS num
+        FROM pc_cov c JOIN pc_w a ON c.i = a.i JOIN pc_w b ON c.j = b.i),
+    pc_den AS (SELECT CAST(sum(w * w) AS HUGEINT) AS den FROM pc_w),
+    pc_tr AS (SELECT CAST(sum(cij) AS HUGEINT) AS tr FROM pc_cov WHERE i = j),
+    pc_lam AS (SELECT num // den AS lam FROM pc_num, pc_den),
+    pc_top AS (
+        SELECT i, v, row_number() OVER (ORDER BY abs(v) DESC, i) AS rnk
+        FROM pc_v{iters})
+    SELECT CAST(t.rnk AS BIGINT) AS rnk, CAST(t.i AS BIGINT) AS dim,
+           CAST(t.v AS BIGINT) AS loading_e9,
+           CAST((1000000 * l.lam) // r.tr AS BIGINT) AS explained_ppm
+    FROM pc_top t, pc_lam l, pc_tr r WHERE t.rnk <= 3"""
+    )
+    return "".join(parts)
+
+
+@register("emb_pca_power_iteration", _pca_oracle())
+def emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus by power
+    iteration in EXACT integer arithmetic: centered 1e-7-unit
+    coordinates, the 64×64 covariance as exact HUGEINT/DECIMAL sums
+    (order-free — a float covariance differs run to run at this
+    scale), then 15 max-norm-rescaled integer matvec steps. Output:
+    the 3 heaviest loading dims and the explained-variance share
+    (Rayleigh quotient over trace, ppm) — the corpus-anisotropy gauge
+    (a dominant component ⇒ embeddings collapse toward a direction;
+    whitening or re-normalization is indicated before cosine search).
+
+    100 TB shape: the DISTRIBUTED work is the coordinate explode and
+    the covariance partial-agg (per-vector 64×64 products combine
+    map-side; the shuffle carries 4096-row partials). The matrix
+    itself is dimension²-bounded — the driver-side iteration is the
+    IVF-centroid bounded-collect pattern; the oracle unrolls the same
+    15 steps as MATERIALIZED CTEs. Signed division is TRUNCATED
+    toward zero everywhere: DuckDB's integer `//` truncates (only its
+    float `//` floors — the ADVICE r3 case), so the driver loop uses
+    an explicit trunc-div rather than Python's floor `//`."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    e = emb.select(
+        "vec_id",
+        F.posexplode("embedding").alias("i", "val"),
+    ).select(
+        "vec_id",
+        "i",
+        F.round(F.col("val").cast("double") * 10000000.0).cast("long").alias("x"),
+    )
+    m = e.groupBy("i").agg(
+        # trunc division on purpose: DuckDB's integer `//` TRUNCATES
+        # toward zero (only its float `//` floors — measured, not the
+        # ADVICE r3 float case), and Spark's DIV truncates too
+        F.expr("CAST(sum(x) AS BIGINT) DIV count(*)").alias("mi")
+    )
+    c = e.join(F.broadcast(m), "i").select(
+        "vec_id", "i", (F.col("x") - F.col("mi")).cast("decimal(19,0)").alias("cx")
+    )
+    c2 = c.select(
+        F.col("vec_id").alias("vid2"),
+        F.col("i").alias("j"),
+        F.col("cx").alias("cx2"),
+    )
+    cov_rows = (
+        c.join(c2, F.col("vec_id") == F.col("vid2"))
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("cx") * F.col("cx2")).alias("cij"))
+        .collect()
+    )  # bounded: exactly 64x64 rows regardless of corpus size
+    cov = {(r["i"], r["j"]): int(r["cij"]) for r in cov_rows}
+
+    def tdiv(a: int, b: int) -> int:
+        # truncate-toward-zero division: DuckDB's integer `//` and
+        # Spark's DIV both truncate; Python's // floors — mirror them
+        q = abs(a) // abs(b)
+        return -q if (a < 0) != (b < 0) else q
+
+    dims = 64
+    v = [10**9] * dims
+    for _ in range(15):
+        u = [0] * dims
+        for (i, j), cij in cov.items():
+            u[i] += cij * v[j]
+        d = max(max(abs(x) for x in u) // 10**9, 1)
+        v = [tdiv(x, d) for x in u]
+    w = [tdiv(x, 1000) for x in v]
+    num = sum(w[i] * cij * w[j] for (i, j), cij in cov.items())
+    den = sum(x * x for x in w)
+    tr = sum(cov[(i, i)] for i in range(dims))
+    lam = tdiv(num, den)
+    explained_ppm = (1000000 * lam) // tr
+    top = sorted(range(dims), key=lambda i: (-abs(v[i]), i))[:3]
+    rows = [
+        (rnk + 1, i, v[i], explained_ppm) for rnk, i in enumerate(top)
+    ]
+    return spark.createDataFrame(
+        rows, "rnk long, dim long, loading_e9 long, explained_ppm long"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry tiers.
 #
@@ -12280,7 +12417,19 @@ _DRIVER_TIER = [
     # old and hold the round-5 re-verification queue — the 3-round
     # freshness bound is preserved by construction.
     #
-    # ROUND-4 CONTINUATION CERTIFICATION (latest): tools/drive_harness.py
+    # ROUND-4 FINAL FULL-REGISTRY CERTIFICATION: tools/drive_harness.py
+    # --all (untuned local[8], sf0.01, side-by-side DuckDB) = **224/224
+    # MATCH** after the second continuation session's additions (the
+    # feature-engineering, stats-2, monitoring, sweep, feature-store,
+    # simhash-hamming, source-overlap, and calibration bands, plus the
+    # covisitation staging, bootstrap hash-spread, and fuzzy-linkage
+    # probe-repartition scale fixes). emb_pca_power_iteration (query
+    # 225, registered after that sweep) certified individually at
+    # sf0.01 and invariance-swept. Ladder rows for the new heavy ops in
+    # SCALE_LADDER.json (bootstrap 20.7x/100x after the hash-spread
+    # fix; fuzzy linkage 76 s -> 7.2 s after the probe repartition).
+    #
+    # ROUND-4 CONTINUATION CERTIFICATION (older): tools/drive_harness.py
     # --all (untuned local[8], sf0.01, side-by-side DuckDB) = **194/194
     # MATCH** mid-continuation; the six registrations after that sweep
     # (mannwhitney, theilsen, benford, gini, term_jsd, release_audit)
@@ -12372,7 +12521,8 @@ _DRIVER_TIER = [
     #      ann_ivf_nprobe_sweep, dedup_lsh_banding_sweep,
     #      events_pit_features, events_negative_samples,
     #      dedup_simhash_hamming [pigeonhole-complete, property-tested],
-    #      corpus_source_overlap, events_score_calibration —
+    #      corpus_source_overlap, events_score_calibration,
+    #      emb_pca_power_iteration —
     #      certified at sf0.01, invariance-swept, plan-gated) —
     #      zero-evidence always outranks re-verification;
     #   1. newest-row-is-r2 (at the 3-round freshness bound): the 31
