@@ -12283,6 +12283,75 @@ def emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_entropy_by_type",
+    """
+    WITH en_c AS (
+        SELECT event_type,
+               CAST(json_extract(props, '$.k') AS BIGINT) AS item,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2),
+    en_t AS (
+        SELECT event_type, CAST(sum(n) AS BIGINT) AS tot,
+               CAST(count(*) AS BIGINT) AS n_items
+        FROM en_c GROUP BY 1)
+    SELECT c.event_type, t.n_items, t.tot AS n_events,
+           CAST(round(sum(CAST(round(
+               -1.0 * (CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE))
+               * ln(CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE)), 9)
+               AS DECIMAL(20,9))) * 1000000) AS BIGINT) AS entropy_unats,
+           CAST(round(ln(CAST(t.n_items AS DOUBLE)) * 1000000) AS BIGINT)
+               AS max_entropy_unats
+    FROM en_c c JOIN en_t t USING (event_type)
+    GROUP BY c.event_type, t.n_items, t.tot
+    """,
+)
+def events_entropy_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the item distribution per event type (micro-
+    nats), next to its ln(k) ceiling — the diversity gauge that
+    catches a traffic mix collapsing onto a few items (feed loops,
+    bot floods) before top-k charts show it. Per-item contributions
+    round-then-DECIMAL-sum (order-free, the ndcg/PSI pattern).
+
+    100 TB shape: one (type, item) partial-agg scan; entropy reduces
+    the bounded item histogram, never raw rows."""
+    ev = load_table(spark, "events", sf_dir)
+    c = (
+        ev.select(
+            "event_type",
+            F.from_json(F.col("props"), "k BIGINT")["k"].alias("item"),
+        )
+        .groupBy("event_type", "item")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    t = c.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("tot"),
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+    )
+    p = F.col("n").cast("double") / F.col("tot").cast("double")
+    return (
+        c.join(F.broadcast(t), "event_type")
+        .select(
+            "event_type",
+            "n_items",
+            F.col("tot").alias("n_events"),
+            F.round(-p * F.log(p), 9).cast("decimal(20,9)").alias("contrib"),
+        )
+        .groupBy("event_type", "n_items", "n_events")
+        .agg(
+            F.round(F.sum("contrib") * 1000000).cast("long").alias(
+                "entropy_unats"
+            )
+        )
+        .withColumn(
+            "max_entropy_unats",
+            F.round(F.log(F.col("n_items").cast("double")) * 1000000).cast(
+                "long"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry tiers.
 #
@@ -12522,7 +12591,7 @@ _DRIVER_TIER = [
     #      events_pit_features, events_negative_samples,
     #      dedup_simhash_hamming [pigeonhole-complete, property-tested],
     #      corpus_source_overlap, events_score_calibration,
-    #      emb_pca_power_iteration —
+    #      emb_pca_power_iteration, events_entropy_by_type —
     #      certified at sf0.01, invariance-swept, plan-gated) —
     #      zero-evidence always outranks re-verification;
     #   1. newest-row-is-r2 (at the 3-round freshness bound): the 31
