@@ -12352,6 +12352,184 @@ def events_entropy_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_kmv_user_overlap",
+    f"""
+    WITH ko_dv AS MATERIALIZED (
+        SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS u
+        FROM events WHERE user_id IS NOT NULL),
+    ko_h AS (SELECT event_type, u, {md5_long("u", 12)} AS h FROM ko_dv),
+    ko_sk AS MATERIALIZED (
+        SELECT event_type, u, h FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY event_type ORDER BY h, u) AS rn
+            FROM ko_h) WHERE rn <= 32),
+    ko_p AS (
+        SELECT a.event_type AS ta, b.event_type AS tb
+        FROM (SELECT DISTINCT event_type FROM ko_sk) a
+        JOIN (SELECT DISTINCT event_type FROM ko_sk) b
+          ON a.event_type < b.event_type),
+    ko_u AS (
+        SELECT DISTINCT ta, tb, u, h FROM (
+            SELECT p.ta, p.tb, s.u, s.h FROM ko_p p
+            JOIN ko_sk s ON s.event_type = p.ta
+            UNION ALL
+            SELECT p.ta, p.tb, s.u, s.h FROM ko_p p
+            JOIN ko_sk s ON s.event_type = p.tb)),
+    ko_k AS MATERIALIZED (
+        SELECT ta, tb, u, h, rn FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY ta, tb ORDER BY h, u) AS rn
+            FROM ko_u) WHERE rn <= 32),
+    ko_m AS (
+        SELECT ta, tb, CAST(count(*) AS BIGINT) AS m
+        FROM ko_k k
+        WHERE EXISTS (SELECT 1 FROM ko_sk s
+                      WHERE s.event_type = k.ta AND s.u = k.u)
+          AND EXISTS (SELECT 1 FROM ko_sk s
+                      WHERE s.event_type = k.tb AND s.u = k.u)
+        GROUP BY 1, 2),
+    ko_per AS (
+        SELECT ta, tb, CAST(count(*) AS BIGINT) AS n_in,
+               max(CASE WHEN rn = 32 THEN h END) AS kth
+        FROM ko_k GROUP BY 1, 2),
+    ko_sz AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_users
+        FROM ko_dv GROUP BY 1),
+    ko_in AS (
+        SELECT a.event_type AS ta, b.event_type AS tb,
+               CAST(count(*) AS BIGINT) AS ei
+        FROM ko_dv a JOIN ko_dv b
+          ON a.u = b.u AND a.event_type < b.event_type
+        GROUP BY 1, 2)
+    SELECT p.ta AS type_a, p.tb AS type_b, per.n_in,
+           CAST(coalesce(m.m, 0) AS BIGINT) AS sketch_matches,
+           CAST(CASE WHEN per.n_in < 32 THEN per.n_in
+                ELSE (31 * CAST({16 ** 12} AS BIGINT)) // per.kth END
+                AS BIGINT) AS union_est,
+           (1000 * coalesce(m.m, 0)) // least(per.n_in, 32)
+               AS jaccard_est_pml,
+           CASE WHEN sa.n_users + sb.n_users - coalesce(i.ei, 0) > 0
+                THEN (1000 * coalesce(i.ei, 0))
+                     // (sa.n_users + sb.n_users - coalesce(i.ei, 0)) END
+               AS jaccard_exact_pml
+    FROM ko_p p
+    JOIN ko_per per ON per.ta = p.ta AND per.tb = p.tb
+    LEFT JOIN ko_m m ON m.ta = p.ta AND m.tb = p.tb
+    JOIN ko_sz sa ON sa.event_type = p.ta
+    JOIN ko_sz sb ON sb.event_type = p.tb
+    LEFT JOIN ko_in i ON i.ta = p.ta AND i.tb = p.tb
+    """,
+)
+def events_kmv_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch SET OPERATIONS — what makes bottom-k sketches an
+    audience-overlap engine: per event-type pair, the union sketch
+    re-elects the bottom-k of the two sketches' rows (no corpus
+    rescan — mergeability is the theta-sketch contract) and Jaccard ≈
+    |K(A∪B) ∩ K(A) ∩ K(B)| / k, all on 32-row structures however many
+    billions of users flowed through. The exact Jaccard rides
+    alongside as the accuracy gauge (the dedup_minhash_accuracy
+    discipline: measure the estimator, don't trust the theory).
+
+    100 TB shape: sketches build in one partial-agg pass per type
+    (the events_kmv_distinct shape); all pairwise math runs on
+    |types|²·k-row frames. The exact columns are the local audit — a
+    deployment drops them and keeps the sketch math."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, "events", sf_dir)
+    dv = (
+        ev.filter(F.col("user_id").isNotNull())
+        .select("event_type", F.col("user_id").cast("string").alias("u"))
+        .distinct()
+        .localCheckpoint(eager=False)  # sketches + sizes + exact audit
+    )
+    h = F.expr(md5_long("u", 12))
+    wsk = W.partitionBy("event_type").orderBy("h", "u")
+    sketch = (
+        dv.withColumn("h", h)
+        .withColumn("rn", F.row_number().over(wsk))
+        .filter(F.col("rn") <= 32)
+        .drop("rn")
+        .localCheckpoint(eager=False)  # pairs + two union legs + probes
+    )
+    types = sketch.select("event_type").distinct()
+    pairs = types.select(F.col("event_type").alias("ta")).join(
+        types.select(F.col("event_type").alias("tb")),
+        F.col("ta") < F.col("tb"),
+    )
+    leg = lambda side: pairs.join(  # noqa: E731
+        sketch, sketch["event_type"] == pairs[side]
+    ).select("ta", "tb", "u", "h")
+    wp = W.partitionBy("ta", "tb").orderBy("h", "u")
+    kab = (
+        leg("ta")
+        .unionByName(leg("tb"))
+        .distinct()
+        .withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= 32)
+        .localCheckpoint(eager=False)  # membership probe + per-pair stats
+    )
+    in_a = sketch.select(F.col("event_type").alias("ta"), "u")
+    in_b = sketch.select(F.col("event_type").alias("tb"), "u")
+    matches = (
+        kab.join(in_a, ["ta", "u"], "left_semi")
+        .join(in_b, ["tb", "u"], "left_semi")
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).cast("long").alias("m"))
+    )
+    per = kab.groupBy("ta", "tb").agg(
+        F.count(F.lit(1)).cast("long").alias("n_in"),
+        F.max(F.when(F.col("rn") == 32, F.col("h"))).alias("kth"),
+    )
+    sizes = dv.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    inter = (
+        dv.select(F.col("event_type").alias("ta"), "u")
+        .join(dv.select(F.col("event_type").alias("tb"), "u"), "u")
+        .filter(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).cast("long").alias("ei"))
+    )
+    scale = 16**12
+    return (
+        per.join(F.broadcast(matches), ["ta", "tb"], "left")
+        .join(
+            F.broadcast(
+                sizes.select(F.col("event_type").alias("ta"), F.col("n_users").alias("na"))
+            ),
+            "ta",
+        )
+        .join(
+            F.broadcast(
+                sizes.select(F.col("event_type").alias("tb"), F.col("n_users").alias("nb"))
+            ),
+            "tb",
+        )
+        .join(F.broadcast(inter), ["ta", "tb"], "left")
+        .select(
+            F.col("ta").alias("type_a"),
+            F.col("tb").alias("type_b"),
+            "n_in",
+            F.coalesce(F.col("m"), F.lit(0)).cast("long").alias("sketch_matches"),
+            F.expr(
+                f"CAST(CASE WHEN n_in < 32 THEN n_in"
+                f" ELSE (31 * CAST({scale} AS BIGINT)) DIV kth END AS BIGINT)"
+            ).alias("union_est"),
+            F.expr("(1000 * coalesce(m, 0)) DIV least(n_in, 32)")
+            .cast("long")
+            .alias("jaccard_est_pml"),
+            F.expr(
+                "CASE WHEN na + nb - coalesce(ei, 0) > 0 THEN"
+                " (1000 * coalesce(ei, 0)) DIV (na + nb - coalesce(ei, 0)) END"
+            )
+            .cast("long")
+            .alias("jaccard_exact_pml"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry tiers.
 #
@@ -12591,7 +12769,8 @@ _DRIVER_TIER = [
     #      events_pit_features, events_negative_samples,
     #      dedup_simhash_hamming [pigeonhole-complete, property-tested],
     #      corpus_source_overlap, events_score_calibration,
-    #      emb_pca_power_iteration, events_entropy_by_type —
+    #      emb_pca_power_iteration, events_entropy_by_type,
+    #      events_kmv_user_overlap —
     #      certified at sf0.01, invariance-swept, plan-gated) —
     #      zero-evidence always outranks re-verification;
     #   1. newest-row-is-r2 (at the 3-round freshness bound): the 31
