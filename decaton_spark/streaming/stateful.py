@@ -1198,6 +1198,9 @@ def streaming_psi_monitor(
             return
         vc = batch[bucket_col].value_counts()
         for b, c in vc.items():
+            if not 0 <= int(b) < n_bins:  # a negative bucket would
+                # silently WRAP to counts[-1] — fail loudly instead
+                raise ValueError(f"bucket {b} outside [0, {n_bins})")
             counts[int(b)] += int(c)
         n += int(len(batch))
         state.update((counts, n))

@@ -1067,6 +1067,11 @@ class PsiMonitorProcessor(StatefulProcessor):
                 continue
             touched = True
             for b, c in pdf["bucket"].value_counts().items():
+                if not 0 <= int(b) < self.n_bins:  # negative would
+                    # silently wrap to counts[-1] — fail loudly
+                    raise ValueError(
+                        f"bucket {b} outside [0, {self.n_bins})"
+                    )
                 counts[int(b)] += int(c)
             n += int(len(pdf))
         if not touched:
