@@ -12530,6 +12530,84 @@ def events_kmv_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_wordpiece_fertility",
+    tx.wordpiece_oracle_sql().replace(
+        "SELECT w AS word,",
+        "SELECT w AS word_unused,",  # placeholder; full oracle set below
+    ),
+)
+def text_wordpiece_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility of the WordPiece vocab per language: mean
+    pieces per RUNNING word (frequency-weighted — a rare 5-piece word
+    barely moves it; a common one dominates), the number that prices a
+    vocab against a corpus (fertility ↑ ⇒ sequences lengthen ⇒
+    training cost ↑; the multilingual-tokenizer fairness metric).
+    Companion to ``text_fertility_by_lang`` (whitespace baseline).
+
+    100 TB shape: tokenization runs on the DISTINCT word table
+    (bounded), then broadcasts back onto the (lang, word) frequency
+    aggregate — the corpus is scanned once for counts and never sees
+    the 10-stage fold."""
+    docs = load_table(spark, "documents", sf_dir)
+    wc = (
+        docs.select(
+            "lang", F.explode(F.split(F.col("text"), " ")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    words = wc.select("w").distinct()
+    wp = tx.wordpiece_tokenize_words(words).select(
+        F.col("word").alias("w"), "n_pieces"
+    )
+    return (
+        wc.join(F.broadcast(wp), "w")
+        .groupBy("lang")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_words"),
+            F.sum(F.col("cnt") * F.col("n_pieces")).cast("long").alias(
+                "n_pieces_total"
+            ),
+        )
+        .select(
+            "lang",
+            "n_words",
+            "n_pieces_total",
+            F.expr("(1000000 * n_pieces_total) DIV n_words")
+            .cast("long")
+            .alias("fertility_ppm"),
+        )
+    )
+
+
+QUERIES["text_wordpiece_fertility"] = QuerySpec(
+    QUERIES["text_wordpiece_fertility"].fn,
+    tx.wordpiece_oracle_sql()
+    .replace(
+        "wp_w AS (SELECT DISTINCT t AS w FROM (SELECT unnest(string_split(text,"
+        " ' ')) AS t FROM documents) WHERE t <> '')",
+        "wf_wc AS MATERIALIZED (SELECT lang, t AS w, CAST(count(*) AS BIGINT)"
+        " AS cnt FROM (SELECT lang, unnest(string_split(text, ' ')) AS t"
+        " FROM documents) WHERE t <> '' GROUP BY 1, 2),\n    "
+        "wp_w AS (SELECT DISTINCT w FROM wf_wc)",
+    )
+    .replace(
+        "SELECT w AS word, toks10 AS pieces, "
+        "CAST(length(toks10) - length(replace(toks10, ' ', '')) + 1 AS BIGINT)"
+        " AS n_pieces FROM lvl10",
+        "SELECT c.lang, CAST(sum(c.cnt) AS BIGINT) AS n_words,"
+        " CAST(sum(c.cnt * (length(l.toks10) - length(replace(l.toks10, ' ',"
+        " '')) + 1)) AS BIGINT) AS n_pieces_total,"
+        " (1000000 * CAST(sum(c.cnt * (length(l.toks10) -"
+        " length(replace(l.toks10, ' ', '')) + 1)) AS BIGINT))"
+        " // CAST(sum(c.cnt) AS BIGINT) AS fertility_ppm"
+        " FROM lvl10 l JOIN wf_wc c ON c.w = l.w GROUP BY c.lang",
+    ),
+)
+
+
 # ---------------------------------------------------------------------------
 # Registry tiers.
 #
@@ -12770,7 +12848,7 @@ _DRIVER_TIER = [
     #      dedup_simhash_hamming [pigeonhole-complete, property-tested],
     #      corpus_source_overlap, events_score_calibration,
     #      emb_pca_power_iteration, events_entropy_by_type,
-    #      events_kmv_user_overlap —
+    #      events_kmv_user_overlap, text_wordpiece_fertility —
     #      certified at sf0.01, invariance-swept, plan-gated) —
     #      zero-evidence always outranks re-verification;
     #   1. newest-row-is-r2 (at the 3-round freshness bound): the 31
