@@ -12743,8 +12743,12 @@ _DRIVER_TIER = [
     # freshness bound is preserved by construction.
     #
     # ROUND-4 FINAL FULL-REGISTRY CERTIFICATION: tools/drive_harness.py
-    # --all (untuned local[8], sf0.01, side-by-side DuckDB) = **224/224
-    # MATCH** after the second continuation session's additions (the
+    # --all (untuned local[8], sf0.01, side-by-side DuckDB) = **227/227
+    # MATCH** (a 224/224 sweep mid-continuation, then 227/227 after the
+    # PCA/entropy/KMV-overlap registrations and the PSI bucket guard;
+    # text_wordpiece_fertility — query 228, registered after that sweep
+    # — certified individually and invariance-swept) after the second
+    # continuation session's additions (the
     # feature-engineering, stats-2, monitoring, sweep, feature-store,
     # simhash-hamming, source-overlap, and calibration bands, plus the
     # covisitation staging, bootstrap hash-spread, and fuzzy-linkage
