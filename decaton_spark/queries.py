@@ -12608,6 +12608,215 @@ QUERIES["text_wordpiece_fertility"] = QuerySpec(
 )
 
 
+@register(
+    "events_covisitation_eval",
+    """
+    WITH cv2_i AS MATERIALIZED (
+        SELECT user_id, CAST(json_extract(props, '$.k') AS BIGINT) AS item,
+               CAST(min(epoch_ms(ts)) AS BIGINT) AS first_ms
+        FROM events GROUP BY 1, 2),
+    cv2_cut AS (
+        SELECT min(first_ms) + 4 * (max(first_ms) - min(first_ms)) // 5
+            AS cutoff FROM cv2_i),
+    cv2_tr AS MATERIALIZED (
+        SELECT user_id, item FROM cv2_i, cv2_cut WHERE first_ms < cutoff),
+    cv2_te AS (
+        SELECT i.user_id, i.item FROM cv2_i i, cv2_cut c
+        WHERE i.first_ms >= c.cutoff
+          AND EXISTS (SELECT 1 FROM cv2_tr t WHERE t.user_id = i.user_id)
+          AND NOT EXISTS (SELECT 1 FROM cv2_tr t
+                          WHERE t.user_id = i.user_id AND t.item = i.item)),
+    cv2_n AS (SELECT item, CAST(count(*) AS BIGINT) AS n FROM cv2_tr GROUP BY 1),
+    cv2_nu AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS nu FROM cv2_tr),
+    cv2_p AS (
+        SELECT a.item AS item_a, b.item AS item_b,
+               CAST(count(*) AS BIGINT) AS n_ab
+        FROM cv2_tr a JOIN cv2_tr b
+          ON a.user_id = b.user_id AND a.item <> b.item
+        GROUP BY 1, 2),
+    cv2_r AS MATERIALIZED (
+        SELECT item_a, item_b FROM (
+            SELECT p.item_a, p.item_b,
+                   row_number() OVER (PARTITION BY p.item_a ORDER BY
+                       (1000000 * p.n_ab * t.nu) // (na.n * nb.n) DESC,
+                       p.n_ab DESC, p.item_b) AS rnk
+            FROM cv2_p p
+            JOIN cv2_n na ON na.item = p.item_a
+            JOIN cv2_n nb ON nb.item = p.item_b
+            CROSS JOIN cv2_nu t
+            WHERE p.n_ab >= 3) WHERE rnk <= 5),
+    cv2_cand AS (
+        SELECT DISTINCT t.user_id, r.item_b AS item
+        FROM cv2_tr t JOIN cv2_r r ON r.item_a = t.item
+        WHERE NOT EXISTS (SELECT 1 FROM cv2_tr x
+                          WHERE x.user_id = t.user_id AND x.item = r.item_b))
+    SELECT CAST(count(*) AS BIGINT) AS n_test,
+           CAST(sum(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hits,
+           (1000 * CAST(sum(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT)) // count(*) AS hit_rate_pml,
+           CAST(count(DISTINCT te.user_id) AS BIGINT) AS n_users
+    FROM cv2_te te LEFT JOIN cv2_cand c
+      ON c.user_id = te.user_id AND c.item = te.item
+    """,
+)
+def events_covisitation_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline eval of the covisitation recommender — the loop that
+    decides whether the recs ship: interactions split at the 80% time
+    point, the item-item top-5 trains on the past only, and every
+    FUTURE first-time (user, item) interaction scores a hit if the
+    item was in the union of recs of the user's training items (their
+    own training items excluded — recommending what you already did
+    is not a rec). Temporal split, not random: random splits leak
+    future co-occurrence into training, inflating hit-rate — the
+    recsys leakage trap (same contract as events_pit_features).
+
+    100 TB shape: same bounded shapes as the production query
+    (distinct collapse, user-keyed pair join, per-item top-5) plus a
+    candidate expansion bounded by |train items/user|·5; the final
+    readout is one row."""
+    ev = load_table(spark, "events", sf_dir)
+    inter = (
+        ev.select(
+            "user_id",
+            F.from_json(F.col("props"), "k BIGINT")["k"].alias("item"),
+            F.unix_millis("ts").alias("ms"),
+        )
+        .groupBy("user_id", "item")
+        .agg(F.min("ms").cast("long").alias("first_ms"))
+        .localCheckpoint(eager=False)
+    )
+    cut = inter.agg(
+        F.expr(
+            "min(first_ms) + 4 * (max(first_ms) - min(first_ms)) DIV 5"
+        ).alias("cutoff")
+    )
+    withcut = inter.crossJoin(F.broadcast(cut))
+    train = (
+        withcut.filter(F.col("first_ms") < F.col("cutoff"))
+        .select("user_id", "item")
+        .localCheckpoint(eager=False)
+    )
+    test = (
+        withcut.filter(F.col("first_ms") >= F.col("cutoff"))
+        .select("user_id", "item")
+        .join(train.select("user_id").distinct(), "user_id", "left_semi")
+        .join(train, ["user_id", "item"], "left_anti")
+    )
+    marg = train.groupBy("item").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    nu = train.agg(F.countDistinct("user_id").cast("long").alias("nu"))
+    a = train.select(F.col("user_id").alias("u"), F.col("item").alias("item_a"))
+    b = train.select(F.col("user_id").alias("u2"), F.col("item").alias("item_b"))
+    pairs = (
+        a.join(b, (F.col("u") == F.col("u2")) & (F.col("item_a") != F.col("item_b")))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+    )
+    w = Window.partitionBy("item_a").orderBy(
+        F.expr("(1000000 * n_ab * nu) DIV (na * nb)").desc(),
+        F.col("n_ab").desc(),
+        F.col("item_b"),
+    )
+    recs = (
+        pairs.join(
+            F.broadcast(marg.select(F.col("item").alias("item_a"), F.col("n").alias("na"))),
+            "item_a",
+        )
+        .join(
+            F.broadcast(marg.select(F.col("item").alias("item_b"), F.col("n").alias("nb"))),
+            "item_b",
+        )
+        .crossJoin(F.broadcast(nu))
+        .filter(F.col("n_ab") >= 3)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("item_a", "item_b")
+    )
+    cand = (
+        train.join(F.broadcast(recs), train["item"] == recs["item_a"])
+        .select("user_id", F.col("item_b").alias("item"))
+        .distinct()
+        .join(train, ["user_id", "item"], "left_anti")
+    )
+    return (
+        test.join(
+            cand.withColumn("hit", F.lit(1)), ["user_id", "item"], "left"
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hits"),
+            F.expr(
+                "(1000 * CAST(sum(coalesce(hit, 0)) AS BIGINT)) DIV count(*)"
+            )
+            .cast("long")
+            .alias("hit_rate_pml"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+    )
+
+
+@register(
+    "events_l_diversity",
+    """
+    WITH ld_q AS (
+        SELECT event_type,
+               (epoch_ms(ts) // 3600000) % 24 AS hour_of_day,
+               CAST(floor(value / 50.0) AS BIGINT) AS value_band,
+               CAST(json_extract(props, '$.k') AS BIGINT) AS sensitive
+        FROM events WHERE value IS NOT NULL),
+    ld_g AS (
+        SELECT event_type, hour_of_day, value_band,
+               CAST(count(*) AS BIGINT) AS sz,
+               CAST(count(DISTINCT sensitive) AS BIGINT) AS l
+        FROM ld_q GROUP BY 1, 2, 3)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           min(l) AS min_l,
+           CAST(count(*) FILTER (l < 3) AS BIGINT) AS groups_below_l,
+           CAST(coalesce(sum(sz) FILTER (l < 3), 0) AS BIGINT)
+               AS rows_at_risk
+    FROM ld_g GROUP BY event_type
+    """,
+)
+def events_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity release gauge (l=3) over the SAME quasi-identifier
+    buckets as ``events_k_anonymity`` — the attack k-anonymity misses:
+    a bucket can hold 50 rows (k-safe) that all share ONE sensitive
+    value, so membership alone discloses it. Per type: buckets whose
+    sensitive attribute (the props item id standing in for the
+    sensitive column) shows fewer than l distinct values, and the rows
+    exposed. Run both gauges before any release; suppress or
+    generalize the flagged buckets.
+
+    100 TB shape: one (QI, sensitive) two-level partial agg (the
+    countDistinct expands map-side into (QI, sensitive) partials —
+    never raw rows on the shuffle), then a per-type rollup of the
+    bounded bucket frame."""
+    ev = load_table(spark, "events", sf_dir).filter(F.col("value").isNotNull())
+    q = ev.select(
+        "event_type",
+        (F.expr("unix_millis(ts) DIV 3600000") % 24).alias("hour_of_day"),
+        F.floor(F.col("value") / 50.0).cast("long").alias("value_band"),
+        F.from_json(F.col("props"), "k BIGINT")["k"].alias("sensitive"),
+    )
+    g = q.groupBy("event_type", "hour_of_day", "value_band").agg(
+        F.count(F.lit(1)).cast("long").alias("sz"),
+        F.countDistinct("sensitive").cast("long").alias("l"),
+    )
+    return g.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.min("l").alias("min_l"),
+        F.sum(F.when(F.col("l") < 3, 1).otherwise(0))
+        .cast("long")
+        .alias("groups_below_l"),
+        F.coalesce(
+            F.sum(F.when(F.col("l") < 3, F.col("sz"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("rows_at_risk"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry tiers.
 #
@@ -12852,7 +13061,8 @@ _DRIVER_TIER = [
     #      dedup_simhash_hamming [pigeonhole-complete, property-tested],
     #      corpus_source_overlap, events_score_calibration,
     #      emb_pca_power_iteration, events_entropy_by_type,
-    #      events_kmv_user_overlap, text_wordpiece_fertility —
+    #      events_kmv_user_overlap, text_wordpiece_fertility,
+    #      events_covisitation_eval, events_l_diversity —
     #      certified at sf0.01, invariance-swept, plan-gated) —
     #      zero-evidence always outranks re-verification;
     #   1. newest-row-is-r2 (at the 3-round freshness bound): the 31
