@@ -12323,6 +12323,9 @@ def events_entropy_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("event_type", "item")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        # the bounded histogram feeds the totals AND the contrib join —
+        # stage it once so the raw scan never re-runs (the PSI lesson)
+        .localCheckpoint(eager=False)
     )
     t = c.groupBy("event_type").agg(
         F.sum("n").cast("long").alias("tot"),

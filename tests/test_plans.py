@@ -813,3 +813,28 @@ def test_tuning_and_featurestore_plan_shapes(spark, sf_dir):
         assert "CartesianProduct" not in p, name
         shuffles = p.count("Exchange") - p.count("BroadcastExchange")
         assert shuffles <= max_shuffles, (name, shuffles)
+
+
+def test_late_continuation_plan_shapes(spark, sf_dir):
+    """Gates for the last continuation band: no cartesian products;
+    shuffle ceilings pinned. Checkpoint-staged frames (covisitation
+    eval, KMV overlap, source overlap) keep their static plans small
+    because the shared shuffles happen once at materialization."""
+    from decaton_spark.queries import EXTRA_QUERIES as _EX
+
+    shapes = {
+        "events_entropy_by_type": 3,       # (type,item) agg + totals + final
+        "events_kmv_user_overlap": 12,     # pair window + probes + exact audit
+        "text_wordpiece_fertility": 4,     # word counts + distinct + final agg
+        "events_covisitation_eval": 12,    # split + pair agg + topk + cand + readout
+        "events_l_diversity": 3,           # two-level countDistinct + rollup
+        "dedup_simhash_hamming": 3,        # band explode join + distinct
+        "corpus_source_overlap": 4,        # marginals + gram join + final
+        "events_score_calibration": 3,     # outcome join + per-click agg + deciles
+        "events_forecast_backtest": 9,     # two lag joins + aggs + final
+    }
+    for name, max_shuffles in shapes.items():
+        p = plan_of(_EX[name].fn(spark, sf_dir), "simple")
+        assert "CartesianProduct" not in p, name
+        shuffles = p.count("Exchange") - p.count("BroadcastExchange")
+        assert shuffles <= max_shuffles, (name, shuffles)
