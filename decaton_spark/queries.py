@@ -12820,6 +12820,143 @@ def events_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_ab_srm_check",
+    f"""
+    WITH sr_u AS (
+        SELECT DISTINCT CAST(user_id AS VARCHAR) AS u,
+               CASE WHEN {_AB_ARM} = 0 THEN 'A' ELSE 'B' END AS arm
+        FROM events WHERE user_id IS NOT NULL),
+    sr_c AS (
+        SELECT CAST(count(*) FILTER (arm = 'A') AS BIGINT) AS n_a,
+               CAST(count(*) FILTER (arm = 'B') AS BIGINT) AS n_b
+        FROM sr_u)
+    SELECT n_a, n_b,
+           round(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+                 / CAST(n_a + n_b AS DOUBLE), 6) AS chi2,
+           CAST(CASE WHEN CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+                          / CAST(n_a + n_b AS DOUBLE) > 3.841 THEN 1
+                ELSE 0 END AS BIGINT) AS srm_flag
+    FROM sr_c WHERE n_a + n_b > 0
+    """,
+)
+def events_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio mismatch check — the gate every A/B readout runs
+    FIRST: are the arm populations actually 50/50? Chi-square of the
+    distinct-user arm counts against the designed split (for a 50/50
+    design the statistic collapses to (n_a−n_b)²/(n_a+n_b)); flag at
+    the 0.05 critical value 3.841. An SRM means the assignment or
+    logging is broken and every downstream Welch/CUPED/DiD number on
+    this experiment is invalid — which is why this is a separate gate
+    and not a column on those readouts.
+
+    One distinct-user pass (the same md5-parity arms the whole A/B
+    band uses) into a 1-row conditional aggregate."""
+    from decaton_spark.functions import stats as st
+
+    ev = load_table(spark, "events", sf_dir).filter(F.col("user_id").isNotNull())
+    u = ev.select(
+        F.col("user_id").cast("string").alias("u"),
+        st.hash_arm("CAST(user_id AS STRING)").alias("arm"),
+    ).distinct()
+    c = u.agg(
+        F.sum(F.when(F.col("arm") == "A", 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("arm") == "B", 1).otherwise(0)).cast("long").alias("n_b"),
+    ).filter(F.col("n_a") + F.col("n_b") > 0)
+    d = F.col("n_a").cast("double") - F.col("n_b").cast("double")
+    tot = F.col("n_a").cast("double") + F.col("n_b").cast("double")
+    chi2 = d * d / tot
+    return c.select(
+        "n_a",
+        "n_b",
+        F.round(chi2, 6).alias("chi2"),
+        F.when(chi2 > 3.841, 1).otherwise(0).cast("long").alias("srm_flag"),
+    )
+
+
+@register(
+    "parts_abc_classification",
+    """
+    WITH ab_r AS (
+        SELECT l_partkey AS partkey,
+               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                        AS BIGINT)) AS BIGINT) AS rev
+        FROM lineitem GROUP BY 1),
+    ab_t AS (SELECT CAST(sum(CAST(rev AS HUGEINT)) AS HUGEINT) AS tot FROM ab_r),
+    ab_c AS (
+        SELECT partkey, rev,
+               sum(CAST(rev AS HUGEINT)) OVER (
+                   ORDER BY rev DESC, partkey) AS cum
+        FROM ab_r),
+    ab_k AS (
+        SELECT CASE WHEN 100 * c.cum <= 80 * t.tot THEN 'A'
+                    WHEN 100 * c.cum <= 95 * t.tot THEN 'B'
+                    ELSE 'C' END AS abc_class,
+               c.rev
+        FROM ab_c c, ab_t t)
+    SELECT k.abc_class,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(CAST(k.rev AS HUGEINT)) AS BIGINT) AS class_rev_centi,
+           CAST((1000 * sum(CAST(k.rev AS HUGEINT))) // t.tot AS BIGINT)
+               AS rev_share_pml
+    FROM ab_k k, ab_t t GROUP BY k.abc_class, t.tot
+    """,
+)
+def parts_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification of parts by revenue: A = the head
+    parts covering the first 80% of cumulative revenue, B = the next
+    15%, C = the tail — the inventory-policy classic (count how few
+    SKUs carry the business). Boundaries are EXACT integer
+    cross-multiplications (100·cum ≤ 80·total), never float shares;
+    ties on revenue break by partkey, so class membership is
+    deterministic.
+
+    100 TB shape: revenue reduces the fact ONCE (per-part partial
+    agg); the cumulative window runs over the bounded PART frame, not
+    lineitem — the cardinality drop is where the global ORDER BY
+    becomes affordable (|parts| « |lineitem|, the same pre-aggregate-
+    then-window shape as the Gini query)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    rev = (
+        li.groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("rev")
+        )
+        .localCheckpoint(eager=False)  # total + cumulative consumers
+    )
+    tot = rev.agg(F.sum(F.col("rev").cast("decimal(38,0)")).alias("tot"))
+    w = Window.orderBy(F.col("rev").desc(), F.col("partkey")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    classed = (
+        rev.withColumn("cum", F.sum(F.col("rev").cast("decimal(38,0)")).over(w))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.when(100 * F.col("cum") <= 80 * F.col("tot"), "A")
+            .when(100 * F.col("cum") <= 95 * F.col("tot"), "B")
+            .otherwise("C")
+            .alias("abc_class"),
+            "rev",
+            "tot",
+        )
+    )
+    return classed.groupBy("abc_class", "tot").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum(F.col("rev").cast("decimal(38,0)")).cast("long").alias(
+            "class_rev_centi"
+        ),
+        F.expr(
+            "CAST((1000 * sum(CAST(rev AS DECIMAL(38,0)))) DIV tot AS BIGINT)"
+        ).alias("rev_share_pml"),
+    ).drop("tot")
+
+
 # ---------------------------------------------------------------------------
 # Registry tiers.
 #
@@ -13065,7 +13202,8 @@ _DRIVER_TIER = [
     #      corpus_source_overlap, events_score_calibration,
     #      emb_pca_power_iteration, events_entropy_by_type,
     #      events_kmv_user_overlap, text_wordpiece_fertility,
-    #      events_covisitation_eval, events_l_diversity —
+    #      events_covisitation_eval, events_l_diversity,
+    #      events_ab_srm_check, parts_abc_classification —
     #      certified at sf0.01, invariance-swept, plan-gated) —
     #      zero-evidence always outranks re-verification;
     #   1. newest-row-is-r2 (at the 3-round freshness bound): the 31
