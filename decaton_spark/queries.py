@@ -12957,6 +12957,76 @@ def parts_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).drop("tot")
 
 
+@register(
+    "events_dau_mau_stickiness",
+    """
+    WITH st_ud AS MATERIALIZED (
+        SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day
+        FROM events WHERE user_id IS NOT NULL),
+    st_dau AS (
+        SELECT day, CAST(count(*) AS BIGINT) AS dau FROM st_ud GROUP BY 1),
+    st_exp AS (
+        SELECT u.user_id, u.day + g.i AS grid_day
+        FROM st_ud u, range(30) g(i)),
+    st_mau AS (
+        SELECT grid_day AS day,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+        FROM st_exp GROUP BY 1),
+    st_days AS (SELECT min(day) AS d0, max(day) AS d1 FROM st_ud)
+    SELECT m.day, d.dau, m.mau,
+           (1000 * d.dau) // m.mau AS stickiness_pml
+    FROM st_mau m JOIN st_dau d USING (day), st_days b
+    WHERE m.day >= b.d0 + 29 AND m.day <= b.d1
+    """,
+)
+def events_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per day — the growth metric boards read
+    (what share of the month's actives show up on a given day).
+    Trailing-30-day actives come from the sliding-window EXPAND trick:
+    each (user, day) pair contributes itself to the 30 grid days it
+    stays 'monthly active' for (map-side ×30 of the DISTINCT pair
+    frame, not raw events), then one two-level distinct aggregation
+    per grid day. Days without a full 30-day lookback are excluded
+    (partial windows misread as churn).
+
+    100 TB shape: the raw scan collapses to (user, day) pairs FIRST
+    (partial-agg distinct — pairs « events); the ×30 expansion is a
+    plan constant (the sliding_window_activity shape); the distinct
+    count is two-level (user partials, then count), never a
+    count(DISTINCT) over an exploded raw log."""
+    ev = load_table(spark, "events", sf_dir).filter(F.col("user_id").isNotNull())
+    ud = (
+        ev.select(
+            "user_id", F.expr("unix_millis(ts) DIV 86400000").alias("day")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # dau + expand + bounds consumers
+    )
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("dau"))
+    exp = ud.select(
+        "user_id", "day", F.explode(F.sequence(F.lit(0), F.lit(29))).alias("i")
+    ).select("user_id", (F.col("day") + F.col("i")).alias("grid_day"))
+    mau = (
+        exp.distinct()  # two-level: (user, grid_day) partials first
+        .groupBy(F.col("grid_day").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("mau"))
+    )
+    bounds = ud.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    return (
+        mau.join(dau, "day")
+        .crossJoin(F.broadcast(bounds))
+        .filter((F.col("day") >= F.col("d0") + 29) & (F.col("day") <= F.col("d1")))
+        .select(
+            "day",
+            "dau",
+            "mau",
+            F.expr("(1000 * dau) DIV mau").cast("long").alias("stickiness_pml"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry tiers.
 #
@@ -13203,7 +13273,8 @@ _DRIVER_TIER = [
     #      emb_pca_power_iteration, events_entropy_by_type,
     #      events_kmv_user_overlap, text_wordpiece_fertility,
     #      events_covisitation_eval, events_l_diversity,
-    #      events_ab_srm_check, parts_abc_classification —
+    #      events_ab_srm_check, parts_abc_classification,
+    #      events_dau_mau_stickiness —
     #      certified at sf0.01, invariance-swept, plan-gated) —
     #      zero-evidence always outranks re-verification;
     #   1. newest-row-is-r2 (at the 3-round freshness bound): the 31
