@@ -13027,6 +13027,79 @@ def events_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_power_user_curve",
+    """
+    WITH pu_u AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+        FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+    pu_r AS (
+        SELECT n_events,
+               ntile(10) OVER (ORDER BY n_events DESC, user_id) AS decile
+        FROM pu_u),
+    pu_t AS (
+        SELECT CAST(sum(n_events) AS BIGINT) AS tot,
+               CAST(count(*) AS BIGINT) AS n_users
+        FROM pu_u),
+    pu_d AS (
+        SELECT decile, CAST(count(*) AS BIGINT) AS n_users_decile,
+               CAST(sum(n_events) AS BIGINT) AS events_decile
+        FROM pu_r GROUP BY 1)
+    SELECT d.decile, d.n_users_decile, d.events_decile,
+           (1000 * d.events_decile) // t.tot AS share_pml,
+           (1000 * CAST(sum(d.events_decile) OVER (ORDER BY d.decile)
+                        AS BIGINT)) // t.tot AS cum_share_pml
+    FROM pu_d d, pu_t t
+    """,
+)
+def events_power_user_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-user concentration curve: users ranked by activity into
+    deciles (most-active first, user_id tie-break), each decile's
+    share and cumulative share of all events in exact per-mille — the
+    Lorenz table behind 'the top 10% of users generate X% of
+    activity' (the engagement-concentration sibling of the per-nation
+    Gini and the revenue ABC classes).
+
+    100 TB shape: the fact reduces ONCE to per-user counts; ntile and
+    the cumulative window run over the bounded user frame and the
+    10-row decile table respectively — the pre-aggregate-then-window
+    shape again."""
+    ev = load_table(spark, "events", sf_dir).filter(F.col("user_id").isNotNull())
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    ).localCheckpoint(eager=False)  # ntile + totals consumers
+    ranked = per_user.withColumn(
+        "decile",
+        F.ntile(10).over(Window.orderBy(F.col("n_events").desc(), F.col("user_id"))),
+    )
+    tot = per_user.agg(
+        F.sum("n_events").cast("long").alias("tot"),
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+    )
+    deciles = ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users_decile"),
+        F.sum("n_events").cast("long").alias("events_decile"),
+    )
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        deciles.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "cum_events", F.sum("events_decile").over(wc).cast("long")
+        )
+        .select(
+            "decile",
+            "n_users_decile",
+            "events_decile",
+            F.expr("(1000 * events_decile) DIV tot")
+            .cast("long")
+            .alias("share_pml"),
+            F.expr("(1000 * cum_events) DIV tot")
+            .cast("long")
+            .alias("cum_share_pml"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry tiers.
 #
@@ -13274,7 +13347,7 @@ _DRIVER_TIER = [
     #      events_kmv_user_overlap, text_wordpiece_fertility,
     #      events_covisitation_eval, events_l_diversity,
     #      events_ab_srm_check, parts_abc_classification,
-    #      events_dau_mau_stickiness —
+    #      events_dau_mau_stickiness, events_power_user_curve —
     #      certified at sf0.01, invariance-swept, plan-gated) —
     #      zero-evidence always outranks re-verification;
     #   1. newest-row-is-r2 (at the 3-round freshness bound): the 31
