@@ -13100,6 +13100,133 @@ def events_power_user_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RAKE_STOPS = "['the', 'a', 'of', 'and']"
+
+
+@register(
+    "text_keyphrases_rake",
+    f"""
+    WITH rk_tok AS (
+        SELECT doc_id, u.pos AS pos, u.tok AS tok,
+               CASE WHEN list_contains({_RAKE_STOPS}, u.tok)
+                    THEN 1 ELSE 0 END AS is_stop
+        FROM (SELECT doc_id,
+                     unnest(list_transform(range(len(string_split(text, ' '))),
+                        i -> {{'pos': i,
+                               'tok': string_split(text, ' ')[i + 1]}})) AS u
+              FROM documents)
+        WHERE u.tok <> ''),
+    rk_pid AS (
+        SELECT doc_id, pos, tok, is_stop,
+               sum(is_stop) OVER (PARTITION BY doc_id ORDER BY pos) AS pid
+        FROM rk_tok),
+    rk_words AS MATERIALIZED (
+        SELECT doc_id, pid, pos, tok FROM rk_pid WHERE is_stop = 0),
+    rk_plen AS (
+        SELECT doc_id, pid, CAST(count(*) AS BIGINT) AS plen
+        FROM rk_words GROUP BY 1, 2),
+    rk_ws AS MATERIALIZED (
+        SELECT w.tok,
+               (1000000 * CAST(sum(p.plen) AS BIGINT)) // count(*)
+                   AS word_score_ppm
+        FROM rk_words w JOIN rk_plen p
+          ON w.doc_id = p.doc_id AND w.pid = p.pid
+        GROUP BY 1),
+    rk_ph AS MATERIALIZED (
+        SELECT doc_id, pid, string_agg(tok, ' ' ORDER BY pos) AS phrase
+        FROM rk_words GROUP BY 1, 2),
+    rk_occ AS (
+        SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences
+        FROM rk_ph GROUP BY 1),
+    rk_score AS (
+        SELECT o.phrase, o.n_occurrences,
+               CAST(sum(s.word_score_ppm) AS BIGINT) AS score_ppm
+        FROM rk_occ o,
+             unnest(string_split(o.phrase, ' ')) AS w(tok)
+        JOIN rk_ws s ON s.tok = w.tok
+        GROUP BY 1, 2)
+    SELECT CAST(row_number() OVER (ORDER BY score_ppm DESC, phrase)
+                AS BIGINT) AS rnk,
+           phrase, n_occurrences, score_ppm
+    FROM rk_score
+    QUALIFY rnk <= 10
+    """,
+)
+def text_keyphrases_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010): candidate phrases
+    are maximal stopword-free token runs; each word scores
+    degree/frequency (degree = Σ lengths of phrases containing it —
+    words keeping long company score high); a phrase scores the sum
+    of its words' scores. Top-10 corpus keyphrases with occurrence
+    counts — the zero-model keyword extractor for corpus cards and
+    topic labeling. Scores in exact integer ppm (one DIV per word,
+    integer sums per phrase).
+
+    100 TB shape: phrase segmentation is a per-doc window (cumulative
+    stopword count — bounded by document length, the tokenize-ids
+    reassembly pattern); word stats and phrase scores are partial
+    aggs over the (word, phrase) frames; the only global window ranks
+    the bounded distinct-phrase table."""
+    docs = load_table(spark, "documents", sf_dir)
+    stops = ["the", "a", "of", "and"]
+    tok = (
+        docs.select(
+            "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok")
+        )
+        .filter(F.col("tok") != "")
+        .withColumn("is_stop", F.col("tok").isin(stops).cast("int"))
+    )
+    wpid = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    words = (
+        tok.withColumn("pid", F.sum("is_stop").over(wpid))
+        .filter(F.col("is_stop") == 0)
+        .select("doc_id", "pid", "pos", "tok")
+        .localCheckpoint(eager=False)  # plen + word stats + phrases
+    )
+    plen = words.groupBy("doc_id", "pid").agg(
+        F.count(F.lit(1)).cast("long").alias("plen")
+    )
+    ws = (
+        words.join(plen, ["doc_id", "pid"])
+        .groupBy("tok")
+        .agg(
+            F.expr("(1000000 * CAST(sum(plen) AS BIGINT)) DIV count(*)")
+            .cast("long")
+            .alias("word_score_ppm")
+        )
+    )
+    phrases = words.groupBy("doc_id", "pid").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda x: x["tok"],
+            ),
+            " ",
+        ).alias("phrase")
+    )
+    occ = phrases.groupBy("phrase").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences")
+    )
+    scored = (
+        occ.select(
+            "phrase",
+            "n_occurrences",
+            F.explode(F.split(F.col("phrase"), " ")).alias("tok"),
+        )
+        .join(F.broadcast(ws), "tok")
+        .groupBy("phrase", "n_occurrences")
+        .agg(F.sum("word_score_ppm").cast("long").alias("score_ppm"))
+    )
+    wr = Window.orderBy(F.col("score_ppm").desc(), F.col("phrase"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rnk") <= 10)
+        .select("rnk", "phrase", "n_occurrences", "score_ppm")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry tiers.
 #
@@ -13347,7 +13474,8 @@ _DRIVER_TIER = [
     #      events_kmv_user_overlap, text_wordpiece_fertility,
     #      events_covisitation_eval, events_l_diversity,
     #      events_ab_srm_check, parts_abc_classification,
-    #      events_dau_mau_stickiness, events_power_user_curve —
+    #      events_dau_mau_stickiness, events_power_user_curve,
+    #      text_keyphrases_rake —
     #      certified at sf0.01, invariance-swept, plan-gated) —
     #      zero-evidence always outranks re-verification;
     #   1. newest-row-is-r2 (at the 3-round freshness bound): the 31
