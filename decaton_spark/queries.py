@@ -13227,6 +13227,86 @@ def text_keyphrases_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "orders_backlog_sweepline",
+    """
+    WITH bl_s AS (
+        SELECT o.o_orderkey,
+               CAST(date_diff('day', DATE '2000-01-01',
+                    CAST(o.o_orderdate AS DATE)) AS BIGINT) AS s_day,
+               CAST(date_diff('day', DATE '2000-01-01',
+                    CAST(max(l.l_shipdate) AS DATE)) AS BIGINT) AS e_day
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2),
+    bl_d AS (
+        SELECT s_day AS day, CAST(1 AS BIGINT) AS delta FROM bl_s
+        UNION ALL
+        SELECT greatest(e_day, s_day) + 1, CAST(-1 AS BIGINT) FROM bl_s),
+    bl_g AS (
+        SELECT day,
+               CAST(sum(delta) AS BIGINT) AS net,
+               CAST(count(*) FILTER (delta = 1) AS BIGINT) AS n_starts,
+               CAST(count(*) FILTER (delta = -1) AS BIGINT) AS n_ends
+        FROM bl_d GROUP BY 1)
+    SELECT day, n_starts, n_ends,
+           CAST(sum(net) OVER (ORDER BY day) AS BIGINT) AS open_orders
+    FROM bl_g
+    """,
+)
+def orders_backlog_sweepline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order backlog over time by SWEEP-LINE: every order contributes
+    +1 at placement and −1 the day after its last shipment; the
+    running sum of deltas IS the number of in-flight orders on each
+    day. This is the interval-counting technique that avoids
+    materializing one row per (order × open day) — a naive expansion
+    multiplies the fact by the mean open duration (weeks), the sweep
+    line never exceeds 2 rows per order.
+
+    100 TB shape: one per-order reduction (max shipdate), a 2×
+    map-side delta projection, a per-day partial agg, and a cumulative
+    window over the bounded DAY frame (thousands of rows however many
+    orders flow). Day arithmetic via datediff from a fixed epoch
+    (date_diff boundary semantics pinned by the existing date
+    queries)."""
+    o = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    day = lambda c: F.datediff(  # noqa: E731
+        F.to_date(c), F.lit("2000-01-01").cast("date")
+    ).cast("long")
+    spans = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderkey", day("o_orderdate").alias("s_day"))
+        .agg(F.max(day("l_shipdate")).alias("e_day"))
+    )
+    starts = spans.select(
+        F.col("s_day").alias("day"), F.lit(1).cast("long").alias("delta")
+    )
+    ends = spans.select(
+        (F.greatest("e_day", "s_day") + 1).alias("day"),
+        F.lit(-1).cast("long").alias("delta"),
+    )
+    per_day = (
+        starts.unionByName(ends)
+        .groupBy("day")
+        .agg(
+            F.sum("delta").cast("long").alias("net"),
+            F.sum(F.when(F.col("delta") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_starts"),
+            F.sum(F.when(F.col("delta") == -1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_ends"),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return per_day.select(
+        "day",
+        "n_starts",
+        "n_ends",
+        F.sum("net").over(w).cast("long").alias("open_orders"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry tiers.
 #
@@ -13475,7 +13555,7 @@ _DRIVER_TIER = [
     #      events_covisitation_eval, events_l_diversity,
     #      events_ab_srm_check, parts_abc_classification,
     #      events_dau_mau_stickiness, events_power_user_curve,
-    #      text_keyphrases_rake —
+    #      text_keyphrases_rake, orders_backlog_sweepline —
     #      certified at sf0.01, invariance-swept, plan-gated) —
     #      zero-evidence always outranks re-verification;
     #   1. newest-row-is-r2 (at the 3-round freshness bound): the 31
