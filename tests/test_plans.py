@@ -838,3 +838,24 @@ def test_late_continuation_plan_shapes(spark, sf_dir):
         assert "CartesianProduct" not in p, name
         shuffles = p.count("Exchange") - p.count("BroadcastExchange")
         assert shuffles <= max_shuffles, (name, shuffles)
+
+
+def test_product_analytics_band_plan_shapes(spark, sf_dir):
+    """Gates for the product-analytics band: every query reduces the
+    fact FIRST and runs its windows over bounded frames (users /
+    deciles / days / phrases) — the pre-aggregate-then-window shape."""
+    from decaton_spark.queries import EXTRA_QUERIES as _EX
+
+    shapes = {
+        "events_ab_srm_check": 2,         # distinct users + 1-row agg
+        "parts_abc_classification": 4,    # part agg + cum window + class agg
+        "events_dau_mau_stickiness": 5,   # dau agg + expand distinct + mau agg
+        "events_power_user_curve": 4,     # user agg + ntile + decile agg
+        "text_keyphrases_rake": 7,        # pid window + stats/phrase aggs + topk
+        "orders_backlog_sweepline": 4,    # span agg + day agg + cum window
+    }
+    for name, max_shuffles in shapes.items():
+        p = plan_of(_EX[name].fn(spark, sf_dir), "simple")
+        assert "CartesianProduct" not in p, name
+        shuffles = p.count("Exchange") - p.count("BroadcastExchange")
+        assert shuffles <= max_shuffles, (name, shuffles)
