@@ -13307,6 +13307,141 @@ def orders_backlog_sweepline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_families_report",
+    f"""
+    WITH {_dedup_edges_cte(4, 3, 0.8)},
+    fr_mh_cand AS (SELECT CAST(count(*) AS BIGINT) AS n FROM cand),
+    fr_mh_ver AS (SELECT CAST(count(*) AS BIGINT) AS n FROM edges),
+    fr_mh_fl AS (SELECT CAST(count(DISTINCT id_b) AS BIGINT) AS n FROM edges),
+    fr_ex_g AS (
+        SELECT md5(text) AS hh, CAST(count(*) AS BIGINT) AS c
+        FROM documents WHERE text IS NOT NULL GROUP BY 1 HAVING count(*) >= 2),
+    fr_ex AS (
+        SELECT CAST(coalesce(sum(c * (c - 1) // 2), 0) AS BIGINT) AS pairs,
+               CAST(coalesce(sum(c - 1), 0) AS BIGINT) AS flagged
+        FROM fr_ex_g),
+    sh_toks2 AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+        FROM documents),
+    sh_hx2 AS (SELECT doc_id, md5(tok) AS h FROM sh_toks2),
+    sh_bits2 AS (
+        SELECT doc_id, i,
+               CASE WHEN sum(CASE WHEN (instr('0123456789abcdef',
+                       substr(h, CAST(i + 1 AS INT), 1)) - 1) % 2 = 1
+                   THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END AS b
+        FROM sh_hx2, range(16) t(i) GROUP BY doc_id, i),
+    sh_sig2 AS MATERIALIZED (
+        SELECT doc_id, CAST(sum(b * (1 << i)) AS BIGINT) AS simhash
+        FROM sh_bits2 GROUP BY doc_id),
+    sh_band2 AS (
+        SELECT doc_id, simhash, t.b AS band,
+               (simhash >> (t.b * 4)) & 15 AS nib
+        FROM sh_sig2, range(4) t(b)),
+    sh_cand2 AS MATERIALIZED (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(CAST(a.simhash AS BIT),
+                                  CAST(b.simhash AS BIT))) AS BIGINT) AS hd
+        FROM sh_band2 a JOIN sh_band2 b
+          ON a.band = b.band AND a.nib = b.nib AND a.doc_id < b.doc_id),
+    fr_sh_cand AS (SELECT CAST(count(*) AS BIGINT) AS n FROM sh_cand2),
+    fr_sh_ver AS (SELECT CAST(count(*) AS BIGINT) AS n
+                  FROM sh_cand2 WHERE hd <= 3),
+    fr_sh_fl AS (SELECT CAST(count(DISTINCT id_b) AS BIGINT) AS n
+                 FROM sh_cand2 WHERE hd <= 3)
+    SELECT 'exact_md5' AS family, pairs AS n_candidate_pairs,
+           pairs AS n_verified_pairs, flagged AS n_docs_flagged
+    FROM fr_ex
+    UNION ALL
+    SELECT 'minhash_jaccard', c.n, v.n, f.n
+    FROM fr_mh_cand c, fr_mh_ver v, fr_mh_fl f
+    UNION ALL
+    SELECT 'simhash_hamming', c.n, v.n, f.n
+    FROM fr_sh_cand c, fr_sh_ver v, fr_sh_fl f
+    """,
+)
+def dedup_families_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup strategy decision table: the three families — exact
+    md5, MinHash-LSH + Jaccard verify (k=3, 4 bands, ≥0.8), SimHash +
+    Hamming ≤ 3 — run side by side on the same corpus, reporting
+    candidate volume (the cost), verified pairs (the yield), and docs
+    flagged (higher id of ≥1 verified pair — the consistent removal
+    convention). This is the table that picks a production strategy:
+    exact is free but misses near-dups; MinHash pays candidate volume
+    for Jaccard recall; SimHash is one BIGINT/doc with deterministic
+    Hamming-3 recall.
+
+    Every family runs its PRODUCTION plan (the individual registered
+    queries' own operators) — this report just aggregates the three;
+    all bucketed equi-joins, no all-pairs anywhere."""
+    docs = load_table(spark, "documents", sf_dir).localCheckpoint(eager=False)
+    one = lambda df, name: df.agg(  # noqa: E731
+        F.count(F.lit(1)).cast("long").alias(name)
+    )
+    # exact family: group sizes carry both counts
+    exact_g = (
+        docs.filter(F.col("text").isNotNull())
+        .groupBy(F.md5("text").alias("hh"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .filter(F.col("c") >= 2)
+    )
+    exact = exact_g.agg(
+        F.coalesce(F.sum(F.expr("c * (c - 1) DIV 2")), F.lit(0))
+        .cast("long")
+        .alias("pairs"),
+        F.coalesce(F.sum(F.col("c") - 1), F.lit(0)).cast("long").alias("flagged"),
+    ).select(
+        F.lit("exact_md5").alias("family"),
+        F.col("pairs").alias("n_candidate_pairs"),
+        F.col("pairs").alias("n_verified_pairs"),
+        F.col("flagged").alias("n_docs_flagged"),
+    )
+    # minhash family
+    cand = dd.minhash_candidate_pairs(
+        docs, k=3, bands=4,
+        num_partitions=spark.sparkContext.defaultParallelism,
+    ).localCheckpoint(eager=False)
+    edges = dd.verify_pairs_jaccard(
+        docs, cand, n=1, threshold=0.8
+    ).localCheckpoint(eager=False)
+    mh = (
+        one(cand, "n_candidate_pairs")
+        .crossJoin(one(edges, "n_verified_pairs"))
+        .crossJoin(
+            edges.agg(
+                F.countDistinct("id_b").cast("long").alias("n_docs_flagged")
+            )
+        )
+        .select(
+            F.lit("minhash_jaccard").alias("family"),
+            "n_candidate_pairs",
+            "n_verified_pairs",
+            "n_docs_flagged",
+        )
+    )
+    # simhash family
+    sh_pairs_all = dd.simhash_near_dup_pairs(
+        docs, bits=16, bands=4, max_hamming=16  # keep all candidates
+    ).localCheckpoint(eager=False)
+    sh_ver = sh_pairs_all.filter(F.col("hamming") <= 3)
+    sh = (
+        one(sh_pairs_all, "n_candidate_pairs")
+        .crossJoin(one(sh_ver, "n_verified_pairs"))
+        .crossJoin(
+            sh_ver.agg(
+                F.countDistinct("id_b").cast("long").alias("n_docs_flagged")
+            )
+        )
+        .select(
+            F.lit("simhash_hamming").alias("family"),
+            "n_candidate_pairs",
+            "n_verified_pairs",
+            "n_docs_flagged",
+        )
+    )
+    return exact.unionByName(mh).unionByName(sh)
+
+
 # ---------------------------------------------------------------------------
 # Registry tiers.
 #
@@ -13555,7 +13690,8 @@ _DRIVER_TIER = [
     #      events_covisitation_eval, events_l_diversity,
     #      events_ab_srm_check, parts_abc_classification,
     #      events_dau_mau_stickiness, events_power_user_curve,
-    #      text_keyphrases_rake, orders_backlog_sweepline —
+    #      text_keyphrases_rake, orders_backlog_sweepline,
+    #      dedup_families_report —
     #      certified at sf0.01, invariance-swept, plan-gated) —
     #      zero-evidence always outranks re-verification;
     #   1. newest-row-is-r2 (at the 3-round freshness bound): the 31
