@@ -13584,7 +13584,11 @@ _DRIVER_TIER = [
     # invariance-swept, as was every query at registration). Full
     # pytest suite 649/649 green late-session (656 collected after the
     # final registrations, each with its own green oracle/invariance/
-    # plan-gate runs). Second continuation session additions (the
+    # plan-gate runs). NEW SCALE RUNG: the 50-query driver tier is
+    # 50/50 MATCH at sf0.1 as well (DRIVE_SF_DIR=/root/testdata/sf0.1
+    # tools/drive_harness.py — DuckDB oracles recomputed at 10x the
+    # driver's scale), so tier correctness now holds at sf0.001,
+    # sf0.01 AND sf0.1. Second continuation session additions (the
     # feature-engineering, stats-2, monitoring, sweep, feature-store,
     # simhash-hamming, source-overlap, and calibration bands, plus the
     # covisitation staging, bootstrap hash-spread, and fuzzy-linkage

@@ -8,7 +8,7 @@ from pyspark.sql import SparkSession
 
 import __spark_entry__ as e
 
-SF = "/root/testdata/sf0.01"
+SF = __import__("os").environ.get("DRIVE_SF_DIR", "/root/testdata/sf0.01")
 spark = (SparkSession.builder.master("local[8]")
          .appName("driver-sim").getOrCreate())  # deliberately untuned
 spark.sparkContext.setLogLevel("ERROR")
