@@ -13584,11 +13584,14 @@ _DRIVER_TIER = [
     # invariance-swept, as was every query at registration). Full
     # pytest suite 649/649 green late-session (656 collected after the
     # final registrations, each with its own green oracle/invariance/
-    # plan-gate runs). NEW SCALE RUNG: the 50-query driver tier is
-    # 50/50 MATCH at sf0.1 as well (DRIVE_SF_DIR=/root/testdata/sf0.1
-    # tools/drive_harness.py — DuckDB oracles recomputed at 10x the
-    # driver's scale), so tier correctness now holds at sf0.001,
-    # sf0.01 AND sf0.1. Second continuation session additions (the
+    # plan-gate runs). NEW SCALE RUNG: the FULL REGISTRY is **237/237
+    # MATCH at sf0.1** as well (DRIVE_SF_DIR=/root/testdata/sf0.1
+    # tools/drive_harness.py --all — every DuckDB oracle recomputed at
+    # 10x the driver's scale, including the k-means/PQ replays and the
+    # recursive-CTE components), after a 50/50 tier run at the same
+    # scale. Registry correctness therefore holds at THREE scale
+    # factors: sf0.001 (pytest), sf0.01 (driver), sf0.1 (bench).
+    # Second continuation session additions (the
     # feature-engineering, stats-2, monitoring, sweep, feature-store,
     # simhash-hamming, source-overlap, and calibration bands, plus the
     # covisitation staging, bootstrap hash-spread, and fuzzy-linkage
