@@ -11833,47 +11833,51 @@ def events_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract: a feature computed at-or-after the label time trains a
     model on its own answer. Exact centi integers throughout.
 
-    100 TB shape: the feature pass is a user-keyed EQUI-join (the
-    time predicate filters inside the join, never drives a nested
-    loop) with fan-out bounded by per-user history; at deployment
-    scale the same shape runs against a pre-aggregated daily feature
-    table via ``asof_join`` (operators/asof.py) rather than raw
-    events — the join topology is identical."""
+    100 TB shape: the features are RUNNING WINDOW aggregates over each
+    user's time-ordered stream (RANGE UNBOUNDED PRECEDING → 1
+    PRECEDING on the millisecond key — strictly-before by VALUE, so
+    same-timestamp rows are excluded exactly as `<` demands), then the
+    label rows filter out. ONE shuffle on user_id, linear in events.
+    The obvious label⋈history equi-join is NOT used: its fan-out is
+    labels/user × events/user — quadratic in per-user density (the
+    x100 ladder measured it into executor OOM at ~13e9 joined rows
+    before this rewrite). At deployment scale the window form also
+    degrades gracefully into the pre-aggregated daily-partials
+    ``asof_join`` when full history exceeds a partition."""
     ev = load_table(spark, "events", sf_dir)
-    labels = ev.filter(
-        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    base = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_millis("ts").alias("ms"),
+        F.round(F.col("value") * 100).cast("long").alias("centi"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ms")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    feat = base.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ms",
+        "centi",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_prior"),
+        F.coalesce(F.sum("centi").over(w), F.lit(0))
+        .cast("long")
+        .alias("prior_value_centi"),
+        F.max("ms").over(w).alias("last_prior_ms"),
+    )
+    return feat.filter(
+        (F.col("event_type") == "purchase") & F.col("centi").isNotNull()
     ).select(
         F.col("event_id").alias("label_id"),
-        F.col("user_id").alias("l_uid"),
-        F.unix_millis("ts").alias("lts"),
-        F.round(F.col("value") * 100).cast("long").alias("label_centi"),
-    )
-    hist = ev.select(
-        F.col("user_id").alias("h_uid"),
-        F.col("event_id").alias("h_id"),
-        F.unix_millis("ts").alias("hts"),
-        F.round(F.col("value") * 100).cast("long").alias("h_centi"),
-    )
-    j = labels.join(
-        hist,
-        (F.col("l_uid") == F.col("h_uid")) & (F.col("hts") < F.col("lts")),
-        "left",
-    )
-    return j.groupBy("label_id", "l_uid", "lts", "label_centi").agg(
-        F.count("h_id").cast("long").alias("n_prior"),
-        F.coalesce(F.sum("h_centi"), F.lit(0)).cast("long").alias(
-            "prior_value_centi"
-        ),
-        F.max("hts").alias("last_prior_ms"),
-    ).select(
-        "label_id",
-        F.col("l_uid").alias("user_id"),
-        "label_centi",
+        "user_id",
+        F.col("centi").alias("label_centi"),
         "n_prior",
         "prior_value_centi",
-        F.expr(
-            "CASE WHEN last_prior_ms IS NOT NULL THEN lts - last_prior_ms END"
-        )
+        F.expr("CASE WHEN last_prior_ms IS NOT NULL THEN ms - last_prior_ms END")
         .cast("long")
         .alias("recency_ms"),
     )
