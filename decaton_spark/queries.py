@@ -12102,31 +12102,38 @@ def events_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     1e-4 units — the eval table that decides whether scores need
     recalibration (Platt/isotonic) before they gate traffic.
 
-    All-integer arithmetic; the outcome probe is a user-keyed
-    EQUI-join (time window as a join-condition filter, EXISTS
-    collapsed via max) — the PIT-features topology, so it scales the
-    same way. Deciles are a 10-row table; nothing bigger moves."""
+    All-integer arithmetic; the outcome probe is a BOUNDED-RANGE
+    WINDOW over each user's merged click/purchase stream (next
+    purchase in (cts, cts+24h] via RANGE 1 FOLLOWING → 24h FOLLOWING)
+    — ONE shuffle on user_id, linear in events. The obvious
+    click⋈purchase user join is NOT used: Spark materializes the full
+    per-user cross product before the time filter — the x100 ladder
+    measured it 50.8x super-linear (2.7e9 intermediate rows) before
+    this rewrite, the same per-user-density trap the PIT join hit.
+    Deciles are a 10-row table; nothing bigger moves."""
     ev = load_table(spark, "events", sf_dir)
-    clicks = ev.filter(F.col("event_type") == "click").select(
+    stream = ev.filter(F.col("event_type").isin("click", "purchase")).select(
         "event_id",
-        F.col("user_id").alias("c_uid"),
-        F.unix_millis("ts").alias("cts"),
+        "user_id",
+        F.unix_millis("ts").alias("ms"),
+        (F.col("event_type") == "purchase").alias("is_buy"),
         F.from_json(F.col("props"), "k BIGINT")["k"].alias("score"),
     )
-    buys = ev.filter(F.col("event_type") == "purchase").select(
-        F.col("user_id").alias("p_uid"), F.unix_millis("ts").alias("pts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ms")
+        .rangeBetween(1, DAY_MS)
     )
     outcomes = (
-        clicks.join(
-            buys,
-            (F.col("c_uid") == F.col("p_uid"))
-            & (F.col("pts") > F.col("cts"))
-            & (F.col("pts") <= F.col("cts") + DAY_MS),
-            "left",
+        stream.withColumn(
+            "next_buy_ms",
+            F.min(F.when(F.col("is_buy"), F.col("ms"))).over(w),
         )
-        .groupBy("event_id", "score")
-        .agg(
-            F.max(F.when(F.col("p_uid").isNotNull(), 1).otherwise(0)).alias("y")
+        .filter(~F.col("is_buy"))
+        .select(
+            "event_id",
+            "score",
+            F.col("next_buy_ms").isNotNull().cast("int").alias("y"),
         )
     )
     return (
