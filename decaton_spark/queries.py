@@ -10151,41 +10151,87 @@ def events_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     touch), so channel totals are exact sums, not float shares whose
     addition order matters.
 
-    100 TB shape: the conversion↔touch pairing is an EQUI-join on
-    user_id (the time window is a post-join predicate, never an
-    inequality join condition that would force a nested loop); the
-    per-conversion touch count is a window over conv_id — both
-    shuffles are keyed and partial-agg friendly, and per-user event
-    counts bound the join fan-out."""
+    100 TB shape: TWO bounded-range windows over each user's merged
+    touch/conversion stream — a backward pass puts the 7-day touch
+    count (and per-channel flags) on every conversion, a forward pass
+    sums each touch's received credit and pair count from the
+    conversions ahead of it. ONE shuffle on user_id, linear in
+    events. The obvious conv⋈touch user join is NOT used: Spark
+    materializes the full per-user cross product before the time
+    filter — the x100 ladder measured it 384x super-linear (290 s)
+    before this rewrite, the third instance of the per-user-density
+    join trap (PIT features and calibration were the others)."""
     ev = load_table(spark, "events", sf_dir)
-    conv = ev.filter(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("conv_id"),
-        F.col("user_id").alias("c_uid"),
-        F.unix_millis("ts").alias("cms"),
+    win = 7 * DAY_MS
+    stream = ev.filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    ).select(
+        "user_id",
+        F.unix_millis("ts").alias("ms"),
+        (F.col("event_type") == "purchase").alias("is_conv"),
+        F.when(F.col("event_type") != "purchase", F.col("event_type")).alias(
+            "channel"
+        ),
     )
-    touch = ev.filter(F.col("event_type").isin("view", "click")).select(
-        F.col("user_id").alias("t_uid"),
-        F.col("event_type").alias("channel"),
-        F.unix_millis("ts").alias("tms"),
+    wprec = (
+        Window.partitionBy("user_id").orderBy("ms").rangeBetween(-(win - 1), 0)
     )
-    hits = conv.join(
-        touch,
-        (F.col("c_uid") == F.col("t_uid"))
-        & (F.col("tms") <= F.col("cms"))
-        & (F.col("tms") > F.col("cms") - 7 * DAY_MS),
+    wfoll = (
+        Window.partitionBy("user_id").orderBy("ms").rangeBetween(0, win - 1)
     )
-    w = Window.partitionBy("conv_id")
-    return (
-        hits.withColumn("conv_touches", F.count(F.lit(1)).over(w))
-        .groupBy("channel")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_touches"),
-            F.sum(F.expr("1000000 DIV conv_touches"))
-            .cast("long")
-            .alias("credit_micro"),
-            F.countDistinct("conv_id").cast("long").alias("n_conversions"),
+    back = stream.select(
+        "*",
+        F.count(F.when(~F.col("is_conv"), 1)).over(wprec).alias("cnt_t"),
+        F.count(F.when(F.col("channel") == "view", 1))
+        .over(wprec)
+        .alias("cnt_view"),
+        F.count(F.when(F.col("channel") == "click", 1))
+        .over(wprec)
+        .alias("cnt_click"),
+    ).withColumn(
+        "conv_credit",
+        F.when(
+            F.col("is_conv") & (F.col("cnt_t") > 0),
+            F.expr("1000000 DIV cnt_t"),
+        ),
+    )
+    fwd = back.select(
+        "*",
+        F.sum("conv_credit").over(wfoll).alias("credit_f"),
+        F.count(F.when(F.col("is_conv") & (F.col("cnt_t") > 0), 1))
+        .over(wfoll)
+        .alias("pairs_f"),
+    )
+    one = fwd.agg(
+        *[
+            agg
+            for ch in ("view", "click")
+            for agg in (
+                F.sum(F.when(F.col("channel") == ch, F.col("pairs_f")))
+                .cast("long")
+                .alias(f"nt_{ch}"),
+                F.sum(F.when(F.col("channel") == ch, F.col("credit_f")))
+                .cast("long")
+                .alias(f"cr_{ch}"),
+                F.sum(
+                    F.when(F.col("is_conv") & (F.col(f"cnt_{ch}") > 0), 1)
+                )
+                .cast("long")
+                .alias(f"nc_{ch}"),
+            )
+        ]
+    )
+    rows = None
+    for ch in ("view", "click"):
+        r = one.select(
+            F.lit(ch).alias("channel"),
+            F.coalesce(F.col(f"nt_{ch}"), F.lit(0)).alias("n_touches"),
+            F.coalesce(F.col(f"cr_{ch}"), F.lit(0)).alias("credit_micro"),
+            F.coalesce(F.col(f"nc_{ch}"), F.lit(0)).alias("n_conversions"),
         )
-    )
+        rows = r if rows is None else rows.unionByName(r)
+    # channels with zero pairs are absent in the pair-join semantics
+    return rows.filter(F.col("n_touches") > 0)
 
 
 @register(
