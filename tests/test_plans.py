@@ -676,7 +676,7 @@ def test_feature_band_plan_shapes(spark, sf_dir):
         "events_target_encoding": 2,   # cat stats + global mean reduces
         "events_seasonality_hod": 2,   # cell agg + per-type totals
         "customer_scd2_merge": 0,      # dim scan x3 + broadcast batch, NO shuffle
-        "events_linear_attribution": 4,  # user equi-join sides + conv window + agg
+        "events_linear_attribution": 6,  # ONE user window shuffle; 1-row agg lineage x2 union legs
         "events_markov_stationary": 0,   # result is a driver-built literal frame
         "parts_fuzzy_linkage": 4,      # block equi-join sides + sizes + topk window
     }
@@ -696,10 +696,14 @@ def test_feature_band_plan_shapes(spark, sf_dir):
     # SCD2: the batch side broadcasts; the dimension side never exchanges
     p = plan_of(_EX["customer_scd2_merge"].fn(spark, sf_dir))
     assert "BroadcastExchange" in p
-    # attribution + linkage: the pair generators are hash equi-joins
-    for name in ("events_linear_attribution", "parts_fuzzy_linkage"):
-        p = plan_of(_EX[name].fn(spark, sf_dir), "simple")
-        assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p, name
+    # linkage: the pair generator is a hash equi-join; attribution is
+    # JOIN-FREE by design (two bounded-range windows — the per-user-
+    # density join trap the x100 ladder exposed)
+    p = plan_of(_EX["parts_fuzzy_linkage"].fn(spark, sf_dir), "simple")
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+    p = plan_of(_EX["events_linear_attribution"].fn(spark, sf_dir), "simple")
+    assert "Join" not in p, "attribution must stay join-free"
+    assert "Window" in p
 
 
 def test_stats_band2_plan_shapes(spark, sf_dir):
