@@ -12031,7 +12031,13 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     SemDeDup: token-permutation-sensitive, cheap (one BIGINT/doc).
 
     Scale: projection signature, (band, nibble) equi-join (Σ bucket²),
-    one popcount per candidate — no all-pairs anywhere."""
+    one popcount per candidate — no all-pairs anywhere. CAPACITY
+    BOUND: 4-bit nibbles give 16 buckets per band, so Σ bucket² turns
+    quadratic once the corpus dwarfs the bucket space (fine to ~10⁵
+    docs; the x100 ladder rung is excluded with this note —
+    PERFORMANCE.md). Production-scale SimHash uses 64-bit signatures
+    with 16-bit bands (65k values/band); this md5-parity construction
+    caps at 32 bits, so the trade is documented rather than hidden."""
     docs = load_table(spark, "documents", sf_dir)
     return dd.simhash_near_dup_pairs(docs, bits=16, bands=4, max_hamming=3)
 
