@@ -13654,7 +13654,13 @@ _DRIVER_TIER = [
     # recursive-CTE components), after a 50/50 tier run at the same
     # scale. Registry correctness therefore holds at THREE scale
     # factors: sf0.001 (pytest), sf0.01 (driver), sf0.1 (bench).
-    # Second continuation session additions (the
+    # POST-SWEEP REWRITES (all re-certified at sf0.01 AND sf0.1 against
+    # their unchanged oracles, invariance-swept, plan-gated): the three
+    # per-user-density join traps the x100 ladder exposed were rewritten
+    # as window passes — events_pit_features (OOM -> 6.6x/100x),
+    # events_score_calibration (50.8x -> 12.2x),
+    # events_linear_attribution (384x -> 6.2x; 290 s -> 6.8 s). Full
+    # narrative in PERFORMANCE.md. Second continuation session additions (the
     # feature-engineering, stats-2, monitoring, sweep, feature-store,
     # simhash-hamming, source-overlap, and calibration bands, plus the
     # covisitation staging, bootstrap hash-spread, and fuzzy-linkage
