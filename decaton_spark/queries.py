@@ -13505,6 +13505,71 @@ def dedup_families_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.unionByName(mh).unionByName(sh)
 
 
+@register(
+    "orders_duplicate_payments",
+    """
+    WITH dp_o AS (
+        SELECT o_orderkey, o_custkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS price_centi,
+               CAST(date_diff('day', DATE '2000-01-01',
+                    CAST(o_orderdate AS DATE)) AS BIGINT) AS day
+        FROM orders),
+    dp_l AS (
+        SELECT o_custkey, o_orderkey, price_centi, day,
+               lag(day) OVER (PARTITION BY o_custkey, price_centi
+                              ORDER BY day, o_orderkey) AS prev_day,
+               lag(o_orderkey) OVER (PARTITION BY o_custkey, price_centi
+                              ORDER BY day, o_orderkey) AS prev_key
+        FROM dp_o)
+    SELECT o_custkey AS custkey, price_centi,
+           prev_key AS first_orderkey, o_orderkey AS second_orderkey,
+           CAST(day - prev_day AS BIGINT) AS gap_days
+    FROM dp_l
+    WHERE prev_day IS NOT NULL AND day - prev_day <= 7
+    """,
+)
+def orders_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-payment detector: two orders by the same customer for
+    the EXACT same amount within 7 days — the double-charge /
+    double-submit audit every billing pipeline runs. Adjacent-pair
+    semantics via lag() over (customer, amount) sorted by date: each
+    flagged row is a consecutive same-amount pair, so a triple charge
+    flags twice (once per adjacent pair) and the list is
+    review-ready, not a blown-up cross product.
+
+    100 TB shape: the window form ON PURPOSE — pairing same-key rows
+    by self-join would re-create the per-key-density trap the ladder
+    campaign measured (PIT/calibration/attribution); lag() over the
+    (custkey, amount) partition is one shuffle, linear, and adjacency
+    bounds output to n−1 pairs per group."""
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_centi"),
+        F.datediff(F.to_date("o_orderdate"), F.lit("2000-01-01").cast("date"))
+        .cast("long")
+        .alias("day"),
+    )
+    w = Window.partitionBy("o_custkey", "price_centi").orderBy(
+        "day", "o_orderkey"
+    )
+    return (
+        o.withColumn("prev_day", F.lag("day").over(w))
+        .withColumn("prev_key", F.lag("o_orderkey").over(w))
+        .filter(
+            F.col("prev_day").isNotNull()
+            & ((F.col("day") - F.col("prev_day")) <= 7)
+        )
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            "price_centi",
+            F.col("prev_key").alias("first_orderkey"),
+            F.col("o_orderkey").alias("second_orderkey"),
+            (F.col("day") - F.col("prev_day")).cast("long").alias("gap_days"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry tiers.
 #
@@ -13769,7 +13834,7 @@ _DRIVER_TIER = [
     #      events_ab_srm_check, parts_abc_classification,
     #      events_dau_mau_stickiness, events_power_user_curve,
     #      text_keyphrases_rake, orders_backlog_sweepline,
-    #      dedup_families_report —
+    #      dedup_families_report, orders_duplicate_payments —
     #      certified at sf0.01, invariance-swept, plan-gated) —
     #      zero-evidence always outranks re-verification;
     #   1. newest-row-is-r2 (at the 3-round freshness bound): the 31
