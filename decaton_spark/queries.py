@@ -13570,6 +13570,92 @@ def orders_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_first_touch_attribution",
+    """
+    WITH ft_s AS (
+        SELECT user_id, epoch_ms(ts) AS ms,
+               event_type = 'purchase' AS is_conv,
+               CASE WHEN event_type <> 'purchase' THEN event_type END
+                   AS channel
+        FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+    ft_w AS (
+        SELECT is_conv,
+               min(CASE WHEN channel IS NOT NULL
+                        THEN ms * 10 + CASE WHEN channel = 'click'
+                                            THEN 0 ELSE 1 END END)
+                   OVER (PARTITION BY user_id ORDER BY ms
+                         RANGE BETWEEN 604799999 PRECEDING AND CURRENT ROW)
+                   AS first_code
+        FROM ft_s),
+    ft_c AS (
+        SELECT CASE WHEN first_code % 10 = 0 THEN 'click' ELSE 'view' END
+                   AS channel
+        FROM ft_w WHERE is_conv AND first_code IS NOT NULL),
+    ft_t AS (SELECT CAST(count(*) AS BIGINT) AS tot FROM ft_c)
+    SELECT c.channel, CAST(count(*) AS BIGINT) AS n_conversions,
+           (1000 * count(*)) // t.tot AS share_pml
+    FROM ft_c c, ft_t t GROUP BY c.channel, t.tot
+    """,
+)
+def events_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution — completes the attribution family
+    (last-touch, linear, first-touch): each purchase credits 100% to
+    the EARLIEST view/click in its preceding 7-day window. The first
+    touch is an argmin carried through the window as one packed
+    integer (``ms·10 + channel_code`` — min of the pack IS the
+    earliest-then-channel-tiebroken touch; no struct comparison
+    semantics to align across engines), over a bounded RANGE frame —
+    join-free by design, per the measured per-user-density lesson.
+
+    Output: conversions credited per channel with exact per-mille
+    share — the two ends of the attribution spectrum (first vs last
+    touch) bracket where linear's equal split lands."""
+    ev = load_table(spark, "events", sf_dir)
+    stream = ev.filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    ).select(
+        "user_id",
+        F.unix_millis("ts").alias("ms"),
+        (F.col("event_type") == "purchase").alias("is_conv"),
+        F.when(F.col("event_type") != "purchase", F.col("event_type")).alias(
+            "channel"
+        ),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ms")
+        .rangeBetween(-(7 * DAY_MS - 1), 0)
+    )
+    code = F.when(
+        F.col("channel").isNotNull(),
+        F.col("ms") * 10
+        + F.when(F.col("channel") == "click", 0).otherwise(1),
+    )
+    creds = (
+        stream.withColumn("first_code", F.min(code).over(w))
+        .filter(F.col("is_conv") & F.col("first_code").isNotNull())
+        .select(
+            F.when(F.col("first_code") % 10 == 0, "click")
+            .otherwise("view")
+            .alias("channel")
+        )
+    )
+    tot = creds.agg(F.count(F.lit(1)).cast("long").alias("tot"))
+    return (
+        creds.groupBy("channel")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_conversions"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "channel",
+            "n_conversions",
+            F.expr("(1000 * n_conversions) DIV tot")
+            .cast("long")
+            .alias("share_pml"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry tiers.
 #
@@ -13834,7 +13920,8 @@ _DRIVER_TIER = [
     #      events_ab_srm_check, parts_abc_classification,
     #      events_dau_mau_stickiness, events_power_user_curve,
     #      text_keyphrases_rake, orders_backlog_sweepline,
-    #      dedup_families_report, orders_duplicate_payments —
+    #      dedup_families_report, orders_duplicate_payments,
+    #      events_first_touch_attribution —
     #      certified at sf0.01, invariance-swept, plan-gated) —
     #      zero-evidence always outranks re-verification;
     #   1. newest-row-is-r2 (at the 3-round freshness bound): the 31
