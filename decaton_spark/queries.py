@@ -13656,6 +13656,94 @@ def events_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+@register(
+    "events_slo_burn_rate",
+    """
+    WITH sb_h AS (
+        SELECT epoch_ms(ts) // 3600000 AS h,
+               CAST(count(*) AS BIGINT) AS tot,
+               CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS err
+        FROM events GROUP BY 1),
+    sb_w AS (
+        SELECT h, tot, err,
+               sum(tot) OVER (ORDER BY h RANGE BETWEEN 5 PRECEDING
+                              AND CURRENT ROW) AS tot6,
+               sum(err) OVER (ORDER BY h RANGE BETWEEN 5 PRECEDING
+                              AND CURRENT ROW) AS err6,
+               sum(tot) OVER (ORDER BY h RANGE BETWEEN 71 PRECEDING
+                              AND CURRENT ROW) AS tot72,
+               sum(err) OVER (ORDER BY h RANGE BETWEEN 71 PRECEDING
+                              AND CURRENT ROW) AS err72,
+               min(h) OVER () AS h0
+        FROM sb_h)
+    SELECT h, tot, err,
+           (100000000 * err) // tot AS burn1h_ppm,
+           CAST((100000000 * err6) // tot6 AS BIGINT) AS burn6h_ppm,
+           CAST((100000000 * err72) // tot72 AS BIGINT) AS burn72h_ppm,
+           CAST(CASE WHEN (100000000 * err) // tot >= 14400000
+                      AND (100000000 * err6) // tot6 >= 14400000
+                THEN 1 ELSE 0 END AS BIGINT) AS page_fast,
+           CAST(CASE WHEN (100000000 * err6) // tot6 >= 6000000
+                      AND (100000000 * err72) // tot72 >= 6000000
+                THEN 1 ELSE 0 END AS BIGINT) AS page_slow
+    FROM sb_w WHERE h >= h0 + 71
+    """,
+)
+def events_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-window SLO burn-rate alerts (the Google SRE workbook
+    construction) for a 1% error budget: per hour, the budget burn
+    over the 1h/6h/72h trailing windows (1e6 = burning exactly at
+    budget), and the two paging conditions — fast (1h AND 6h ≥ 14.4x)
+    and slow (6h AND 72h ≥ 6x). Pairing a short and a long window is
+    what kills both alert flapping AND slow-burn blindness — the
+    reason this shape replaced simple threshold alerts. Hours without
+    a full 72h lookback are excluded (partial windows misread).
+
+    100 TB shape: the raw stream reduces ONCE to the hourly
+    (total, error) frame; all three windows are bounded RANGE frames
+    over that tiny series — the monitoring plane never rescans
+    events. Integer ppm burn via cross-multiplied DIV."""
+    ev = load_table(spark, "events", sf_dir)
+    hourly = (
+        ev.select(F.expr("unix_millis(ts) DIV 3600000").alias("h"), "event_type")
+        .groupBy("h")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("tot"),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+            .cast("long")
+            .alias("err"),
+        )
+    )
+    wf = lambda k: Window.orderBy("h").rangeBetween(-(k - 1), 0)  # noqa: E731
+    w_all = Window.orderBy("h").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    b = lambda e, t: F.expr(f"(100000000 * {e}) DIV {t}")  # noqa: E731
+    out = (
+        hourly.withColumn("tot6", F.sum("tot").over(wf(6)))
+        .withColumn("err6", F.sum("err").over(wf(6)))
+        .withColumn("tot72", F.sum("tot").over(wf(72)))
+        .withColumn("err72", F.sum("err").over(wf(72)))
+        .withColumn("h0", F.min("h").over(w_all))
+        .filter(F.col("h") >= F.col("h0") + 71)
+    )
+    burn1, burn6, burn72 = b("err", "tot"), b("err6", "tot6"), b("err72", "tot72")
+    return out.select(
+        "h",
+        "tot",
+        "err",
+        burn1.cast("long").alias("burn1h_ppm"),
+        burn6.cast("long").alias("burn6h_ppm"),
+        burn72.cast("long").alias("burn72h_ppm"),
+        ((burn1 >= 14400000) & (burn6 >= 14400000))
+        .cast("long")
+        .alias("page_fast"),
+        ((burn6 >= 6000000) & (burn72 >= 6000000))
+        .cast("long")
+        .alias("page_slow"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry tiers.
 #
@@ -13921,8 +14009,8 @@ _DRIVER_TIER = [
     #      events_dau_mau_stickiness, events_power_user_curve,
     #      text_keyphrases_rake, orders_backlog_sweepline,
     #      dedup_families_report, orders_duplicate_payments,
-    #      events_first_touch_attribution —
-    #      certified at sf0.01, invariance-swept, plan-gated) —
+    #      events_first_touch_attribution, events_slo_burn_rate —
+    #      certified at sf0.01 AND sf0.1, invariance-swept, plan-gated) —
     #      zero-evidence always outranks re-verification;
     #   1. newest-row-is-r2 (at the 3-round freshness bound): the 31
     #      r2-row holders (q2/q4-q7/q10-q14/q16/q17/q19/q20/q22, f1-f3,
