@@ -863,3 +863,27 @@ def test_product_analytics_band_plan_shapes(spark, sf_dir):
         assert "CartesianProduct" not in p, name
         shuffles = p.count("Exchange") - p.count("BroadcastExchange")
         assert shuffles <= max_shuffles, (name, shuffles)
+
+
+def test_ops_audit_band_plan_shapes(spark, sf_dir):
+    """Gates for the ops-audit band: all three are window forms over
+    keyed or pre-reduced frames — join-free by design (the measured
+    per-user-density lesson applied at authoring time)."""
+    from decaton_spark.queries import EXTRA_QUERIES as _EX
+
+    shapes = {
+        "orders_duplicate_payments": 1,       # one (cust, amount) window
+        "events_first_touch_attribution": 4,  # user window + channel agg
+        "events_slo_burn_rate": 3,            # hourly agg + series windows
+        "dedup_families_report": 16,          # three family pipelines, staged
+    }
+    for name, max_shuffles in shapes.items():
+        p = plan_of(_EX[name].fn(spark, sf_dir), "simple")
+        assert "CartesianProduct" not in p, name
+        shuffles = p.count("Exchange") - p.count("BroadcastExchange")
+        assert shuffles <= max_shuffles, (name, shuffles)
+    p = plan_of(_EX["orders_duplicate_payments"].fn(spark, sf_dir), "simple")
+    assert "Join" not in p, "duplicate-payments must stay join-free"
+    # first-touch: the only join allowed is the 1-row total broadcast
+    p = plan_of(_EX["events_first_touch_attribution"].fn(spark, sf_dir), "simple")
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
