@@ -397,7 +397,16 @@ def kmv_distinct_estimate(
     )
     est = (
         F.when(F.col("n_in_sketch") < k, F.col("n_in_sketch"))
-        .otherwise(F.expr(f"({k - 1} * CAST({scale} AS BIGINT)) div kth"))
+        # greatest(kth, 1): a k-th hash of exactly 0 (k values whose
+        # 12-hex md5 prefix is all-zero — astronomically rare but legal
+        # input) would otherwise be a div-by-zero error under Spark 4
+        # ANSI DIV; the streaming twins carry the same guard.
+        .otherwise(
+            F.expr(
+                f"({k - 1} * CAST({scale} AS BIGINT))"
+                " div greatest(kth, CAST(1 AS BIGINT))"
+            )
+        )
         .cast("long")
     )
     return per.select(
@@ -438,16 +447,16 @@ def histogram_sketch_quantiles(
     bounds = base.groupBy("grp").agg(
         F.min("v2").alias("mn2"), F.max("v2").alias("mx2")
     )
-    width = F.col("mx2") - F.col("mn2") + 1  # ≥ 1, so never div-by-zero
+    # Pure-integer bucket assignment ((v2-mn2) ≥ 0, so DIV == floor):
+    # bit-identical to the streaming twin (stateful.py / tws.py) and to
+    # the DuckDB oracle's `//` at ANY magnitude — the former double
+    # floor diverged once (v2-mn2)*buckets exceeded 2^53 or on
+    # double-rounding at exact bucket edges of very wide ranges.
     withb = base.join(F.broadcast(bounds), "grp").select(
         "grp",
         "mn2",
         "mx2",
-        F.floor(
-            ((F.col("v2") - F.col("mn2")) * buckets).cast("double")
-            / width.cast("double")
-        )
-        .cast("long")
+        F.expr(f"CAST(((v2 - mn2) * {buckets}) DIV (mx2 - mn2 + 1) AS BIGINT)")
         .alias("b"),
     )
     hist = withb.groupBy("grp", "mn2", "mx2", "b").agg(

@@ -251,15 +251,29 @@ def snapshot_diff(
     on the id. On bucketed/Iceberg tables co-partitioned by id the
     exchange disappears entirely.
 
+    NULL text is a legal content state, distinct from empty text: the
+    hash input is a presence flag ('1'/'0') concatenated with the
+    coalesced text, so md5 never goes NULL (md5(NULL) is NULL, which
+    would misclassify a both-sides-present row as 'added') and
+    NULL vs '' compare as 'changed', NULL vs NULL as 'unchanged'.
+
     Returns (doc_id, change, old_hash, new_hash).
     """
+
+    def _content_hash(col: str):
+        flagged = F.concat(
+            F.when(F.col(col).isNull(), F.lit("0")).otherwise(F.lit("1")),
+            F.coalesce(F.col(col), F.lit("")),
+        )
+        return F.md5(flagged.cast("binary"))
+
     o = old.select(
         F.col(id_col).alias("doc_id"),
-        F.md5(F.col(text_col).cast("binary")).alias("old_hash"),
+        _content_hash(text_col).alias("old_hash"),
     )
     n = new.select(
         F.col(id_col).alias("doc_id"),
-        F.md5(F.col(text_col).cast("binary")).alias("new_hash"),
+        _content_hash(text_col).alias("new_hash"),
     )
     j = o.join(n, "doc_id", "full_outer")
     change = (

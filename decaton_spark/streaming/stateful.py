@@ -832,7 +832,9 @@ def streaming_kmv(
             return  # sketch unchanged: nothing to emit
         state.update(([h for h, _ in bottom], [v for _, v in bottom]))
         n = len(bottom)
-        est = n if n < k else ((k - 1) * scale) // bottom[k - 1][0]
+        # max(kth, 1): an all-zero md5 prefix on the k-th hash would be
+        # a ZeroDivisionError killing the whole streaming query.
+        est = n if n < k else ((k - 1) * scale) // max(bottom[k - 1][0], 1)
         yield pd.DataFrame(
             {group_col: [key[0]], "n_in_sketch": [n], "kmv_distinct_est": [est]}
         )

@@ -803,7 +803,12 @@ class KmvProcessor(StatefulProcessor):
         for h, v in bottom:
             self.sketch.appendValue((h, v))
         n = len(bottom)
-        est = n if n < self.k else ((self.k - 1) * self.scale) // bottom[self.k - 1][0]
+        # max(kth, 1): zero-guard matching batch kmv_distinct_estimate.
+        est = (
+            n
+            if n < self.k
+            else ((self.k - 1) * self.scale) // max(bottom[self.k - 1][0], 1)
+        )
         yield pd.DataFrame(
             {
                 self.group_col: [key[0]],
