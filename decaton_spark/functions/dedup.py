@@ -183,25 +183,51 @@ def simhash(
     out_col: str = "simhash",
     bits: int = 16,
 ) -> DataFrame:
-    """Per-document simhash over distinct whitespace tokens.
+    """Per-document simhash over distinct whitespace tokens,
+    ``bits`` ≤ 64.
 
-    Bit i of the signature is the majority vote of bit (hex digit i
-    mod 2) across token md5s. Token md5s are computed once per token
-    (array of hashes), then folded per bit — O(tokens + bits) per doc.
+    Bit i of the signature is the majority vote of the parity of one
+    md5 hex digit across the document's tokens: bits 0–31 read digit
+    i of md5(token), bits 32–63 read digit i−32 of the salted second
+    word md5('sh2:' + token) — two md5 words per token, the original
+    Google construction's width (64-bit signatures with 16-bit bands
+    give 65k bucket values per band; the earlier 32-bit cap with
+    4-bit nibbles made Σ bucket² structurally quadratic past ~10⁵
+    docs). Digest arrays are hoisted into their own projection and
+    computed ONCE per token (Catalyst does not CSE across lambda
+    scopes — the minhash hoisted-digest discipline), then folded per
+    bit — O(tokens + bits) per doc, still a shuffle-free projection.
+    Bit 63 uses shiftleft(1L, 63) (min-long), summed last by the
+    ascending fold, so the two's-complement BIGINT never overflows.
     """
-    # array of md5 hex strings, one per distinct token
-    hashes = f"transform(array_distinct(split({text_col}, ' ')), t -> md5(t))"
-    bit_contrib = (
-        "aggregate({hashes}, CAST(0 AS BIGINT), (acc, h) -> acc + "
-        "CASE WHEN (instr('0123456789abcdef', substr(h, i + 1, 1)) - 1) % 2 = 1 "
-        "THEN 1 ELSE -1 END)"
-    ).format(hashes=hashes)
+    if not 1 <= bits <= 64:
+        raise ValueError(f"bits must be in 1..64, got {bits}")
+    toks = f"array_distinct(split({text_col}, ' '))"
+    base = df.withColumn("_sh_h1", F.expr(f"transform({toks}, t -> md5(t))"))
+    if bits > 32:
+        base = base.withColumn(
+            "_sh_h2", F.expr(f"transform({toks}, t -> md5(concat('sh2:', t)))")
+        )
+
+    def contrib(arr: str, pos: str) -> str:
+        return (
+            f"aggregate({arr}, CAST(0 AS BIGINT), (acc, h) -> acc + "
+            f"CASE WHEN (instr('0123456789abcdef', substr(h, {pos}, 1))"
+            " - 1) % 2 = 1 THEN 1 ELSE -1 END)"
+        )
+
+    vote = contrib("_sh_h1", "i + 1")
+    if bits > 32:
+        vote = (
+            f"CASE WHEN i < 32 THEN {vote} "
+            f"ELSE {contrib('_sh_h2', 'i - 31')} END"
+        )
     sig = (
         f"aggregate(sequence(0, {bits - 1}), CAST(0 AS BIGINT), "
-        f"(acc, i) -> acc + CASE WHEN {bit_contrib} > 0 "
+        f"(acc, i) -> acc + CASE WHEN {vote} > 0 "
         f"THEN shiftleft(CAST(1 AS BIGINT), i) ELSE CAST(0 AS BIGINT) END)"
     )
-    return df.withColumn(out_col, F.expr(sig))
+    return base.withColumn(out_col, F.expr(sig)).drop("_sh_h1", "_sh_h2")
 
 
 def ngram_jaccard_pairs(
@@ -828,13 +854,13 @@ def simhash_near_dup_pairs(
     *,
     text_col: str = "text",
     id_col: str = "doc_id",
-    bits: int = 16,
+    bits: int = 64,
     bands: int = 4,
     max_hamming: int = 3,
 ) -> DataFrame:
     """SimHash near-duplicate pairs (Charikar / the Google web-dedup
     construction): band the ``bits``-bit signature into ``bands``
-    nibbles, candidate pairs share at least one (band, nibble) bucket,
+    slices, candidate pairs share at least one (band, slice) bucket,
     verified pairs have Hamming distance ≤ ``max_hamming``.
 
     Pigeonhole completeness: d ≤ bands−1 bit flips cannot touch every
@@ -844,8 +870,13 @@ def simhash_near_dup_pairs(
     there).
 
     Scale shape: the signature is a shuffle-free projection; the pair
-    generator is an equi-join on (band, nibble) — Σ bucket², never
+    generator is an equi-join on (band, slice) — Σ bucket², never
     corpus² — and the verifier is one XOR popcount per candidate.
+    The default 64-bit signature with 16-bit bands keeps 65,536
+    values per band (the production Google parameters): Σ bucket²
+    stays near-linear far past the ~10⁵-doc ceiling where the old
+    32-bit/4-bit-nibble form (16 values/band) went quadratic and
+    died on the x100 ladder rung.
     """
     width = bits // bands
     sigs = simhash(df, text_col=text_col, bits=bits).select(

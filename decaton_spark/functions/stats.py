@@ -90,6 +90,77 @@ def welch_ttest(
     )
 
 
+def exact_global_ntile(
+    df: DataFrame,
+    *,
+    n_tiles: int,
+    order_cols: list[Column],
+    out_col: str,
+) -> DataFrame:
+    """Distributed exact ``ntile(n) OVER (ORDER BY …)`` with NO
+    single-partition WindowExec — the scale-safe replacement for a
+    global ntile over an unbounded frame (at 10⁹ users a global sort
+    window is one task sorting the whole population).
+
+    Construction (the classic two-phase global rank):
+
+    1. range-exchange on the full ordering (``repartitionByRange`` —
+       parallel sort, every partition's rows precede the next's);
+    2. per-partition ``row_number`` (WindowExec partitioned by the
+       physical partition id — bounded frames, all parallel);
+    3. per-partition counts (one row per shuffle partition — a
+       bounded frame) get cumulative offsets and the global N via a
+       tiny window, then broadcast-join back;
+    4. the tile is the closed-form ntile assignment from the exact
+       0-based global rank k: with q, r = divmod(N, n), the first r
+       tiles hold q+1 rows — ``k DIV (q+1)`` below the split,
+       ``r + (k − r·(q+1)) DIV q`` above (1-based).
+
+    The ordering must be total (include a unique tiebreak column) so
+    the global rank — and therefore the tile — is deterministic and
+    partitioning-invariant; range boundary placement cannot change
+    any rank. Bit-identical to the oracle's ntile at every scale.
+    """
+    from pyspark.sql import Window
+
+    ranged = df.repartitionByRange(*order_cols).withColumn(
+        "_ntile_pid", F.spark_partition_id()
+    )
+    w_part = Window.partitionBy("_ntile_pid").orderBy(*order_cols)
+    ranked = ranged.withColumn(
+        "_ntile_rn", F.row_number().over(w_part).cast("long")
+    )
+    counts = ranked.groupBy("_ntile_pid").agg(
+        F.count(F.lit(1)).cast("long").alias("_ntile_cnt")
+    )
+    # bounded frame: ≤ spark.sql.shuffle.partitions rows
+    w_off = Window.orderBy("_ntile_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = counts.select(
+        "_ntile_pid",
+        F.coalesce(F.sum("_ntile_cnt").over(w_off), F.lit(0))
+        .cast("long")
+        .alias("_ntile_off"),
+        F.sum("_ntile_cnt").over(w_all).cast("long").alias("_ntile_n"),
+    )
+    k = "(_ntile_off + _ntile_rn - 1)"  # exact 0-based global rank
+    q = f"(_ntile_n DIV {n_tiles})"
+    r = f"(_ntile_n % {n_tiles})"
+    tile = (
+        f"CASE WHEN {k} < {r} * ({q} + 1) THEN {k} DIV ({q} + 1) "
+        f"ELSE {r} + ({k} - {r} * ({q} + 1)) DIV greatest({q}, 1) END + 1"
+    )
+    return (
+        ranked.join(F.broadcast(offsets), "_ntile_pid")
+        .withColumn(out_col, F.expr(tile).cast("int"))
+        .drop("_ntile_pid", "_ntile_rn", "_ntile_off", "_ntile_n")
+    )
+
+
 def rfm_scores(
     df: DataFrame,
     *,
@@ -104,16 +175,15 @@ def rfm_scores(
     1 is best (most recent / most frequent / highest spend), ties break
     on user id so the cut is deterministic and oracle-replayable.
 
-    The ntile windows run over the per-user AGGREGATE (|users| ≪
-    |events| — the fact table reduces first in one partial-agg pass);
-    at extreme user counts swap ntile for broadcast percentile cutoffs
-    — same downstream segment rollup.
+    The tile assignment is ``exact_global_ntile`` — three range-
+    exchanged two-phase global ranks over the per-user AGGREGATE (the
+    fact table reduces first in one partial-agg pass), bit-identical
+    to the oracle's ntile with NO single-partition sort anywhere:
+    at 10⁹ users each scoring pass is still fully parallel.
 
     Returns (user, recency_days, freq, monetary_centi, r_score,
     f_score, m_score, segment) with segment = r·100 + f·10 + m.
     """
-    from pyspark.sql import Window
-
     per_user = df.groupBy(F.col(user_col).alias("user_id")).agg(
         F.max(ts_ms_col).alias("last_ms"),
         F.count(F.lit(1)).cast("long").alias("freq"),
@@ -123,14 +193,26 @@ def rfm_scores(
     scored = per_user.crossJoin(F.broadcast(anchor)).withColumn(
         "recency_days", F.expr("(amax - last_ms) DIV 86400000").cast("long")
     )
-    r_w = Window.orderBy(F.col("recency_days").asc(), F.col("user_id"))
-    f_w = Window.orderBy(F.col("freq").desc(), F.col("user_id"))
-    m_w = Window.orderBy(F.col("monetary_centi").desc(), F.col("user_id"))
+    scored = exact_global_ntile(
+        scored,
+        n_tiles=n_tiles,
+        order_cols=[F.col("recency_days").asc(), F.col("user_id")],
+        out_col="r_score",
+    )
+    scored = exact_global_ntile(
+        scored,
+        n_tiles=n_tiles,
+        order_cols=[F.col("freq").desc(), F.col("user_id")],
+        out_col="f_score",
+    )
+    scored = exact_global_ntile(
+        scored,
+        n_tiles=n_tiles,
+        order_cols=[F.col("monetary_centi").desc(), F.col("user_id")],
+        out_col="m_score",
+    )
     return (
-        scored.withColumn("r_score", F.ntile(n_tiles).over(r_w))
-        .withColumn("f_score", F.ntile(n_tiles).over(f_w))
-        .withColumn("m_score", F.ntile(n_tiles).over(m_w))
-        .withColumn(
+        scored.withColumn(
             "segment",
             (
                 F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")

@@ -3489,27 +3489,54 @@ def dedup_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gr.triangle_stats(edges)
 
 
-def _simhash_oracle(bits: int = 16) -> str:
+def _simhash64_cte(p: str) -> str:
+    """CTE fragment computing the 64-bit two-word simhash signature
+    per document into ``{p}_sig(doc_id, simhash)`` — DuckDB mirror of
+    ``dedup.simhash(bits=64)``: bits 0–31 vote on hex-digit parity of
+    md5(token), bits 32–63 on md5('sh2:' + token). The halves assemble
+    via signed 32-bit wrap (hi ≥ 2³¹ → hi − 2³²) so bit 63 lands in
+    BIGINT two's complement without the `1 << 63` overflow DuckDB
+    raises."""
     return f"""
-    WITH toks AS (
+    {p}_toks AS (
         SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
         FROM documents),
-    hx AS (SELECT doc_id, md5(tok) AS h FROM toks),
-    bits AS (
+    {p}_hx AS (SELECT doc_id, md5(tok) AS h1, md5('sh2:' || tok) AS h2
+               FROM {p}_toks),
+    {p}_bits AS (
         SELECT doc_id, i,
                CASE WHEN sum(CASE WHEN (instr('0123456789abcdef',
-                       substr(h, CAST(i + 1 AS INT), 1)) - 1) % 2 = 1
+                       substr(CASE WHEN i < 32 THEN h1 ELSE h2 END,
+                              CAST(CASE WHEN i < 32 THEN i + 1
+                                   ELSE i - 31 END AS INT), 1)) - 1) % 2 = 1
                    THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END AS b
-        FROM hx, range({bits}) t(i) GROUP BY doc_id, i)
-    SELECT doc_id, CAST(sum(b * (1 << i)) AS BIGINT) AS simhash
-    FROM bits GROUP BY doc_id
-    """
+        FROM {p}_hx, range(64) t(i) GROUP BY doc_id, i),
+    {p}_halves AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN i < 32
+                    THEN b * (1::BIGINT << CAST(i AS INT))
+                    ELSE 0 END) AS HUGEINT) AS lo,
+               CAST(sum(CASE WHEN i >= 32
+                    THEN b * (1::BIGINT << CAST(i - 32 AS INT))
+                    ELSE 0 END) AS HUGEINT) AS hi
+        FROM {p}_bits GROUP BY doc_id),
+    {p}_sig AS MATERIALIZED (
+        SELECT doc_id,
+               CAST((hi - CASE WHEN hi >= 2147483648 THEN 4294967296
+                          ELSE 0 END) * 4294967296 + lo AS BIGINT) AS simhash
+        FROM {p}_halves)"""
 
 
-@register("dedup_simhash", _simhash_oracle())
+@register(
+    "dedup_simhash",
+    f"""
+    WITH {_simhash64_cte('ss')}
+    SELECT doc_id, simhash FROM ss_sig
+    """,
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
-    return dd.simhash(docs, bits=16).select("doc_id", "simhash")
+    return dd.simhash(docs, bits=64).select("doc_id", "simhash")
 
 
 _MARKER_SQL = {
@@ -11994,22 +12021,10 @@ def events_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_simhash_hamming",
     f"""
-    WITH sh_toks AS (
-        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
-        FROM documents),
-    sh_hx AS (SELECT doc_id, md5(tok) AS h FROM sh_toks),
-    sh_bits AS (
-        SELECT doc_id, i,
-               CASE WHEN sum(CASE WHEN (instr('0123456789abcdef',
-                       substr(h, CAST(i + 1 AS INT), 1)) - 1) % 2 = 1
-                   THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END AS b
-        FROM sh_hx, range(16) t(i) GROUP BY doc_id, i),
-    sh_sig AS MATERIALIZED (
-        SELECT doc_id, CAST(sum(b * (1 << i)) AS BIGINT) AS simhash
-        FROM sh_bits GROUP BY doc_id),
+    WITH {_simhash64_cte('sh')},
     sh_band AS (
         SELECT doc_id, simhash, t.b AS band,
-               (simhash >> (t.b * 4)) & 15 AS nib
+               (simhash >> CAST(t.b * 16 AS INT)) & 65535 AS nib
         FROM sh_sig, range(4) t(b)),
     sh_pairs AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -12023,23 +12038,22 @@ def events_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pipeline (``dedup.simhash_near_dup_pairs``) —
     the Google web-dedup construction completing the ``dedup_simhash``
-    signature query: 4-nibble banding makes every pair within Hamming
+    signature query: 4-band slicing makes every pair within Hamming
     3 share a bucket BY PIGEONHOLE (bands−1 flips can't touch every
     band) — deterministic recall, unlike MinHash's probabilistic
     S-curve; the XOR-popcount verifier then prices each candidate.
     The third dedup family alongside MinHash-Jaccard and embedding
     SemDeDup: token-permutation-sensitive, cheap (one BIGINT/doc).
 
-    Scale: projection signature, (band, nibble) equi-join (Σ bucket²),
-    one popcount per candidate — no all-pairs anywhere. CAPACITY
-    BOUND: 4-bit nibbles give 16 buckets per band, so Σ bucket² turns
-    quadratic once the corpus dwarfs the bucket space (fine to ~10⁵
-    docs; the x100 ladder rung is excluded with this note —
-    PERFORMANCE.md). Production-scale SimHash uses 64-bit signatures
-    with 16-bit bands (65k values/band); this md5-parity construction
-    caps at 32 bits, so the trade is documented rather than hidden."""
+    Scale: projection signature, (band, slice) equi-join (Σ bucket²),
+    one popcount per candidate — no all-pairs anywhere. The 64-bit
+    two-md5-word signature with 16-bit bands (the production Google
+    parameters, 65,536 values per band) replaced the round-4 32-bit/
+    4-bit-nibble form whose 16-value bands made Σ bucket²
+    structurally quadratic past ~10⁵ docs (its x100 ladder rung
+    died; the wide form's completes — PERFORMANCE.md)."""
     docs = load_table(spark, "documents", sf_dir)
-    return dd.simhash_near_dup_pairs(docs, bits=16, bands=4, max_hamming=3)
+    return dd.simhash_near_dup_pairs(docs, bits=64, bands=4, max_hamming=3)
 
 
 @register(
@@ -12277,45 +12291,48 @@ def emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a dominant component ⇒ embeddings collapse toward a direction;
     whitening or re-normalization is indicated before cosine search).
 
-    100 TB shape: the DISTRIBUTED work is the coordinate explode and
-    the covariance partial-agg (per-vector 64×64 products combine
-    map-side; the shuffle carries 4096-row partials). The matrix
-    itself is dimension²-bounded — the driver-side iteration is the
-    IVF-centroid bounded-collect pattern; the oracle unrolls the same
-    15 steps as MATERIALIZED CTEs. Signed division is TRUNCATED
-    toward zero everywhere: DuckDB's integer `//` truncates (only its
-    float `//` floors — the ADVICE r3 case), so the driver loop uses
-    an explicit trunc-div rather than Python's floor `//`."""
+    100 TB shape: the covariance is MAP-SIDE Gram accumulation — an
+    Arrow-batched ``mapInPandas`` stage computes the exact-integer
+    Xᵀ·X partial of each partition (int64 matmul per ≤8192-row chunk,
+    Python-int accumulation across chunks, so nothing ever overflows)
+    and emits ONE 64×64 partial per partition; the only shuffle
+    carries 4096 rows per partition into the final decimal(38,0) sum.
+    The round-4 plan was a per-vector 64×64 self-join that shuffled
+    the exploded coordinate table TWICE and materialized 4096 join
+    rows per vector (measured 7.1× wall at x10 on the ladder, x100
+    died) — this form replaces both exchanges with per-partition
+    matmuls. Quantization (round → long) happens Spark-side BEFORE
+    the UDF so HALF_UP semantics match the oracle; numpy's half-even
+    round never runs. The matrix itself is dimension²-bounded — the
+    driver-side iteration is the IVF-centroid bounded-collect
+    pattern; the oracle unrolls the same 15 steps as MATERIALIZED
+    CTEs. Signed division is TRUNCATED toward zero everywhere:
+    DuckDB's integer `//` truncates (only its float `//` floors — the
+    ADVICE r3 case), so the driver loop uses an explicit trunc-div
+    rather than Python's floor `//`."""
+    import numpy as _np
+    import pandas as pd
+
+    dims = 64
     emb = load_table(spark, "embeddings", sf_dir)
-    e = emb.select(
-        "vec_id",
-        F.posexplode("embedding").alias("i", "val"),
-    ).select(
-        "vec_id",
-        "i",
-        F.round(F.col("val").cast("double") * 10000000.0).cast("long").alias("x"),
+    # Spark-side quantization: array<long> of 1e-7-unit coordinates.
+    xs = emb.select(
+        F.transform(
+            "embedding",
+            lambda v: F.round(v.cast("double") * 10000000.0).cast("long"),
+        ).alias("xs")
     )
-    m = e.groupBy("i").agg(
-        # trunc division on purpose: DuckDB's integer `//` TRUNCATES
-        # toward zero (only its float `//` floors — measured, not the
-        # ADVICE r3 float case), and Spark's DIV truncates too
-        F.expr("CAST(sum(x) AS BIGINT) DIV count(*)").alias("mi")
-    )
-    c = e.join(F.broadcast(m), "i").select(
-        "vec_id", "i", (F.col("x") - F.col("mi")).cast("decimal(19,0)").alias("cx")
-    )
-    c2 = c.select(
-        F.col("vec_id").alias("vid2"),
-        F.col("i").alias("j"),
-        F.col("cx").alias("cx2"),
-    )
-    cov_rows = (
-        c.join(c2, F.col("vec_id") == F.col("vid2"))
-        .groupBy("i", "j")
-        .agg(F.sum(F.col("cx") * F.col("cx2")).alias("cij"))
-        .collect()
-    )  # bounded: exactly 64x64 rows regardless of corpus size
-    cov = {(r["i"], r["j"]): int(r["cij"]) for r in cov_rows}
+    # Per-dimension truncated mean (DuckDB's integer `//` TRUNCATES
+    # toward zero — only its float `//` floors; Spark's DIV matches).
+    # One partial-agg scan: 64 sums + a count, no explode, no window.
+    mean_rows = xs.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.col("xs")[i]).cast("decimal(38,0)").alias(f"s{i}")
+            for i in range(dims)
+        ],
+    ).collect()[0]
+    n_vecs = int(mean_rows["n"])
 
     def tdiv(a: int, b: int) -> int:
         # truncate-toward-zero division: DuckDB's integer `//` and
@@ -12323,7 +12340,50 @@ def emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         q = abs(a) // abs(b)
         return -q if (a < 0) != (b < 0) else q
 
-    dims = 64
+    mi = [tdiv(int(mean_rows[f"s{i}"]), n_vecs) for i in range(dims)]
+    mi_arr = _np.asarray(mi, dtype="int64")
+
+    def gram_partials(batches):
+        # Exact-integer Xᵀ·X per partition: int64 matmul per chunk
+        # (|cx| ≤ 2e7 ⇒ chunk products ≤ 8192·4e14 < 2^63), Python-int
+        # accumulation across chunks (unbounded, exact), ONE 4096-row
+        # decimal partial emitted per partition.
+        acc = [[0] * dims for _ in range(dims)]
+        seen = False
+        for pdf in batches:
+            stacked = _np.stack(pdf["xs"].to_numpy()).astype("int64")
+            for lo in range(0, stacked.shape[0], 8192):
+                chunk = stacked[lo : lo + 8192] - mi_arr
+                g = chunk.T @ chunk
+                seen = True
+                for i in range(dims):
+                    row = acc[i]
+                    gi = g[i]
+                    for j in range(dims):
+                        row[j] += int(gi[j])
+        if seen:
+            from decimal import Decimal
+
+            yield pd.DataFrame(
+                {
+                    "i": [i for i in range(dims) for _ in range(dims)],
+                    "j": list(range(dims)) * dims,
+                    "cij": [
+                        Decimal(acc[i][j])
+                        for i in range(dims)
+                        for j in range(dims)
+                    ],
+                }
+            )
+
+    cov_rows = (
+        xs.mapInPandas(gram_partials, "i int, j int, cij decimal(38,0)")
+        .groupBy("i", "j")
+        .agg(F.sum("cij").alias("cij"))
+        .collect()
+    )  # bounded: exactly 64x64 rows regardless of corpus size
+    cov = {(r["i"], r["j"]): int(r["cij"]) for r in cov_rows}
+
     v = [10**9] * dims
     for _ in range(15):
         u = [0] * dims
@@ -13123,17 +13183,24 @@ def events_power_user_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     activity' (the engagement-concentration sibling of the per-nation
     Gini and the revenue ABC classes).
 
-    100 TB shape: the fact reduces ONCE to per-user counts; ntile and
-    the cumulative window run over the bounded user frame and the
-    10-row decile table respectively — the pre-aggregate-then-window
-    shape again."""
+    100 TB shape: the fact reduces ONCE to per-user counts; the
+    decile is ``stats.exact_global_ntile`` — a range-exchanged
+    two-phase global rank with closed-form tile assignment,
+    bit-identical to the oracle's ntile with NO single-partition
+    WindowExec (the round-4 form was one task sorting the whole user
+    population); the cumulative window runs over the 10-row decile
+    table."""
+    from decaton_spark.functions import stats as st
+
     ev = load_table(spark, "events", sf_dir).filter(F.col("user_id").isNotNull())
     per_user = ev.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_events")
     ).localCheckpoint(eager=False)  # ntile + totals consumers
-    ranked = per_user.withColumn(
-        "decile",
-        F.ntile(10).over(Window.orderBy(F.col("n_events").desc(), F.col("user_id"))),
+    ranked = st.exact_global_ntile(
+        per_user,
+        n_tiles=10,
+        order_cols=[F.col("n_events").desc(), F.col("user_id")],
+        out_col="decile",
     )
     tot = per_user.agg(
         F.sum("n_events").cast("long").alias("tot"),
@@ -13384,23 +13451,11 @@ def orders_backlog_sweepline(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT CAST(coalesce(sum(c * (c - 1) // 2), 0) AS BIGINT) AS pairs,
                CAST(coalesce(sum(c - 1), 0) AS BIGINT) AS flagged
         FROM fr_ex_g),
-    sh_toks2 AS (
-        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
-        FROM documents),
-    sh_hx2 AS (SELECT doc_id, md5(tok) AS h FROM sh_toks2),
-    sh_bits2 AS (
-        SELECT doc_id, i,
-               CASE WHEN sum(CASE WHEN (instr('0123456789abcdef',
-                       substr(h, CAST(i + 1 AS INT), 1)) - 1) % 2 = 1
-                   THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END AS b
-        FROM sh_hx2, range(16) t(i) GROUP BY doc_id, i),
-    sh_sig2 AS MATERIALIZED (
-        SELECT doc_id, CAST(sum(b * (1 << i)) AS BIGINT) AS simhash
-        FROM sh_bits2 GROUP BY doc_id),
+    {_simhash64_cte('sh2')},
     sh_band2 AS (
         SELECT doc_id, simhash, t.b AS band,
-               (simhash >> (t.b * 4)) & 15 AS nib
-        FROM sh_sig2, range(4) t(b)),
+               (simhash >> CAST(t.b * 16 AS INT)) & 65535 AS nib
+        FROM sh2_sig, range(4) t(b)),
     sh_cand2 AS MATERIALIZED (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
                CAST(bit_count(xor(CAST(a.simhash AS BIT),
@@ -13482,9 +13537,9 @@ def dedup_families_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs_flagged",
         )
     )
-    # simhash family
+    # simhash family (64-bit signature, 16-bit bands — production width)
     sh_pairs_all = dd.simhash_near_dup_pairs(
-        docs, bits=16, bands=4, max_hamming=16  # keep all candidates
+        docs, bits=64, bands=4, max_hamming=64  # keep all candidates
     ).localCheckpoint(eager=False)
     sh_ver = sh_pairs_all.filter(F.col("hamming") <= 3)
     sh = (

@@ -296,9 +296,11 @@ def test_wordpiece_vocab_order_is_greedy(spark):
 
 
 def test_simhash_banding_pigeonhole_complete(spark):
-    """Every pair within Hamming ≤ 3 of a 16-bit simhash MUST share one
-    of the 4 nibble bands — verified against brute force on a corpus
-    crafted to differ by 0-5 tokens."""
+    """Every pair within Hamming ≤ 3 of the 64-bit two-word simhash
+    MUST share one of the 4 sixteen-bit bands — verified against
+    brute force on a corpus crafted to differ by 0-5 tokens. (The
+    signature is a signed BIGINT; popcount runs on the unsigned
+    two's-complement view.)"""
     from itertools import combinations
 
     from decaton_spark.functions import dedup as dd
@@ -316,10 +318,11 @@ def test_simhash_banding_pigeonhole_complete(spark):
         (r["id_a"], r["id_b"]): r["hamming"]
         for r in dd.simhash_near_dup_pairs(df).collect()
     }
-    sigs = {r["doc_id"]: r["simhash"] for r in dd.simhash(df, bits=16).collect()}
+    sigs = {r["doc_id"]: r["simhash"] for r in dd.simhash(df, bits=64).collect()}
+    mask = (1 << 64) - 1
     brute = {
-        (a, b): bin(sigs[a] ^ sigs[b]).count("1")
+        (a, b): bin((sigs[a] ^ sigs[b]) & mask).count("1")
         for a, b in combinations(sorted(sigs), 2)
-        if bin(sigs[a] ^ sigs[b]).count("1") <= 3
+        if bin((sigs[a] ^ sigs[b]) & mask).count("1") <= 3
     }
     assert got == brute  # complete AND exact distances

@@ -887,3 +887,47 @@ def test_ops_audit_band_plan_shapes(spark, sf_dir):
     # first-touch: the only join allowed is the 1-row total broadcast
     p = plan_of(_EX["events_first_touch_attribution"].fn(spark, sf_dir), "simple")
     assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+
+
+def test_exact_global_ntile_no_single_partition_sort(spark, sf_dir):
+    """VERDICT r4 #4 gate: the power-user Lorenz curve and the RFM
+    scorer must not plan a global ntile (one task sorting the whole
+    user population). The rewrite (stats.exact_global_ntile) is a
+    range-exchange + per-physical-partition rank + closed-form tile:
+    no ntile window function anywhere, and the parallel range sort
+    exchange present in its place. Remaining unpartitioned windows
+    run over bounded frames only (per-partition counts, the 10-row
+    decile table)."""
+    from decaton_spark.queries import EXTRA_QUERIES as _EX
+
+    for name in ("events_power_user_curve", "events_rfm_segments"):
+        p = plan_of(_EX[name].fn(spark, sf_dir))
+        assert "ntile(" not in p, f"{name} still plans a global ntile"
+        assert "rangepartitioning" in p.lower(), (
+            f"{name} lost the parallel range-sort exchange"
+        )
+
+
+def test_exact_global_ntile_matches_ntile(spark):
+    """exact_global_ntile must be bit-identical to ntile(n) OVER
+    (ORDER BY …) for every (N, n_tiles) shape — including N < n_tiles,
+    ties on the sort key (unique tiebreak column), and N % n_tiles
+    remainders — regardless of input partitioning."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from decaton_spark.functions.stats import exact_global_ntile
+
+    for n_rows, n_tiles, n_parts in [(1, 4, 3), (7, 10, 5), (97, 4, 7),
+                                     (100, 10, 1), (64, 64, 9)]:
+        rows = [(i, (i * 7919) % 5) for i in range(n_rows)]  # heavy ties
+        df = spark.createDataFrame(rows, "id long, v long").repartition(n_parts)
+        order = [F.col("v").desc(), F.col("id")]
+        got = exact_global_ntile(
+            df, n_tiles=n_tiles, order_cols=order, out_col="tile"
+        )
+        want = df.withColumn("tile", F.ntile(n_tiles).over(Window.orderBy(*order)))
+        g = {r["id"]: r["tile"] for r in got.collect()}
+        w = {r["id"]: r["tile"] for r in want.collect()}
+        assert g == w, (n_rows, n_tiles, n_parts)
+
