@@ -857,11 +857,19 @@ def simhash_near_dup_pairs(
     bits: int = 64,
     bands: int = 4,
     max_hamming: int = 3,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """SimHash near-duplicate pairs (Charikar / the Google web-dedup
     construction): band the ``bits``-bit signature into ``bands``
     slices, candidate pairs share at least one (band, slice) bucket,
     verified pairs have Hamming distance ≤ ``max_hamming``.
+
+    ``num_partitions``: hash-spread the corpus before the signature
+    projection. The 64-bit signature is md5-heavy (two digests per
+    token + a 64-way parity fold) — on a source with fewer scan
+    splits than cores the projection stage collapses to those few
+    tasks (the bootstrap/minhash lesson); one round-robin exchange of
+    the raw docs buys full parallelism for the dominant CPU stage.
 
     Pigeonhole completeness: d ≤ bands−1 bit flips cannot touch every
     band, so with the default 4 bands every pair within Hamming 3 is
@@ -879,6 +887,8 @@ def simhash_near_dup_pairs(
     died on the x100 ladder rung.
     """
     width = bits // bands
+    if num_partitions:
+        df = df.repartition(num_partitions)
     sigs = simhash(df, text_col=text_col, bits=bits).select(
         F.col(id_col), F.col("simhash")
     )

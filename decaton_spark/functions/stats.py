@@ -96,6 +96,7 @@ def exact_global_ntile(
     n_tiles: int,
     order_cols: list[Column],
     out_col: str,
+    stage: bool = True,
 ) -> DataFrame:
     """Distributed exact ``ntile(n) OVER (ORDER BY …)`` with NO
     single-partition WindowExec — the scale-safe replacement for a
@@ -104,10 +105,15 @@ def exact_global_ntile(
 
     Construction (the classic two-phase global rank):
 
-    1. range-exchange on the full ordering (``repartitionByRange`` —
-       parallel sort, every partition's rows precede the next's);
-    2. per-partition ``row_number`` (WindowExec partitioned by the
-       physical partition id — bounded frames, all parallel);
+    1. range-exchange on the full ordering + local sort (parallel;
+       every partition's rows precede the next's);
+    2. ``monotonically_increasing_id`` reads off (physical partition,
+       ordinal-within-partition) with ZERO additional exchanges —
+       the upper 31 bits are the partition id, the lower 33 the
+       0-based row ordinal in physical (= sorted) order. A WindowExec
+       partitioned by the partition id would instead re-exchange the
+       whole frame on hash(pid) (Spark cannot see that the range
+       exchange already clusters it);
     3. per-partition counts (one row per shuffle partition — a
        bounded frame) get cumulative offsets and the global N via a
        tiny window, then broadcast-join back;
@@ -116,21 +122,30 @@ def exact_global_ntile(
        tiles hold q+1 rows — ``k DIV (q+1)`` below the split,
        ``r + (k − r·(q+1)) DIV q`` above (1-based).
 
-    The ordering must be total (include a unique tiebreak column) so
-    the global rank — and therefore the tile — is deterministic and
+    The ranked frame feeds two consumers (counts + join-back), so it
+    stages through ONE lazy localCheckpoint — chained calls (RFM runs
+    three) otherwise double the upstream plan per call. The ordering
+    must be total (include a unique tiebreak column) so the global
+    rank — and therefore the tile — is deterministic and
     partitioning-invariant; range boundary placement cannot change
-    any rank. Bit-identical to the oracle's ntile at every scale.
+    any rank (equal full keys never straddle a boundary because the
+    ordering is total). Bit-identical to the oracle's ntile at every
+    scale.
     """
     from pyspark.sql import Window
 
-    ranged = df.repartitionByRange(*order_cols).withColumn(
-        "_ntile_pid", F.spark_partition_id()
+    ranked = (
+        df.repartitionByRange(*order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_ntile_mid", F.monotonically_increasing_id())
     )
-    w_part = Window.partitionBy("_ntile_pid").orderBy(*order_cols)
-    ranked = ranged.withColumn(
-        "_ntile_rn", F.row_number().over(w_part).cast("long")
-    )
-    counts = ranked.groupBy("_ntile_pid").agg(
+    if stage:
+        # two consumers (counts + join-back) and chained calls (RFM
+        # runs three): one lazy checkpoint bounds the plan to a single
+        # materialization per call instead of 2^depth subtree copies
+        ranked = ranked.localCheckpoint(eager=False)
+    pid = F.shiftrightunsigned(F.col("_ntile_mid"), 33).alias("_ntile_pid")
+    counts = ranked.groupBy(pid).agg(
         F.count(F.lit(1)).cast("long").alias("_ntile_cnt")
     )
     # bounded frame: ≤ spark.sql.shuffle.partitions rows
@@ -147,7 +162,8 @@ def exact_global_ntile(
         .alias("_ntile_off"),
         F.sum("_ntile_cnt").over(w_all).cast("long").alias("_ntile_n"),
     )
-    k = "(_ntile_off + _ntile_rn - 1)"  # exact 0-based global rank
+    # exact 0-based global rank: partition offset + ordinal-in-partition
+    k = "(_ntile_off + (_ntile_mid & 8589934591))"
     q = f"(_ntile_n DIV {n_tiles})"
     r = f"(_ntile_n % {n_tiles})"
     tile = (
@@ -155,9 +171,10 @@ def exact_global_ntile(
         f"ELSE {r} + ({k} - {r} * ({q} + 1)) DIV greatest({q}, 1) END + 1"
     )
     return (
-        ranked.join(F.broadcast(offsets), "_ntile_pid")
+        ranked.withColumn("_ntile_pid", pid)
+        .join(F.broadcast(offsets), "_ntile_pid")
         .withColumn(out_col, F.expr(tile).cast("int"))
-        .drop("_ntile_pid", "_ntile_rn", "_ntile_off", "_ntile_n")
+        .drop("_ntile_pid", "_ntile_mid", "_ntile_off", "_ntile_n")
     )
 
 

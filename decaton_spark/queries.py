@@ -12051,9 +12051,15 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     parameters, 65,536 values per band) replaced the round-4 32-bit/
     4-bit-nibble form whose 16-value bands made Σ bucket²
     structurally quadratic past ~10⁵ docs (its x100 ladder rung
-    died; the wide form's completes — PERFORMANCE.md)."""
+    died; the wide form's completes — PERFORMANCE.md). The corpus is
+    hash-spread before the signature projection: the two-digest
+    64-way parity fold is the dominant CPU stage, and a small-file
+    scan would otherwise run it on a handful of tasks."""
     docs = load_table(spark, "documents", sf_dir)
-    return dd.simhash_near_dup_pairs(docs, bits=64, bands=4, max_hamming=3)
+    return dd.simhash_near_dup_pairs(
+        docs, bits=64, bands=4, max_hamming=3,
+        num_partitions=spark.sparkContext.defaultParallelism,
+    )
 
 
 @register(
@@ -13539,7 +13545,8 @@ def dedup_families_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # simhash family (64-bit signature, 16-bit bands — production width)
     sh_pairs_all = dd.simhash_near_dup_pairs(
-        docs, bits=64, bands=4, max_hamming=64  # keep all candidates
+        docs, bits=64, bands=4, max_hamming=64,  # keep all candidates
+        num_partitions=spark.sparkContext.defaultParallelism,
     ).localCheckpoint(eager=False)
     sh_ver = sh_pairs_all.filter(F.col("hamming") <= 3)
     sh = (

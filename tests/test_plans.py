@@ -644,7 +644,7 @@ def test_r4_late_additions_plan_shapes(spark, sf_dir):
         "docs_ccnet_buckets": 6,           # tf agg + corpus agg + ntile + rollup
         "text_fertility_by_lang": 6,       # word histogram + per-lang rollup
         "events_ab_welch_ttest": 1,        # ONE conditional-agg pass
-        "events_rfm_segments": 5,          # user agg + 3 quartile windows + rollup
+        "events_rfm_segments": 5,          # user agg + 3 staged exact-ntile ranks + rollup
         "corpus_snapshot_diff": 4,         # full-outer join sides + rollup
         "emb_bitext_margin_lsh": 6,        # bucket equi-join + top-k windows + argmax
         "events_ab_cuped": 4,              # user reduce + moment reduce (+1-row bounds BNLJ)
@@ -680,7 +680,7 @@ def test_feature_band_plan_shapes(spark, sf_dir):
         "events_markov_stationary": 0,   # result is a driver-built literal frame
         "parts_fuzzy_linkage": 4,      # block equi-join sides + sizes + topk window
     }
-    from decaton_spark.queries import EXTRA_QUERIES as _EX
+    from decaton_spark.queries import _ALL_QUERIES as _EX  # tier-rotation-proof
 
     for name, max_shuffles in shapes.items():
         p = plan_of(_EX[name].fn(spark, sf_dir), "simple")
@@ -712,7 +712,7 @@ def test_stats_band2_plan_shapes(spark, sf_dir):
     32-row-per-type window); DiD is ONE conditional-agg pass; MRR
     replaces the global ranking window with two bounded reductions
     (broadcast queries, no corpus window)."""
-    from decaton_spark.queries import EXTRA_QUERIES as _EX
+    from decaton_spark.queries import _ALL_QUERIES as _EX  # tier-rotation-proof
 
     shapes = {
         "events_bootstrap_ci": 5,      # hash-spread repartition + resample agg + ci window + point agg
@@ -737,7 +737,7 @@ def test_covisitation_and_power_plan_shapes(spark, sf_dir):
     """Covisitation: the pair generator is a user-keyed EQUI-join
     (never all-pairs over items); marginals broadcast back. Power: ONE
     conditional-moment pass with map-side partials."""
-    from decaton_spark.queries import EXTRA_QUERIES as _EX
+    from decaton_spark.queries import _ALL_QUERIES as _EX  # tier-rotation-proof
 
     p = plan_of(_EX["events_covisitation_recs"].fn(spark, sf_dir), "simple")
     assert "CartesianProduct" not in p
@@ -769,7 +769,7 @@ def test_monitoring_band_plan_shapes(spark, sf_dir):
     """PSI: one histogram pass, totals joined back at cell granularity.
     Backtest: series built ONCE (localCheckpoint), lag pairing is an
     equi-join on (type, h-k), cutoff broadcasts."""
-    from decaton_spark.queries import EXTRA_QUERIES as _EX
+    from decaton_spark.queries import _ALL_QUERIES as _EX  # tier-rotation-proof
 
     p = plan_of(_EX["events_psi_drift"].fn(spark, sf_dir), "simple")
     assert "CartesianProduct" not in p
@@ -787,7 +787,7 @@ def test_km_windows_are_bounded(spark, sf_dir):
     """KM's only windows run over the distinct-duration frame (bounded
     by observation hours), never over users; the per-user reductions
     partial-aggregate."""
-    from decaton_spark.queries import EXTRA_QUERIES as _EX
+    from decaton_spark.queries import _ALL_QUERIES as _EX  # tier-rotation-proof
 
     p = plan_of(_EX["events_survival_km"].fn(spark, sf_dir))
     assert "CartesianProduct" not in p
@@ -800,7 +800,7 @@ def test_tuning_and_featurestore_plan_shapes(spark, sf_dir):
     equi-joins; ANOVA is a two-level reduction; the sweeps stage their
     shared frames once (localCheckpoint) so rungs don't re-run
     lineage."""
-    from decaton_spark.queries import EXTRA_QUERIES as _EX
+    from decaton_spark.queries import _ALL_QUERIES as _EX  # tier-rotation-proof
 
     shapes = {
         "events_cohort_ltv": 5,        # signup reduce + cells + ltv window (+bcast sizes)
@@ -824,7 +824,7 @@ def test_late_continuation_plan_shapes(spark, sf_dir):
     shuffle ceilings pinned. Checkpoint-staged frames (covisitation
     eval, KMV overlap, source overlap) keep their static plans small
     because the shared shuffles happen once at materialization."""
-    from decaton_spark.queries import EXTRA_QUERIES as _EX
+    from decaton_spark.queries import _ALL_QUERIES as _EX  # tier-rotation-proof
 
     shapes = {
         "events_entropy_by_type": 3,       # (type,item) agg + totals + final
@@ -848,13 +848,13 @@ def test_product_analytics_band_plan_shapes(spark, sf_dir):
     """Gates for the product-analytics band: every query reduces the
     fact FIRST and runs its windows over bounded frames (users /
     deciles / days / phrases) — the pre-aggregate-then-window shape."""
-    from decaton_spark.queries import EXTRA_QUERIES as _EX
+    from decaton_spark.queries import _ALL_QUERIES as _EX  # tier-rotation-proof
 
     shapes = {
         "events_ab_srm_check": 2,         # distinct users + 1-row agg
         "parts_abc_classification": 4,    # part agg + cum window + class agg
         "events_dau_mau_stickiness": 5,   # dau agg + expand distinct + mau agg
-        "events_power_user_curve": 4,     # user agg + ntile + decile agg
+        "events_power_user_curve": 5,     # user agg + exact-ntile rank + decile agg
         "text_keyphrases_rake": 7,        # pid window + stats/phrase aggs + topk
         "orders_backlog_sweepline": 4,    # span agg + day agg + cum window
     }
@@ -869,7 +869,7 @@ def test_ops_audit_band_plan_shapes(spark, sf_dir):
     """Gates for the ops-audit band: all three are window forms over
     keyed or pre-reduced frames — join-free by design (the measured
     per-user-density lesson applied at authoring time)."""
-    from decaton_spark.queries import EXTRA_QUERIES as _EX
+    from decaton_spark.queries import _ALL_QUERIES as _EX  # tier-rotation-proof
 
     shapes = {
         "orders_duplicate_payments": 1,       # one (cust, amount) window
@@ -893,19 +893,43 @@ def test_exact_global_ntile_no_single_partition_sort(spark, sf_dir):
     """VERDICT r4 #4 gate: the power-user Lorenz curve and the RFM
     scorer must not plan a global ntile (one task sorting the whole
     user population). The rewrite (stats.exact_global_ntile) is a
-    range-exchange + per-physical-partition rank + closed-form tile:
-    no ntile window function anywhere, and the parallel range sort
-    exchange present in its place. Remaining unpartitioned windows
-    run over bounded frames only (per-partition counts, the 10-row
-    decile table)."""
-    from decaton_spark.queries import EXTRA_QUERIES as _EX
+    range-exchange + mono-id rank + closed-form tile: no ntile window
+    function anywhere. The registered queries stage the ranked frame
+    through a lazy checkpoint (which truncates the visible lineage),
+    so the range exchange + absence of any global sort is pinned on
+    the unstaged helper plan; remaining unpartitioned windows run
+    over bounded frames only (per-partition counts, the 10-row decile
+    table)."""
+    import pyspark.sql.functions as F
+
+    from decaton_spark.functions.stats import exact_global_ntile
+    from decaton_spark.queries import _ALL_QUERIES as _EX  # tier-rotation-proof
+    from decaton_spark.sources import load_table
 
     for name in ("events_power_user_curve", "events_rfm_segments"):
         p = plan_of(_EX[name].fn(spark, sf_dir))
         assert "ntile(" not in p, f"{name} still plans a global ntile"
-        assert "rangepartitioning" in p.lower(), (
-            f"{name} lost the parallel range-sort exchange"
+
+    per_user = (
+        load_table(spark, "events", sf_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    p = plan_of(
+        exact_global_ntile(
+            per_user,
+            n_tiles=10,
+            order_cols=[F.col("n_events").desc(), F.col("user_id")],
+            out_col="decile",
+            stage=False,
         )
+    )
+    assert "ntile(" not in p
+    assert "rangepartitioning" in p.lower(), "lost the parallel range sort"
+    # the ONLY global sort allowed is the bounded per-partition-counts
+    # window (≤ shuffle-partitions rows); the user frame itself must
+    # never pass through a SinglePartition exchange
+    assert p.lower().count("singlepartition") <= 1
 
 
 def test_exact_global_ntile_matches_ntile(spark):

@@ -23,9 +23,22 @@ Fixture construction (deterministic; the only randomness is seeded
   dimension tables are copied as-is (dimensions grow much slower than
   facts).
 
+User-growth rung (``--users``): the x10/x100 fixtures above keep the
+USER POPULATION fixed (more events per user), so they never exercise
+growth in |users| — the dimension that stresses per-user window state
+and the global-rank family. The ``u10`` fixture replicates events 100×
+with user_id offset by (replica % 10) · max_user: **10× users AND 10×
+events per user** (100× rows total). Orders get the same treatment on
+o_custkey. Only events/orders/dims are built (the per-user family
+touches nothing else); growth_u10 therefore compares a 100×-row,
+10×-key workload against the sf0.1 base.
+
 Usage:
     python tools/scale_ladder.py              # x10 rung (default)
     python tools/scale_ladder.py --x100       # x10 AND x100 rungs
+    python tools/scale_ladder.py --users      # u10 user-growth rung
+                                              # (default query set:
+                                              # USER_FAMILY)
     python tools/scale_ladder.py --rebuild    # force fixture rebuild
     python tools/scale_ladder.py --only a,b   # ladder only queries a,b
                                               # (merges into the existing
@@ -53,6 +66,20 @@ from decaton_spark.queries import _ALL_QUERIES  # noqa: E402
 BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 SEED = 1337
 RUNGS = {10: "/tmp/decaton_scale_x10", 100: "/tmp/decaton_scale_x100"}
+U10_DIR = "/tmp/decaton_scale_u10"
+# The per-user window/rank family — the queries whose state or sort
+# keys grow with |users|, which the fixed-user x10/x100 rungs never
+# test (VERDICT r4 missing #3).
+USER_FAMILY = [
+    "events_pit_features",
+    "events_rolling_zscore",
+    "events_rfm_segments",
+    "events_power_user_curve",
+    "events_first_touch_attribution",
+    "events_last_touch_attribution",
+    "events_linear_attribution",
+    "orders_duplicate_payments",
+]
 HEAVY = [
     "corpus_merge_neardup",
     "dedup_near_full",
@@ -152,6 +179,51 @@ def build_fixture(spark, dest: str, replicas: int) -> None:
     )
 
 
+def build_user_fixture(spark, dest: str) -> None:
+    """u10: 100 event replicas, user_id += (replica % 10) · max_user —
+    10× the user population, each new user with 10× the base per-user
+    event volume. Orders mirror it on o_custkey (o_orderkey still
+    offsets per replica so keys stay unique). Only events, orders and
+    the small dims are built — the per-user family reads nothing
+    else, and customer-FK consumers must not run on this fixture."""
+    if os.path.exists(dest):
+        shutil.rmtree(dest)
+    os.makedirs(dest)
+    for t in ["region", "nation", "customer", "supplier", "part"]:
+        shutil.copy(
+            os.path.join(BASE, f"{t}.parquet"),
+            os.path.join(dest, f"{t}.parquet"),
+        )
+    ev = spark.read.parquet(os.path.join(BASE, "events.parquet"))
+    max_ev = ev.agg(F.max("event_id")).collect()[0][0] + 1
+    max_user = ev.agg(F.max("user_id")).collect()[0][0] + 1
+    (
+        _replicas(ev, 100)
+        .withColumn("event_id", F.col("event_id") + F.col("_r") * F.lit(max_ev))
+        .withColumn(
+            "user_id",
+            F.col("user_id") + (F.col("_r") % 10) * F.lit(max_user),
+        )
+        .drop("_r")
+        .write.parquet(os.path.join(dest, "events.parquet"))
+    )
+    orders = load_table(spark, "orders", BASE)
+    max_ord = orders.agg(F.max("o_orderkey")).collect()[0][0] + 1
+    max_cust = orders.agg(F.max("o_custkey")).collect()[0][0] + 1
+    (
+        _replicas(orders, 100)
+        .withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.col("_r") * F.lit(max_ord)
+        )
+        .withColumn(
+            "o_custkey",
+            F.col("o_custkey") + (F.col("_r") % 10) * F.lit(max_cust),
+        )
+        .drop("_r")
+        .write.parquet(os.path.join(dest, "orders.parquet"))
+    )
+
+
 def _prewarm_stores(spark, sf_dir: str) -> None:
     """Offline index builds (IVF centroids, PQ codebooks) are once-per-
     corpus jobs at scale; build them outside the timed window, exactly
@@ -180,7 +252,7 @@ def _selected() -> list[str]:
         elif a.startswith("--only="):
             names = a.split("=", 1)[1].split(",")
     if names is None:
-        return HEAVY
+        return USER_FAMILY if "--users" in sys.argv else HEAVY
     names = [n for n in names if n]
     unknown = [n for n in names if n not in _ALL_QUERIES]
     if not names or unknown:
@@ -206,26 +278,39 @@ def time_queries(spark, sf_dir: str) -> dict[str, float]:
 
 def main() -> None:
     spark = get_spark("decaton-scale-ladder")
-    rungs = [10, 100] if "--x100" in sys.argv else [10]
-    for n in rungs:
-        dest = RUNGS[n]
-        if "--rebuild" in sys.argv or not os.path.exists(dest):
-            print(f"building x{n} fixture ...", flush=True)
+    if "--users" in sys.argv:
+        rung_keys: list[str] = ["u10"]
+        rung_dirs = {"u10": U10_DIR}
+        if "--rebuild" in sys.argv or not os.path.exists(U10_DIR):
+            print("building u10 fixture ...", flush=True)
             t0 = time.perf_counter()
-            build_fixture(spark, dest, n)
-            print(f"x{n} built in {time.perf_counter() - t0:.1f}s", flush=True)
+            build_user_fixture(spark, U10_DIR)
+            print(f"u10 built in {time.perf_counter() - t0:.1f}s", flush=True)
+    else:
+        ns = [10, 100] if "--x100" in sys.argv else [10]
+        rung_keys = [f"x{n}" for n in ns]
+        rung_dirs = {f"x{n}": RUNGS[n] for n in ns}
+        for n in ns:
+            dest = RUNGS[n]
+            if "--rebuild" in sys.argv or not os.path.exists(dest):
+                print(f"building x{n} fixture ...", flush=True)
+                t0 = time.perf_counter()
+                build_fixture(spark, dest, n)
+                print(
+                    f"x{n} built in {time.perf_counter() - t0:.1f}s", flush=True
+                )
 
     timings = {"base": time_queries(spark, BASE)}
-    for n in rungs:
-        timings[f"x{n}"] = time_queries(spark, RUNGS[n])
+    for k in rung_keys:
+        timings[k] = time_queries(spark, rung_dirs[k])
 
     table = {}
     for q in _selected():
         row = {"sf0.1_sec": timings["base"][q]}
-        for n in rungs:
-            row[f"x{n}_sec"] = timings[f"x{n}"][q]
-            row[f"growth_x{n}"] = (
-                round(timings[f"x{n}"][q] / timings["base"][q], 2)
+        for k in rung_keys:
+            row[f"{k}_sec"] = timings[k][q]
+            row[f"growth_{k}"] = (
+                round(timings[k][q] / timings["base"][q], 2)
                 if timings["base"][q]
                 else None
             )
@@ -235,7 +320,7 @@ def main() -> None:
         "SCALE_LADDER.json",
     )
     merged_queries = dict(table)
-    merged_rungs = {f"x{n}": RUNGS[n] for n in rungs}
+    merged_rungs = dict(rung_dirs)
     if os.path.exists(path):
         with open(path) as fh:
             prior = json.load(fh)
@@ -249,9 +334,9 @@ def main() -> None:
             merged_rungs = {**prior.get("rungs", {}), **merged_rungs}
     for row in merged_queries.values():  # growths consistent post-merge
         base_sec = row.get("sf0.1_sec")
-        for n in (10, 100):
-            if base_sec and f"x{n}_sec" in row:
-                row[f"growth_x{n}"] = round(row[f"x{n}_sec"] / base_sec, 2)
+        for k in ("x10", "x100", "u10"):
+            if base_sec and f"{k}_sec" in row:
+                row[f"growth_{k}"] = round(row[f"{k}_sec"] / base_sec, 2)
     result = {
         "base_dir": BASE,
         "rungs": merged_rungs,
