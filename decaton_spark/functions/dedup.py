@@ -193,41 +193,64 @@ def simhash(
     Google construction's width (64-bit signatures with 16-bit bands
     give 65k bucket values per band; the earlier 32-bit cap with
     4-bit nibbles made Σ bucket² structurally quadratic past ~10⁵
-    docs). Digest arrays are hoisted into their own projection and
-    computed ONCE per token (Catalyst does not CSE across lambda
-    scopes — the minhash hoisted-digest discipline), then folded per
-    bit — O(tokens + bits) per doc, still a shuffle-free projection.
-    Bit 63 uses shiftleft(1L, 63) (min-long), summed last by the
-    ascending fold, so the two's-complement BIGINT never overflows.
+    docs).
+
+    Execution shape — two ideas keep this linear in (tokens + bits)
+    PER EVALUATION, which matters because downstream consumers
+    (banding, join sides) may duplicate the signature expression:
+
+    1. Each token collapses to ONE 64-bit parity mask up front —
+       ``translate`` maps every hex digit to its parity character and
+       ``conv(reverse(…), 2, 10)`` reads the 32 parities as an
+       integer, so a digest costs three C-level string ops instead of
+       a per-(token, bit) instr/substr pair. The high word enters via
+       shiftleft(hi, 32), whose sign wrap IS two's complement.
+    2. The majority vote is ONE fold over the mask array carrying a
+       65-wide integer accumulator (64 bit-counters + the token
+       count), finished by a cheap zip over the counters:
+       ``2 · counter_i > n`` is the ±1-sum sign test. A per-bit outer
+       fold (bits × re-evaluation of anything token-sized) is the
+       trap: Catalyst inlines single-referenced column aliases into
+       lambda bodies, so an inner token-pass nested in a 64-step
+       outer fold re-evaluates per bit — measured 71 s vs 1.5 s at
+       sf0.1 on the banding query.
+
+    Still a shuffle-free projection. Bit 63 uses shiftleft(1L, 63)
+    (min-long), summed by the ascending finishing fold whose partial
+    sums never leave the BIGINT range.
     """
     if not 1 <= bits <= 64:
         raise ValueError(f"bits must be in 1..64, got {bits}")
     toks = f"array_distinct(split({text_col}, ' '))"
-    base = df.withColumn("_sh_h1", F.expr(f"transform({toks}, t -> md5(t))"))
-    if bits > 32:
-        base = base.withColumn(
-            "_sh_h2", F.expr(f"transform({toks}, t -> md5(concat('sh2:', t)))")
-        )
-
-    def contrib(arr: str, pos: str) -> str:
-        return (
-            f"aggregate({arr}, CAST(0 AS BIGINT), (acc, h) -> acc + "
-            f"CASE WHEN (instr('0123456789abcdef', substr(h, {pos}, 1))"
-            " - 1) % 2 = 1 THEN 1 ELSE -1 END)"
-        )
-
-    vote = contrib("_sh_h1", "i + 1")
-    if bits > 32:
-        vote = (
-            f"CASE WHEN i < 32 THEN {vote} "
-            f"ELSE {contrib('_sh_h2', 'i - 31')} END"
-        )
-    sig = (
-        f"aggregate(sequence(0, {bits - 1}), CAST(0 AS BIGINT), "
-        f"(acc, i) -> acc + CASE WHEN {vote} > 0 "
-        f"THEN shiftleft(CAST(1 AS BIGINT), i) ELSE CAST(0 AS BIGINT) END)"
+    # '0'..'9','a'..'f' → parity of the digit VALUE (not ascii parity)
+    parity = (
+        "CAST(conv(reverse(translate({h}, '0123456789abcdef', "
+        "'0101010101010101')), 2, 10) AS BIGINT)"
     )
-    return base.withColumn(out_col, F.expr(sig)).drop("_sh_h1", "_sh_h2")
+    mask = parity.format(h="md5(t)")
+    if bits > 32:
+        mask = (
+            f"{mask} + shiftleft("
+            + parity.format(h="md5(concat('sh2:', t))")
+            + ", 32)"
+        )
+    masks = f"transform({toks}, t -> {mask})"
+    # one pass over tokens: counters[i] = Σ bit i, counters[64] = n
+    stats = (
+        f"aggregate({masks}, "
+        f"array_repeat(CAST(0 AS BIGINT), {bits + 1}), "
+        f"(acc, m) -> zip_with(acc, sequence(0, {bits}), "
+        f"(c, i) -> c + IF(i = {bits}, CAST(1 AS BIGINT), (m >> i) & 1)))"
+    )
+    base = df.withColumn("_sh_s", F.expr(stats))
+    sig = (
+        f"aggregate(zip_with(slice(_sh_s, 1, {bits}), "
+        f"sequence(0, {bits - 1}), "
+        f"(c, i) -> IF(2 * c > element_at(_sh_s, {bits + 1}), "
+        "shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))), "
+        "CAST(0 AS BIGINT), (a, x) -> a + x)"
+    )
+    return base.withColumn(out_col, F.expr(sig)).drop("_sh_s")
 
 
 def ngram_jaccard_pairs(
@@ -889,8 +912,17 @@ def simhash_near_dup_pairs(
     width = bits // bands
     if num_partitions:
         df = df.repartition(num_partitions)
-    sigs = simhash(df, text_col=text_col, bits=bits).select(
-        F.col(id_col), F.col("simhash")
+    # Stage the (id, signature) frame ONCE: the banding explode and
+    # BOTH join sides consume it, and the Hamming verifier touches
+    # sig_a/sig_b per CANDIDATE PAIR — without the checkpoint Catalyst
+    # inlines the signature expression into the join output and
+    # re-runs the token fold per pair (measured 60 s vs 4 s at sf0.1's
+    # 3.7M candidates). One BIGINT per doc: the narrowest possible
+    # staging table, exactly what a production signature store is.
+    sigs = (
+        simhash(df, text_col=text_col, bits=bits)
+        .select(F.col(id_col), F.col("simhash"))
+        .localCheckpoint(eager=False)
     )
     banded = sigs.select(
         id_col,
