@@ -178,6 +178,15 @@ def main() -> None:
         t0 = time.perf_counter()
         drain(_ALL_QUERIES[name].fn(spark, SF_DIR))
         task_timings[name] = round(time.perf_counter() - t0, 3)
+    # same keep-min GC re-measure discipline as the tier loop above —
+    # one cross-charged pause in a single cold sample would deflate
+    # the headline rows/s by an amount indistinguishable from a
+    # regression
+    for name, sec in list(task_timings.items()):
+        if sec > 2.0 and name not in timings:
+            t0 = time.perf_counter()
+            drain(_ALL_QUERIES[name].fn(spark, SF_DIR))
+            task_timings[name] = min(sec, round(time.perf_counter() - t0, 3))
     task_time = sum(task_timings.values())
     tasks_processed = n_rows_events * len(task_ops)
 

@@ -12322,7 +12322,13 @@ def emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     dims = 64
     emb = load_table(spark, "embeddings", sf_dir)
     # Spark-side quantization: array<long> of 1e-7-unit coordinates.
-    xs = emb.select(
+    # NULL / wrong-arity vectors are excluded up front — np.stack in
+    # the Gram stage needs rectangular input (the old posexplode form
+    # silently dropped NULL arrays; this is the same tolerance made
+    # explicit, and it keeps them out of the mean denominator too).
+    xs = emb.filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") == dims)
+    ).select(
         F.transform(
             "embedding",
             lambda v: F.round(v.cast("double") * 10000000.0).cast("long"),

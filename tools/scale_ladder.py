@@ -277,6 +277,16 @@ def time_queries(spark, sf_dir: str) -> dict[str, float]:
 
 
 def main() -> None:
+    if "--users" in sys.argv:
+        if "--x100" in sys.argv:
+            sys.exit("--users is its own rung; run --x100 separately")
+        bad = [n for n in _selected() if n not in USER_FAMILY]
+        if bad:
+            sys.exit(
+                f"--users fixture only builds events/orders/dims; these"
+                f" queries read other tables and must ladder on the"
+                f" x10/x100 rungs instead: {bad}"
+            )
     spark = get_spark("decaton-scale-ladder")
     if "--users" in sys.argv:
         rung_keys: list[str] = ["u10"]
