@@ -178,6 +178,68 @@ def exact_global_ntile(
     )
 
 
+def global_running_sum(
+    df: DataFrame,
+    *,
+    order_cols: list[Column],
+    value_col: str,
+    out_col: str,
+    sum_type: str = "decimal(38,0)",
+    stage: bool = True,
+) -> DataFrame:
+    """Distributed exact cumulative sum over a total global ordering
+    with NO single-partition WindowExec — the companion of
+    ``exact_global_ntile`` for Lorenz/Pareto cumulative-share shapes
+    (ABC classes, concentration curves), where a global
+    ``sum() OVER (ORDER BY …)`` would put the whole frame through one
+    task.
+
+    Construction: range-exchange on the ordering; per-partition
+    running sums (a WindowExec partitioned by the physical partition
+    id — every frame bounded by the range exchange's balance, all
+    parallel); per-partition totals get exclusive prefix offsets via
+    a tiny window (one row per shuffle partition) and broadcast-join
+    back. Bit-identical to the single-window form for any total
+    ordering (include a unique tiebreak column): range boundary
+    placement cannot reorder rows, and integer/decimal addition is
+    associative. ``stage`` checkpoints the ranged frame once for its
+    two consumers (running sums + totals).
+    """
+    from pyspark.sql import Window
+
+    ranged = df.repartitionByRange(*order_cols).withColumn(
+        "_grs_pid", F.spark_partition_id()
+    )
+    if stage:
+        ranged = ranged.localCheckpoint(eager=False)
+    v = F.col(value_col).cast(sum_type)
+    w_in = (
+        Window.partitionBy("_grs_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = ranged.withColumn("_grs_local", F.sum(v).over(w_in))
+    totals = ranged.groupBy("_grs_pid").agg(F.sum(v).alias("_grs_part"))
+    # bounded frame: ≤ spark.sql.shuffle.partitions rows
+    w_off = Window.orderBy("_grs_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.select(
+        "_grs_pid",
+        F.coalesce(
+            F.sum("_grs_part").over(w_off), F.lit(0).cast(sum_type)
+        ).alias("_grs_off"),
+    )
+    return (
+        local.join(F.broadcast(offsets), "_grs_pid")
+        .withColumn(
+            out_col,
+            (F.col("_grs_local") + F.col("_grs_off")).cast(sum_type),
+        )
+        .drop("_grs_pid", "_grs_local", "_grs_off")
+    )
+
+
 def rfm_scores(
     df: DataFrame,
     *,

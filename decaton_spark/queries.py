@@ -13047,10 +13047,13 @@ def parts_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic.
 
     100 TB shape: revenue reduces the fact ONCE (per-part partial
-    agg); the cumulative window runs over the bounded PART frame, not
-    lineitem — the cardinality drop is where the global ORDER BY
-    becomes affordable (|parts| « |lineitem|, the same pre-aggregate-
-    then-window shape as the Gini query)."""
+    agg); the cumulative share is ``stats.global_running_sum`` — a
+    range-exchanged two-phase running sum with broadcast prefix
+    offsets, bit-identical to ``sum() OVER (ORDER BY …)`` with no
+    single-partition WindowExec. |parts| « |lineitem|, but the part
+    dimension still grows with the corpus (2B parts at warehouse
+    scale), so the Pareto sweep must parallelize like the ntile
+    family does — not merely ride the cardinality drop."""
     li = load_table(spark, "lineitem", sf_dir)
     rev = (
         li.groupBy(F.col("l_partkey").alias("partkey"))
@@ -13065,13 +13068,17 @@ def parts_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=False)  # total + cumulative consumers
     )
+    from decaton_spark.functions.stats import global_running_sum
+
     tot = rev.agg(F.sum(F.col("rev").cast("decimal(38,0)")).alias("tot"))
-    w = Window.orderBy(F.col("rev").desc(), F.col("partkey")).rowsBetween(
-        Window.unboundedPreceding, 0
+    cum = global_running_sum(
+        rev,
+        order_cols=[F.col("rev").desc(), F.col("partkey")],
+        value_col="rev",
+        out_col="cum",
     )
     classed = (
-        rev.withColumn("cum", F.sum(F.col("rev").cast("decimal(38,0)")).over(w))
-        .crossJoin(F.broadcast(tot))
+        cum.crossJoin(F.broadcast(tot))
         .select(
             F.when(100 * F.col("cum") <= 80 * F.col("tot"), "A")
             .when(100 * F.col("cum") <= 95 * F.col("tot"), "B")

@@ -955,3 +955,58 @@ def test_exact_global_ntile_matches_ntile(spark):
         w = {r["id"]: r["tile"] for r in want.collect()}
         assert g == w, (n_rows, n_tiles, n_parts)
 
+
+
+def test_global_running_sum_matches_window(spark):
+    """global_running_sum must be bit-identical to
+    sum(v) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING) for every
+    partitioning, including heavy ties broken by the unique column."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from decaton_spark.functions.stats import global_running_sum
+
+    for n_rows, n_parts in [(1, 3), (97, 7), (100, 1), (64, 9)]:
+        rows = [(i, (i * 7919) % 5, (i * 31) % 100) for i in range(n_rows)]
+        df = spark.createDataFrame(
+            rows, "id long, v long, amt long"
+        ).repartition(n_parts)
+        order = [F.col("v").desc(), F.col("id")]
+        got = global_running_sum(
+            df, order_cols=order, value_col="amt", out_col="cum"
+        )
+        w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+        want = df.withColumn(
+            "cum", F.sum(F.col("amt").cast("decimal(38,0)")).over(w)
+        )
+        g = {r["id"]: int(r["cum"]) for r in got.collect()}
+        ww = {r["id"]: int(r["cum"]) for r in want.collect()}
+        assert g == ww, (n_rows, n_parts)
+
+
+def test_abc_classification_no_single_partition_sweep(spark, sf_dir):
+    """parts_abc's Pareto sweep must not plan a global cumulative
+    window over the part dimension (it grows with the corpus). The
+    unstaged global_running_sum plan shows the range exchange and at
+    most the one bounded per-partition-offsets window."""
+    import pyspark.sql.functions as F
+
+    from decaton_spark.functions.stats import global_running_sum
+    from decaton_spark.sources import load_table
+
+    rev = (
+        load_table(spark, "lineitem", sf_dir)
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(F.lit(1)).alias("rev"))
+    )
+    p = plan_of(
+        global_running_sum(
+            rev,
+            order_cols=[F.col("rev").desc(), F.col("partkey")],
+            value_col="rev",
+            out_col="cum",
+            stage=False,
+        )
+    )
+    assert "rangepartitioning" in p.lower(), "lost the parallel range sort"
+    assert p.lower().count("singlepartition") <= 1
