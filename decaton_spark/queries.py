@@ -1799,12 +1799,13 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi"),
         )
     )
-    w = Window.orderBy(F.col("pmi").desc(), F.col("a"), F.col("b"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 20)
-        .select("a", "b", "cab", "pmi")
-    )
+    # TakeOrdered top-k FIRST (distributed per-partition prune), then
+    # the dense rank runs over the 20-row survivors — a rank window
+    # over the full bigram vocabulary would sort it in one task
+    top = scored.orderBy(
+        F.col("pmi").desc(), F.col("a"), F.col("b")
+    ).limit(20)
+    return top.select("a", "b", "cab", "pmi")
 
 
 _BLM_LAM = 0.7
@@ -13368,10 +13369,15 @@ def text_keyphrases_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("phrase", "n_occurrences")
         .agg(F.sum("word_score_ppm").cast("long").alias("score_ppm"))
     )
+    # TakeOrdered top-k FIRST (distributed), then rank the 10-row
+    # survivors — a rank window over the full phrase table would
+    # sort it in one task (the collocations/vocab_build discipline)
+    top = scored.orderBy(
+        F.col("score_ppm").desc(), F.col("phrase")
+    ).limit(10)
     wr = Window.orderBy(F.col("score_ppm").desc(), F.col("phrase"))
     return (
-        scored.withColumn("rnk", F.row_number().over(wr).cast("long"))
-        .filter(F.col("rnk") <= 10)
+        top.withColumn("rnk", F.row_number().over(wr).cast("long"))
         .select("rnk", "phrase", "n_occurrences", "score_ppm")
     )
 

@@ -1,0 +1,118 @@
+"""Global-window audit: every unpartitioned WindowExec in the registry
+is pinned to an allowlist with a boundedness justification.
+
+An unpartitioned window moves its whole input frame through ONE task
+(Spark's "No Partition Defined for Window" warning). That is fine over
+a bounded frame (a top-k survivor list, a per-shuffle-partition counts
+table, an hourly series) and catastrophic over a corpus- or
+population-sized one — the round-4 ntile family and the round-5
+collocations/RAKE top-k were exactly such regressions. This gate keeps
+new ones from slipping in: any registry query that plans MORE
+unpartitioned windows than its allowlist entry fails.
+
+Detection: in the simple-mode physical plan a Window operator prints
+``Window [exprs], [partitionSpec], [orderSpec]`` — two trailing bracket
+groups when partitioned. One trailing group (order only) or none means
+no partition spec.
+
+The full 240-query sweep builds every plan (~minutes, some queries
+train centroid stores at plan time) and is gated behind
+DECATON_FULL_WINDOW_AUDIT=1, like the partition-invariance sweep; the
+default run audits a representative subset incl. every known-global
+query that is cheap to plan.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import pytest
+
+from decaton_spark.queries import _ALL_QUERIES
+
+_SEP = re.compile(r"\], \[")
+
+# query -> (max unpartitioned windows, why each is bounded)
+ALLOWED: dict[str, tuple[int, str]] = {
+    "corpus_release_audit": (1, "release-gate verdict table (few rows)"),
+    "corpus_token_histogram": (1, "9 log-scale buckets"),
+    "docs_curation_pipeline": (1, "rank over the limit-100 selection"),
+    "docs_rater_agreement": (1, "rater-pair agreement grid (bounded)"),
+    "docs_weighted_sample": (1, "rank over the limit-100 sample"),
+    "docs_zipf_fit": (1, "rank over the bounded top-term table"),
+    "events_bootstrap_ci": (1, "percentiles over 32 replicate rows"),
+    "events_histogram_quantiles": (1, "<=64 buckets per group readout"),
+    "events_kmv_sample_median": (1, "k=32 sketch rows per group"),
+    "events_power_user_curve": (3, "exact-ntile partition offsets (<=shuffle "
+                                   "partitions rows) + 10-row decile cum"),
+    "events_rfm_segments": (2, "exact-ntile partition-offset windows"),
+    "events_slo_burn_rate": (1, "hourly series (calendar-bounded)"),
+    "events_survival_km": (2, "distinct-duration grid (horizon-bounded)"),
+    "events_theilsen_trend": (1, "median over the bounded slope grid"),
+    "hybrid_search_rrf": (2, "two <=k retrieval tower rank windows"),
+    "null_semantics_bridge": (3, "500-row semantics fixture by construction"),
+    "orders_backlog_sweepline": (1, "day series (calendar-bounded)"),
+    "parts_abc_classification": (1, "global_running_sum partition offsets "
+                                    "(<=shuffle partitions rows)"),
+    "text_bm25_search": (1, "rank over the <=k BM25 tower"),
+    "text_bpe_symbol_vocab": (1, "30-row symbol vocabulary"),
+    "text_tokenize_ids": (1, "rank over the bounded vocab table"),
+    "text_vocab_build": (1, "rank over the TakeOrdered top-20"),
+}
+
+# cheap-to-plan subset exercised on every default test run
+_FAST = [
+    "events_power_user_curve",
+    "events_rfm_segments",
+    "parts_abc_classification",
+    "text_collocations_pmi",   # fixed round 5: must now be 0
+    "text_keyphrases_rake",    # rank over the limit-10 survivors: 1
+    "docs_weighted_sample",
+    "corpus_token_histogram",
+]
+# rake keeps one rank window — over the limit-10 frame
+ALLOWED["text_keyphrases_rake"] = (1, "rank over the limit-10 survivors")
+
+
+def _count_global_windows(df) -> int:
+    jqe = df._jdf.queryExecution()
+    jvm = df.sparkSession._jvm
+    p = jqe.explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    n = 0
+    for line in p.splitlines():
+        s = line.strip()
+        i = s.find("Window [")
+        if i == -1 or s[i:].startswith("WindowGroupLimit"):
+            continue
+        if len(_SEP.findall(s[i:])) + 1 <= 2:
+            n += 1
+    return n
+
+
+def _audit(spark, sf_dir, names) -> list[str]:
+    errors = []
+    for name in names:
+        got = _count_global_windows(_ALL_QUERIES[name].fn(spark, sf_dir))
+        cap, why = ALLOWED.get(name, (0, "not allowlisted"))
+        if got > cap:
+            errors.append(
+                f"{name}: {got} unpartitioned windows > allowed {cap} ({why})"
+            )
+    return errors
+
+
+def test_global_window_allowlist_fast(spark, sf_dir):
+    errors = _audit(spark, sf_dir, _FAST)
+    assert not errors, "\n".join(errors)
+
+
+@pytest.mark.skipif(
+    os.environ.get("DECATON_FULL_WINDOW_AUDIT") != "1",
+    reason="full 240-plan audit; set DECATON_FULL_WINDOW_AUDIT=1",
+)
+def test_global_window_allowlist_full(spark, sf_dir):
+    errors = _audit(spark, sf_dir, sorted(_ALL_QUERIES))
+    assert not errors, "\n".join(errors)
