@@ -75,12 +75,15 @@ _FAST = [
 ALLOWED["text_keyphrases_rake"] = (1, "rank over the limit-10 survivors")
 
 
-def _count_global_windows(df) -> int:
+def _simple_plan(df) -> str:
     jqe = df._jdf.queryExecution()
     jvm = df.sparkSession._jvm
-    p = jqe.explainString(
+    return jqe.explainString(
         jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
     )
+
+
+def _count_global_windows(p: str) -> int:
     n = 0
     for line in p.splitlines():
         s = line.strip()
@@ -95,12 +98,19 @@ def _count_global_windows(df) -> int:
 def _audit(spark, sf_dir, names) -> list[str]:
     errors = []
     for name in names:
-        got = _count_global_windows(_ALL_QUERIES[name].fn(spark, sf_dir))
+        p = _simple_plan(_ALL_QUERIES[name].fn(spark, sf_dir))
+        got = _count_global_windows(p)
         cap, why = ALLOWED.get(name, (0, "not allowlisted"))
         if got > cap:
             errors.append(
                 f"{name}: {got} unpartitioned windows > allowed {cap} ({why})"
             )
+        # never a cartesian product anywhere in the registry: the only
+        # unbounded-pairing operator. (BroadcastNestedLoopJoin sites
+        # are 1-row scalar crossJoin(broadcast(...)) anchors and the
+        # bounded broadcast-query ANN pairing — audited round 4 & 5.)
+        if "CartesianProduct" in p:
+            errors.append(f"{name}: CartesianProduct in plan")
     return errors
 
 
