@@ -13992,7 +13992,11 @@ _DRIVER_TIER = [
     # signatures, exact_global_ntile, NULL-safe snapshot diff,
     # integer histogram buckets, KMV zero guard) — and 240/240 MATCH
     # at sf0.1 (DRIVE_SF_DIR sweep, every oracle recomputed at 10x
-    # the driver's scale). Full-registry
+    # the driver's scale). The late-round additions (global_running_
+    # sum Pareto sweep, collocations/RAKE TakeOrdered fix, PCA null
+    # filter, window-audit gate) re-certified by a FINAL --all sweep:
+    # 240/240 at sf0.01, plus the 7 changed queries at sf0.1
+    # (7/7 MATCH). Full-registry
     # partition-invariance sweep (DECATON_FULL_INVARIANCE=1): 240/240
     # in one run, plus a targeted re-sweep of the 9 rewrite-affected
     # queries after the simhash staging change. pytest 663/663.

@@ -852,7 +852,10 @@ def test_product_analytics_band_plan_shapes(spark, sf_dir):
 
     shapes = {
         "events_ab_srm_check": 2,         # distinct users + 1-row agg
-        "parts_abc_classification": 4,    # part agg + cum window + class agg
+        "parts_abc_classification": 5,    # part agg + running-sum range
+                                          # exchange + offsets agg + class agg
+                                          # (global_running_sum replaced the
+                                          # single-task cum window, round 5)
         "events_dau_mau_stickiness": 5,   # dau agg + expand distinct + mau agg
         "events_power_user_curve": 5,     # user agg + exact-ntile rank + decile agg
         "text_keyphrases_rake": 7,        # pid window + stats/phrase aggs + topk
