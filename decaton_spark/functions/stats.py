@@ -124,7 +124,12 @@ def exact_global_ntile(
 
     The ranked frame feeds two consumers (counts + join-back), so it
     stages through ONE lazy localCheckpoint — chained calls (RFM runs
-    three) otherwise double the upstream plan per call. The ordering
+    three) otherwise double the upstream plan per call. ``stage`` is
+    NOT a mere staging knob: with stage=False the nondeterministic
+    mono-id column is evaluated independently in both consumer
+    branches and their agreement rests on exchange reuse — use
+    stage=False only for plan inspection in tests, never to produce
+    results. The ordering
     must be total (include a unique tiebreak column) so the global
     rank — and therefore the tile — is deterministic and
     partitioning-invariant; range boundary placement cannot change
@@ -197,13 +202,24 @@ def global_running_sum(
     Construction: range-exchange on the ordering; per-partition
     running sums (a WindowExec partitioned by the physical partition
     id — every frame bounded by the range exchange's balance, all
-    parallel); per-partition totals get exclusive prefix offsets via
+    parallel; this partitioned window costs a SECOND full exchange on
+    hash(pid), a near-no-op permutation, so the frame crosses the
+    wire twice — both exchanges fully parallel, which is the point:
+    the single-window form it replaces moves the frame ONCE but into
+    ONE task); per-partition totals get exclusive prefix offsets via
     a tiny window (one row per shuffle partition) and broadcast-join
     back. Bit-identical to the single-window form for any total
-    ordering (include a unique tiebreak column): range boundary
-    placement cannot reorder rows, and integer/decimal addition is
-    associative. ``stage`` checkpoints the ranged frame once for its
-    two consumers (running sums + totals).
+    ordering (include a unique tiebreak column), INCLUDING null
+    semantics: sum-over-window skips NULLs and returns NULL only
+    when the whole preceding frame is NULL, so the combine keeps
+    NULL offsets (all-NULL preceding partitions) distinct from zero.
+
+    ``stage`` (default True) checkpoints the ranged frame once for
+    its two consumers. It is NOT a mere staging knob: with
+    stage=False the nondeterministic ``spark_partition_id`` column is
+    evaluated independently in both consumer branches and their
+    agreement rests on exchange reuse — use stage=False only for
+    plan inspection in tests, never to produce results.
     """
     from pyspark.sql import Window
 
@@ -220,22 +236,27 @@ def global_running_sum(
     )
     local = ranged.withColumn("_grs_local", F.sum(v).over(w_in))
     totals = ranged.groupBy("_grs_pid").agg(F.sum(v).alias("_grs_part"))
-    # bounded frame: ≤ spark.sql.shuffle.partitions rows
+    # bounded frame: ≤ spark.sql.shuffle.partitions rows. No coalesce:
+    # a NULL offset means every preceding partition summed to NULL
+    # (held only NULLs), which the combine below must preserve.
     w_off = Window.orderBy("_grs_pid").rowsBetween(
         Window.unboundedPreceding, -1
     )
     offsets = totals.select(
         "_grs_pid",
-        F.coalesce(
-            F.sum("_grs_part").over(w_off), F.lit(0).cast(sum_type)
-        ).alias("_grs_off"),
+        F.sum("_grs_part").over(w_off).alias("_grs_off"),
+    )
+    zero = F.lit(0).cast(sum_type)
+    combined = F.when(
+        F.col("_grs_local").isNull() & F.col("_grs_off").isNull(),
+        F.lit(None).cast(sum_type),
+    ).otherwise(
+        F.coalesce(F.col("_grs_local"), zero)
+        + F.coalesce(F.col("_grs_off"), zero)
     )
     return (
         local.join(F.broadcast(offsets), "_grs_pid")
-        .withColumn(
-            out_col,
-            (F.col("_grs_local") + F.col("_grs_off")).cast(sum_type),
-        )
+        .withColumn(out_col, combined.cast(sum_type))
         .drop("_grs_pid", "_grs_local", "_grs_off")
     )
 

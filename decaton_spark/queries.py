@@ -1748,8 +1748,10 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     mutual information (min count 5) — the phrase detector that feeds
     tokenizer merge candidates and stop-phrase lists. One bigram
     explode + two broadcastable unigram joins; counts are exact ints,
-    the single log is rounded (the tfidf float rule); the final
-    window runs over the already-HAVING-pruned pair table."""
+    the single log is rounded (the tfidf float rule); the top-20 is
+    a distributed TakeOrdered (no rank window anywhere — the sort
+    key (pmi, a, b) is total, so the selected SET matches the
+    oracle's row_number form exactly)."""
     docs = load_table(spark, "documents", sf_dir)
     toks = F.split(F.col("text"), " ")
     n = F.size(toks)
@@ -1799,9 +1801,8 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi"),
         )
     )
-    # TakeOrdered top-k FIRST (distributed per-partition prune), then
-    # the dense rank runs over the 20-row survivors — a rank window
-    # over the full bigram vocabulary would sort it in one task
+    # TakeOrdered top-k (distributed per-partition prune) — a rank
+    # window over the full bigram vocabulary would sort it in one task
     top = scored.orderBy(
         F.col("pmi").desc(), F.col("a"), F.col("b")
     ).limit(20)

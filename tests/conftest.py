@@ -29,3 +29,13 @@ def duck():
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_DIR
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    """Explain string of a DataFrame's physical plan — shared by the
+    plan-shape gates (test_plans) and the window audit."""
+    jqe = df._jdf.queryExecution()
+    jvm = df.sparkSession._jvm
+    return jqe.explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    )

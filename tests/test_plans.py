@@ -20,12 +20,7 @@ from decaton_spark.queries import EXTRA_QUERIES, QUERIES
 QUERIES = {**QUERIES, **EXTRA_QUERIES}  # plan shape is graded for both tiers
 
 
-def plan_of(df, mode: str = "formatted") -> str:
-    jqe = df._jdf.queryExecution()
-    jvm = df.sparkSession._jvm
-    return jqe.explainString(
-        jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
-    )
+from tests.conftest import plan_of  # noqa: E402  (shared plan helper)
 
 
 @pytest.fixture(scope="module")
@@ -970,7 +965,13 @@ def test_global_running_sum_matches_window(spark):
     from decaton_spark.functions.stats import global_running_sum
 
     for n_rows, n_parts in [(1, 3), (97, 7), (100, 1), (64, 9)]:
-        rows = [(i, (i * 7919) % 5, (i * 31) % 100) for i in range(n_rows)]
+        # every 7th amt NULL, including a leading run in sort order,
+        # to pin window null semantics (sum skips NULLs; NULL only
+        # while the whole preceding frame is NULL)
+        rows = [
+            (i, (i * 7919) % 5, None if i % 7 == 3 else (i * 31) % 100)
+            for i in range(n_rows)
+        ]
         df = spark.createDataFrame(
             rows, "id long, v long, amt long"
         ).repartition(n_parts)
@@ -982,9 +983,22 @@ def test_global_running_sum_matches_window(spark):
         want = df.withColumn(
             "cum", F.sum(F.col("amt").cast("decimal(38,0)")).over(w)
         )
-        g = {r["id"]: int(r["cum"]) for r in got.collect()}
-        ww = {r["id"]: int(r["cum"]) for r in want.collect()}
+        tidy = lambda x: None if x is None else int(x)  # noqa: E731
+        g = {r["id"]: tidy(r["cum"]) for r in got.collect()}
+        ww = {r["id"]: tidy(r["cum"]) for r in want.collect()}
         assert g == ww, (n_rows, n_parts)
+
+    # explicit leading-NULL prefix in sort order: cum must be NULL
+    # until the first non-NULL value, exactly like the window form
+    rows = [(i, None if i < 3 else 10) for i in range(8)]
+    df = spark.createDataFrame(rows, "id long, amt long").repartition(4)
+    got = global_running_sum(
+        df, order_cols=[F.col("id")], value_col="amt", out_col="cum"
+    )
+    g = {r["id"]: (None if r["cum"] is None else int(r["cum"]))
+         for r in got.collect()}
+    assert g == {0: None, 1: None, 2: None, 3: 10, 4: 20, 5: 30,
+                 6: 40, 7: 50}
 
 
 def test_abc_classification_no_single_partition_sweep(spark, sf_dir):

@@ -20,6 +20,13 @@ train centroid stores at plan time) and is gated behind
 DECATON_FULL_WINDOW_AUDIT=1, like the partition-invariance sweep; the
 default run audits a representative subset incl. every known-global
 query that is cheap to plan.
+
+Known limitation: localCheckpoint truncates the visible lineage, so a
+window computed UPSTREAM of a checkpoint is invisible to this gate
+(the checkpoint-internal shapes are pinned by their own dedicated
+tests — exact_global_ntile / global_running_sum expose stage=False
+plans for exactly this reason). The audit is a registry-wide net, not
+the only line of defense.
 """
 
 from __future__ import annotations
@@ -57,6 +64,7 @@ ALLOWED: dict[str, tuple[int, str]] = {
                                     "(<=shuffle partitions rows)"),
     "text_bm25_search": (1, "rank over the <=k BM25 tower"),
     "text_bpe_symbol_vocab": (1, "30-row symbol vocabulary"),
+    "text_keyphrases_rake": (1, "rank over the limit-10 survivors"),
     "text_tokenize_ids": (1, "rank over the bounded vocab table"),
     "text_vocab_build": (1, "rank over the TakeOrdered top-20"),
 }
@@ -71,24 +79,16 @@ _FAST = [
     "docs_weighted_sample",
     "corpus_token_histogram",
 ]
-# rake keeps one rank window — over the limit-10 frame
-ALLOWED["text_keyphrases_rake"] = (1, "rank over the limit-10 survivors")
-
-
-def _simple_plan(df) -> str:
-    jqe = df._jdf.queryExecution()
-    jvm = df.sparkSession._jvm
-    return jqe.explainString(
-        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
-    )
 
 
 def _count_global_windows(p: str) -> int:
     n = 0
     for line in p.splitlines():
         s = line.strip()
+        # 'Window [' cannot match a WindowGroupLimit line (that prints
+        # 'WindowGroupLimit ['), so no operator-name filter is needed
         i = s.find("Window [")
-        if i == -1 or s[i:].startswith("WindowGroupLimit"):
+        if i == -1:
             continue
         if len(_SEP.findall(s[i:])) + 1 <= 2:
             n += 1
@@ -96,9 +96,11 @@ def _count_global_windows(p: str) -> int:
 
 
 def _audit(spark, sf_dir, names) -> list[str]:
+    from tests.conftest import plan_of
+
     errors = []
     for name in names:
-        p = _simple_plan(_ALL_QUERIES[name].fn(spark, sf_dir))
+        p = plan_of(_ALL_QUERIES[name].fn(spark, sf_dir), "simple")
         got = _count_global_windows(p)
         cap, why = ALLOWED.get(name, (0, "not allowlisted"))
         if got > cap:
