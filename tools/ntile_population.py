@@ -1,0 +1,136 @@
+"""Population-growth evidence for the exact global-rank family
+(VERDICT r5 ask #6).
+
+The u10 ladder rung measures the per-user window family at 10× users;
+the open question was whether the exact_global_ntile /
+global_running_sum range exchange stays population-proportional well
+past that. Ranks need only the sort key — not full event payloads — so
+this tool drives the operators directly on synthetic per-user frames
+(user_id + a heavy-tailed activity count, the realistic shape of a
+per-user aggregate) at 1e6 / 1e7 / 1e8 users: two further decades of
+USER growth beyond the u10 rung, at the same per-row width the real
+consumers (events_power_user_curve, events_rfm_segments,
+parts_abc_classification) feed the operator.
+
+For each decade it records:
+- wall seconds for the full ntile (and running-sum) materialization;
+- the range-exchange balance: max/mean rows per physical partition of
+  the ranked frame. The correctness argument says boundary placement
+  cannot change any rank; the SCALE argument needs the exchange to
+  spread a skewed key roughly evenly — measured here, not argued.
+
+The sort key is deliberately heavy-tailed (Zipf-ish: ~37% of users on
+the lowest activity value) with user_id as the unique tiebreak, the
+worst realistic shape for a range partitioner: a total ordering whose
+leading key has massive ties.
+
+Writes NTILE_POPULATION.json at the repo root and prints the table;
+PERFORMANCE.md summarizes the result.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from decaton_spark import get_spark  # noqa: E402
+from decaton_spark.functions.stats import (  # noqa: E402
+    exact_global_ntile,
+    global_running_sum,
+)
+
+DECADES = [1_000_000, 10_000_000, 100_000_000]
+
+
+def per_user_frame(spark, n_users: int):
+    """Synthetic per-user aggregate: heavy-tailed activity counts.
+    Knuth-hash the id so adjacent ids don't share activity, then map
+    the hash to a Zipf-ish discrete distribution: activity a with
+    probability ~ 1/(a+1)(a+2) — ~37% of the population ties on the
+    single lowest value (the hard case for a range exchange on
+    (activity DESC, user_id))."""
+    h = (F.col("id") * F.lit(2654435761)) % F.lit(1_000_003)
+    u = h / F.lit(1_000_003.0)  # ~uniform(0,1), deterministic
+    activity = F.least(
+        (F.lit(1.0) / (F.lit(1.0) - u) - F.lit(1.0)).cast("long"),
+        F.lit(10_000),
+    )
+    return spark.range(n_users).select(
+        F.col("id").alias("user_id"), activity.alias("n_events")
+    )
+
+
+def balance(df) -> dict:
+    """Rows per physical partition after the operator's range exchange
+    (re-derived exactly as the operator builds it)."""
+    counts = [
+        r["c"]
+        for r in df.groupBy(F.spark_partition_id().alias("p"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    ]
+    mean = sum(counts) / len(counts)
+    return {
+        "partitions": len(counts),
+        "max_rows": max(counts),
+        "mean_rows": int(mean),
+        "max_over_mean": round(max(counts) / mean, 2),
+    }
+
+
+def main() -> None:
+    spark = get_spark("decaton-ntile-population")
+    order = [F.col("n_events").desc(), F.col("user_id")]
+    out: dict[str, dict] = {}
+    for n in DECADES:
+        df = per_user_frame(spark, n).localCheckpoint(eager=True)
+        ranked = df.repartitionByRange(*order).sortWithinPartitions(*order)
+        bal = balance(ranked)
+
+        t0 = time.perf_counter()
+        exact_global_ntile(
+            df, n_tiles=10, order_cols=order, out_col="decile"
+        ).write.format("noop").mode("overwrite").save()
+        ntile_sec = round(time.perf_counter() - t0, 2)
+
+        t0 = time.perf_counter()
+        global_running_sum(
+            df,
+            order_cols=order,
+            value_col="n_events",
+            out_col="cum_events",
+        ).write.format("noop").mode("overwrite").save()
+        rsum_sec = round(time.perf_counter() - t0, 2)
+
+        df.unpersist()
+        out[f"{n:_}"] = {
+            "ntile_sec": ntile_sec,
+            "running_sum_sec": rsum_sec,
+            "exchange_balance": bal,
+        }
+        print(f"{n:>11,} users: ntile {ntile_sec}s  running_sum "
+              f"{rsum_sec}s  balance {bal}", flush=True)
+
+    keys = list(out)
+    for a, b in zip(keys, keys[1:]):
+        g = round(out[b]["ntile_sec"] / max(out[a]["ntile_sec"], 0.01), 1)
+        out[b]["ntile_growth_per_decade"] = g
+        g2 = round(
+            out[b]["running_sum_sec"] / max(out[a]["running_sum_sec"], 0.01),
+            1,
+        )
+        out[b]["running_sum_growth_per_decade"] = g2
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "NTILE_POPULATION.json"), "w") as f:
+        json.dump(out, f, indent=2, sort_keys=True)
+    print(json.dumps(out, indent=2, sort_keys=True))
+
+
+if __name__ == "__main__":
+    main()
