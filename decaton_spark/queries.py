@@ -4973,12 +4973,22 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "emb_bitext_margin_lsh",
     f"""
-    WITH bl_q AS (SELECT vec_id AS sid, embedding AS qv,
-                         CAST({_BUCKET} AS INT) AS bucket
-                  FROM embeddings WHERE label % 2 = 0),
+    WITH bl_bits AS (
+        SELECT LEAST(16, GREATEST(2,
+                   CAST(ceil(log2(count(*) / 256.0)) AS INT))) AS bits
+        FROM embeddings),
+    bl_q AS (SELECT vec_id AS sid, embedding AS qv,
+                    CAST(list_sum(list_transform(range(bits),
+                        i -> CASE WHEN embedding[i + 1] > 0
+                                  THEN (CAST(1 AS BIGINT) << i)
+                                  ELSE 0 END)) AS INT) AS bucket
+             FROM embeddings, bl_bits WHERE label % 2 = 0),
     bl_c AS (SELECT vec_id AS tid, embedding AS cv,
-                    CAST({_BUCKET} AS INT) AS bucket
-             FROM embeddings WHERE label % 2 = 1),
+                    CAST(list_sum(list_transform(range(bits),
+                        i -> CASE WHEN embedding[i + 1] > 0
+                                  THEN (CAST(1 AS BIGINT) << i)
+                                  ELSE 0 END)) AS INT) AS bucket
+             FROM embeddings, bl_bits WHERE label % 2 = 1),
     bl_cos AS (
         SELECT sid, tid,
                CAST(round(({_DOT_QC} / ({_NORM.format(v='qv')}
@@ -5009,17 +5019,31 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def emb_bitext_margin_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB shape of bitext mining: both language towers hash
     into sign-LSH buckets and the margin criterion scores only
-    within-bucket candidates via an EQUI-join on the bucket id — pair
-    cost Σ bucket² instead of |src|·|tgt|, neighbourhood sums become
-    within-bucket k-NN (the standard blocked-mining recall/cost
-    trade; several bucket saltings recover recall). Same integer
-    margin arithmetic and argmax tail as the exact
-    ``emb_bitext_margin_mining``."""
+    within-bucket candidates via an EQUI-join on the bucket id, so
+    neighbourhood sums become within-bucket k-NN (the standard
+    blocked-mining recall/cost trade; several bucket saltings recover
+    recall). Same integer margin arithmetic and argmax tail as the
+    exact ``emb_bitext_margin_mining``.
+
+    The bucket count SCALES WITH THE CORPUS: bits =
+    clamp(ceil(log2(N/256)), 2, 16), derived from one corpus-size
+    probe job before the plan is built (the IVF-nlist pattern —
+    parameter training is an offline job, not query work). A FIXED
+    bucket space is still quadratic, just constant-factor cheaper:
+    the round-6 ladder measured the old fixed-16-bucket form at 32×
+    wall for 10× data (pairs = N²/64); with buckets ∝ N, within-bucket
+    pair cost is ~N·256 — linear per decade. The oracle mirrors the
+    same bits via a scalar subquery, so both engines agree at every
+    scale factor."""
+    import math
+
     emb = load_table(spark, "embeddings", sf_dir)
+    n = emb.count()  # corpus-size probe (one job, plan-build time)
+    bits = min(16, max(2, math.ceil(math.log2(n / 256.0))))
     src = emb.filter(F.col("label") % 2 == 0)
     tgt = emb.filter(F.col("label") % 2 == 1)
     return sim.margin_mining(
-        src, tgt, k=4, threshold_milli=1050, bucket_dims=(0, 1, 2, 3)
+        src, tgt, k=4, threshold_milli=1050, bucket_dims=tuple(range(bits))
     )
 
 
@@ -13899,7 +13923,12 @@ _DRIVER_TIER = [
     # every registered query has a driver row, none on a stale
     # implementation.
     #
-    # Priority 0: the production-role inversion fix (VERDICT r5 nit 3):
+    # Priority 0: the production-role inversion fix (VERDICT r5 nit 3).
+    # Implementation ALSO changed round 6: the round-6 ladder measured
+    # the fixed-16-bucket form at 32x wall for 10x data (a fixed bucket
+    # space is still quadratic), so bucket bits now scale with the
+    # corpus (clamp(ceil(log2(N/256)), 2, 16); oracle mirrors via
+    # scalar subquery) — the driver row lands on the NEW form:
     "emb_bitext_margin_lsh",      # sign-LSH bucketed bitext mining
     # Priority 1: implementation changed r5, row stale (r2):
     "dedup_simhash",              # 64-bit signature, 16-bit bands
