@@ -447,6 +447,30 @@ def trained_centroids(
     return cents
 
 
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = EMB,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Cell-assigned corpus frame for IVF search: (neighbor_id, c_vec,
+    c_norm, cell). The assignment is a pure projection (fold over the
+    inlined centroid array — no shuffle, no join); it is exposed
+    separately so multi-rung consumers (the nprobe sweep) can compute
+    it ONCE and stage it instead of re-projecting the corpus per rung
+    (at sf0.1 the interpreted centroid fold costs ~0.6 s per corpus
+    pass — rung-invariant work)."""
+    cents = _centroid_literals(centroids)
+    return df.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm(F.col(vec_col)).alias("c_norm"),
+        _argmax_cell(_cell_scores(vec_col, cents, round_digits)).alias("cell"),
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     queries: DataFrame,
@@ -458,6 +482,7 @@ def ivf_topk(
     vec_col: str = EMB,
     round_digits: int = 4,
     centroids: list[tuple[int, list[float]]] | None = None,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN top-k: probe the ``nprobe`` nearest cells.
 
@@ -477,11 +502,19 @@ def ivf_topk(
         centroids = _lowest_id_centroids(df, nlist, id_col, vec_col)
     cents = _centroid_literals(centroids)
 
-    c = df.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        norm(F.col(vec_col)).alias("c_norm"),
-        _argmax_cell(_cell_scores(vec_col, cents, round_digits)).alias("cell"),
+    # ``assigned``: a pre-staged ivf_assign(df, centroids) frame —
+    # rung-invariant, so sweeps checkpoint it once instead of
+    # re-projecting the corpus per nprobe value
+    c = (
+        assigned
+        if assigned is not None
+        else ivf_assign(
+            df,
+            centroids,
+            id_col=id_col,
+            vec_col=vec_col,
+            round_digits=round_digits,
+        )
     )
     # top-nprobe cells per query: desc sort of (cos, −cid) == cos desc,
     # cid asc on ties (integer negation — no IEEE −0.0 pitfalls)

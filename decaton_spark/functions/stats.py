@@ -596,6 +596,11 @@ def theilsen_trend(
     """
     from pyspark.sql import Window
 
+    # the bucketed series feeds THREE consumers (both self-join sides
+    # and the n_points count) — stage it once so the upstream
+    # aggregation isn't re-run per consumer (it is bounded by
+    # construction: buckets, not rows)
+    df = df.localCheckpoint(eager=False)
     a = df.select(
         *group_cols, F.col(x_col).alias("x1"), F.col(y_col).alias("y1")
     )

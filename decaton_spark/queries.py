@@ -1321,8 +1321,22 @@ def events_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = ev.filter(F.col("event_id") % 2 == 0).select("k")
     b = ev.filter(F.col("event_id") % 2 == 1).select("k")
-    sa = sk.cm_sketch_table(a, "k")
-    sb = sk.cm_sketch_table(b, "k")
+    # ONE scan+aggregate per stream: the per-key count tables feed BOTH
+    # the exact join size and the sketches (a CM sketch over partial
+    # counts is bit-identical to one over the raw rows — buckets just
+    # add), so the raw log is never re-scanned per consumer
+    ca = (
+        a.groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    cb = (
+        b.groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    sa = sk.cm_sketch_table(ca, "k", weight_col="c")
+    sb = sk.cm_sketch_table(cb, "k", weight_col="c")
     ip = (
         sa.alias("a")
         .join(F.broadcast(sb.alias("b")), ["depth", "bucket"])
@@ -1330,8 +1344,6 @@ def events_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("a.cnt") * F.col("b.cnt")).cast("long").alias("est"))
     )
     cmest = ip.agg(F.min("est").cast("long").alias("cm_estimate"))
-    ca = a.groupBy("k").agg(F.count(F.lit(1)).cast("long").alias("c"))
-    cb = b.groupBy("k").agg(F.count(F.lit(1)).cast("long").alias("c"))
     exact = (
         ca.alias("x")
         .join(cb.alias("y"), "k")
@@ -1759,16 +1771,16 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(F.explode(toks).alias("term"))
         .groupBy("term")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
-    )
+    ).localCheckpoint(eager=False)  # 3 consumers: two broadcasts + total
     tot = uni.agg(F.sum(F.col("c").cast("decimal(28,0)")).cast("double").alias("tt"))
+    # bigrams via arrays_zip over offset slices (see word_shingles:
+    # the transform(sequence, element_at) form runs interpreted and
+    # measured 7.6× slower for bit-identical output)
     bigr = F.when(
         n >= 2,
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.struct(
-                F.element_at(toks, i).alias("prev"),
-                F.element_at(toks, i + 1).alias("cur"),
-            ),
+        F.arrays_zip(
+            F.slice(toks, 1, n - 1).alias("prev"),
+            F.slice(toks, 2, n - 1).alias("cur"),
         ),
     ).otherwise(F.array().cast("array<struct<prev:string,cur:string>>"))
     bi = (
@@ -11765,11 +11777,15 @@ def ann_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
         .localCheckpoint(eager=False)  # shared baseline across rungs
     )
+    # cell assignment is rung-invariant — project the corpus once and
+    # stage it; each rung then only does its probe join + top-k
+    assigned = sim.ivf_assign(emb, cents).localCheckpoint(eager=False)
     ids = q.select(F.col("vec_id").alias("query_id")).distinct()
     out = None
     for np_ in (1, 2, 4):
         top5 = sim.ivf_topk(
-            emb, q, k=5, nlist=16, nprobe=np_, centroids=cents
+            emb, q, k=5, nlist=16, nprobe=np_, centroids=cents,
+            assigned=assigned,
         ).select("query_id", "neighbor_id")
         hits = (
             top5.join(ex5, ["query_id", "neighbor_id"])
