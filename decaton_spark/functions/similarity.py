@@ -471,6 +471,52 @@ def ivf_assign(
     )
 
 
+def ivf_probe_ranked(
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    *,
+    nprobe: int,
+    id_col: str = "vec_id",
+    vec_col: str = EMB,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Query tower of the IVF probe join with the probe ORDER explicit:
+    (query_id, q_vec, q_norm, proberank, cell), proberank 1 = nearest
+    cell (desc cosine, cell id asc on ties — the ivf_topk order).
+    ``ivf_topk`` drops the rank (its caller fixed one nprobe); the
+    nprobe SWEEP keeps it so every operating point filters
+    ``proberank <= rung`` out of ONE scored candidate frame instead of
+    re-running the probe join per rung."""
+    cents = _centroid_literals(centroids)
+    # desc sort of (cos, −cid) == cos desc, cid asc on ties (integer
+    # negation — no IEEE −0.0 pitfalls)
+    ranked = F.slice(
+        F.sort_array(
+            F.transform(
+                _cell_scores(vec_col, cents, round_digits),
+                lambda s: F.struct(
+                    s["cos"].alias("cos"), (-s["cid"]).alias("negcid")
+                ),
+            ),
+            asc=False,
+        ),
+        1,
+        nprobe,
+    )
+    return queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_norm"),
+        F.posexplode(ranked).alias("_pos", "_s"),
+    ).select(
+        "query_id",
+        "q_vec",
+        "q_norm",
+        (F.col("_pos") + 1).cast("int").alias("proberank"),
+        (-F.col("_s.negcid")).alias("cell"),
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     queries: DataFrame,
@@ -516,30 +562,14 @@ def ivf_topk(
             round_digits=round_digits,
         )
     )
-    # top-nprobe cells per query: desc sort of (cos, −cid) == cos desc,
-    # cid asc on ties (integer negation — no IEEE −0.0 pitfalls)
-    probe_cells = F.transform(
-        F.slice(
-            F.sort_array(
-                F.transform(
-                    _cell_scores(vec_col, cents, round_digits),
-                    lambda s: F.struct(
-                        s["cos"].alias("cos"), (-s["cid"]).alias("negcid")
-                    ),
-                ),
-                asc=False,
-            ),
-            1,
-            nprobe,
-        ),
-        lambda s: -s["negcid"],
-    )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        norm(F.col(vec_col)).alias("q_norm"),
-        F.explode(probe_cells).alias("cell"),
-    )
+    q = ivf_probe_ranked(
+        queries,
+        centroids,
+        nprobe=nprobe,
+        id_col=id_col,
+        vec_col=vec_col,
+        round_digits=round_digits,
+    ).drop("proberank")
     pairs = c.join(F.broadcast(q), "cell").filter(
         F.col("neighbor_id") != F.col("query_id")
     )

@@ -11762,11 +11762,17 @@ def ann_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``emb_sq_recall`` (quantization rung) and ``emb_ivf_cell_stats``
     (occupancy skew).
 
-    100 TB shape: each rung is the production probe join (broadcast
-    queries, cell-bucketed corpus); recall joins are |queries|·k-row
-    frames. The exact baseline is the one corpus-wide scan — shared
-    across rungs, amortized (at deployment scale the baseline comes
-    from a labeled eval slice, not the full corpus)."""
+    100 TB shape: ONE probe join scores every rung — the query tower
+    keeps the probe RANK of each cell (``ivf_probe_ranked``), each
+    candidate is scored once at the widest rung, and rung nprobe is
+    the ``proberank <= nprobe`` filter of that shared frame (a cell
+    probed at rank r is probed by every rung >= r, so the filtered
+    top-k is bit-identical to running the probe join per rung — the
+    pre-fusion form, measured 2× slower at sf0.1). Recall joins are
+    |queries|·k-row frames. The exact baseline is the one corpus-wide
+    scan (at deployment scale the baseline comes from a labeled eval
+    slice, not the full corpus)."""
+    rungs = (1, 2, 4)
     emb = load_table(spark, "embeddings", sf_dir)
     q = emb.filter(F.col("vec_id") < 8)
     cents = sim.trained_centroids(
@@ -11777,31 +11783,53 @@ def ann_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
         .localCheckpoint(eager=False)  # shared baseline across rungs
     )
-    # cell assignment is rung-invariant — project the corpus once and
-    # stage it; each rung then only does its probe join + top-k
-    assigned = sim.ivf_assign(emb, cents).localCheckpoint(eager=False)
-    ids = q.select(F.col("vec_id").alias("query_id")).distinct()
-    out = None
-    for np_ in (1, 2, 4):
-        top5 = sim.ivf_topk(
-            emb, q, k=5, nlist=16, nprobe=np_, centroids=cents,
-            assigned=assigned,
-        ).select("query_id", "neighbor_id")
-        hits = (
-            top5.join(ex5, ["query_id", "neighbor_id"])
-            .groupBy("query_id")
-            .agg(F.count(F.lit(1)).cast("long").alias("h"))
-        )
-        rung = ids.join(hits, "query_id", "left").select(
-            F.lit(np_).cast("long").alias("nprobe"),
-            "query_id",
-            F.coalesce(F.col("h"), F.lit(0)).cast("long").alias("ivf_hits"),
-            (F.coalesce(F.col("h"), F.lit(0)) * 20)
-            .cast("long")
-            .alias("recall_pct"),
-        )
-        out = rung if out is None else out.unionByName(rung)
-    return out
+    # the corpus side (cell assignment) and the candidate scoring are
+    # rung-invariant — compute both ONCE at the widest rung
+    assigned = sim.ivf_assign(emb, cents)
+    qp = sim.ivf_probe_ranked(q, cents, nprobe=max(rungs))
+    pairs = assigned.join(F.broadcast(qp), "cell").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    cos = F.round(
+        sim.dot(F.col("q_vec"), F.col("c_vec"))
+        / (F.col("q_norm") * F.col("c_norm")),
+        4,
+    ) + F.lit(0.0)
+    scored = pairs.select(
+        "query_id", "neighbor_id", "proberank", cos.alias("cosine")
+    )
+    # rung explode: candidate (q, n) probed at rank r belongs to every
+    # rung >= r — bounded by Σ_rung |candidates(rung)|, exactly the
+    # rows the per-rung plans would score
+    cand = scored.select(
+        "*",
+        F.explode(F.array(*[F.lit(r) for r in rungs])).alias("nprobe"),
+    ).filter(F.col("proberank") <= F.col("nprobe"))
+    w = Window.partitionBy("nprobe", "query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    top5 = (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("nprobe", "query_id", "neighbor_id")
+    )
+    hits = (
+        top5.join(ex5, ["query_id", "neighbor_id"])
+        .groupBy("nprobe", "query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("h"))
+    )
+    grid = q.select(F.col("vec_id").alias("query_id")).distinct().select(
+        "query_id",
+        F.explode(F.array(*[F.lit(r) for r in rungs])).alias("nprobe"),
+    )
+    return grid.join(hits, ["nprobe", "query_id"], "left").select(
+        F.col("nprobe").cast("long").alias("nprobe"),
+        "query_id",
+        F.coalesce(F.col("h"), F.lit(0)).cast("long").alias("ivf_hits"),
+        (F.coalesce(F.col("h"), F.lit(0)) * 20)
+        .cast("long")
+        .alias("recall_pct"),
+    )
 
 
 def _lsh_banding_sweep_oracle(rungs: tuple[int, ...] = (1, 2, 4)) -> str:
