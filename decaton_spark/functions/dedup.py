@@ -71,7 +71,14 @@ def word_shingles(text_col: str = "text", k: int = 3) -> Column:
     joined = slices[-1]
     for s in reversed(slices[:-1]):
         joined = F.zip_with(s, joined, lambda x, y: F.concat_ws("\x1f", x, y))
-    return F.array_distinct(joined)
+    # NULL text: the slice form's greatest() skips the NULL size and
+    # emits ONE NULL shingle ([NULL]); the fold's slices are NULL and
+    # would collapse the whole array to NULL — pin the historical
+    # [NULL] so NULL-doc semantics are identical on both k paths
+    # (and to every certified consumer built on the slice form)
+    return F.when(
+        n.isNull(), F.array(F.lit(None).cast("string"))
+    ).otherwise(F.array_distinct(joined))
 
 
 def minhash_signature(hashes_col: str, bands: int = 4) -> list[Column]:
