@@ -9507,6 +9507,9 @@ def corpus_release_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("long").alias(alias))
         )
 
+    # vocabulary-sized; staged because BOTH the totals row and the JSD
+    # sum read it — unstaged, the double term-count join (two corpus
+    # explodes per evaluation) would run twice
     t = (
         term_counts(old, "co")
         .join(term_counts(new, "cn"), "term", "full_outer")
@@ -9514,7 +9517,7 @@ def corpus_release_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("co", F.lit(0)).alias("co"),
             F.coalesce("cn", F.lit(0)).alias("cn"),
         )
-    )
+    ).localCheckpoint(eager=False)
     tot = t.agg(
         F.sum("co").cast("double").alias("to_"),
         F.sum("cn").cast("double").alias("tn_"),
@@ -14053,6 +14056,14 @@ _DRIVER_TIER = [
     # rewrites (PCA Gram, 64-bit SimHash, exact_global_ntile consumers),
     # the r4 ADVICE-fix consumers, the feature-store/AB-stats/retrieval
     # /dedup-completion/quantization/corpus/product-analytics bands.
+    # ROUND-6 CERTIFICATION (builder, this round): tier 50/50 MATCH at
+    # sf0.01 re-run after EVERY performance rewrite (n-gram zip_with
+    # forms, IVF sweep fusion, rung-invariant staging); FULL-REGISTRY
+    # drive_harness --all = 240/240 MATCH at sf0.01 after all changes;
+    # full window audit green at 240 (incl. checkpointed stage plans);
+    # n-gram rewrite equivalence pinned on adversarial inputs
+    # (tests/test_ngram_constructions.py — caught and fixed a NULL-text
+    # shingle divergence before it could ship).
     # ROUND-5 CERTIFICATION: tier 50/50 MATCH at sf0.01; FULL-REGISTRY
     # drive_harness --all = 240/240 MATCH at sf0.01 after every change
     # AND 240/240 at sf0.1; partition-invariance sweep 240/240; full
