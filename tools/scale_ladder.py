@@ -79,6 +79,20 @@ USER_FAMILY = [
     "events_last_touch_attribution",
     "events_linear_attribution",
     "orders_duplicate_payments",
+    # round-6 additions: the per-user SESSION/state queries from the
+    # round-6 tier — their per-user windows (gap islands, lag chains,
+    # basket pairs, per-user vectors/sketches) grow with BOTH events
+    # per user and |users|, which only this fixture exercises; all
+    # read events + dims only, the tables the u10 fixture builds
+    "events_trajectories",
+    "events_trajectory_dedup",
+    "events_assoc_pairs",
+    "events_markov_stationary",
+    "users_behavior_similarity",
+    "events_covisitation_recs",
+    "events_covisitation_eval",
+    "events_dau_mau_stickiness",
+    "events_kmv_user_overlap",
 ]
 HEAVY = [
     "corpus_merge_neardup",
