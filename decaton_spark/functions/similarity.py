@@ -528,7 +528,6 @@ def ivf_topk(
     vec_col: str = EMB,
     round_digits: int = 4,
     centroids: list[tuple[int, list[float]]] | None = None,
-    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN top-k: probe the ``nprobe`` nearest cells.
 
@@ -548,19 +547,15 @@ def ivf_topk(
         centroids = _lowest_id_centroids(df, nlist, id_col, vec_col)
     cents = _centroid_literals(centroids)
 
-    # ``assigned``: a pre-staged ivf_assign(df, centroids) frame —
-    # rung-invariant, so sweeps checkpoint it once instead of
-    # re-projecting the corpus per nprobe value
-    c = (
-        assigned
-        if assigned is not None
-        else ivf_assign(
-            df,
-            centroids,
-            id_col=id_col,
-            vec_col=vec_col,
-            round_digits=round_digits,
-        )
+    # multi-rung consumers (the nprobe sweep) do NOT call this per
+    # rung — they compose ivf_assign + ivf_probe_ranked directly so
+    # the corpus assignment and candidate scoring happen once
+    c = ivf_assign(
+        df,
+        centroids,
+        id_col=id_col,
+        vec_col=vec_col,
+        round_digits=round_digits,
     )
     q = ivf_probe_ranked(
         queries,

@@ -502,6 +502,30 @@ def length_bucket_stats(
     )
 
 
+def bigram_pairs(text_col: str = "text") -> Column:
+    """Adjacent-token (prev, cur) struct pairs of a whitespace-
+    tokenized document — the shared bigram constructor for LM scoring
+    and collocation mining.
+
+    Built as ``arrays_zip`` over two offset slices: the codegen-
+    friendly form, 7.6× faster than ``transform(sequence(1, n-1),
+    i -> struct(element_at(toks, i), element_at(toks, i+1)))`` (the
+    per-element lambda runs interpreted) for bit-identical output —
+    the equivalence is pinned on adversarial inputs by
+    ``tests/test_ngram_constructions.py`` against this very function.
+    NULL text and <2-token docs yield the empty array, exactly as the
+    old guarded form did."""
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    return F.when(
+        n >= 2,
+        F.arrays_zip(
+            F.slice(toks, 1, n - 1).alias("prev"),
+            F.slice(toks, 2, n - 1).alias("cur"),
+        ),
+    ).otherwise(F.array().cast("array<struct<prev:string,cur:string>>"))
+
+
 def lm_score_bigram(
     df: DataFrame,
     *,
@@ -533,17 +557,7 @@ def lm_score_bigram(
     first = df.select(
         F.col(id_col).alias("doc_id"), F.element_at(toks, 1).alias("cur")
     )
-    # (prev, cur) pairs via arrays_zip over two offset slices — the
-    # codegen-friendly bigram construction (7.6× faster than the old
-    # transform(sequence, i -> struct(element_at, element_at)) form,
-    # bit-identical output; see word_shingles for the same rewrite)
-    bigr = F.when(
-        n >= 2,
-        F.arrays_zip(
-            F.slice(toks, 1, n - 1).alias("prev"),
-            F.slice(toks, 2, n - 1).alias("cur"),
-        ),
-    ).otherwise(F.array().cast("array<struct<prev:string,cur:string>>"))
+    bigr = bigram_pairs(text_col)
     lb = df.select(
         F.col(id_col).alias("doc_id"), F.explode(bigr).alias("b")
     ).select("doc_id", F.col("b.prev").alias("prev"), F.col("b.cur").alias("cur"))

@@ -1766,23 +1766,15 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle's row_number form exactly)."""
     docs = load_table(spark, "documents", sf_dir)
     toks = F.split(F.col("text"), " ")
-    n = F.size(toks)
     uni = (
         docs.select(F.explode(toks).alias("term"))
         .groupBy("term")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     ).localCheckpoint(eager=False)  # 3 consumers: two broadcasts + total
     tot = uni.agg(F.sum(F.col("c").cast("decimal(28,0)")).cast("double").alias("tt"))
-    # bigrams via arrays_zip over offset slices (see word_shingles:
-    # the transform(sequence, element_at) form runs interpreted and
-    # measured 7.6× slower for bit-identical output)
-    bigr = F.when(
-        n >= 2,
-        F.arrays_zip(
-            F.slice(toks, 1, n - 1).alias("prev"),
-            F.slice(toks, 2, n - 1).alias("cur"),
-        ),
-    ).otherwise(F.array().cast("array<struct<prev:string,cur:string>>"))
+    # shared bigram constructor (arrays_zip over offset slices — see
+    # tx.bigram_pairs for the rewrite rationale and equivalence pin)
+    bigr = tx.bigram_pairs("text")
     bi = (
         docs.select(F.explode(bigr).alias("bg"))
         .select(F.col("bg.prev").alias("a"), F.col("bg.cur").alias("b"))
@@ -4981,13 +4973,20 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.lsh_topk(emb, q, k=5)
 
 
+#: corpus-size probe results for the bitext LSH bucket-bit derivation,
+#: keyed by dataset path — one count job per corpus per process (the
+#: trained_centroids pattern: index parameters are offline artifacts,
+#: not per-plan work)
+_BITEXT_COUNT_CACHE: dict[str, int] = {}
+
 
 @register(
     "emb_bitext_margin_lsh",
     f"""
     WITH bl_bits AS (
         SELECT LEAST(16, GREATEST(2,
-                   CAST(ceil(log2(count(*) / 256.0)) AS INT))) AS bits
+                   CAST(ceil(log2(GREATEST(count(*), 1) / 256.0)) AS INT)))
+               AS bits
         FROM embeddings),
     bl_q AS (SELECT vec_id AS sid, embedding AS qv,
                     CAST(list_sum(list_transform(range(bits),
@@ -5050,8 +5049,17 @@ def emb_bitext_margin_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
     emb = load_table(spark, "embeddings", sf_dir)
-    n = emb.count()  # corpus-size probe (one job, plan-build time)
-    bits = min(16, max(2, math.ceil(math.log2(n / 256.0))))
+    # corpus-size probe: ONE count job per dataset, cached like the
+    # centroid store (plan-only passes — window audit, invariance
+    # sweeps — would otherwise pay a table scan per plan build);
+    # max(n, 1) guards the empty corpus (log2 domain error — mirrored
+    # in the oracle via GREATEST(count(*), 1))
+    key = f"{sf_dir}/embeddings"
+    n = _BITEXT_COUNT_CACHE.get(key)
+    if n is None:
+        n = emb.count()
+        _BITEXT_COUNT_CACHE[key] = n
+    bits = min(16, max(2, math.ceil(math.log2(max(n, 1) / 256.0))))
     src = emb.filter(F.col("label") % 2 == 0)
     tgt = emb.filter(F.col("label") % 2 == 1)
     return sim.margin_mining(

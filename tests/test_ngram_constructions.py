@@ -89,16 +89,9 @@ def _new_bigram_strings(text_col: str):
     ).otherwise(F.array().cast("array<string>"))
 
 
-def _new_bigram_structs(text_col: str):
-    toks = F.split(F.col(text_col), " ")
-    n = F.size(toks)
-    return F.when(
-        n >= 2,
-        F.arrays_zip(
-            F.slice(toks, 1, n - 1).alias("prev"),
-            F.slice(toks, 2, n - 1).alias("cur"),
-        ),
-    ).otherwise(F.array().cast("array<struct<prev:string,cur:string>>"))
+# the struct-pair form is the PRODUCTION helper itself (text.py
+# bigram_pairs, consumed by lm_score_bigram and text_collocations_pmi)
+# — testing a local copy would let the real expression drift unpinned
 
 
 @pytest.fixture(scope="module")
@@ -128,14 +121,21 @@ def test_word_shingles_matches_old_form(edge_docs, k):
 
 
 def test_bigram_strings_match_old_form(edge_docs):
+    # construction identity on plain-split arrays; the PRODUCTION
+    # string-bigram (repetition_stats, which tokenizes via
+    # quality._toks — trim + whitespace-run + empty-filter) is pinned
+    # behaviorally by test_repetition_stats_edge_rows below, whose
+    # rows include the whitespace-run shapes _toks normalizes
     _assert_identical(
         edge_docs, _old_bigram_strings("text"), _new_bigram_strings("text")
     )
 
 
 def test_bigram_structs_match_old_form(edge_docs):
+    from decaton_spark.functions.text import bigram_pairs
+
     _assert_identical(
-        edge_docs, _old_bigram_structs("text"), _new_bigram_structs("text")
+        edge_docs, _old_bigram_structs("text"), bigram_pairs("text")
     )
 
 

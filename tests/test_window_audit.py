@@ -31,8 +31,13 @@ audits the PRE-truncation plan of every checkpointed frame, so a
 global window cannot hide above a checkpoint anywhere in the registry
 — including helpers added later, with no registration step. The
 query's count is the SUM over all its checkpointed-stage plans plus
-the final plan; truncation means an upstream window appears in exactly
-one of those plans, so nothing double-counts.
+the final plan. A window BEHIND a checkpoint appears in exactly one
+plan (truncation), but an UN-checkpointed ancestor shared by two
+separately-checkpointed frames would print in both stage plans and
+count twice — an over-count, i.e. a false FAILURE naming the query,
+never a silent pass; no registry query has that shape today (the
+audit is green at 240), and a hit is fixed by staging the shared
+ancestor once, which is the better plan anyway.
 """
 
 from __future__ import annotations

@@ -68,16 +68,25 @@ def per_user_frame(spark, n_users: int):
 
 def balance(df) -> dict:
     """Rows per physical partition after the operator's range exchange
-    (re-derived exactly as the operator builds it)."""
-    counts = [
-        r["c"]
-        for r in df.groupBy(F.spark_partition_id().alias("p"))
-        .agg(F.count(F.lit(1)).alias("c"))
-        .collect()
-    ]
+    (re-derived exactly as the operator builds it).
+
+    Counted per-partition in ONE mapPartitions job so EMPTY partitions
+    are included: a groupBy(spark_partition_id) emits no row for an
+    empty partition, and a mean over only the non-empty ones would
+    understate exactly the skew this tool exists to measure (a range
+    exchange that parks everything in a few partitions and leaves the
+    rest empty would otherwise read as 'balanced'). A separate
+    getNumPartitions() probe is NOT used — under AQE the .rdd plan and
+    a second aggregation job can pick different coalesced partition
+    counts, so the rows and the denominator must come from the same
+    execution."""
+    counts = df.rdd.mapPartitions(
+        lambda it: [sum(1 for _ in it)]
+    ).collect()
     mean = sum(counts) / len(counts)
     return {
         "partitions": len(counts),
+        "empty_partitions": sum(1 for c in counts if c == 0),
         "max_rows": max(counts),
         "mean_rows": int(mean),
         "max_over_mean": round(max(counts) / mean, 2),
