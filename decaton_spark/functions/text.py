@@ -553,7 +553,6 @@ def lm_score_bigram(
     Returns (doc_id, n_tokens, avg_logprob).
     """
     toks = F.split(F.col(text_col), " ")
-    n = F.size(toks)
     first = df.select(
         F.col(id_col).alias("doc_id"), F.element_at(toks, 1).alias("cur")
     )
