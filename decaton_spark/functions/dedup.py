@@ -58,10 +58,13 @@ def word_shingles(text_col: str = "text", k: int = 3) -> Column:
     re-copies the growing suffix), so it loses to the slice form past
     k≈12 — measured 0.15/0.30/0.69/1.24 s for k=1/2/5/10 vs a flat
     ~1.3–1.7 s for the slice form, crossing at k=13 (1.76 vs 1.56 s).
-    Large k keeps the one-slice-per-position form."""
+    The cutoff sits at the measured crossover: k ≤ 12 folds, k ≥ 13
+    keeps the one-slice-per-position form. Both paths are pinned
+    bit-identical (incl. NULL/empty/short docs) in
+    tests/test_ngram_constructions.py."""
     toks = F.split(F.col(text_col), " ")
     n = F.size(toks)
-    if k > 10:
+    if k > 12:
         idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
         return F.array_distinct(
             F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, k), "\x1f"))

@@ -28,8 +28,10 @@ from pyspark.sql import functions as F
 
 EMB = "embedding"
 
-#: process-level + on-disk centroid store (see ``trained_centroids``)
-_CENTROID_CACHE: dict[tuple[str, int, int], list[tuple[int, list[float]]]] = {}
+#: process-level + on-disk centroid store (see ``trained_centroids``);
+#: keys include the dataset's snapshot fingerprint so in-place fixture
+#: regeneration invalidates instead of serving stale parameters
+_CENTROID_CACHE: dict[tuple, list] = {}
 _CENTROID_DIR = os.environ.get(
     "DECATON_SPARK_CENTROID_DIR",
     os.path.join(tempfile.gettempdir(), "decaton_spark_centroids"),
@@ -423,10 +425,23 @@ def trained_centroids(
     registered oracle queries leave it ``None`` because their DuckDB
     oracle replays training over the full table.
     """
-    key = (dataset, nlist, iters)
+    # Key the store on a snapshot fingerprint of the dataset path (file
+    # size + mtime digest), not the path alone: a fixture regenerated
+    # in place at the same path invalidates both the in-process cache
+    # and the on-disk artifact instead of silently serving centroids
+    # trained on the old contents (ADVICE r6 — same staleness hole as
+    # _BITEXT_COUNT_CACHE). ``dataset`` is a path prefix by convention
+    # (f"{sf_dir}/embeddings"); the parquet fixture lives at
+    # ``{dataset}.parquet``.
+    from decaton_spark.sources import fixture_fingerprint
+
+    fp = fixture_fingerprint(dataset)
+    if fp == "absent":
+        fp = fixture_fingerprint(f"{dataset}.parquet")
+    key = (dataset, fp, nlist, iters)
     if key in _CENTROID_CACHE:
         return _CENTROID_CACHE[key]
-    tag = hashlib.md5(dataset.encode()).hexdigest()[:16]
+    tag = hashlib.md5(f"{dataset}\x00{fp}".encode()).hexdigest()[:16]
     path = os.path.join(_CENTROID_DIR, f"{tag}_n{nlist}_i{iters}.json")
     if os.path.exists(path):
         with open(path) as f:
@@ -953,10 +968,17 @@ def train_pq_codebooks(
     the index path for real clustered embeddings."""
     import numpy as np
 
-    key = ("pq", dataset, m, ksub, iters)
+    # snapshot-fingerprinted like trained_centroids (ADVICE r6): an
+    # in-place fixture regeneration invalidates both cache layers
+    from decaton_spark.sources import fixture_fingerprint
+
+    fp = fixture_fingerprint(dataset)
+    if fp == "absent":
+        fp = fixture_fingerprint(f"{dataset}.parquet")
+    key = ("pq", dataset, fp, m, ksub, iters)
     if key in _CENTROID_CACHE:
         return _CENTROID_CACHE[key]
-    tag = hashlib.md5(f"pq|{dataset}".encode()).hexdigest()[:16]
+    tag = hashlib.md5(f"pq|{dataset}\x00{fp}".encode()).hexdigest()[:16]
     path = os.path.join(_CENTROID_DIR, f"{tag}_pq_m{m}_k{ksub}_i{iters}.json")
     if os.path.exists(path):
         with open(path) as f:

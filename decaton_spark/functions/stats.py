@@ -579,6 +579,7 @@ def theilsen_trend(
     group_cols: list[str],
     x_col: str = "x",
     y_col: str = "y",
+    stage: bool = True,
 ) -> DataFrame:
     """Per-group Theil–Sen trend estimate: the median of all pairwise
     slopes — the robust regression line (up to ~29% outliers cannot
@@ -593,6 +594,17 @@ def theilsen_trend(
     oracle-replayable.
 
     Returns (group…, n_points, n_pairs, median_slope).
+
+    Contract: ``df`` must be the BOUNDED bucketed series (buckets per
+    group, not raw rows) — the default ``stage=True`` materializes it
+    executor-local via ``localCheckpoint``, which assumes it fits
+    comfortably (it does whenever the buckets² pair bound that makes
+    this operator viable holds). ``stage=False`` opts out of the
+    lineage truncation for plan-only composition or callers that
+    manage their own staging; unlike the rank helpers'
+    pytest-gated knob (``_require_pytest_for_unstaged``), skipping the
+    stage here is correctness-neutral — the series is a deterministic
+    aggregation, so the three consumers merely recompute it.
     """
     from pyspark.sql import Window
 
@@ -600,7 +612,8 @@ def theilsen_trend(
     # and the n_points count) — stage it once so the upstream
     # aggregation isn't re-run per consumer (it is bounded by
     # construction: buckets, not rows)
-    df = df.localCheckpoint(eager=False)
+    if stage:
+        df = df.localCheckpoint(eager=False)
     a = df.select(
         *group_cols, F.col(x_col).alias("x1"), F.col(y_col).alias("y1")
     )

@@ -44,6 +44,7 @@ from decaton_spark.operators import (
     split_due,
 )
 from decaton_spark.sources import load_table
+from decaton_spark.sources import fixture_fingerprint as sources_fixture_fingerprint
 
 HOUR_MS = 3_600_000
 DAY_MS = 86_400_000
@@ -4974,10 +4975,26 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: corpus-size probe results for the bitext LSH bucket-bit derivation,
-#: keyed by dataset path — one count job per corpus per process (the
-#: trained_centroids pattern: index parameters are offline artifacts,
-#: not per-plan work)
-_BITEXT_COUNT_CACHE: dict[str, int] = {}
+#: keyed by (dataset path, fixture fingerprint) — one count job per
+#: corpus SNAPSHOT per process (the trained_centroids pattern: index
+#: parameters are offline artifacts, not per-plan work). The
+#: fingerprint (file size + mtime digest) invalidates the cache when a
+#: dataset is regenerated in place at the same path, so the LSH bucket
+#: bits can never go stale while the oracle's live count(*) moves
+#: (ADVICE r6).
+_BITEXT_COUNT_CACHE: dict[tuple[str, str], int] = {}
+
+
+def _bitext_corpus_count(spark: SparkSession, sf_dir: str) -> int:
+    """Cached one-job corpus-size probe for the bitext LSH (see
+    _BITEXT_COUNT_CACHE)."""
+    path = f"{sf_dir}/embeddings.parquet"
+    key = (path, sources_fixture_fingerprint(path))
+    n = _BITEXT_COUNT_CACHE.get(key)
+    if n is None:
+        n = load_table(spark, "embeddings", sf_dir).count()
+        _BITEXT_COUNT_CACHE[key] = n
+    return n
 
 
 @register(
@@ -5049,16 +5066,12 @@ def emb_bitext_margin_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
     emb = load_table(spark, "embeddings", sf_dir)
-    # corpus-size probe: ONE count job per dataset, cached like the
-    # centroid store (plan-only passes — window audit, invariance
-    # sweeps — would otherwise pay a table scan per plan build);
-    # max(n, 1) guards the empty corpus (log2 domain error — mirrored
-    # in the oracle via GREATEST(count(*), 1))
-    key = f"{sf_dir}/embeddings"
-    n = _BITEXT_COUNT_CACHE.get(key)
-    if n is None:
-        n = emb.count()
-        _BITEXT_COUNT_CACHE[key] = n
+    # corpus-size probe: ONE count job per dataset snapshot, cached
+    # like the centroid store (plan-only passes — window audit,
+    # invariance sweeps — would otherwise pay a table scan per plan
+    # build); max(n, 1) guards the empty corpus (log2 domain error —
+    # mirrored in the oracle via GREATEST(count(*), 1))
+    n = _bitext_corpus_count(spark, sf_dir)
     bits = min(16, max(2, math.ceil(math.log2(max(n, 1) / 256.0))))
     src = emb.filter(F.col("label") % 2 == 0)
     tgt = emb.filter(F.col("label") % 2 == 1)
@@ -13964,119 +13977,91 @@ def events_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      dedup_near_full CC hardening, ann_brute_force_topk shares
 #      similarity.py), then one representative per operator family.
 _DRIVER_TIER = [
-    # ================= ROUND 6 TIER =================
-    # VERDICT r5 #1: finish the evidence queue — zero never-verified by
-    # round 6. 45 slots = every query with NO driver row in any round
-    # (the round-4 registration tail), leading with emb_bitext_margin_lsh
-    # (VERDICT r5 "What's wrong" #3: the production bitext shape had no
-    # driver row while its quadratic oracle-replayable sibling did).
-    # +1 slot = dedup_simhash (implementation changed in r5 — 64-bit
-    # two-word signature — while its newest driver row was r2-era).
-    # +4 slots = the oldest r2-row holders in r2 file order
-    # (q2/q4/q9/q10), restarting the freshness rotation.
-    # With these green the all-time driver union reaches 240/240 —
-    # every registered query has a driver row, none on a stale
-    # implementation.
+    # ================= ROUND 7 TIER =================
+    # VERDICT r6 #1: the pre-written freshness rotation — the 41
+    # queries whose newest driver row is r2-era plus the 9 oldest r3
+    # rows (r3 file order). After round 6 closed the never-verified
+    # queue (all-time union 240/240), rounds 7-8 burn the stale-row
+    # debt: this tier re-lands driver evidence on the core SURVEY §2
+    # operator band (t1-t6, t13, f1-f3, p1, s7/s8, the TPC-H shapes)
+    # for the first time since round 2, on four rounds of accumulated
+    # implementation drift.
     #
-    # Priority 0: the production-role inversion fix (VERDICT r5 nit 3).
-    # Implementation ALSO changed round 6: the round-6 ladder measured
-    # the fixed-16-bucket form at 32x wall for 10x data (a fixed bucket
-    # space is still quadratic), so bucket bits now scale with the
-    # corpus (clamp(ceil(log2(N/256)), 2, 16); oracle mirrors via
-    # scalar subquery) — the driver row lands on the NEW form:
-    "emb_bitext_margin_lsh",      # sign-LSH bucketed bitext mining
-    # Priority 1: implementation changed r5, row stale (r2):
-    "dedup_simhash",              # 64-bit signature, 16-bit bands
-    # Priority 2: the 44 remaining never-verified (alphabetical within
-    # band; bands ordered dedup/emb -> text/docs/corpus -> events ->
-    # orders/parts/tpch -> bridges):
-    "dedup_cluster_stats",
-    "dedup_lsh_banding_sweep",
-    "ann_ivf_nprobe_sweep",
-    "emb_lang_centroid_drift",
-    "emb_random_projection_recall",
-    "users_behavior_similarity",
-    "text_collocations_pmi",
-    "text_fertility_by_lang",
-    "text_keyphrases_rake",
-    "text_length_buckets",
-    "docs_lm_score_bigram",
-    "docs_mixture_by_topic",
-    "docs_rater_agreement",
-    "docs_stratified_sample",
-    "docs_topic_tag",
-    "docs_zipf_fit",
-    "corpus_dataset_card",
-    "corpus_release_audit",
-    "corpus_term_jsd",
-    "events_anomaly_mad",
-    "events_assoc_pairs",
-    "events_covisitation_eval",
-    "events_covisitation_recs",
-    "events_cusum_changepoints",
-    "events_dau_mau_stickiness",
-    "events_entropy_by_type",
-    "events_forecast_backtest",
-    "events_join_size_estimate",
-    "events_k_anonymity",
-    "events_kmv_user_overlap",
-    "events_l_diversity",
-    "events_markov_stationary",
-    "events_seasonality_hod",
-    "events_slo_burn_rate",
-    "events_theilsen_trend",
-    "events_trajectories",
-    "events_trajectory_dedup",
-    "orders_backlog_sweepline",
-    "orders_benford_audit",
-    "orders_duplicate_payments",   # x100 ladder rung lands this round too
-    "orders_gini_by_nation",
-    "parts_abc_classification",
-    "tpch_referential_audit",
-    "regex_functions_bridge",
-    # Priority 3: freshness re-verifies — the 4 oldest r2 rows (r2 file
-    # order):
-    "q2_min_acctbal_supplier",
-    "q4_priority_exists",
-    "q9_nation_year_profit",
-    "q10_returned_customers",
+    # Lead with the Decaton T-operator band — the reference's heart
+    # (CompactionProcessor.java:184-227, BatchingProcessor.java:149-163)
+    # and the oldest evidence:
+    "t1_compaction_windowed",
+    "t2_batching",
+    "t3_retry_queueing",
+    "t4_scheduled_due",
+    "t5_rate_limit",
+    "t6_per_key_quota",
+    "t13_pipeline_chain",
+    # Filter / partitioner / serde band (F1-F3, P1, S7, S8):
+    "f1_ignore_keys",
+    "f2_discard_invalid",
+    "f3_projection",
+    "p1_sub_partitioner",
+    "s7_serde_roundtrip",
+    "s8_legacy_envelope",
+    # Dedup / ANN / docs core shapes (r2 rows):
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "ann_brute_force_topk",
+    "docs_source_quality",
+    "text_suite",
+    "multimodal_binary_meta",
+    # TPC-H shapes still holding r2 rows:
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_nation_volume",
+    "q6_forecast_revenue",
+    "q7_nation_volume_pairs",
+    "q11_revenue_concentration",
+    "q12_priority_by_returnflag",
+    "q13_order_count_distribution",
+    "q14_promo_revenue",
+    "q16_supplier_variety",
+    "q17_small_qty_revenue",
+    "q18_large_volume_customers",
+    "q19_disjunctive_revenue",
+    "q20_qualified_suppliers",
+    "q22_idle_wealthy_customers",
+    # Join / window / bridge shapes (r2 rows):
+    "asof_join_enrichment",
+    "range_join_errors",
+    "grouping_sets_order_stats",
+    "pivot_event_types",
+    "scalar_functions_bridge",
+    "semi_anti_customers",
+    "topk_parts_by_revenue",
+    # The 9 oldest r3 rows (r3 file order), starting the r3 burn-down:
+    "cube_order_stats",
+    "w1_sessionize",
+    "w2_running_value",
+    "sliding_window_activity",
+    "set_ops_purchasers_no_errors",
+    "rollup_order_stats",
+    "correlated_above_avg_balance",
+    "group_topn_orders",
+    "salted_agg_events",
     #
-    # ROUND-7/8 ROTATION (freshness arithmetic, VERDICT r5 #2): after
-    # this round the newest-row histogram is r2:41 r3:49 r4:50 r5:50
-    # r6:50. Round 7 = the 41 remaining r2-row holders (ann_brute_force
-    # _topk, asof_join_enrichment, dedup_exact, dedup_minhash_lsh,
-    # docs_source_quality, f1-f3, grouping_sets, multimodal_binary_meta,
-    # p1, pivot, q1/q3/q5-q7/q11-q14/q16-q20/q22, range_join_errors,
-    # s7, s8_legacy_envelope, scalar_functions_bridge, semi_anti,
-    # t1_compaction_windowed, t2-t6, t13, text_suite, topk_parts)
-    # + the 9 oldest r3 rows. Round 8 = the remaining 40 r3 rows + the
-    # 10 oldest r4 rows. NOTE the honest bound: at 240 registered
-    # queries and a 50-slot/round budget the steady-state freshness
-    # cycle is ceil(240/50) = 5 rounds, not the 3-round bound written
-    # when the registry was 155 — after round 8 clears the r2/r3 debt,
-    # the rotation holds every query's newest row within 5 rounds
-    # (oldest-first, implementation-changed queries always jump the
-    # queue).
+    # ROUND-8 ROTATION (freshness arithmetic): after this round the
+    # newest-row histogram is r3:40 r4:50 r5:50 r6:50 r7:50. Round 8 =
+    # the remaining 40 r3-row holders + the 10 oldest r4 rows (r4 file
+    # order: hypertable_rollup consumers first). Steady state from
+    # round 9: 240 registered queries / 50 slots = a 5-round freshness
+    # cycle, oldest-first; implementation-changed queries always jump
+    # the queue.
     # ================= HISTORY (condensed) =================
-    # r1 50/50, r2 50/50, r3 50/50, r4 50/50, r5 50/50 driver rows —
-    # zero failures in five rounds. Round-5 tier (full list in git
-    # 270530f): the 95->45 zero-evidence burn-down — the three weak-plan
-    # rewrites (PCA Gram, 64-bit SimHash, exact_global_ntile consumers),
-    # the r4 ADVICE-fix consumers, the feature-store/AB-stats/retrieval
-    # /dedup-completion/quantization/corpus/product-analytics bands.
-    # ROUND-6 CERTIFICATION (builder, this round): tier 50/50 MATCH at
-    # sf0.01 re-run after EVERY performance rewrite (n-gram zip_with
-    # forms, IVF sweep fusion, rung-invariant staging); FULL-REGISTRY
-    # drive_harness --all = 240/240 MATCH at sf0.01 after all changes;
-    # full window audit green at 240 (incl. checkpointed stage plans);
-    # n-gram rewrite equivalence pinned on adversarial inputs
-    # (tests/test_ngram_constructions.py — caught and fixed a NULL-text
-    # shingle divergence before it could ship).
-    # ROUND-5 CERTIFICATION: tier 50/50 MATCH at sf0.01; FULL-REGISTRY
-    # drive_harness --all = 240/240 MATCH at sf0.01 after every change
-    # AND 240/240 at sf0.1; partition-invariance sweep 240/240; full
-    # window audit 240/240; pytest 666/666. Judge independently re-ran
-    # 240/240 sf0.01 + 10/10 sf0.1 (VERDICT r5).
+    # r1-r6: 50/50 driver rows every round, zero failures; round 6
+    # closed the never-verified queue (all-time union 240/240, newest
+    # rows r2:41 r3:49 r4:50 r5:50 r6:50). Round-6 tier list in git
+    # 6122531. Per-round certification: tier 50/50 at sf0.01 re-run
+    # after every material change; full-registry drive_harness --all
+    # 240/240; full window audit (incl. checkpointed stage plans);
+    # pytest; adversarial-equivalence pins for expression rewrites
+    # (tests/test_ngram_constructions.py).
 ]
 
 _ALL_QUERIES = dict(QUERIES)

@@ -29,6 +29,39 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def fixture_fingerprint(path: str) -> str:
+    """Snapshot fingerprint of a fixture dataset path (file or
+    directory): a stable digest of every file's (relative path, size,
+    mtime_ns). Caches that memoize per-dataset derived values (the
+    bitext corpus-size probe, the trained-centroid store) key on this
+    so an in-place regeneration of the same path — same name, new
+    contents — invalidates the cached value instead of silently
+    reusing a stale one. Missing paths fingerprint as "absent" rather
+    than raising, so plan-only callers degrade to a per-path key.
+    """
+    import hashlib
+
+    entries: list[tuple[str, int, int]] = []
+    if os.path.isfile(path):
+        st = os.stat(path)
+        entries.append(("", st.st_size, st.st_mtime_ns))
+    elif os.path.isdir(path):
+        for root, _dirs, files in os.walk(path):
+            for fname in files:
+                fp = os.path.join(root, fname)
+                st = os.stat(fp)
+                entries.append(
+                    (os.path.relpath(fp, path), st.st_size, st.st_mtime_ns)
+                )
+        entries.sort()
+    else:
+        return "absent"
+    h = hashlib.md5()
+    for rel, size, mtime in entries:
+        h.update(f"{rel}\x00{size}\x00{mtime}\x00".encode())
+    return h.hexdigest()[:16]
+
+
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")

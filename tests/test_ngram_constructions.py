@@ -9,7 +9,7 @@ row-for-row check ran once before the switch; these tests pin the
 equivalence permanently on the adversarial inputs a fixture corpus may
 not contain: NULL text, empty string, whitespace runs (empty tokens),
 single token, exactly k / k-1 / k+1 tokens, and both sides of the
-k=10/11 implementation boundary inside word_shingles.
+k=12/13 implementation boundary inside word_shingles.
 """
 
 from __future__ import annotations
@@ -111,9 +111,10 @@ def _assert_identical(df, old_col, new_col):
 
 
 # k sweep crosses every shape boundary: k=1 (degenerate), 2/3/5 (fold
-# path), 10 (last fold k), 11 and 13 (slice path incl. the production
-# 13-gram decontamination width)
-@pytest.mark.parametrize("k", [1, 2, 3, 5, 10, 11, 13])
+# path), 11/12 (last fold ks — the cutoff sits at the measured k=13
+# crossover, ADVICE r6), 13 (first slice k; the production 13-gram
+# decontamination width)
+@pytest.mark.parametrize("k", [1, 2, 3, 5, 10, 11, 12, 13])
 def test_word_shingles_matches_old_form(edge_docs, k):
     _assert_identical(
         edge_docs, _old_shingles("text", k), word_shingles("text", k)

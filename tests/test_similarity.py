@@ -94,7 +94,7 @@ def test_train_pq_codebooks_store(emb, tmp_path, monkeypatch):
     assert len(a) == 8 and len(a[0]) == 16 and len(a[0][0]) == 8
     files = list(tmp_path.iterdir())
     assert len(files) == 1
-    sim._CENTROID_CACHE.pop(("pq", "t1", 8, 16, 4))
+    sim._CENTROID_CACHE.pop(("pq", "t1", "absent", 8, 16, 4))
     b = sim.train_pq_codebooks(emb, dataset="t1", m=8, ksub=16, iters=4, sample=200)
     assert a == b
 

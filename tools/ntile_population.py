@@ -83,13 +83,15 @@ def balance(df) -> dict:
     counts = df.rdd.mapPartitions(
         lambda it: [sum(1 for _ in it)]
     ).collect()
-    mean = sum(counts) / len(counts)
+    mean = sum(counts) / len(counts) if counts else 0.0
     return {
         "partitions": len(counts),
         "empty_partitions": sum(1 for c in counts if c == 0),
-        "max_rows": max(counts),
+        "max_rows": max(counts, default=0),
         "mean_rows": int(mean),
-        "max_over_mean": round(max(counts) / mean, 2),
+        # degenerate (empty / all-empty) frames have no meaningful skew
+        # ratio — report None instead of raising (ADVICE r6)
+        "max_over_mean": round(max(counts) / mean, 2) if mean else None,
     }
 
 
