@@ -700,6 +700,14 @@ def zipf_fit(
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("ct"))
     )
+    return zipf_fit_from_counts(tf, top_k=top_k)
+
+
+def zipf_fit_from_counts(tf: DataFrame, *, top_k: int = 100) -> DataFrame:
+    """``zipf_fit``'s regression over a PRE-BUILT term-frequency table
+    (columns ``term``, ``ct``) — identical math and tie-breaking, so a
+    caller that already has the vocabulary staged (e.g. the release
+    audit's shared term table) skips the corpus re-explode."""
     top = tf.orderBy(F.col("ct").desc(), F.col("term")).limit(top_k)
     w = Window.orderBy(F.col("ct").desc(), F.col("term"))
     xy = top.withColumn("rank", F.row_number().over(w)).select(
