@@ -111,8 +111,9 @@ def main() -> None:
     # headline is the MEDIAN of SEVEN 200k-task runs; BENCH_DETAIL
     # records every run plus the full (max−min)/median spread and the
     # central (middle-5) spread. Round-over-round rule (PERFORMANCE.md):
-    # a sync-mirror move is signal only if it exceeds the SUM of the
-    # two rounds' central spreads; smaller moves are machine noise.
+    # compare MEDIANS; a median move >10% is signal (five independent
+    # sessions measured medians within 7.5%). The central spread
+    # contextualizes single runs, not the median comparison.
     # NOTE: r7 rebased the workload (100k→200k tasks), so r6→r7
     # absolute tasks/s are not comparable; r7's number is the new base.
     from decaton_spark.benchmark import latency_tasks, run_simulated_latency
@@ -258,7 +259,12 @@ def main() -> None:
         }
         if substantial_ops:
             w = max(substantial_ops.items(), key=lambda kv: kv[1]["delta_pct"])
-            worst_regression = {"op": w[0], **w[1], "baseline": baseline.get("round")}
+            # None means "no operator regressed" — don't report the
+            # least-improved op as a regression when all deltas are <= 0
+            if w[1]["delta_pct"] > 0:
+                worst_regression = {
+                    "op": w[0], **w[1], "baseline": baseline.get("round")
+                }
 
     oracle_sec = oracle_baseline(timings)
     ratios = {

@@ -4793,17 +4793,22 @@ def _pq_oracle() -> str:
     """
 
 
-_PQ_BOOK_CACHE: dict[str, list[list[list[float]]]] = {}
+_PQ_BOOK_CACHE: dict[tuple[str, str], list[list[list[float]]]] = {}
 
 
 def _pq_books(emb: DataFrame, sf_dir: str) -> list[list[list[float]]]:
-    """Seed codebooks once per dataset (a tiny 16-row collect, but no
-    reason to re-run it every query invocation)."""
-    if sf_dir not in _PQ_BOOK_CACHE:
-        _PQ_BOOK_CACHE[sf_dir] = sim.pq_seed_codebooks(
+    """Seed codebooks once per dataset SNAPSHOT (a tiny 16-row collect,
+    but no reason to re-run it every query invocation). Keyed by
+    (sf_dir, fixture fingerprint) like _BITEXT_COUNT_CACHE: the seed
+    books collect real vectors, so an in-place fixture regeneration
+    must invalidate them or the oracle (which recomputes live) would
+    spuriously mismatch."""
+    key = (sf_dir, sources_fixture_fingerprint(f"{sf_dir}/embeddings.parquet"))
+    if key not in _PQ_BOOK_CACHE:
+        _PQ_BOOK_CACHE[key] = sim.pq_seed_codebooks(
             emb, m=_PQ_M, ksub=_PQ_KSUB
         )
-    return _PQ_BOOK_CACHE[sf_dir]
+    return _PQ_BOOK_CACHE[key]
 
 
 @register("ann_pq_topk", _pq_oracle())

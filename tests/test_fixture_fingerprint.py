@@ -21,13 +21,13 @@ from decaton_spark.queries import _bitext_corpus_count
 from decaton_spark.sources import fixture_fingerprint
 
 
-def _write_embeddings(path: str, n: int) -> None:
+def _write_embeddings(path: str, n: int, scale: float = 1.0) -> None:
     tbl = pa.table(
         {
             "vec_id": pa.array(range(n), type=pa.int64()),
             "label": pa.array([i % 4 for i in range(n)], type=pa.int64()),
             "embedding": pa.array(
-                [[float(i % 7 + 1)] * 8 for i in range(n)],
+                [[float(i % 7 + 1) * scale] * 8 for i in range(n)],
                 type=pa.list_(pa.float32()),
             ),
         }
@@ -73,6 +73,22 @@ def test_bitext_count_cache_invalidates_on_swap(spark, tmp_path):
     assert _bitext_corpus_count(spark, sf_dir) == 12
     _overwrite_in_place(_write_embeddings, p, 40)
     assert _bitext_corpus_count(spark, sf_dir) == 40
+
+
+def test_pq_seed_books_invalidate_on_swap(spark, tmp_path):
+    """The PQ seed-book cache collects real vectors, so an in-place
+    fixture regeneration must serve freshly-seeded books (self-review
+    round 7: _pq_books had the same sf_dir-only key this change removed
+    from the bitext/centroid caches)."""
+    from decaton_spark.queries import _pq_books
+
+    sf_dir = str(tmp_path)
+    p = f"{sf_dir}/embeddings.parquet"
+    _write_embeddings(p, 64)
+    a = _pq_books(spark.read.parquet(p), sf_dir)
+    _overwrite_in_place(_write_embeddings, p, 64, 2.0)
+    b = _pq_books(spark.read.parquet(p), sf_dir)
+    assert a != b  # books re-seeded from the new vectors
 
 
 def test_centroid_store_invalidates_on_swap(spark, tmp_path, monkeypatch):

@@ -64,7 +64,10 @@ ALLOWED: dict[str, tuple[int, str]] = {
     "events_kmv_sample_median": (1, "k=32 sketch rows per group"),
     "events_power_user_curve": (3, "exact-ntile partition offsets (<=shuffle "
                                    "partitions rows) + 10-row decile cum"),
-    "events_rfm_segments": (2, "exact-ntile partition-offset windows"),
+    "events_rfm_segments": (6, "exact-ntile partition-offset windows "
+                               "(2 per R/F/M score; the three staged "
+                               "stage plans are audited since the "
+                               "round-7 interception fix)"),
     "events_slo_burn_rate": (1, "hourly series (calendar-bounded)"),
     "events_survival_km": (2, "distinct-duration grid (horizon-bounded)"),
     "events_theilsen_trend": (1, "median over the bounded slope grid"),
@@ -145,10 +148,30 @@ def _count_global_windows(p: str) -> int:
     return n
 
 
+def _checkpoint_patch_targets():
+    """Every DataFrame class whose ``localCheckpoint`` must be patched
+    for interception to fire. Patching only ``pyspark.sql.DataFrame``
+    is a SILENT NO-OP on Spark 4: the classic subclass
+    (``pyspark.sql.classic.dataframe.DataFrame``) overrides the method,
+    so instance calls never reach a patched parent attribute (round-7
+    self-review finding — the round-6 checkpointed-stage capture never
+    actually captured anything). Patch the parent AND, where present,
+    the classic subclass; ``test_checkpoint_interception_fires`` pins
+    that the capture is live on the running build."""
+    import pyspark.sql as psql
+
+    targets = [psql.DataFrame]
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame as ClassicDF
+
+        targets.append(ClassicDF)
+    except ImportError:  # older builds: no classic split
+        pass
+    return targets
+
+
 def _audit(spark, sf_dir, names) -> list[str]:
     from contextlib import contextmanager
-
-    from pyspark.sql import DataFrame
 
     from tests.conftest import plan_of
 
@@ -160,17 +183,25 @@ def _audit(spark, sf_dir, names) -> list[str]:
         # visible in the plan of the frame being checkpointed — capture
         # it at the moment of the cut. Planning a lazy frame here costs
         # only analysis/physical planning, never execution.
-        real = DataFrame.localCheckpoint
+        targets = _checkpoint_patch_targets()
+        reals = [(cls, cls.__dict__.get("localCheckpoint")) for cls in targets]
 
-        def audited(self, *a, **kw):
-            sink.append(plan_of(self, "simple"))
-            return real(self, *a, **kw)
+        def make_audited(cls_real):
+            def audited(self, *a, **kw):
+                sink.append(plan_of(self, "simple"))
+                return cls_real(self, *a, **kw)
 
-        DataFrame.localCheckpoint = audited
+            return audited
+
+        for cls, real in reals:
+            if real is not None:
+                cls.localCheckpoint = make_audited(real)
         try:
             yield
         finally:
-            DataFrame.localCheckpoint = real
+            for cls, real in reals:
+                if real is not None:
+                    cls.localCheckpoint = real
 
     errors = []
     for name in names:
@@ -195,6 +226,38 @@ def _audit(spark, sf_dir, names) -> list[str]:
                 errors.append(f"{name}: CartesianProduct in plan")
                 break
     return errors
+
+
+def test_checkpoint_interception_fires(spark):
+    """The stage-plan capture must actually intercept on the RUNNING
+    Spark build — patch every class in _checkpoint_patch_targets and
+    assert a real ``localCheckpoint`` call lands in the sink. Guards
+    the silent-no-op failure mode: on Spark 4 the classic DataFrame
+    subclass overrides the method, so a parent-only patch captures
+    nothing and the audit silently degrades to final-plan-only."""
+    from tests.conftest import plan_of
+
+    sink: list[str] = []
+    targets = _checkpoint_patch_targets()
+    reals = [(cls, cls.__dict__.get("localCheckpoint")) for cls in targets]
+    try:
+        for cls, real in reals:
+            if real is not None:
+                cls.localCheckpoint = (
+                    lambda self, *a, _r=real, **kw: (
+                        sink.append(plan_of(self, "simple")),
+                        _r(self, *a, **kw),
+                    )[1]
+                )
+        spark.range(3).localCheckpoint(eager=False)
+    finally:
+        for cls, real in reals:
+            if real is not None:
+                cls.localCheckpoint = real
+    assert len(sink) == 1, (
+        "localCheckpoint interception is a no-op on this build — the "
+        "window audit is not seeing checkpointed stage plans"
+    )
 
 
 def test_global_window_allowlist_fast(spark, sf_dir):
