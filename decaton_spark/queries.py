@@ -82,6 +82,14 @@ QUERIES: dict[str, QuerySpec] = {}
 
 
 def register(name: str, oracle: str | None):
+    # None is the deliberate "non-SQL-expressible, rows-only" marker;
+    # an EMPTY string is always a registration bug — __spark_entry__'s
+    # oracle_sql() filters on truthiness, so a falsy oracle would
+    # silently route the query into the weaker rows-only path while
+    # the pytest gate (which checks `is None`) would fail loudly on
+    # duck.sql("") — the two gates must never disagree (self-review r7)
+    assert oracle is None or oracle.strip(), f"{name}: empty oracle SQL"
+
     def deco(fn):
         QUERIES[name] = QuerySpec(fn, oracle)
         return fn

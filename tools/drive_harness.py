@@ -23,6 +23,15 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem","ev
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
 
 def norm(pdf):
+    # Deliberately NOT shared with tests/utils.assert_frames_match: this
+    # harness mirrors the DRIVER's check (sort columns by name, round
+    # floats, order-insensitive value hash) and has tracked the real
+    # driver 1:1 for six rounds; the pytest gate is the STRICTER local
+    # gate (isclose rel/abs 1e-9 per cell with index-aligned sorting).
+    # The two can disagree by design — a float drifting ~1e-7 passes
+    # here and fails pytest, which is the desired failure ORDER (the
+    # strict gate trips first, locally). Keep changes to this
+    # normalization in lockstep with observed driver behavior only.
     pdf = pdf[sorted(pdf.columns)].copy()
     for c in pdf.columns:
         if pdf[c].dtype == object: pdf[c] = pdf[c].astype(str)
@@ -48,6 +57,12 @@ if "--only" in sys.argv:  # fast iteration: certify a comma-separated subset
     from decaton_spark.queries import EXTRA_QUERIES
 
     wanted = sys.argv[sys.argv.index("--only") + 1].split(",")
+    # fail LOUDLY on empty/unknown names: a typo must not shrink the
+    # audited set and print a green "0/0 ok" (self-review r7; matches
+    # scale_ladder._selected)
+    unknown = [n for n in wanted if n not in qs and n not in EXTRA_QUERIES]
+    if not wanted or unknown:
+        sys.exit(f"--only: empty or unknown queries {unknown}")
     for name in wanted:
         if name not in qs and name in EXTRA_QUERIES:
             qs[name] = EXTRA_QUERIES[name].fn
@@ -59,7 +74,15 @@ for name, fn in sorted(qs.items()):
     try:
         sdf = fn(spark, SF).toPandas()
         if name not in oracles:
-            results[name] = f"rows-only: {len(sdf)} rows"
+            # rows-only is the WEAKER gate for non-SQL-expressible ops;
+            # it must still be falsifiable — an empty frame is a FAIL
+            # (self-review r7: the unconditional pass meant an
+            # oracle-less query could never fail this harness)
+            results[name] = (
+                f"rows-only: {len(sdf)} rows"
+                if len(sdf) > 0
+                else "EMPTY: rows-only query returned 0 rows"
+            )
             continue
         odf = con.sql(oracles[name]).df()
         a, b = norm(sdf), norm(odf)

@@ -191,6 +191,7 @@ def build_fixture(spark, dest: str, replicas: int) -> None:
         .drop("_r")
         .write.parquet(os.path.join(dest, "lineitem.parquet"))
     )
+    _stamp_fixture(dest, replicas)
 
 
 def build_user_fixture(spark, dest: str) -> None:
@@ -236,6 +237,42 @@ def build_user_fixture(spark, dest: str) -> None:
         .drop("_r")
         .write.parquet(os.path.join(dest, "orders.parquet"))
     )
+    _stamp_fixture(dest, "u10")
+
+
+def _fixture_meta(replicas) -> dict:
+    """Identity stamp for a built rung fixture: the inputs that make
+    the fixture what it is. Written LAST by the build (so a crash
+    mid-build leaves no stamp and the fixture reads as stale) and
+    compared on reuse — a regenerated BASE (different fingerprint),
+    changed SEED, or half-built /tmp directory can no longer be
+    silently reused, mixing data generations across ladder runs
+    (self-review r7)."""
+    from decaton_spark.sources import fixture_fingerprint
+
+    return {
+        "seed": SEED,
+        "replicas": replicas,
+        "base": BASE,
+        "base_fp": fixture_fingerprint(BASE),
+    }
+
+
+def _stamp_fixture(dest: str, replicas) -> None:
+    with open(os.path.join(dest, "_FIXTURE_META.json"), "w") as fh:
+        json.dump(_fixture_meta(replicas), fh)
+
+
+def _fixture_fresh(dest: str, replicas) -> bool:
+    meta_path = os.path.join(dest, "_FIXTURE_META.json")
+    if not os.path.exists(meta_path):
+        return False
+    try:
+        with open(meta_path) as fh:
+            got = json.load(fh)
+    except (OSError, ValueError):
+        return False
+    return got == _fixture_meta(replicas)
 
 
 def _prewarm_stores(spark, sf_dir: str) -> None:
@@ -305,7 +342,7 @@ def main() -> None:
     if "--users" in sys.argv:
         rung_keys: list[str] = ["u10"]
         rung_dirs = {"u10": U10_DIR}
-        if "--rebuild" in sys.argv or not os.path.exists(U10_DIR):
+        if "--rebuild" in sys.argv or not _fixture_fresh(U10_DIR, "u10"):
             print("building u10 fixture ...", flush=True)
             t0 = time.perf_counter()
             build_user_fixture(spark, U10_DIR)
@@ -316,7 +353,7 @@ def main() -> None:
         rung_dirs = {f"x{n}": RUNGS[n] for n in ns}
         for n in ns:
             dest = RUNGS[n]
-            if "--rebuild" in sys.argv or not os.path.exists(dest):
+            if "--rebuild" in sys.argv or not _fixture_fresh(dest, n):
                 print(f"building x{n} fixture ...", flush=True)
                 t0 = time.perf_counter()
                 build_fixture(spark, dest, n)
