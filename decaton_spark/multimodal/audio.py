@@ -60,8 +60,11 @@ def decode_wav(payload: bytes):
                 raise ValueError("truncated data chunk")
             data = body
         pos += 8 + clen + (clen & 1)  # chunks are word-aligned
-    if rate is None or data is None or ch in (None, 0):
-        raise ValueError("missing fmt/data chunk")
+    # `not rate` also rejects sample_rate=0 — a structurally-valid fmt
+    # chunk value that would otherwise surface as ZeroDivisionError in
+    # every duration/resample consumer (self-review r7)
+    if not rate or data is None or not ch:
+        raise ValueError("missing or degenerate fmt/data chunk")
     arr = np.frombuffer(data, dtype="<i2")
     n = len(arr) // ch
     return rate, arr[: n * ch].reshape(n, ch).copy()
@@ -81,15 +84,19 @@ def decode_audio_wav(
             ids, rates, chs, durs, oks = [], [], [], [], []
             for i, p in zip(pdf[id_col], pdf[payload_col]):
                 ids.append(int(i))
+                # compute EVERY output value before appending ANY: a
+                # failure between appends would desynchronize the
+                # per-column lists and kill the whole task on one bad
+                # payload (self-review r7)
                 try:
                     rate, arr = decode_wav(bytes(p))
-                    rates.append(rate)
-                    chs.append(arr.shape[1])
-                    durs.append(round(1000 * arr.shape[0] / rate))
-                    oks.append(True)
+                    row = (rate, arr.shape[1], round(1000 * arr.shape[0] / rate), True)
                 except Exception:
-                    rates.append(None), chs.append(None), durs.append(None)
-                    oks.append(False)
+                    row = (None, None, None, False)
+                rates.append(row[0])
+                chs.append(row[1])
+                durs.append(row[2])
+                oks.append(row[3])
             yield pd.DataFrame(
                 {
                     id_col: ids,
@@ -129,9 +136,15 @@ def resample_audio_wav(
                 a = arr.astype(np.float64)
                 if mono and a.shape[1] > 1:
                     a = a.mean(axis=1, keepdims=True)
-                n_out = max(1, int(round(a.shape[0] * target_rate / rate)))
-                idx = (np.arange(n_out) * a.shape[0]) // n_out
-                out = np.clip(np.rint(a[idx]), -32768, 32767).astype(np.int16)
+                if a.shape[0] == 0:
+                    # valid-but-empty data chunk: resampling empty audio
+                    # is empty audio, not an IndexError (self-review r7)
+                    n_out = 0
+                    out = np.zeros((0, a.shape[1]), np.int16)
+                else:
+                    n_out = max(1, int(round(a.shape[0] * target_rate / rate)))
+                    idx = (np.arange(n_out) * a.shape[0]) // n_out
+                    out = np.clip(np.rint(a[idx]), -32768, 32767).astype(np.int16)
                 ids.append(int(i))
                 ns.append(n_out)
                 payloads.append(encode_wav(out, sample_rate=target_rate))
@@ -170,6 +183,10 @@ def audio_features_wav(
                 except Exception:
                     continue
                 a = arr.astype(np.float64).mean(axis=1) / 32768.0
+                if a.size == 0:
+                    # empty data chunk: no samples → no features row
+                    # (np reductions on zero-size arrays raise)
+                    continue
                 ids.append(int(i))
                 rms.append(float(np.sqrt((a**2).mean())))
                 peak.append(float(np.abs(a).max()))

@@ -429,6 +429,16 @@ def image_near_dup_pairs(
     Only the dHash stage runs in Python (it touches pixels); banding,
     the joins, and ``bit_count(XOR)`` verification are all JVM-side
     expressions. Returns (id_a, id_b, hamming)."""
+    if max_hamming > 3:
+        # 4 bands over 64 bits guarantee recall only to 3 differing
+        # bits (pigeonhole); beyond that a qualifying pair can differ
+        # in every band and be silently missed — refuse rather than
+        # under-report (self-review r7)
+        raise ValueError(
+            "image_near_dup_pairs: 4x16-bit banding is complete only "
+            f"for max_hamming <= 3 (got {max_hamming}); use more bands "
+            "or a different candidate scheme for looser thresholds"
+        )
     hashes = (
         image_dhash(df, payload_col, id_col)
         .filter(F.col("ok"))

@@ -70,7 +70,7 @@ def decode_avi_dib(payload: bytes):
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise ValueError("not an AVI")
 
-    dims: list = [None, None, None]  # w, h, fps
+    dims: list = [None, None, None, True]  # w, h, fps, bottom_up
 
     def walk(buf: bytes, out_frames: list) -> None:
         pos = 0
@@ -93,7 +93,7 @@ def decode_avi_dib(payload: bytes):
                 _, w, h, _, bpp, comp = struct.unpack_from("<IiiHHI", body, 0)
                 if bpp != 24 or comp != 0:
                     raise ValueError("unsupported frame format")
-                dims[0], dims[1] = w, abs(h)
+                dims[0], dims[1], dims[3] = w, abs(h), h > 0
             elif cid[2:4] in (b"db", b"dc") and dims[0] is not None:
                 w, h = dims[0], dims[1]
                 stride = (w * 3 + 3) & ~3
@@ -101,7 +101,13 @@ def decode_avi_dib(payload: bytes):
                     raise ValueError("truncated frame")
                 buf2 = np.frombuffer(body, dtype=np.uint8, count=stride * h)
                 rows = buf2.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
-                out_frames.append(rows[::-1, :, ::-1].copy())  # flip + BGR->RGB
+                # biHeight sign picks row order (same rule as
+                # decode_bmp): positive = bottom-up (flip), negative =
+                # top-down (already in display order — flipping would
+                # silently mirror the frame, self-review r7)
+                if dims[3]:
+                    rows = rows[::-1]
+                out_frames.append(rows[:, :, ::-1].copy())  # BGR->RGB
             pos += 8 + clen + (clen & 1)
 
     frames: list = []
@@ -175,16 +181,40 @@ def video_frame_dhash(
         df, payload_col, id_col, every_n=every_n, max_frames=max_frames
     )
     # composite row id keeps (video, frame) addressable through the
-    # single-id image stage; 1e6 frames/video is far above max_frames
-    fid = (F.col(id_col) * 1_000_000 + F.col("frame_idx")).alias("fid")
+    # single-id image stage; 1e6 frames/video is far above max_frames.
+    # The pack must not overflow BIGINT (|doc_id| < 2^63/1e6 ≈ 9.2e12 —
+    # raise loudly, a wrapped id silently attributes hashes to the
+    # wrong video), and the unpack uses exact integer arithmetic:
+    # pmod is the frame (always in [0, 1e6)), and (fid - pmod) div 1e6
+    # is the doc — floor semantics, correct for negative doc_ids where
+    # a double divide or trunc-div would decode the wrong pair
+    # (self-review r7).
+    lim = 9_223_372_036_854  # floor(2^63 / 1e6)
+    fid = (
+        F.when(
+            F.abs(F.col(id_col)) < F.lit(lim),
+            F.col(id_col) * 1_000_000 + F.col("frame_idx"),
+        )
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("video_frame_dhash: doc_id out of packable range: "),
+                    F.col(id_col).cast("string"),
+                )
+            )
+        )
+        .alias("fid")
+    )
     hashed = image_dhash(
         frames.select(fid, F.col("frame").alias("payload")),
         payload_col="payload",
         id_col="fid",
     )
     return hashed.select(
-        (F.col("fid") / 1_000_000).cast("long").alias(id_col),
-        (F.col("fid") % 1_000_000).cast("int").alias("frame_idx"),
+        F.expr("(fid - pmod(fid, 1000000)) div 1000000")
+        .cast("long")
+        .alias(id_col),
+        F.expr("pmod(fid, 1000000)").cast("int").alias("frame_idx"),
         "dhash",
         "ok",
     )

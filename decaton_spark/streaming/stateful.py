@@ -93,15 +93,28 @@ def streaming_compact(
     window_ms: int = 3_600_000,
     key_col: str = "key",
     api: str = "auto",
+    state_ttl_ms: int | None = None,
 ) -> DataFrame:
     """Streaming T1: emits the current survivor per (key, linger window)
-    each time it changes. Output schema: key, window_start_ms, offset,
+    each time it changes — only the windows CHANGED by a microbatch are
+    emitted (the last emission per window is unchanged; re-emitting all
+    history made per-trigger output grow with query lifetime,
+    self-review r7). Output schema: key, window_start_ms, offset,
     meta_timestamp_millis, value.
+
+    By default every open window stays in state forever — the only
+    late-data-safe choice without an event-time watermark.
+    ``state_ttl_ms`` evicts windows more than that far behind the key's
+    newest window (bounds state under roughly time-ordered arrival; a
+    row later than the TTL re-opens its window fresh — the standard
+    watermark trade).
     """
     if _use_tws(api):
         from decaton_spark.streaming.tws import tws_compact
 
-        return tws_compact(tasks, window_ms=window_ms, key_col=key_col)
+        return tws_compact(
+            tasks, window_ms=window_ms, key_col=key_col, state_ttl_ms=state_ttl_ms
+        )
     out_schema = (
         f"{key_col} string, window_start_ms long, offset long, "
         "meta_timestamp_millis long, value string"
@@ -113,50 +126,59 @@ def streaming_compact(
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
+        held: dict[int, tuple[int, int, str]] = {}
         if state.exists:
             wins, offs, tss, vals = state.get
-            held = pd.DataFrame(
-                {
-                    "_win": list(wins),
-                    "offset": list(offs),
-                    "meta_timestamp_millis": list(tss),
-                    "value": list(vals),
-                }
-            )
-        else:
-            held = pd.DataFrame(
-                columns=["_win", "offset", "meta_timestamp_millis", "value"]
-            )
+            held = {
+                int(w): (int(o), int(t), str(v))
+                for w, o, t, v in zip(wins, offs, tss, vals)
+            }
 
         batch = pd.concat(list(pdfs), ignore_index=True)
+        changed: set[int] = set()
         if len(batch):
             reduced = _survivor_reduce(
                 batch[["meta_timestamp_millis", "offset", "value"]], window_ms
             )
-            merged = pd.concat(
-                [held, reduced[["_win", "offset", "meta_timestamp_millis", "value"]]],
-                ignore_index=True,
-            )
-        else:
-            merged = held
-        merged = (
-            merged.sort_values(["_win", "meta_timestamp_millis", "offset"])
-            .groupby("_win", as_index=False)
-            .last()
-        )
+            for win, off, ts, val in zip(
+                reduced["_win"],
+                reduced["offset"],
+                reduced["meta_timestamp_millis"],
+                reduced["value"],
+            ):
+                win, off, ts = int(win), int(off), int(ts)
+                cur = held.get(win)
+                # last-wins: max (ts, offset), the batch operator's order
+                if cur is None or (ts, off) > (cur[1], cur[0]):
+                    held[win] = (off, ts, str(val))
+                    changed.add(win)
+        if not changed:
+            return
+        # snapshot before eviction so a changed-but-expiring window
+        # still gets its final emission
+        wins_out = sorted(changed)
+        emit = {w: held[w] for w in wins_out}
+        if state_ttl_ms is not None and held:
+            horizon = max(held) - state_ttl_ms
+            held = {w: v for w, v in held.items() if w >= horizon}
+        ordered = sorted(held)
         state.update(
             (
-                merged["_win"].astype("int64").tolist(),
-                merged["offset"].astype("int64").tolist(),
-                merged["meta_timestamp_millis"].astype("int64").tolist(),
-                merged["value"].astype(str).tolist(),
+                ordered,
+                [held[w][0] for w in ordered],
+                [held[w][1] for w in ordered],
+                [held[w][2] for w in ordered],
             )
         )
-        out = merged.rename(columns={"_win": "window_start_ms"})
-        out[key_col] = key[0]
-        yield out[
-            [key_col, "window_start_ms", "offset", "meta_timestamp_millis", "value"]
-        ]
+        yield pd.DataFrame(
+            {
+                key_col: key[0],
+                "window_start_ms": wins_out,
+                "offset": [emit[w][0] for w in wins_out],
+                "meta_timestamp_millis": [emit[w][1] for w in wins_out],
+                "value": [emit[w][2] for w in wins_out],
+            }
+        )
 
     return (
         tasks.select(key_col, "meta_timestamp_millis", "offset", "value")
@@ -1097,7 +1119,7 @@ def streaming_ab_monitor(
         sa, sb = sa + int(a.sum()), sb + int(b.sum())
         qa, qb = qa + int((a * a).sum()), qb + int((b * b).sum())
         state.update((na, nb, sa, sb, qa, qb))
-        t = dof = None
+        t = dof = se2 = None
         if na >= 2 and nb >= 2:
             # the batch operator's formula, double-op for double-op
             dna, dnb = float(na), float(nb)
@@ -1105,6 +1127,14 @@ def streaming_ab_monitor(
             va = (dna * dqa - dsa * dsa) / (dna * (dna - 1))
             vb = (dnb * dqb - dsb * dsb) / (dnb * (dnb - 1))
             se2 = va / dna + vb / dnb
+            if se2 <= 0.0:
+                # both arms zero-variance (constant metric): the batch
+                # welch_ttest yields NULL t/dof here (Spark div-by-zero
+                # -> NULL); raising would kill the streaming query on
+                # one degenerate group (self-review r7)
+                t = dof = None
+                se2 = None
+        if se2 is not None:
             t = _round_half_away((dsa / dna - dsb / dnb) / math.sqrt(se2) * 1e6) / 1e6
             dof = _round_half_away(
                 (se2 * se2)

@@ -57,12 +57,25 @@ def configure_tws(spark) -> None:
 class CompactProcessor(StatefulProcessor):
     """T1 streaming compaction: last-wins survivor per (key, linger
     window); state is one ListState row per open window. Emits the
-    updated survivor rows each microbatch (update-mode semantics),
-    matching ``stateful.streaming_compact`` output exactly."""
+    survivor rows of the windows CHANGED by this microbatch (update-mode
+    semantics — the last emission per window matches
+    ``stateful.streaming_compact`` exactly; re-emitting every historical
+    window each batch made per-trigger output grow with query lifetime,
+    self-review r7).
 
-    def __init__(self, window_ms: int, key_col: str = "key"):
+    State growth: by default every open window is kept forever, the
+    only late-data-safe choice without an event-time watermark. Pass
+    ``state_ttl_ms`` to evict windows more than that far behind the
+    key's newest window — bounds state under (roughly) time-ordered
+    arrival; a row later than the TTL re-opens its window fresh, the
+    standard watermark trade."""
+
+    def __init__(
+        self, window_ms: int, key_col: str = "key", state_ttl_ms: int | None = None
+    ):
         self.window_ms = window_ms
         self.key_col = key_col
+        self.state_ttl_ms = state_ttl_ms
 
     def init(self, handle: StatefulProcessorHandle) -> None:
         self.surv = handle.getListState(
@@ -74,7 +87,7 @@ class CompactProcessor(StatefulProcessor):
         if self.surv.exists():
             for r in self.surv.get():
                 held[int(r[0])] = (int(r[1]), int(r[2]), r[3])
-        changed = False
+        changed: set[int] = set()
         for pdf in rows:
             for ts, off, val in zip(
                 pdf["meta_timestamp_millis"], pdf["offset"], pdf["value"]
@@ -85,20 +98,28 @@ class CompactProcessor(StatefulProcessor):
                 # last-wins: max (ts, offset), the batch operator's order
                 if cur is None or (ts, off) > (cur[1], cur[0]):
                     held[win] = (off, ts, val)
-                    changed = True
+                    changed.add(win)
+        # snapshot the changed rows BEFORE eviction: a changed window
+        # older than the TTL horizon still gets its final emission
+        wins = sorted(changed)
+        if not wins:
+            return
+        emit = {w: held[w] for w in wins}
         if changed:
+            if self.state_ttl_ms is not None and held:
+                horizon = max(held) - self.state_ttl_ms
+                held = {w: v for w, v in held.items() if w >= horizon}
             self.surv.clear()
             for win in sorted(held):
                 off, ts, val = held[win]
                 self.surv.appendValue((win, off, ts, val))
-        wins = sorted(held)
         yield pd.DataFrame(
             {
                 self.key_col: key[0],
                 "window_start_ms": wins,
-                "offset": [held[w][0] for w in wins],
-                "meta_timestamp_millis": [held[w][1] for w in wins],
-                "value": [held[w][2] for w in wins],
+                "offset": [emit[w][0] for w in wins],
+                "meta_timestamp_millis": [emit[w][1] for w in wins],
+                "value": [emit[w][2] for w in wins],
             }
         )
 
@@ -160,7 +181,15 @@ class BatchingProcessor(StatefulProcessor):
     """T2 size+linger batching (``BatchingProcessor.java:126-163``)
     with a native linger timer per partition: size flushes happen
     inline; the linger flush fires via ``handleExpiredTimer`` exactly
-    ``linger_ms`` after the oldest buffered task arrived."""
+    ``linger_ms`` after the oldest buffered task arrived.
+
+    Timer hygiene: TWS ``registerTimer`` ADDS a timer (the legacy
+    ``setTimeoutDuration`` replaced it), so the CURRENT deadline is
+    persisted in state and a firing whose expiry does not match it is a
+    stale, superseded timer and is ignored — otherwise a timer armed
+    before a size flush would force-linger the remainder before its
+    restarted clock ran out (self-review r7). Superseded timers are
+    also ``deleteTimer``-ed when the handle supports it."""
 
     def __init__(self, capacity: int, linger_ms: int):
         self.capacity = capacity
@@ -169,10 +198,10 @@ class BatchingProcessor(StatefulProcessor):
     def init(self, handle: StatefulProcessorHandle) -> None:
         self.handle = handle
         self.buf = handle.getValueState(
-            "buf", "offs array<long>, first_ms long, seq long"
+            "buf", "offs array<long>, first_ms long, seq long, timer_ms long"
         )
 
-    def _flush(self, pkey, pending, first_ms, seq, now_ms, force_linger):
+    def _flush(self, pkey, pending, first_ms, seq, now_ms, force_linger, old_timer):
         out = {
             "partition": [], "batch_seq": [], "batch_size": [],
             "first_offset": [], "last_offset": [], "reason": [],
@@ -195,18 +224,22 @@ class BatchingProcessor(StatefulProcessor):
         if pending and (force_linger or now_ms - first_ms >= self.linger_ms):
             emit(pending, "linger")
             pending = []
-        self.buf.update((pending, first_ms, seq))
-        if pending:
-            self.handle.registerTimer(first_ms + self.linger_ms)
+        new_timer = first_ms + self.linger_ms if pending else 0
+        if old_timer and old_timer != new_timer and hasattr(self.handle, "deleteTimer"):
+            self.handle.deleteTimer(old_timer)
+        self.buf.update((pending, first_ms, seq, new_timer))
+        if pending and new_timer != old_timer:
+            self.handle.registerTimer(new_timer)
         return out, pending
 
-    def handleInputRows(self, pkey, rows, timerValues) -> Iterator[pd.DataFrame]:
+    def _state(self):
         if self.buf.exists():
-            offs, first_ms, seq = self.buf.get()
-            pending = [int(x) for x in offs]
-            first_ms, seq = int(first_ms), int(seq)
-        else:
-            pending, first_ms, seq = [], 0, 0
+            offs, first_ms, seq, timer_ms = self.buf.get()
+            return [int(x) for x in offs], int(first_ms), int(seq), int(timer_ms)
+        return [], 0, 0, 0
+
+    def handleInputRows(self, pkey, rows, timerValues) -> Iterator[pd.DataFrame]:
+        pending, first_ms, seq, timer_ms = self._state()
         now_ms = timerValues.getCurrentProcessingTimeInMs()
         added = []
         for pdf in rows:
@@ -216,21 +249,18 @@ class BatchingProcessor(StatefulProcessor):
             if not pending:
                 first_ms = now_ms
             pending.extend(added)
-        out, _ = self._flush(pkey, pending, first_ms, seq, now_ms, False)
+        out, _ = self._flush(pkey, pending, first_ms, seq, now_ms, False, timer_ms)
         if out["partition"]:
             yield pd.DataFrame(out)
 
     def handleExpiredTimer(self, pkey, timerValues, expiredTimerInfo):
-        if not self.buf.exists():
-            return
-        offs, first_ms, seq = self.buf.get()
-        pending = [int(x) for x in offs]
+        pending, first_ms, seq, timer_ms = self._state()
         if not pending:
             return
-        out, _ = self._flush(
-            pkey, pending, int(first_ms), int(seq),
-            expiredTimerInfo.getExpiryTimeInMs(), True,
-        )
+        expiry = expiredTimerInfo.getExpiryTimeInMs()
+        if expiry != timer_ms:
+            return  # stale timer superseded by a later flush/re-arm
+        out, _ = self._flush(pkey, pending, first_ms, seq, expiry, True, timer_ms)
         if out["partition"]:
             yield pd.DataFrame(out)
 
@@ -239,7 +269,11 @@ class BatchingProcessor(StatefulProcessor):
 
 
 def tws_compact(
-    tasks: DataFrame, *, window_ms: int = 3_600_000, key_col: str = "key"
+    tasks: DataFrame,
+    *,
+    window_ms: int = 3_600_000,
+    key_col: str = "key",
+    state_ttl_ms: int | None = None,
 ) -> DataFrame:
     out_schema = (
         f"{key_col} string, window_start_ms long, offset long, "
@@ -249,7 +283,7 @@ def tws_compact(
         tasks.select(key_col, "meta_timestamp_millis", "offset", "value")
         .groupBy(key_col)
         .transformWithStateInPandas(
-            CompactProcessor(window_ms, key_col),
+            CompactProcessor(window_ms, key_col, state_ttl_ms=state_ttl_ms),
             outputStructType=out_schema,
             outputMode="Update",
             timeMode="None",
@@ -457,21 +491,26 @@ class OrderedProcessor(StatefulProcessor):
 
     def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
         last = int(self.hw.get()[0]) if self.hw.exists() else -1
-        for pdf in rows:
-            pdf = pdf.sort_values(["partition", "offset"])
-            prevs, regressed = [], []
-            for off in pdf["offset"]:
-                prevs.append(last)
-                regressed.append(bool(off <= last))
-                last = int(off)
-            yield pd.DataFrame(
-                {
-                    self.key_col: key[0],
-                    "offset": pdf["offset"].astype("int64").values,
-                    "prev_offset": prevs,
-                    "regressed": regressed,
-                }
-            )
+        # concat the group's WHOLE microbatch before the one sort —
+        # Arrow chunk boundaries are arbitrary post-shuffle, and a
+        # per-chunk sort processes a later-offset chunk first, emitting
+        # spurious regressed=true rows AND persisting a regressed
+        # high-watermark (the ZscoreProcessor lesson; self-review r7)
+        pdf = pd.concat(list(rows), ignore_index=True)
+        pdf = pdf.sort_values(["partition", "offset"])
+        prevs, regressed = [], []
+        for off in pdf["offset"]:
+            prevs.append(last)
+            regressed.append(bool(off <= last))
+            last = int(off)
+        yield pd.DataFrame(
+            {
+                self.key_col: key[0],
+                "offset": pdf["offset"].astype("int64").values,
+                "prev_offset": prevs,
+                "regressed": regressed,
+            }
+        )
         self.hw.update((last,))
 
     def close(self) -> None:
@@ -522,28 +561,32 @@ class QuotaProcessor(StatefulProcessor):
                 sk[i] = max(sk[i], new)
             return new
 
-        for pdf in rows:
-            pdf = pdf.sort_values("offset")
-            out = {"key": [], "offset": [], "estimate": [], "quota_verdict": []}
-            for key, off, ts in zip(
-                pdf["key"], pdf["offset"], pdf["meta_timestamp_millis"]
-            ):
-                w = (int(ts) // window_ms) * window_ms
-                if w > win:  # forward rotation only
-                    prev = counts if (win >= 0 and w == win + window_ms) else list(zeros)
-                    counts, win = list(zeros), w
-                bks = _cm_buckets(key, depth, width)
-                if w == win:
-                    e = bump(counts, bks) + est(prev, bks)
-                else:  # late row for the previous window
-                    e = bump(prev, bks) + est(counts, bks)
-                out["key"].append(key)
-                out["offset"].append(int(off))
-                out["estimate"].append(e)
-                out["quota_verdict"].append(
-                    "shape" if e >= self.quota else "process"
-                )
-            yield pd.DataFrame(out)
+        # global sort over the concatenated microbatch, never per Arrow
+        # chunk: window rotation is forward-only, so processing a
+        # later-offset chunk first would rotate past earlier rows and
+        # misfile them as late (self-review r7 — same fix as
+        # OrderedProcessor; matches stateful.streaming_quota's concat)
+        pdf = pd.concat(list(rows), ignore_index=True).sort_values("offset")
+        out = {"key": [], "offset": [], "estimate": [], "quota_verdict": []}
+        for key, off, ts in zip(
+            pdf["key"], pdf["offset"], pdf["meta_timestamp_millis"]
+        ):
+            w = (int(ts) // window_ms) * window_ms
+            if w > win:  # forward rotation only
+                prev = counts if (win >= 0 and w == win + window_ms) else list(zeros)
+                counts, win = list(zeros), w
+            bks = _cm_buckets(key, depth, width)
+            if w == win:
+                e = bump(counts, bks) + est(prev, bks)
+            else:  # late row for the previous window
+                e = bump(prev, bks) + est(counts, bks)
+            out["key"].append(key)
+            out["offset"].append(int(off))
+            out["estimate"].append(e)
+            out["quota_verdict"].append(
+                "shape" if e >= self.quota else "process"
+            )
+        yield pd.DataFrame(out)
         self.state.update((win, counts, prev))
 
     def close(self) -> None:
@@ -973,7 +1016,7 @@ class AbMonitorProcessor(StatefulProcessor):
         if not touched:
             return
         self.stats.update((na, nb, sa, sb, qa, qb))
-        t = dof = None
+        t = dof = se2 = None
         if na >= 2 and nb >= 2:
             from decaton_spark.streaming.stateful import _round_half_away
 
@@ -982,6 +1025,14 @@ class AbMonitorProcessor(StatefulProcessor):
             va = (dna * dqa - dsa * dsa) / (dna * (dna - 1))
             vb = (dnb * dqb - dsb * dsb) / (dnb * (dnb - 1))
             se2 = va / dna + vb / dnb
+            if se2 <= 0.0:
+                # both arms zero-variance (constant metric): the batch
+                # welch_ttest yields NULL t/dof here (Spark div-by-zero
+                # -> NULL); raising would kill the streaming query on
+                # one degenerate group (self-review r7)
+                t = dof = None
+                se2 = None
+        if se2 is not None:
             t = _round_half_away((dsa / dna - dsb / dnb) / math.sqrt(se2) * 1e6) / 1e6
             dof = _round_half_away(
                 (se2 * se2)

@@ -149,3 +149,63 @@ def test_video_frame_dhash_identifies_shared_frames(spark):
     for i in range(3):
         assert ham(h[(0, i)], h[(1, i)]) <= 3, "perturbed frames must match"
         assert ham(h[(0, i)], h[(2, i)]) >= 8, "mirrored frames must not"
+
+
+def test_avi_top_down_frames_not_mirrored():
+    """Self-review r7: a top-down AVI (negative strf biHeight) is
+    already in display order — flipping it mirrored every frame and
+    silently broke frame-dedup pairing. Flip only bottom-up DIBs."""
+    import struct
+
+    import numpy as np
+
+    from decaton_spark.multimodal.video import decode_avi_dib, encode_avi_dib
+
+    frame = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(1, 2, 3, 3)
+    payload = bytearray(encode_avi_dib(frame))
+    _, frames_up = decode_avi_dib(bytes(payload))
+    assert np.array_equal(frames_up[0], frame[0])
+    # rewrite strf biHeight to negative (top-down) and re-order the rows
+    # of the stored frame to display order: decoded output must match
+    # the bottom-up decode exactly
+    idx = bytes(payload).find(struct.pack("<Iii", 40, 3, 2))
+    assert idx > 0, "strf header not found"
+    struct.pack_into("<i", payload, idx + 8, -2)
+    # the single '00db' frame body: flip its row order in place
+    fidx = bytes(payload).find(b"00db")
+    stride = (3 * 3 + 3) & ~3
+    body = payload[fidx + 8 : fidx + 8 + stride * 2]
+    payload[fidx + 8 : fidx + 8 + stride * 2] = body[stride:] + body[:stride]
+    _, frames_down = decode_avi_dib(bytes(payload))
+    assert np.array_equal(frames_down[0], frame[0])
+
+
+def test_video_frame_dhash_composite_id_handles_negative_ids(spark):
+    """Self-review r7: the (doc_id, frame_idx) pack/unpack must be exact
+    integer arithmetic — a double divide or trunc-div decodes negative
+    doc_ids to the wrong (id, frame) pair."""
+    import numpy as np
+
+    from decaton_spark.multimodal.video import encode_avi_dib, video_frame_dhash
+
+    frames = np.zeros((2, 4, 4, 3), dtype=np.uint8)
+    frames[1, :, :2] = 255
+    df = spark.createDataFrame(
+        [(-1, encode_avi_dib(frames)), (7, encode_avi_dib(frames))],
+        "doc_id long, payload binary",
+    )
+    got = sorted(
+        (r["doc_id"], r["frame_idx"]) for r in video_frame_dhash(df).collect()
+    )
+    assert got == [(-1, 0), (-1, 1), (7, 0), (7, 1)]
+
+
+def test_image_near_dup_pairs_rejects_uncovered_hamming():
+    """4x16-bit banding is pigeonhole-complete only to 3 bits; looser
+    thresholds must refuse rather than silently under-report."""
+    import pytest
+
+    from decaton_spark.multimodal.columns import image_near_dup_pairs
+
+    with pytest.raises(ValueError, match="max_hamming"):
+        image_near_dup_pairs(None, max_hamming=4)

@@ -206,3 +206,33 @@ def test_audio_fingerprint_near_dup_vs_different(spark):
     assert ham(0, 1) <= 4, "noise must not move the envelope hash far"
     assert ham(0, 2) <= 4, "gain change is envelope-invariant"
     assert ham(0, 3) >= 12, "reversed envelope must be far"
+
+
+def test_degenerate_wavs_never_crash_the_task(spark):
+    """Self-review r7 regression pins: a sample_rate=0 fmt chunk and a
+    zero-length data chunk are DATA problems, not job-killers — every
+    audio stage must drop or flag them, never raise."""
+    import struct
+
+    # structurally valid WAV whose fmt carries sample_rate=0
+    zero_rate = bytearray(encode_wav(_sine(440, 8000, 0.1), sample_rate=8000))
+    # fmt chunk: RIFF(12) + 'fmt '(4) + len(4) + fmt(2) + ch(2) + rate(4)
+    struct.pack_into("<I", zero_rate, 12 + 8 + 4, 0)
+    # valid WAV with ZERO samples
+    empty = encode_wav(np.zeros((0, 1), dtype=np.int16), sample_rate=8000)
+    df = spark.createDataFrame(
+        [(1, bytes(zero_rate)), (2, empty), (3, encode_wav(_sine(440, 8000, 0.1)))],
+        "doc_id long, payload binary",
+    )
+    meta = {r["doc_id"]: r for r in decode_audio_wav(df).collect()}
+    assert meta[1]["ok"] is False          # rate=0 rejected, not divided by
+    assert meta[2]["ok"] is True           # empty audio is decodable
+    assert meta[2]["duration_ms"] == 0
+    assert meta[3]["ok"] is True
+    res = {r["doc_id"]: r for r in resample_audio_wav(df).collect()}
+    assert 1 not in res                    # undecodable -> dropped
+    assert res[2]["n_samples"] == 0        # empty resamples to empty
+    assert res[3]["n_samples"] > 0
+    feats = {r["doc_id"]: r for r in audio_features_wav(df).collect()}
+    assert 1 not in feats and 2 not in feats  # no features from no samples
+    assert feats[3]["rms"] > 0

@@ -121,12 +121,19 @@ def test_compact_processor_last_wins_across_batches():
     out2 = _collect(p.handleInputRows(("k",), iter([b2]), tv))
     w0 = out2[out2["window_start_ms"] == 0]
     assert list(w0["offset"]) == [9] and list(w0["value"]) == ["z"]
-    # an OLDER row must not replace it (last-wins = max (ts, offset))
+    # only the CHANGED window is re-emitted (update-mode semantics;
+    # re-emitting all history grew per-trigger output with query
+    # lifetime — self-review r7): window 1000's survivor was untouched
+    assert list(out2["window_start_ms"]) == [0]
+    # an OLDER row must not replace it (last-wins = max (ts, offset)):
+    # nothing changed, so nothing is emitted and state is untouched
     b3 = pd.DataFrame(
         {"meta_timestamp_millis": [920], "offset": [4], "value": ["old"]}
     )
-    out3 = _collect(p.handleInputRows(("k",), iter([b3]), tv))
-    assert list(out3[out3["window_start_ms"] == 0]["offset"]) == [9]
+    out3 = list(p.handleInputRows(("k",), iter([b3]), tv))
+    assert out3 == []
+    held = {int(r[0]): int(r[1]) for r in h.states["survivors"].get()}
+    assert held == {0: 9, 1000: 3}
 
 
 def test_scheduled_processor_uses_native_timer_for_earliest_due():
@@ -408,3 +415,144 @@ def test_zscore_processor_multi_chunk_group():
     split = run([[rows[3], rows[4]], [rows[0], rows[1], rows[2]]])
     assert split == single
     assert split[1] == [400, 100, 900]  # window reflects global ts order
+
+
+def test_ordered_processor_multi_chunk_group():
+    """Arrow chunk boundaries are arbitrary post-shuffle: a later-offset
+    chunk delivered FIRST must not produce spurious regressions or
+    persist a regressed high-watermark (self-review r7 — the fix is
+    concat-then-sort, the ZscoreProcessor lesson)."""
+    import pandas as pd
+
+    from decaton_spark.streaming.tws import OrderedProcessor
+
+    def run(chunks):
+        p = OrderedProcessor()
+        h = FakeHandle()
+        p.init(h)
+        out = _collect(
+            p.handleInputRows(("k",), iter([pd.DataFrame(c) for c in chunks]),
+                              FakeTimerValues(0))
+        )
+        return (
+            list(out["offset"]), list(out["regressed"]),
+            int(h.states["hw"].get()[0]),
+        )
+
+    c_hi = {"partition": [0, 0], "offset": [100, 101]}
+    c_lo = {"partition": [0, 0], "offset": [5, 6]}
+    single = run([{"partition": [0] * 4, "offset": [100, 101, 5, 6]}])
+    split = run([c_hi, c_lo])
+    assert split == single
+    offs, regressed, hw = split
+    assert offs == [5, 6, 100, 101]
+    assert regressed == [False, False, False, False]
+    assert hw == 101  # NOT 6: the watermark must not regress
+
+
+def test_quota_processor_multi_chunk_group():
+    """Per-chunk sorting would rotate the window forward on a newer
+    chunk then misfile an older chunk's rows as late; concat-then-sort
+    must make chunked delivery identical to single-chunk."""
+    import pandas as pd
+
+    from decaton_spark.streaming.tws import QuotaProcessor
+
+    rows = {
+        "key": ["a"] * 4,
+        "offset": [0, 1, 2, 3],
+        "meta_timestamp_millis": [100, 200, 1100, 1200],
+    }
+
+    def run(chunks):
+        p = QuotaProcessor(quota_per_window=5, window_ms=1000, width=4096)
+        h = FakeHandle()
+        p.init(h)
+        out = _collect(
+            p.handleInputRows(("p0",), iter([pd.DataFrame(c) for c in chunks]),
+                              FakeTimerValues(0))
+        )
+        return list(out["offset"]), list(out["estimate"]), h.states["wins"].get()
+
+    single = run([rows])
+    # later-window rows delivered in the FIRST chunk
+    split = run([
+        {k: [v[2], v[3]] for k, v in rows.items()},
+        {k: [v[0], v[1]] for k, v in rows.items()},
+    ])
+    assert split == single
+
+
+def test_batching_processor_stale_timer_ignored():
+    """A linger timer armed before a size flush is superseded: its
+    firing must not force-flush the remainder before the remainder's
+    own linger deadline (self-review r7 — TWS registerTimer ADDS,
+    it does not replace)."""
+    p = BatchingProcessor(capacity=3, linger_ms=1_000)
+    h = FakeHandle()
+    p.init(h)
+    # t=0: 2 rows buffer below capacity -> timer armed for t=1000
+    out0 = list(p.handleInputRows((0,), iter([pd.DataFrame({"offset": [1, 2]})]),
+                                  FakeTimerValues(0)))
+    assert out0 == [] and h.timers == [1_000]
+    # t=400: 2 more rows -> size flush of [1,2,3]; remainder [4] restarts
+    # its clock, so the live deadline is 1400
+    out1 = _collect(p.handleInputRows((0,), iter([pd.DataFrame({"offset": [3, 4]})]),
+                                      FakeTimerValues(400)))
+    assert list(out1["reason"]) == ["size"]
+    assert h.timers[-1] == 1_400
+    # the STALE t=1000 timer fires: must be ignored (no premature flush)
+    stale = list(p.handleExpiredTimer((0,), FakeTimerValues(1_000),
+                                      FakeExpiredTimer(1_000)))
+    assert stale == []
+    # the live t=1400 timer flushes the remainder
+    out2 = _collect(p.handleExpiredTimer((0,), FakeTimerValues(1_400),
+                                         FakeExpiredTimer(1_400)))
+    assert list(out2["reason"]) == ["linger"]
+    assert out2["first_offset"].iloc[0] == 4
+
+
+def test_compact_processor_state_ttl_evicts_old_windows():
+    """state_ttl_ms bounds state: windows older than the key's newest
+    window minus the TTL are evicted AFTER their final emission."""
+    import pandas as pd
+
+    from decaton_spark.streaming.tws import CompactProcessor
+
+    p = CompactProcessor(window_ms=1000, state_ttl_ms=2000)
+    h = FakeHandle()
+    p.init(h)
+    tv = FakeTimerValues(0)
+    b1 = pd.DataFrame(
+        {"meta_timestamp_millis": [100, 1100], "offset": [1, 2],
+         "value": ["a", "b"]}
+    )
+    out1 = _collect(p.handleInputRows(("k",), iter([b1]), tv))
+    assert list(out1["window_start_ms"]) == [0, 1000]
+    # a row far in the future: its window is emitted AND old windows
+    # beyond the TTL horizon (10000 - 2000 = 8000) leave state
+    b2 = pd.DataFrame(
+        {"meta_timestamp_millis": [10100], "offset": [3], "value": ["c"]}
+    )
+    out2 = _collect(p.handleInputRows(("k",), iter([b2]), tv))
+    assert list(out2["window_start_ms"]) == [10000]
+    held = sorted(int(r[0]) for r in h.states["survivors"].get())
+    assert held == [10000]
+
+
+def test_ab_monitor_zero_variance_yields_null_t():
+    """Both arms constant (zero variance): the batch welch_ttest yields
+    NULL t/dof; the streaming twin must emit None, not raise
+    ZeroDivisionError and kill the query (self-review r7)."""
+    import pandas as pd
+
+    from decaton_spark.streaming.tws import AbMonitorProcessor
+
+    p = AbMonitorProcessor("g")
+    h = FakeHandle()
+    p.init(h)
+    b = pd.DataFrame({"arm": ["A", "A", "B", "B"], "v": [100, 100, 100, 100]})
+    out = _collect(p.handleInputRows(("g",), iter([b]), FakeTimerValues(0)))
+    assert out["n_a"].iloc[0] == 2 and out["n_b"].iloc[0] == 2
+    assert out["t_stat"].iloc[0] is None or pd.isna(out["t_stat"].iloc[0])
+    assert out["welch_dof"].iloc[0] is None or pd.isna(out["welch_dof"].iloc[0])
