@@ -38,6 +38,33 @@ _CENTROID_DIR = os.environ.get(
 )
 
 
+def _artifact_path(dataset: str, fp: str, suffix: str) -> str:
+    """On-disk path for a trained artifact (centroids / PQ codebooks),
+    keyed ``{dataset_hash}_{fingerprint_hash}_{suffix}.json``.
+
+    The dataset and fingerprint hashes are SEPARATE filename segments so
+    artifacts left behind by earlier fixture generations are
+    identifiable: every fixture regeneration changes the fingerprint,
+    and the old-tag JSONs would otherwise accumulate in _CENTROID_DIR
+    forever (ADVICE r7). Stale siblings — same dataset hash, different
+    fingerprint hash — are opportunistically deleted here; losing a
+    *live* artifact to a concurrent sweep is harmless (it regenerates
+    from the parquet), so no locking is needed.
+    """
+    dhash = hashlib.md5(dataset.encode()).hexdigest()[:12]
+    fphash = hashlib.md5(fp.encode()).hexdigest()[:12]
+    if os.path.isdir(_CENTROID_DIR):
+        for name in os.listdir(_CENTROID_DIR):
+            if name.startswith(f"{dhash}_") and not name.startswith(
+                f"{dhash}_{fphash}_"
+            ):
+                try:
+                    os.remove(os.path.join(_CENTROID_DIR, name))
+                except OSError:
+                    pass  # concurrent worker already swept it
+    return os.path.join(_CENTROID_DIR, f"{dhash}_{fphash}_{suffix}.json")
+
+
 def dot(a: Column, b: Column) -> Column:
     """Sequential-fold dot product of two float arrays (as double)."""
     return F.aggregate(
@@ -441,8 +468,7 @@ def trained_centroids(
     key = (dataset, fp, nlist, iters)
     if key in _CENTROID_CACHE:
         return _CENTROID_CACHE[key]
-    tag = hashlib.md5(f"{dataset}\x00{fp}".encode()).hexdigest()[:16]
-    path = os.path.join(_CENTROID_DIR, f"{tag}_n{nlist}_i{iters}.json")
+    path = _artifact_path(dataset, fp, f"n{nlist}_i{iters}")
     if os.path.exists(path):
         with open(path) as f:
             cents = [(int(cid), [float(v) for v in vec]) for cid, vec in json.load(f)]
@@ -978,8 +1004,7 @@ def train_pq_codebooks(
     key = ("pq", dataset, fp, m, ksub, iters)
     if key in _CENTROID_CACHE:
         return _CENTROID_CACHE[key]
-    tag = hashlib.md5(f"pq|{dataset}\x00{fp}".encode()).hexdigest()[:16]
-    path = os.path.join(_CENTROID_DIR, f"{tag}_pq_m{m}_k{ksub}_i{iters}.json")
+    path = _artifact_path(dataset, fp, f"pq_m{m}_k{ksub}_i{iters}")
     if os.path.exists(path):
         with open(path) as f:
             books = json.load(f)

@@ -192,7 +192,12 @@ def video_frame_dhash(
     lim = 9_223_372_036_854  # floor(2^63 / 1e6)
     fid = (
         F.when(
-            F.abs(F.col(id_col)) < F.lit(lim),
+            # two-sided bounds, NOT abs(): under non-ANSI Spark
+            # abs(Long.MIN_VALUE) wraps negative, passes an abs()<lim
+            # check, and the multiply overflows silently — the exact
+            # wrong-video attribution this guard exists to prevent
+            # (ADVICE r7)
+            (F.col(id_col) > F.lit(-lim)) & (F.col(id_col) < F.lit(lim)),
             F.col(id_col) * 1_000_000 + F.col("frame_idx"),
         )
         .otherwise(

@@ -87,8 +87,12 @@ def register(name: str, oracle: str | None):
     # oracle_sql() filters on truthiness, so a falsy oracle would
     # silently route the query into the weaker rows-only path while
     # the pytest gate (which checks `is None`) would fail loudly on
-    # duck.sql("") — the two gates must never disagree (self-review r7)
-    assert oracle is None or oracle.strip(), f"{name}: empty oracle SQL"
+    # duck.sql("") — the two gates must never disagree (self-review r7).
+    # Explicit raise, not assert: `python -O` strips asserts, which
+    # would silently re-open the falsy-oracle routing hole this guard
+    # exists to close (ADVICE r7).
+    if not (oracle is None or oracle.strip()):
+        raise ValueError(f"{name}: empty oracle SQL")
 
     def deco(fn):
         QUERIES[name] = QuerySpec(fn, oracle)
@@ -14034,87 +14038,80 @@ def events_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      dedup_near_full CC hardening, ann_brute_force_topk shares
 #      similarity.py), then one representative per operator family.
 _DRIVER_TIER = [
-    # ================= ROUND 7 TIER =================
-    # VERDICT r6 #1: the pre-written freshness rotation — the 41
-    # queries whose newest driver row is r2-era plus the 9 oldest r3
-    # rows (r3 file order). After round 6 closed the never-verified
-    # queue (all-time union 240/240), rounds 7-8 burn the stale-row
-    # debt: this tier re-lands driver evidence on the core SURVEY §2
-    # operator band (t1-t6, t13, f1-f3, p1, s7/s8, the TPC-H shapes)
-    # for the first time since round 2, on four rounds of accumulated
-    # implementation drift.
+    # ================= ROUND 8 TIER =================
+    # VERDICT r7 #1: the pre-written freshness rotation — the 40
+    # queries whose newest driver row is r3-era (exact r3 file
+    # order) plus the 10 oldest r4 rows (exact r4 file order). This
+    # closes the r3 staleness debt: after this round the newest-row
+    # histogram is r4:40 r5:50 r6:50 r7:50 r8:50 with zero rows
+    # older than four rounds.
     #
-    # Lead with the Decaton T-operator band — the reference's heart
-    # (CompactionProcessor.java:184-227, BatchingProcessor.java:149-163)
-    # and the oldest evidence:
-    "t1_compaction_windowed",
-    "t2_batching",
-    "t3_retry_queueing",
-    "t4_scheduled_due",
-    "t5_rate_limit",
-    "t6_per_key_quota",
-    "t13_pipeline_chain",
-    # Filter / partitioner / serde band (F1-F3, P1, S7, S8):
-    "f1_ignore_keys",
-    "f2_discard_invalid",
-    "f3_projection",
-    "p1_sub_partitioner",
-    "s7_serde_roundtrip",
-    "s8_legacy_envelope",
-    # Dedup / ANN / docs core shapes (r2 rows):
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "ann_brute_force_topk",
-    "docs_source_quality",
-    "text_suite",
-    "multimodal_binary_meta",
-    # TPC-H shapes still holding r2 rows:
-    "q1_pricing_summary",
-    "q3_top_orders",
-    "q5_nation_volume",
-    "q6_forecast_revenue",
-    "q7_nation_volume_pairs",
-    "q11_revenue_concentration",
-    "q12_priority_by_returnflag",
-    "q13_order_count_distribution",
-    "q14_promo_revenue",
-    "q16_supplier_variety",
-    "q17_small_qty_revenue",
-    "q18_large_volume_customers",
-    "q19_disjunctive_revenue",
-    "q20_qualified_suppliers",
-    "q22_idle_wealthy_customers",
-    # Join / window / bridge shapes (r2 rows):
-    "asof_join_enrichment",
-    "range_join_errors",
-    "grouping_sets_order_stats",
-    "pivot_event_types",
-    "scalar_functions_bridge",
-    "semi_anti_customers",
-    "topk_parts_by_revenue",
-    # The 9 oldest r3 rows (r3 file order), starting the r3 burn-down:
-    "cube_order_stats",
-    "w1_sessionize",
-    "w2_running_value",
-    "sliding_window_activity",
-    "set_ops_purchasers_no_errors",
-    "rollup_order_stats",
-    "correlated_above_avg_balance",
-    "group_topn_orders",
-    "salted_agg_events",
+    # The 40 r3-row holders (r3 file order):
+    "hypertable_rollup",
+    "events_user_value",
+    "deterministic_split",
+    "deterministic_mixture",
+    "dedup_filtered_corpus",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "text_lang_id",
+    "text_quality",
+    "text_token_count",
+    "text_fingerprint",
+    "ann_lsh_topk",
+    "ann_lsh_buckets",
+    "ann_brute_force_topk_vec",
+    "ann_ivf_topk_vec",
+    "s8_envelope",
+    "t1_compaction_global",
+    "docs_gopher_filter",
+    "docs_pii_redact",
+    "dedup_spans",
+    "token_budget_sample",
+    "ann_pq_topk",
+    "text_tfidf_top_terms",
+    "text_doc_chunks",
+    "text_pack_sequences",
+    "docs_decontaminate",
+    "dedup_semantic",
+    "ann_ivf_pq_topk",
+    "docs_length_quantiles",
+    "docs_domain_importance",
+    "text_vocab_build",
+    "docs_curation_pipeline",
+    "q21_waiting_suppliers",
+    "heavy_hitters_keys",
+    "text_bm25_search",
+    "ann_ivf_topk",
+    "s8_protobuf_envelope",
+    "dedup_near_full",
+    "corpus_merge_upsert",
+    "corpus_merge_neardup",
+    # The 10 oldest r4 rows (r4 file order):
+    "events_rolling_zscore",
+    "events_value_winsorized",
+    "hypertable_incremental_refresh",
+    "events_expectations",
+    "events_last_touch_attribution",
+    "docs_domain_cap",
+    "ann_filtered_topk",
+    "events_funnel",
+    "events_cohort_retention",
+    "events_conversion_latency",
     #
-    # ROUND-8 ROTATION (freshness arithmetic): after this round the
-    # newest-row histogram is r3:40 r4:50 r5:50 r6:50 r7:50. Round 8 =
-    # the remaining 40 r3-row holders + the 10 oldest r4 rows (r4 file
-    # order: hypertable_rollup consumers first). Steady state from
-    # round 9: 240 registered queries / 50 slots = a 5-round freshness
-    # cycle, oldest-first; implementation-changed queries always jump
-    # the queue.
+    # ROTATION (standing policy, VERDICT r7 #4): 240 registered
+    # queries / 50 slots per round = a 5-round freshness cycle,
+    # oldest-newest-row-first, r{N} file order within a cohort;
+    # implementation-changed queries always jump the queue.
+    # tools/drive_harness.py prints the newest-row histogram each
+    # run so the rotation arithmetic is checked automatically.
+    # Round-9 tier = the remaining 40 r4-row holders + the 10
+    # oldest r5 rows (r5 file order).
     # ================= HISTORY (condensed) =================
-    # r1-r6: 50/50 driver rows every round, zero failures; round 6
-    # closed the never-verified queue (all-time union 240/240, newest
-    # rows r2:41 r3:49 r4:50 r5:50 r6:50). Round-6 tier list in git
-    # 6122531. Per-round certification: tier 50/50 at sf0.01 re-run
+    # r1-r7: 50/50 driver rows every round, zero failures; round 6
+    # closed the never-verified queue (all-time union 240/240),
+    # round 7 burned the 41 r2 rows + 9 oldest r3 (tier list in git
+    # bf68203). Per-round certification: tier 50/50 at sf0.01 re-run
     # after every material change; full-registry drive_harness --all
     # 240/240; full window audit (incl. checkpointed stage plans);
     # pytest; adversarial-equivalence pins for expression rewrites

@@ -234,7 +234,19 @@ class BatchingProcessor(StatefulProcessor):
 
     def _state(self):
         if self.buf.exists():
-            offs, first_ms, seq, timer_ms = self.buf.get()
+            row = tuple(self.buf.get())
+            # CHECKPOINT-FORMAT BREAK (round 7, noted per ADVICE r7):
+            # the schema widened 3→4 fields when timer_ms was added so
+            # superseded timers could be cancelled. A checkpoint
+            # written by the 3-field build restores here with no
+            # timer_ms — treat it as "no timer recorded" (0): the old
+            # build never cancelled timers, so 0 exactly reproduces
+            # its semantics for restored state.
+            if len(row) == 3:
+                offs, first_ms, seq = row
+                timer_ms = 0
+            else:
+                offs, first_ms, seq, timer_ms = row
             return [int(x) for x in offs], int(first_ms), int(seq), int(timer_ms)
         return [], 0, 0, 0
 

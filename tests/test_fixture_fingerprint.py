@@ -103,10 +103,39 @@ def test_centroid_store_invalidates_on_swap(spark, tmp_path, monkeypatch):
     a = sim.trained_centroids(df, dataset=ds, nlist=4, iters=1)
     _overwrite_in_place(_write_embeddings, p, 64)
     # same row count, new snapshot -> new key; a fresh training run must
-    # happen (observable as a second artifact in the store)
+    # happen, and the stale artifact under the OLD fingerprint tag is
+    # swept rather than accumulating forever (ADVICE r7) — exactly one
+    # artifact remains, named with the new fingerprint hash
     df2 = spark.read.parquet(p)
     b = sim.trained_centroids(df2, dataset=ds, nlist=4, iters=1)
     files = list((tmp_path / "store").iterdir())
-    assert len(files) == 2, files
+    assert len(files) == 1, files
+    import hashlib
+
+    from decaton_spark.sources import fixture_fingerprint
+
+    fp2 = hashlib.md5(fixture_fingerprint(p).encode()).hexdigest()[:12]
+    assert fp2 in files[0].name
     # deterministic training on identical contents -> identical result
     assert a == b
+
+
+def test_artifact_sweep_spares_other_datasets(tmp_path, monkeypatch):
+    """The stale-tag sweep only removes siblings of the SAME dataset:
+    artifacts for other datasets (different dataset hash) and the
+    current fingerprint's own artifacts are untouched (ADVICE r7)."""
+    store = tmp_path / "store"
+    store.mkdir()
+    monkeypatch.setattr(sim, "_CENTROID_DIR", str(store))
+    import hashlib
+
+    dhash = hashlib.md5(b"dsA").hexdigest()[:12]
+    other = hashlib.md5(b"dsB").hexdigest()[:12]
+    (store / f"{dhash}_oldfp0000000_n4_i1.json").write_text("[]")
+    (store / f"{other}_oldfp0000000_n4_i1.json").write_text("[]")
+    path = sim._artifact_path("dsA", "fp-new", "n4_i1")
+    fphash = hashlib.md5(b"fp-new").hexdigest()[:12]
+    names = sorted(f.name for f in store.iterdir())
+    # dsA's stale tag swept; dsB untouched; returned path uses new tag
+    assert names == [f"{other}_oldfp0000000_n4_i1.json"]
+    assert path.endswith(f"{dhash}_{fphash}_n4_i1.json")

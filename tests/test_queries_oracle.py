@@ -35,3 +35,15 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert set(df.columns) == {"key", "survivors", "latest_ms"}
+
+
+def test_register_rejects_empty_oracle_even_under_O():
+    """ADVICE r7: the falsy-oracle guard must be a real raise, not an
+    assert — `python -O` strips asserts, silently re-opening the
+    rows-only routing hole. Pin that it raises ValueError."""
+    import pytest
+
+    from decaton_spark.queries import register
+
+    with pytest.raises(ValueError, match="empty oracle"):
+        register("_bogus_empty_oracle", "   ")

@@ -556,3 +556,115 @@ def test_ab_monitor_zero_variance_yields_null_t():
     assert out["n_a"].iloc[0] == 2 and out["n_b"].iloc[0] == 2
     assert out["t_stat"].iloc[0] is None or pd.isna(out["t_stat"].iloc[0])
     assert out["welch_dof"].iloc[0] is None or pd.isna(out["welch_dof"].iloc[0])
+
+
+class FakeHandleWithDelete(FakeHandle):
+    """FakeHandle variant exposing deleteTimer, mirroring the real
+    Spark 4 StatefulProcessorHandle (registerTimer ADDS; superseded
+    timers must be explicitly deleted)."""
+
+    def __init__(self):
+        super().__init__()
+        self.deleted: list[int] = []
+
+    def deleteTimer(self, ms):
+        self.deleted.append(int(ms))
+
+    def live_timers(self):
+        live = list(self.timers)
+        for d in self.deleted:
+            live.remove(d)
+        return live
+
+
+def _batching_rearm_cycles(p, h, cycles):
+    """Drive `cycles` size-flush/re-arm rounds: each round adds capacity+1
+    rows so a size batch flushes and a 1-row remainder re-arms linger."""
+    now = 0
+    offset = 0
+    for _ in range(cycles):
+        rows = list(range(offset, offset + p.capacity + 1))
+        offset += len(rows)
+        list(p.handleInputRows((0,), iter([pd.DataFrame({"offset": rows})]),
+                               FakeTimerValues(now)))
+        now += 100  # well inside linger: every arm is superseded next round
+
+
+def test_batching_timer_hygiene_with_delete_support():
+    """VERDICT r7 #5 (bounded-wake pin, delete path): on a build WITH
+    deleteTimer — the running Spark 4.1.2 handle has it — every
+    superseded linger timer is cancelled, so after N frequent
+    size-flush/re-arm cycles exactly ONE timer is live per partition.
+    Without this, state stays correct but the partition accumulates a
+    wake per re-arm (see the no-delete twin below)."""
+    p = BatchingProcessor(capacity=3, linger_ms=1_000)
+    h = FakeHandleWithDelete()
+    p.init(h)
+    _batching_rearm_cycles(p, h, cycles=50)
+    assert len(h.timers) >= 30          # many re-arms actually happened
+    assert len(h.live_timers()) <= 1    # bounded: at most the live deadline
+    # every superseded arm was explicitly cancelled
+    assert len(h.deleted) == len(h.timers) - len(h.live_timers())
+
+
+def test_batching_timer_hygiene_without_delete_is_bounded_per_arm():
+    """VERDICT r7 #5 (no-delete twin): on a build WITHOUT deleteTimer
+    the superseded timers cannot be cancelled — each fires ONCE as a
+    spurious no-output wake and clears. The wake stream is therefore
+    bounded by one per re-arm (not unbounded re-fires), and no stale
+    wake ever flushes early. This pins the documented cost of the
+    hasattr-gated fallback in tws.py."""
+    p = BatchingProcessor(capacity=3, linger_ms=1_000)
+    h = FakeHandle()  # no deleteTimer attribute
+    p.init(h)
+    _batching_rearm_cycles(p, h, cycles=20)
+    assert len(h.timers) >= 12  # every arm stays pending until it fires
+    # the single live deadline is what state records; everything else
+    # in h.timers is a superseded arm that will fire exactly once
+    live = h.states["buf"].v[3]
+    stale = [t for t in h.timers if t != live]
+    assert stale  # the scenario actually produced superseded arms
+    arms_before = len(h.timers)
+    # fire every superseded timer: each is a no-op (ignored, no output),
+    # and firing it does NOT re-arm another timer (no self-sustaining
+    # wake loop) — N stale arms -> exactly N silent wakes, ever
+    for t in stale:
+        out = list(p.handleExpiredTimer((0,), FakeTimerValues(t),
+                                        FakeExpiredTimer(t)))
+        assert out == [] or all(len(f) == 0 for f in out)
+    assert len(h.timers) == arms_before  # stale wakes never re-arm
+    # the live deadline (if a remainder is buffered) still flushes it
+    if live:
+        out = _collect(p.handleExpiredTimer((0,), FakeTimerValues(live),
+                                            FakeExpiredTimer(live)))
+        assert list(out["reason"]) == ["linger"]
+
+
+def test_running_spark_handle_supports_delete_timer():
+    """Liveness pin for the hasattr gate in tws.py: the Spark build in
+    this environment DOES expose deleteTimer, so the cancel path (not
+    the spurious-wake fallback) is what production runs here take. If
+    an upgrade removes it, this test flags that the fallback twin above
+    becomes the operative behavior."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessorHandle,
+    )
+
+    assert hasattr(StatefulProcessorHandle, "deleteTimer")
+
+
+def test_batching_state_restores_from_pre_timer_checkpoint():
+    """ADVICE r7: the buf ValueState schema widened 3->4 fields
+    (timer_ms added). A checkpoint written by the 3-field build must
+    restore as 'no timer recorded' instead of crashing on unpack."""
+    p = BatchingProcessor(capacity=3, linger_ms=1_000)
+    h = FakeHandle()
+    p.init(h)
+    # simulate state written by the old build: (offs, first_ms, seq)
+    h.states["buf"].update(([7, 8], 0, 5))
+    out = _collect(p.handleInputRows((0,), iter([pd.DataFrame({"offset": [9]})]),
+                                     FakeTimerValues(400)))
+    # [7,8,9] reaches capacity -> size flush continuing the old seq
+    assert list(out["reason"]) == ["size"]
+    assert out["batch_seq"].iloc[0] == 5
+    assert out["first_offset"].iloc[0] == 7

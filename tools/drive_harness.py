@@ -56,13 +56,18 @@ if "--all" in sys.argv:  # sweep the EXTRA tier too (full registry)
 if "--only" in sys.argv:  # fast iteration: certify a comma-separated subset
     from decaton_spark.queries import EXTRA_QUERIES
 
-    wanted = sys.argv[sys.argv.index("--only") + 1].split(",")
-    # fail LOUDLY on empty/unknown names: a typo must not shrink the
-    # audited set and print a green "0/0 ok" (self-review r7; matches
+    # Filter falsy names FIRST: "".split(",") == [""], so without this
+    # an empty --only argument hit the unknown-name branch as [''] and
+    # the dedicated empty-list message was dead code (ADVICE r7).
+    wanted = [n for n in sys.argv[sys.argv.index("--only") + 1].split(",") if n]
+    if not wanted:
+        sys.exit("--only: empty query list")
+    # fail LOUDLY on unknown names: a typo must not shrink the audited
+    # set and print a green "0/0 ok" (self-review r7; matches
     # scale_ladder._selected)
     unknown = [n for n in wanted if n not in qs and n not in EXTRA_QUERIES]
-    if not wanted or unknown:
-        sys.exit(f"--only: empty or unknown queries {unknown}")
+    if unknown:
+        sys.exit(f"--only: unknown queries {unknown}")
     for name in wanted:
         if name not in qs and name in EXTRA_QUERIES:
             qs[name] = EXTRA_QUERIES[name].fn
@@ -96,4 +101,43 @@ for k, v in results.items():
     print(f"{'PASS' if v=='MATCH' or v.startswith('rows-only') else 'FAIL':4} {k}: {v}")
 n_bad = sum(1 for v in results.values() if not (v=='MATCH' or v.startswith('rows-only')))
 print(f"== {len(results)-n_bad}/{len(results)} ok ==")
+
+
+def _freshness_histogram():
+    # Standing rotation check (VERDICT r7 #4): print the newest-driver-row
+    # histogram so every harness run verifies the 5-round freshness-cycle
+    # arithmetic automatically instead of by hand. "Projected" assumes the
+    # current driver tier lands green this round.
+    import glob, os, re
+    from collections import Counter
+
+    newest = {}
+    rounds = []
+    for p in sorted(glob.glob(os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", p)
+        if not m:
+            continue
+        r = int(m.group(1))
+        rounds.append(r)
+        try:
+            for k in json.load(open(p)):
+                newest[k] = max(r, newest.get(k, 0))
+        except (OSError, json.JSONDecodeError):
+            print(f"freshness: skipping unreadable {os.path.basename(p)}")
+    if not newest:
+        return
+    hist = Counter(newest.values())
+    print("freshness newest-row histogram:",
+          " ".join(f"r{r}:{hist[r]}" for r in sorted(hist)))
+    nxt = max(rounds) + 1
+    projected = Counter({**newest, **{k: nxt for k in e.queries()}}.values())
+    print(f"freshness projected after r{nxt} tier lands:",
+          " ".join(f"r{r}:{projected[r]}" for r in sorted(projected)))
+    oldest = min(projected)
+    if nxt - oldest > 4:
+        print(f"freshness WARNING: oldest cohort r{oldest} exceeds the "
+              f"5-round cycle bound — rotation fell behind")
+
+
+_freshness_histogram()
 sys.exit(1 if n_bad else 0)
