@@ -44,6 +44,83 @@ def sf_from_dir(d: str) -> float:
         return -1.0
 
 
+def compute_task_op_deltas(
+    task_timings: dict[str, float],
+    prev: dict[str, float],
+    flag_threshold_pct: float = 25.0,
+) -> tuple[dict[str, dict], dict | None, float | None]:
+    """Per-task-op regression deltas, normalized for host state.
+
+    Round 7's absolute per-op comparison false-alarmed on its first
+    driver application: the whole suite ran uniformly ~2x the committed
+    baseline (host contention), and f1_ignore_keys was flagged +286%
+    where a quiet-machine probe measured it within noise (VERDICT r7
+    wrong #2). The absolute comparison has no way to divide out a
+    uniform machine factor, so each op is now compared on its
+    LEAVE-ONE-OUT-normalized wall: the machine factor for op i is the
+    ratio of everyone ELSE's suite time to the baseline's, so a single
+    op regressing cannot hide itself by inflating its own factor, while
+    a uniform host slowdown divides out exactly.
+
+    Returns (deltas, worst_regression, suite_factor):
+    - deltas[name] records prev/raw/normalized walls, the op's machine
+      factor, and both delta_pct (normalized — the comparison signal)
+      and raw_delta_pct (informational).
+    - worst_regression is the worst normalized delta among substantial
+      ops (either wall >= 0.2 s), reported only above
+      flag_threshold_pct (same-machine per-op noise is ~±10% measured;
+      25% gives 2.5x headroom while a real plan regression — the
+      injected-regression test doubles one op — still trips).
+    - suite_factor is the whole-suite wall ratio vs baseline
+      (informational: ~1 = comparable host, >>1 = degraded host; a
+      SUITE-WIDE engine regression is indistinguishable from host load
+      by these timings alone — that case is covered by the async-mirror
+      median, which is machine-stable, and by the per-query tier walls).
+    """
+    common = [n for n in task_timings if n in prev and prev[n] > 0]
+    deltas: dict[str, dict] = {}
+    for name in sorted(common):
+        sec, p = task_timings[name], prev[name]
+        cur_others = sum(task_timings[m] for m in common if m != name)
+        prev_others = sum(prev[m] for m in common if m != name)
+        factor = (
+            cur_others / prev_others
+            if cur_others > 0 and prev_others > 0
+            else 1.0
+        )
+        norm_sec = sec / factor
+        deltas[name] = {
+            "prev_sec": p,
+            "sec": sec,
+            "machine_factor": round(factor, 3),
+            "normalized_sec": round(norm_sec, 3),
+            "delta_pct": round((norm_sec - p) / p * 100, 1),
+            "raw_delta_pct": round((sec - p) / p * 100, 1),
+        }
+    suite_factor = None
+    if common:
+        prev_total = sum(prev[m] for m in common)
+        if prev_total > 0:
+            suite_factor = round(
+                sum(task_timings[m] for m in common) / prev_total, 3
+            )
+    # substantial = either wall >= 0.2 s: baseline-only gating would
+    # exempt an op optimized below 0.2 s from ever being flagged, no
+    # matter how far it regresses (self-review r7); the normalized wall
+    # is the honest current-size measure under a degraded host
+    substantial = {
+        n: d
+        for n, d in deltas.items()
+        if d["prev_sec"] >= 0.2 or d["normalized_sec"] >= 0.2
+    }
+    worst = None
+    if substantial:
+        w = max(substantial.items(), key=lambda kv: kv[1]["delta_pct"])
+        if w[1]["delta_pct"] > flag_threshold_pct:
+            worst = {"op": w[0], **w[1]}
+    return deltas, worst, suite_factor
+
+
 def oracle_baseline(
     timings: dict[str, float],
 ) -> tuple[dict[str, float], list[str]]:
@@ -146,11 +223,16 @@ def main() -> None:
     def mirror_runs(
         io_mode: str, n_runs: int = 7, warmup_runs: int = 2
     ) -> tuple[dict, dict]:
-        # the first 1-2 full-concurrency runs are consistently the
-        # slowest in every measured session (thread-stack allocation /
-        # kernel scheduler warm-up that the small concurrency-32
-        # warm-up above does not reach) — run and RECORD them, but
-        # exclude them from the spread/median stats
+        # the first 1-2 full-concurrency runs pay one-off costs the
+        # small concurrency-32 warm-up does not reach (thread-stack
+        # allocation, kernel scheduler ramp) — run and RECORD them, but
+        # exclude them from the spread/median stats. NO direction is
+        # claimed for the exclusion: warm-ups led the measured runs in
+        # two of three recorded sessions and TRAILED them in the third
+        # (the driver's r7 session degraded mid-run and its warm-ups
+        # were faster than 6 of 7 measured runs — VERDICT r7 wrong #3);
+        # the median is the robust statistic either way, the exclusion
+        # just keeps the one-off costs out of it.
         all_runs = [
             run_simulated_latency(
                 latency_tasks(
@@ -234,7 +316,16 @@ def main() -> None:
     # session) — the old >2 s-only re-measure never triggered for the
     # sub-second band where that noise dominates the delta. The whole
     # band costs ~12 s, so the second pass is cheap.
+    # pre-warm the FIRST measured op once, unmeasured: the first op in
+    # the loop pays whole-session JIT/codegen that keep-min-of-2 cannot
+    # amortize because both its samples run back-to-back at the cold
+    # position (VERDICT r7 wrong #2: the driver measured f1_ignore_keys
+    # 0.984 s at position 1 where a quiet-machine probe measured
+    # 0.599 s, while ops later in the session landed within ~10% of
+    # baseline)
     task_timings: dict[str, float] = {}
+    if task_ops:
+        drain(_ALL_QUERIES[task_ops[0]].fn(spark, SF_DIR))
     for name in task_ops:
         walls = []
         for _ in range(2):
@@ -245,48 +336,40 @@ def main() -> None:
     task_time = sum(task_timings.values())
     tasks_processed = n_rows_events * len(task_ops)
 
-    # per-task-operator round-over-round deltas (VERDICT r6 wrong #3):
-    # the flat task_ops_rows_per_sec aggregate can hide a single
-    # operator regressing while others drift faster — compare each
-    # operator's wall against the committed previous-round baseline
+    # per-task-operator round-over-round deltas (VERDICT r6 wrong #3,
+    # host-normalized per VERDICT r7 wrong #2): compare each operator
+    # against the committed previous-round baseline
     # (BENCH_TASK_OPS_BASELINE.json, refreshed once per round from the
-    # end-of-round run). Ops where BOTH walls are sub-0.2 s are skipped
-    # for the headline worst-regression pick: at that wall the delta
-    # measures scheduler jitter, not the operator.
+    # end-of-round run) on its leave-one-out-normalized wall — see
+    # compute_task_op_deltas. None = nothing regressed beyond the 25%
+    # flag threshold on the host-normalized comparison.
     baseline_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
         "BENCH_TASK_OPS_BASELINE.json",
     )
     task_ops_deltas: dict[str, dict] = {}
     worst_regression = None
+    task_ops_suite_factor = None
+    baseline = {}
     if os.path.exists(baseline_path):
         with open(baseline_path) as fh:
             baseline = json.load(fh)
-        prev = baseline.get("task_ops_queries", {})
-        for name, sec in sorted(task_timings.items()):
-            if name not in prev or prev[name] <= 0:
-                continue
-            task_ops_deltas[name] = {
-                "prev_sec": prev[name],
-                "sec": sec,
-                "delta_pct": round((sec - prev[name]) / prev[name] * 100, 1),
-            }
-        # substantial = either wall >= 0.2 s: baseline-only gating would
-        # exempt an op optimized below 0.2 s from ever being flagged,
-        # no matter how far it regresses (self-review r7)
-        substantial_ops = {
-            n: d
-            for n, d in task_ops_deltas.items()
-            if d["prev_sec"] >= 0.2 or d["sec"] >= 0.2
-        }
-        if substantial_ops:
-            w = max(substantial_ops.items(), key=lambda kv: kv[1]["delta_pct"])
-            # None means "no operator regressed" — don't report the
-            # least-improved op as a regression when all deltas are <= 0
-            if w[1]["delta_pct"] > 0:
-                worst_regression = {
-                    "op": w[0], **w[1], "baseline": baseline.get("round")
-                }
+        # only compare at the baseline's scale factor: ops have
+        # different data-size sensitivity (s8_protobuf_envelope is
+        # fixed-cost, t13 is data-bound), so at a mismatched SF the
+        # uniform-machine-factor assumption breaks and the LOO
+        # normalization flags the flattest op (measured: an ad-hoc
+        # sf0.01 run flagged s8_protobuf +66.8% with a raw delta of
+        # +0.7%). A missing sf in an old baseline defaults to 0.1, the
+        # standing bench SF.
+        if sf_from_dir(SF_DIR) == baseline.get("sf", 0.1):
+            task_ops_deltas, worst_regression, task_ops_suite_factor = (
+                compute_task_op_deltas(
+                    task_timings, baseline.get("task_ops_queries", {})
+                )
+            )
+            if worst_regression is not None:
+                worst_regression["baseline"] = baseline.get("round")
 
     oracle_sec, oracle_skipped = oracle_baseline(timings)
     ratios = {
@@ -322,6 +405,7 @@ def main() -> None:
         "task_ops_queries": task_timings,
         "task_ops_delta_vs_baseline": task_ops_deltas,
         "task_ops_worst_regression": worst_regression,
+        "task_ops_suite_factor_vs_baseline": task_ops_suite_factor,
         "ref_workload": ref,
         "ref_workload_async": ref_async,
         "ref_workload_stats": ref_stats,
@@ -345,16 +429,36 @@ def main() -> None:
         else None,
         "ref_workload_tasks_per_sec": ref["tasks_per_sec"],
         "ref_workload_central_spread_pct": ref_stats["central_spread_pct"],
+        # ENGINE-PATH HEADLINE (round 8 — VERDICT r7 wrong #1): the
+        # ASYNC mirror median is the machine-stable signal. Measured
+        # flat across every recorded machine state, fresh or degraded
+        # (192.7k driver-degraded / 198.2k builder-fresh, −3%, while
+        # sync swung −22% in the same pair): a move >10% in the async
+        # median is an engine-path change. The sync median and the
+        # sync/async ratio are INFORMATIONAL — the sync mirror (32×300
+        # sleeping threads) degrades under host contention in a way the
+        # event loop does not, so both inherit full host sensitivity;
+        # the r7 band rule (0.58–0.68, ±15% = engine change) false-
+        # alarmed at 0.482 on its first driver run with benchmark.py
+        # untouched and is retired (rule in PERFORMANCE.md).
         "ref_workload_async_tasks_per_sec": ref_async["tasks_per_sec"],
-        # machine-normalized mirror signal: absolute medians drift with
-        # host state (measured 30% across one day), but sync and async
-        # slow down TOGETHER — their ratio stayed in a ±8% band (0.58-
-        # 0.68) across the same sessions. A ratio move beyond ~±15% is
-        # an engine-path change; an absolute move with a flat ratio is
-        # the machine (rule in PERFORMANCE.md).
+        "ref_workload_async_median_delta_pct": (
+            round(
+                (ref_async["tasks_per_sec"] - baseline["ref_workload_async_median"])
+                / baseline["ref_workload_async_median"]
+                * 100,
+                1,
+            )
+            if baseline.get("ref_workload_async_median")
+            else None
+        ),
         "ref_workload_sync_over_async": round(
             ref["tasks_per_sec"] / ref_async["tasks_per_sec"], 3
         ),
+        # ~1 = host comparable to baseline session; >>1 = degraded host
+        # (the r7 driver session measured ~2.0 uniformly) — contextualizes
+        # the informational absolutes above
+        "task_ops_suite_factor_vs_baseline": task_ops_suite_factor,
         "task_ops_worst_regression": worst_regression,
         "worst_spark_over_oracle": {"query": worst[0], "ratio": worst[1]}
         if worst

@@ -1,9 +1,8 @@
 """Driver-shaped end-to-end harness: default SparkSession (no engine
 configs), sf0.01, side-by-side DuckDB oracle comparison."""
-import sys, hashlib, json
+import sys, json
 sys.path.insert(0, "/root/repo")
 import duckdb
-import pandas as pd
 from pyspark.sql import SparkSession
 
 import __spark_entry__ as e
@@ -22,27 +21,10 @@ con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
 
-def norm(pdf):
-    # Deliberately NOT shared with tests/utils.assert_frames_match: this
-    # harness mirrors the DRIVER's check (sort columns by name, round
-    # floats, order-insensitive value hash) and has tracked the real
-    # driver 1:1 for six rounds; the pytest gate is the STRICTER local
-    # gate (isclose rel/abs 1e-9 per cell with index-aligned sorting).
-    # The two can disagree by design — a float drifting ~1e-7 passes
-    # here and fails pytest, which is the desired failure ORDER (the
-    # strict gate trips first, locally). Keep changes to this
-    # normalization in lockstep with observed driver behavior only.
-    pdf = pdf[sorted(pdf.columns)].copy()
-    for c in pdf.columns:
-        if pdf[c].dtype == object: pdf[c] = pdf[c].astype(str)
-        elif pd.api.types.is_float_dtype(pdf[c]): pdf[c] = pdf[c].round(6)
-        elif pd.api.types.is_bool_dtype(pdf[c]): pdf[c] = pdf[c].astype(bool)
-        elif pd.api.types.is_integer_dtype(pdf[c]): pdf[c] = pdf[c].astype("int64")
-    pdf = pdf.sort_values(by=list(pdf.columns), ignore_index=True)
-    return pdf
-
-def vhash(pdf):
-    return hashlib.md5(pdf.to_csv(index=False).encode()).hexdigest()
+# The comparison lives in tools/harness_compare.py (round 8) so the
+# gate itself has a liveness pin — tests/test_gate_liveness.py feeds
+# corrupted frames through the SAME compare this script runs.
+from harness_compare import compare  # noqa: E402
 
 qs, oracles = e.queries(), e.oracle_sql()
 if "--all" in sys.argv:  # sweep the EXTRA tier too (full registry)
@@ -90,11 +72,7 @@ for name, fn in sorted(qs.items()):
             )
             continue
         odf = con.sql(oracles[name]).df()
-        a, b = norm(sdf), norm(odf)
-        ok_cols = list(a.columns) == list(b.columns)
-        ok_rows = len(a) == len(b)
-        ok_hash = vhash(a) == vhash(b)
-        results[name] = "MATCH" if (ok_cols and ok_rows and ok_hash) else f"MISMATCH cols={ok_cols} rows={len(a)}vs{len(b)} hash={ok_hash}"
+        results[name] = compare(sdf, odf)
     except Exception as ex:
         results[name] = f"ERROR: {str(ex)[:200]}"
 for k, v in results.items():
