@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from decaton_spark.functions.hashing import hex_to_long
+from decaton_spark.functions.hashing import hex_to_long_spark
 
 
 def exact_dups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -104,10 +104,15 @@ def minhash_signature(hashes_col: str, bands: int = 4) -> list[Column]:
     """
     if bands > 4:
         raise ValueError("md5 yields 32 hex digits = at most 4 8-digit bands")
+    # hex_to_long_spark (native conv), not the portable digit-sum form:
+    # inside this per-element lambda the digit sum runs interpreted and
+    # was 2.6x the whole stage (see hashing.py); the DuckDB oracle
+    # replays the portable hex_to_long fragment — values are pinned
+    # bit-identical in tests/test_ngram_constructions.py
     return [
         F.expr(
             f"array_min(transform({hashes_col}, "
-            f"h -> {hex_to_long('h', start=1 + 8 * b, ndigits=8)}))"
+            f"h -> {hex_to_long_spark('h', start=1 + 8 * b, ndigits=8)}))"
         ).alias(f"minhash_{b}")
         for b in range(bands)
     ]
@@ -896,7 +901,7 @@ def minhash_values(
     slots = [
         F.expr(
             f"array_min(transform(_h{src}, "
-            f"h -> {hex_to_long('h', start=1 + 8 * b, ndigits=8)}))"
+            f"h -> {hex_to_long_spark('h', start=1 + 8 * b, ndigits=8)}))"
         )
         for src in (1, 2)
         for b in range(4)

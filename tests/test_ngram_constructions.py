@@ -154,3 +154,67 @@ def test_repetition_stats_edge_rows(spark, edge_docs):
     assert out[5]["dup_bigram_frac"] == 0.0  # 1 token: no bigrams ⇒ 0.0
     # "dup dup dup dup": 3 bigrams, all identical -> (3-1)/3
     assert out[12]["dup_bigram_frac"] == pytest.approx(2 / 3, abs=1e-6)
+
+
+def test_hex_to_long_spark_matches_portable_form(spark):
+    """Round-8 rewrite pin: hex_to_long_spark (one native conv()) must
+    be bit-identical to the portable instr/substr digit sum the DuckDB
+    oracle replays — across every band offset, digit width the engine
+    uses, NULL input, and the extreme digests. The minhash band-min
+    ran 2.6x faster under conv; a single differing value would silently
+    re-bucket LSH candidates."""
+    from decaton_spark.functions.hashing import hex_to_long, hex_to_long_spark
+
+    rows = [
+        ("00000000000000000000000000000000",),
+        ("ffffffffffffffffffffffffffffffff",),
+        ("0123456789abcdef0123456789abcdef",),
+        ("deadbeefdeadbeefdeadbeefdeadbeef",),
+        (None,),
+    ]
+    df = spark.createDataFrame(rows, "h string")
+    # the (start, ndigits) shapes used across the engine: 4 bands x 8
+    # digits (minhash/simhash/bloom), 4 (h16), 12 (sampling hashes)
+    shapes = [(1 + 8 * b, 8) for b in range(4)] + [(1, 4), (1, 12)]
+    cols = []
+    for start, nd in shapes:
+        cols.append(F.expr(hex_to_long("h", start, nd)).alias(f"p_{start}_{nd}"))
+        cols.append(
+            F.expr(hex_to_long_spark("h", start, nd)).alias(f"s_{start}_{nd}")
+        )
+    out = df.select(*cols)
+    bad = out.filter(
+        " OR ".join(
+            f"NOT (p_{start}_{nd} <=> s_{start}_{nd})" for start, nd in shapes
+        )
+    )
+    assert bad.count() == 0
+
+    with pytest.raises(ValueError):
+        hex_to_long_spark("h", 1, 16)  # conv wraps unsigned past 15 digits
+
+
+def test_minhash_signature_matches_portable_form(spark):
+    """End-to-end pin on the consumer: minhash_signature values over
+    the edge corpus (NULL/empty/whitespace/short docs) are identical
+    under the conv form and the portable digit-sum form."""
+    from decaton_spark.functions.dedup import minhash_signature, word_shingles
+    from decaton_spark.functions.hashing import hex_to_long
+
+    df = (
+        spark.createDataFrame(EDGE_ROWS, "doc_id long, text string")
+        .withColumn("shingles", word_shingles("text", 3))
+        .withColumn("hashes", F.expr("transform(shingles, s -> md5(s))"))
+    )
+    portable = [
+        F.expr(
+            f"array_min(transform(hashes, "
+            f"h -> {hex_to_long('h', start=1 + 8 * b, ndigits=8)}))"
+        ).alias(f"p{b}")
+        for b in range(4)
+    ]
+    out = df.select(*minhash_signature("hashes", 4), *portable)
+    bad = out.filter(
+        " OR ".join(f"NOT (minhash_{b} <=> p{b})" for b in range(4))
+    )
+    assert bad.count() == 0
