@@ -867,6 +867,17 @@ def pq_encode(
     # lambda scopes, so work inside the candidate lambda is paid 16×).
     # Sub-vector slices are hoisted to their own projection for the
     # same reason.
+    #
+    # MEASURED DEAD END (round 8, kept as a warning): unrolling the
+    # candidate dots into flat literal multiply-adds (128 terms per
+    # subspace) is SLOWER than this fold — 0.42 s vs 0.21 s per
+    # subspace at sf0.1 — because the giant expression tree exceeds
+    # what whole-stage codegen will compile and falls back to
+    # interpreted eval, which walks ~35 tree nodes per candidate where
+    # the HOF fold runs a tight loop over an already-evaluated array.
+    # The HOF-lambda-is-slow rule applies to work that can move OUT of
+    # the per-element lambda (see hex_to_long_spark), not to replacing
+    # a small fold with a thousand-node flat tree.
     def code_sql(j: int) -> str:
         book = _pq_book_sql(codebooks[j])
         n2row = _pq_n2row_sql(n2[j])
@@ -902,6 +913,46 @@ def pq_encode(
     )
 
 
+def _adc_table_sql(codebooks: list[list[list[float]]], qvec: str = "q_vec") -> str:
+    """SQL for the per-QUERY ADC lookup table: ``tab[j+1][c+1]`` =
+    dot(q's j-th sub-vector, codeword c of subspace j), as
+    ``array<array<double>>``.
+
+    This moves the interpreted aggregate/zip_with dot folds off the
+    per-(query, candidate) PAIR and onto the query row, where they run
+    |queries| x m x ksub times total (hundreds, not millions); each
+    pair then scores with m native element_at lookups — the textbook
+    ADC table, and the round-8 fix for ann_pq/ann_ivf_pq walls. The
+    inner fold is textually identical to the old per-pair expression
+    (same slice, same CAST, same left-to-right accumulation), so every
+    looked-up value — and therefore the final rounded cosine — is
+    IEEE-bit-identical to the unfactored form (pinned in
+    tests/test_quantize.py)."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    subs = []
+    for j in range(m):
+        subs.append(
+            f"transform({_pq_book_sql(codebooks[j])}, "
+            f"cv -> aggregate(zip_with(slice({qvec}, {j * dsub + 1}, {dsub}), "
+            "cv, (a, b) -> CAST(a AS DOUBLE) * b), 0.0D, (acc, x) -> acc + x))"
+        )
+    return "array(" + ", ".join(subs) + ")"
+
+
+def _adc_dot_sql(m: int, tab: str = "q_tab", codes: str = "pq_codes") -> str:
+    """Per-pair ADC dot product off the precomputed table: m native
+    element_at lookups summed in subspace order (matches the old
+    per-pair fold's accumulation order exactly)."""
+    adot = "0.0D"
+    for j in range(m):
+        adot = (
+            f"({adot} + element_at(element_at({tab}, {j + 1}), "
+            f"element_at({codes}, {j + 1}) + 1))"
+        )
+    return adot
+
+
 def pq_topk(
     df: DataFrame,
     queries: DataFrame,
@@ -932,25 +983,15 @@ def pq_topk(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
         norm(F.col(vec_col)).alias("q_norm"),
-    )
+    ).selectExpr("*", f"{_adc_table_sql(codebooks)} AS q_tab")
     pairs = enc.crossJoin(F.broadcast(q)).filter(
         F.col("neighbor_id") != F.col("query_id")
     )
-    adot = "0.0D"
-    for j in range(m):
-        cv = (
-            f"element_at({_pq_book_sql(codebooks[j])}, "
-            f"element_at(pq_codes, {j + 1}) + 1)"
-        )
-        adot = (
-            f"({adot} + aggregate(zip_with("
-            f"slice(q_vec, {j * dsub + 1}, {dsub}), {cv}, "
-            "(a, b) -> CAST(a AS DOUBLE) * b), 0.0D, (acc, x) -> acc + x))"
-        )
     scored = pairs.selectExpr(
         "query_id",
         "neighbor_id",
-        f"round({adot} / (q_norm * recon_norm), {round_digits}) + 0.0D AS pq_cosine",
+        f"round({_adc_dot_sql(m)} / (q_norm * recon_norm), {round_digits})"
+        " + 0.0D AS pq_cosine",
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("pq_cosine").desc(), F.col("neighbor_id").asc()
@@ -1102,25 +1143,15 @@ def ivf_pq_topk(
         F.col(vec_col).alias("q_vec"),
         norm(F.col(vec_col)).alias("q_norm"),
         F.explode(probe_cells).alias("cell"),
-    )
+    ).selectExpr("*", f"{_adc_table_sql(codebooks)} AS q_tab")
     pairs = corpus.join(F.broadcast(q), "cell").filter(
         F.col("neighbor_id") != F.col("query_id")
     )
-    adot = "0.0D"
-    for j in range(m):
-        cv = (
-            f"element_at({_pq_book_sql(codebooks[j])}, "
-            f"element_at(pq_codes, {j + 1}) + 1)"
-        )
-        adot = (
-            f"({adot} + aggregate(zip_with("
-            f"slice(q_vec, {j * dsub + 1}, {dsub}), {cv}, "
-            "(a, b) -> CAST(a AS DOUBLE) * b), 0.0D, (acc, x) -> acc + x))"
-        )
     scored = pairs.selectExpr(
         "query_id",
         "neighbor_id",
-        f"round({adot} / (q_norm * recon_norm), {round_digits}) + 0.0D AS pq_cosine",
+        f"round({_adc_dot_sql(m)} / (q_norm * recon_norm), {round_digits})"
+        " + 0.0D AS pq_cosine",
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("pq_cosine").desc(), F.col("neighbor_id").asc()

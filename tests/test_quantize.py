@@ -126,3 +126,39 @@ def test_ndcg_quality_orders_by_compression(spark, sf_dir):
     assert pdf["ndcg"].between(0, 1).all()
     by = pdf.groupby("method")["ndcg"].mean()
     assert by["exact"] >= by["sq8"] - 1e-9
+
+
+def test_adc_table_matches_per_pair_fold(spark, sf_dir):
+    """Round-8 ADC rewrite pin: the per-query lookup-table dot
+    (_adc_table_sql + _adc_dot_sql) must be IEEE-bit-identical to the
+    old per-pair aggregate/zip_with fold for every (query, candidate)
+    pair — the inner fold text is unchanged, only WHERE it evaluates
+    moved (query row instead of pair row), so any divergence means the
+    factoring broke the accumulation order."""
+    from decaton_spark.functions import similarity as sim
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    books = sim.train_pq_codebooks(
+        emb, dataset=f"{sf_dir}/embeddings", m=8, ksub=16, iters=2
+    )
+    m, dsub = 8, 8
+    enc = sim.pq_encode(emb, books)
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
+    ).selectExpr("*", f"{sim._adc_table_sql(books)} AS q_tab")
+    pairs = enc.crossJoin(F.broadcast(q))
+    old = "0.0D"
+    for j in range(m):
+        cv = (
+            f"element_at({sim._pq_book_sql(books[j])}, "
+            f"element_at(pq_codes, {j + 1}) + 1)"
+        )
+        old = (
+            f"({old} + aggregate(zip_with("
+            f"slice(q_vec, {j * dsub + 1}, {dsub}), {cv}, "
+            "(a, b) -> CAST(a AS DOUBLE) * b), 0.0D, (acc, x) -> acc + x))"
+        )
+    out = pairs.selectExpr(
+        f"{old} AS fold_dot", f"{sim._adc_dot_sql(m)} AS table_dot"
+    )
+    assert out.filter("NOT (fold_dot <=> table_dot)").count() == 0
