@@ -316,16 +316,20 @@ def main() -> None:
     # session) — the old >2 s-only re-measure never triggered for the
     # sub-second band where that noise dominates the delta. The whole
     # band costs ~12 s, so the second pass is cheap.
-    # pre-warm the FIRST measured op once, unmeasured: the first op in
-    # the loop pays whole-session JIT/codegen that keep-min-of-2 cannot
-    # amortize because both its samples run back-to-back at the cold
-    # position (VERDICT r7 wrong #2: the driver measured f1_ignore_keys
-    # 0.984 s at position 1 where a quiet-machine probe measured
-    # 0.599 s, while ops later in the session landed within ~10% of
-    # baseline)
+    # pre-warm EVERY task op once, unmeasured: each op's plan carries
+    # its own codegen/JIT that keep-min-of-2 cannot amortize because
+    # both samples run back-to-back at the same cold position (VERDICT
+    # r7 wrong #2: the driver measured f1_ignore_keys 0.984 s at
+    # position 1 where a quiet probe measured 0.599 s). Warming only
+    # the first op proved insufficient once the round-8 tier rotation
+    # removed the task ops from the tier loop (they used to arrive
+    # pre-warmed by it): t1_compaction_hash measured 0.817 s when
+    # first-ish and 0.421 s when last in the same session. One full
+    # unmeasured pass costs ~5-10 s and makes the measured walls
+    # position-independent steady-state.
     task_timings: dict[str, float] = {}
-    if task_ops:
-        drain(_ALL_QUERIES[task_ops[0]].fn(spark, SF_DIR))
+    for name in task_ops:
+        drain(_ALL_QUERIES[name].fn(spark, SF_DIR))
     for name in task_ops:
         walls = []
         for _ in range(2):
