@@ -73,7 +73,12 @@ def token_fingerprint(tokens_expr_spark: str) -> str:
     ``list_reduce`` with the same per-token md5 integers — see
     ``decaton_spark.queries`` for the paired oracle fragment.
     """
-    tok_int = md5_long("t", 8)
+    # hex_to_long_spark, not md5_long: the per-token hash runs inside
+    # the aggregate lambda (interpreted per element), where the
+    # portable 8-digit instr/substr sum costs ~30 expression nodes per
+    # token vs one native conv (bit-identical; same rationale and pin
+    # as the minhash bands — see hex_to_long_spark)
+    tok_int = hex_to_long_spark("md5(t)", 1, 8)
     return (
         f"aggregate({tokens_expr_spark}, CAST(0 AS BIGINT), "
         f"(acc, t) -> (acc * 31 + {tok_int}) % 1000000007)"
