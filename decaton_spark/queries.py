@@ -14105,8 +14105,34 @@ _DRIVER_TIER = [
     # implementation-changed queries always jump the queue.
     # tools/drive_harness.py prints the newest-row histogram each
     # run so the rotation arithmetic is checked automatically.
-    # Round-9 tier = the remaining 40 r4-row holders + the 10
-    # oldest r5 rows (r5 file order).
+    #
+    # ROUND-9 TIER (pre-written; computed from the correctness files
+    # with the r8 tier marked newest=r8): the remaining 40 r4-row
+    # holders (r4 file order) + the 10 oldest r5 rows (r5 file order):
+    #   events_props_json, events_session_gaps,
+    #   customer_balance_quartiles, docs_lm_score,
+    #   events_resample_gapfill, emb_label_centroid_drift,
+    #   events_percent_rank, array_functions_bridge, docs_normalize,
+    #   lineitem_unpivot, set_ops_all_variants,
+    #   datetime_functions_bridge, lateral_top_orders,
+    #   null_semantics_bridge, text_tokenize_ids, dedup_graph_pagerank,
+    #   corpus_token_histogram, events_top_transitions,
+    #   events_hll_distinct, map_functions_bridge,
+    #   window_functions_bridge, docs_weighted_sample, q15_top_supplier,
+    #   q8_market_share, t1_compaction_hash, hybrid_search_rrf,
+    #   text_bpe_merges, docs_bpe_compression, text_bpe_symbol_vocab,
+    #   events_kmv_distinct, dedup_spans_intradoc,
+    #   events_kmv_sample_median, docs_decontaminate_bloom,
+    #   dedup_exact_substring, docs_temperature_mixture,
+    #   docs_curation_pipeline_v2, emb_sq_topk, emb_sq_recall,
+    #   docs_novelty_ngrams, cm_sketch_quota,
+    #   -- 10 oldest r5 rows:
+    #   emb_pca_power_iteration, dedup_simhash_hamming,
+    #   dedup_families_report, events_power_user_curve,
+    #   events_rfm_segments, corpus_snapshot_diff,
+    #   events_histogram_quantiles, events_pit_features,
+    #   events_target_encoding, split_leakage_check
+    # After round 9 the histogram is r5:40 r6:50 r7:50 r8:50 r9:50.
     # ================= HISTORY (condensed) =================
     # r1-r7: 50/50 driver rows every round, zero failures; round 6
     # closed the never-verified queue (all-time union 240/240),

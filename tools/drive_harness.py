@@ -57,9 +57,18 @@ if "--only" in sys.argv:  # fast iteration: certify a comma-separated subset
                 oracles[name] = EXTRA_QUERIES[name].oracle
     qs = {k: v for k, v in qs.items() if k in set(wanted)}
 results = {}
+walls: dict[str, float] = {}
+import time as _time
+
 for name, fn in sorted(qs.items()):
+    _t0 = _time.perf_counter()
     try:
         sdf = fn(spark, SF).toPandas()
+        # Spark wall only (collect-to-pandas included, DuckDB oracle
+        # compare excluded) — a cheap per-round trace so a query whose
+        # sf0.01 wall jumps between rounds is visible in the harness
+        # log without a separate timing sweep
+        walls[name] = round(_time.perf_counter() - _t0, 2)
         if name not in oracles:
             # rows-only is the WEAKER gate for non-SQL-expressible ops;
             # it must still be falsifiable — an empty frame is a FAIL
@@ -75,8 +84,9 @@ for name, fn in sorted(qs.items()):
         results[name] = compare(sdf, odf)
     except Exception as ex:
         results[name] = f"ERROR: {str(ex)[:200]}"
+        walls.setdefault(name, round(_time.perf_counter() - _t0, 2))
 for k, v in results.items():
-    print(f"{'PASS' if v=='MATCH' or v.startswith('rows-only') else 'FAIL':4} {k}: {v}")
+    print(f"{'PASS' if v=='MATCH' or v.startswith('rows-only') else 'FAIL':4} {k}: {v} [{walls.get(k, -1.0)}s]")
 n_bad = sum(1 for v in results.values() if not (v=='MATCH' or v.startswith('rows-only')))
 print(f"== {len(results)-n_bad}/{len(results)} ok ==")
 
