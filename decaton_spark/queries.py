@@ -14038,114 +14038,148 @@ def events_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      dedup_near_full CC hardening, ann_brute_force_topk shares
 #      similarity.py), then one representative per operator family.
 _DRIVER_TIER = [
-    # ================= ROUND 8 TIER =================
-    # VERDICT r7 #1: the pre-written freshness rotation — the 40
-    # queries whose newest driver row is r3-era (exact r3 file
-    # order) plus the 10 oldest r4 rows (exact r4 file order). This
-    # closes the r3 staleness debt: after this round the newest-row
-    # histogram is r4:40 r5:50 r6:50 r7:50 r8:50 with zero rows
-    # older than four rounds.
+    # ================= ROUND 9 TIER =================
+    # Standing rotation (VERDICT r7 #4): 240 registered queries / 50
+    # slots per round = a 5-round freshness cycle, oldest-newest-row
+    # first, r{N} file order within a cohort; implementation-changed
+    # queries always jump the queue. This round burns the 40 remaining
+    # r4-row holders (r4 file order) + the 10 oldest r5 rows (r5 file
+    # order) — exactly the list VERDICT r8 #2 pre-wrote. After it
+    # lands the histogram is r5:40 r6:50 r7:50 r8:50 r9:50.
     #
-    # The 40 r3-row holders (r3 file order):
-    "hypertable_rollup",
-    "events_user_value",
-    "deterministic_split",
-    "deterministic_mixture",
-    "dedup_filtered_corpus",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "text_lang_id",
-    "text_quality",
-    "text_token_count",
-    "text_fingerprint",
-    "ann_lsh_topk",
-    "ann_lsh_buckets",
-    "ann_brute_force_topk_vec",
-    "ann_ivf_topk_vec",
-    "s8_envelope",
-    "t1_compaction_global",
-    "docs_gopher_filter",
-    "docs_pii_redact",
-    "dedup_spans",
-    "token_budget_sample",
-    "ann_pq_topk",
-    "text_tfidf_top_terms",
-    "text_doc_chunks",
-    "text_pack_sequences",
-    "docs_decontaminate",
-    "dedup_semantic",
-    "ann_ivf_pq_topk",
-    "docs_length_quantiles",
-    "docs_domain_importance",
-    "text_vocab_build",
-    "docs_curation_pipeline",
-    "q21_waiting_suppliers",
-    "heavy_hitters_keys",
-    "text_bm25_search",
-    "ann_ivf_topk",
-    "s8_protobuf_envelope",
-    "dedup_near_full",
-    "corpus_merge_upsert",
-    "corpus_merge_neardup",
-    # The 10 oldest r4 rows (r4 file order):
-    "events_rolling_zscore",
-    "events_value_winsorized",
-    "hypertable_incremental_refresh",
-    "events_expectations",
-    "events_last_touch_attribution",
-    "docs_domain_cap",
-    "ann_filtered_topk",
-    "events_funnel",
-    "events_cohort_retention",
-    "events_conversion_latency",
-    #
-    # ROTATION (standing policy, VERDICT r7 #4): 240 registered
-    # queries / 50 slots per round = a 5-round freshness cycle,
-    # oldest-newest-row-first, r{N} file order within a cohort;
-    # implementation-changed queries always jump the queue.
-    # tools/drive_harness.py prints the newest-row histogram each
-    # run so the rotation arithmetic is checked automatically.
-    #
-    # ROUND-9 TIER (pre-written; computed from the correctness files
-    # with the r8 tier marked newest=r8): the remaining 40 r4-row
-    # holders (r4 file order) + the 10 oldest r5 rows (r5 file order):
-    #   events_props_json, events_session_gaps,
-    #   customer_balance_quartiles, docs_lm_score,
-    #   events_resample_gapfill, emb_label_centroid_drift,
-    #   events_percent_rank, array_functions_bridge, docs_normalize,
-    #   lineitem_unpivot, set_ops_all_variants,
-    #   datetime_functions_bridge, lateral_top_orders,
-    #   null_semantics_bridge, text_tokenize_ids, dedup_graph_pagerank,
-    #   corpus_token_histogram, events_top_transitions,
-    #   events_hll_distinct, map_functions_bridge,
-    #   window_functions_bridge, docs_weighted_sample, q15_top_supplier,
-    #   q8_market_share, t1_compaction_hash, hybrid_search_rrf,
-    #   text_bpe_merges, docs_bpe_compression, text_bpe_symbol_vocab,
-    #   events_kmv_distinct, dedup_spans_intradoc,
-    #   events_kmv_sample_median, docs_decontaminate_bloom,
-    #   dedup_exact_substring, docs_temperature_mixture,
-    #   docs_curation_pipeline_v2, emb_sq_topk, emb_sq_recall,
-    #   docs_novelty_ngrams, cm_sketch_quota,
-    #   -- 10 oldest r5 rows:
-    #   emb_pca_power_iteration, dedup_simhash_hamming,
-    #   dedup_families_report, events_power_user_curve,
-    #   events_rfm_segments, corpus_snapshot_diff,
-    #   events_histogram_quantiles, events_pit_features,
-    #   events_target_encoding, split_leakage_check
-    # After round 9 the histogram is r5:40 r6:50 r7:50 r8:50 r9:50.
+    # The 40 r4-row holders (r4 file order):
+    "events_props_json",
+    "events_session_gaps",
+    "customer_balance_quartiles",
+    "docs_lm_score",
+    "events_resample_gapfill",
+    "emb_label_centroid_drift",
+    "events_percent_rank",
+    "array_functions_bridge",
+    "docs_normalize",
+    "lineitem_unpivot",
+    "set_ops_all_variants",
+    "datetime_functions_bridge",
+    "lateral_top_orders",
+    "null_semantics_bridge",
+    "text_tokenize_ids",
+    "dedup_graph_pagerank",
+    "corpus_token_histogram",
+    "events_top_transitions",
+    "events_hll_distinct",
+    "map_functions_bridge",
+    "window_functions_bridge",
+    "docs_weighted_sample",
+    "q15_top_supplier",
+    "q8_market_share",
+    "t1_compaction_hash",
+    "hybrid_search_rrf",
+    "text_bpe_merges",
+    "docs_bpe_compression",
+    "text_bpe_symbol_vocab",
+    "events_kmv_distinct",
+    "dedup_spans_intradoc",
+    "events_kmv_sample_median",
+    "docs_decontaminate_bloom",
+    "dedup_exact_substring",
+    "docs_temperature_mixture",
+    "docs_curation_pipeline_v2",
+    "emb_sq_topk",
+    "emb_sq_recall",
+    "docs_novelty_ngrams",
+    "cm_sketch_quota",
+    # The 10 oldest r5 rows (r5 file order):
+    "emb_pca_power_iteration",
+    "dedup_simhash_hamming",
+    "dedup_families_report",
+    "events_power_user_curve",
+    "events_rfm_segments",
+    "corpus_snapshot_diff",
+    "events_histogram_quantiles",
+    "events_pit_features",
+    "events_target_encoding",
+    "split_leakage_check",
     # ================= HISTORY (condensed) =================
-    # r1-r7: 50/50 driver rows every round, zero failures; round 6
-    # closed the never-verified queue (all-time union 240/240),
-    # round 7 burned the 41 r2 rows + 9 oldest r3 (tier list in git
-    # bf68203). Per-round certification: tier 50/50 at sf0.01 re-run
-    # after every material change; full-registry drive_harness --all
-    # 240/240; full window audit (incl. checkpointed stage plans);
-    # pytest; adversarial-equivalence pins for expression rewrites
+    # r1-r8: 50/50 driver rows every round, zero failures; round 6
+    # closed the never-verified queue (all-time union 240/240), round
+    # 7 burned the 41 r2 rows + 9 oldest r3 (tier in git bf68203),
+    # round 8 the 40 r3 rows + 10 oldest r4 (tier in git 0470bd0).
+    # Per-round certification: tier 50/50 at sf0.01 re-run after every
+    # material change; full-registry drive_harness --all 240/240; full
+    # window audit (incl. checkpointed stage plans); pytest;
+    # adversarial-equivalence pins for expression rewrites
     # (tests/test_ngram_constructions.py).
+]
+
+# ROUND-10 TIER, pre-written AS DATA (VERDICT r8 #3/#6): the harness
+# projects the post-next-round histogram with this list during the
+# inter-round window (after the driver writes CORRECTNESS_r09 but
+# before _DRIVER_TIER rotates), so the rotation arithmetic is checked
+# without the false "fell behind" alarm the comment-only pre-write
+# caused. Computed from the correctness files with the r9 tier marked
+# newest=r9: the 40 remaining r5-row holders (r5 file order) + the 10
+# oldest r6 rows (r6 file order). After r10 lands the histogram is
+# r6:40 r7:50 r8:50 r9:50 r10:50.
+NEXT_TIER = [
+    # The 40 r5-row holders (r5 file order):
+    "retrieval_ndcg_eval",
+    "dedup_containment",
+    "corpus_source_overlap",
+    "customer_scd2_merge",
+    "events_ab_welch_ttest",
+    "events_ab_cuped",
+    "events_ab_conversion_ztest",
+    "events_ab_mannwhitney",
+    "events_ab_diff_in_diff",
+    "events_ab_power",
+    "events_ab_srm_check",
+    "prefs_bradley_terry",
+    "text_wordpiece_tokens",
+    "text_wordpiece_fertility",
+    "emb_binary_hamming_topk",
+    "dedup_sorted_neighborhood",
+    "events_bootstrap_ci",
+    "retrieval_mrr_eval",
+    "events_negative_samples",
+    "events_linear_attribution",
+    "events_first_touch_attribution",
+    "events_score_calibration",
+    "dedup_snm_multipass",
+    "dedup_minhash_accuracy",
+    "dedup_source_priority",
+    "dedup_triangle_stats",
+    "emb_bitext_margin_mining",
+    "emb_ivf_cell_stats",
+    "emb_matryoshka_recall",
+    "emb_sq_refine_topk",
+    "ann_mmr_rerank",
+    "emb_hard_negatives",
+    "docs_ccnet_buckets",
+    "docs_curation_pipeline_v3",
+    "docs_langid_confusion",
+    "events_psi_drift",
+    "events_survival_km",
+    "parts_fuzzy_linkage",
+    "events_anova_oneway",
+    "events_cohort_ltv",
+    # The 10 oldest r6 rows (r6 file order):
+    "emb_bitext_margin_lsh",
+    "dedup_simhash",
+    "dedup_cluster_stats",
+    "dedup_lsh_banding_sweep",
+    "ann_ivf_nprobe_sweep",
+    "emb_lang_centroid_drift",
+    "emb_random_projection_recall",
+    "users_behavior_similarity",
+    "text_collocations_pmi",
+    "text_fertility_by_lang",
 ]
 
 _ALL_QUERIES = dict(QUERIES)
 assert len(_DRIVER_TIER) == 50, len(_DRIVER_TIER)
+assert len(NEXT_TIER) == 50 == len(set(NEXT_TIER)), len(NEXT_TIER)
+assert set(NEXT_TIER) <= set(_ALL_QUERIES), set(NEXT_TIER) - set(_ALL_QUERIES)
+assert not set(NEXT_TIER) & set(_DRIVER_TIER), set(NEXT_TIER) & set(_DRIVER_TIER)
 assert set(_DRIVER_TIER) <= set(_ALL_QUERIES), set(_DRIVER_TIER) - set(_ALL_QUERIES)
 EXTRA_QUERIES: dict[str, QuerySpec] = {
     k: v for k, v in _ALL_QUERIES.items() if k not in set(_DRIVER_TIER)

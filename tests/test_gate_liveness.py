@@ -52,6 +52,14 @@ GATE_LIVENESS_REGISTRY = {
         "tests.test_bench_signals",
         "test_injected_regression_trips_under_degraded_host",
     ),
+    # freshness rotation: the projection must still warn on a genuinely
+    # stale tier after the r9 inter-round-window fix (which taught it
+    # to project with the pre-written NEXT_TIER when the current tier
+    # already landed — VERDICT r8 #3 demanded the alarm stay live)
+    "freshness_rotation": (
+        "tests.test_gate_liveness",
+        "test_freshness_warning_fires_on_stale_rotation",
+    ),
 }
 
 
@@ -187,3 +195,46 @@ def test_ladder_stale_fixture_detected(tmp_path):
     _stamp_fixture(dest, 10)
     assert _fixture_fresh(dest, 10)
     assert not _fixture_fresh(dest, 100)  # different replication factor
+
+
+def test_freshness_warning_fires_on_stale_rotation():
+    """The rotation projection (tools/freshness.py) must warn when the
+    active tier leaves an over-age cohort behind, and must NOT warn in
+    the legitimate inter-round window (tier fully certified as the
+    newest round, pre-written next tier covers the oldest cohort) —
+    the r8 false alarm this fix removed."""
+    from freshness import project
+
+    # Genuinely stale: the tier re-burns fresh rows while an old cohort
+    # ages out of the 5-round bound -> warning fires.
+    newest = {"old1": 1, "old2": 1, "fresh1": 5, "fresh2": 5}
+    hist, proj, warning = project(
+        newest, [1, 2, 3, 4, 5], tier=["fresh1"], next_tier=["fresh2"]
+    )
+    assert warning is not None and "fell behind" in warning
+    assert "r1:2" in hist
+
+    # On-schedule mid-round: the tier targets the oldest cohort and has
+    # not landed yet -> projection uses the tier, no warning.
+    _, proj, warning = project(
+        newest, [1, 2, 3, 4, 5], tier=["old1", "old2"], next_tier=["fresh1"]
+    )
+    assert warning is None and "current tier" in proj
+
+    # Inter-round window: every tier member is already certified as the
+    # newest round, so the NEXT round runs the pre-written next tier —
+    # project with it; the old alarm fired here spuriously.
+    newest = {"old1": 2, "old2": 2, "a": 5, "b": 5}
+    _, proj, warning = project(
+        newest, [1, 2, 3, 4, 5], tier=["a", "b"], next_tier=["old1", "old2"]
+    )
+    assert warning is None and "pre-written next tier" in proj
+
+    # ... but a pre-written next tier that MISSES a cohort about to age
+    # out must still warn — the projection is a real check, not a
+    # formality. (old1 at r1 would be 5 rounds behind after r6 lands.)
+    newest = {"old1": 1, "old2": 1, "a": 5, "b": 5}
+    _, _, warning = project(
+        newest, [1, 2, 3, 4, 5], tier=["a", "b"], next_tier=["a", "b"]
+    )
+    assert warning is not None and "fell behind" in warning

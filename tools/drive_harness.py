@@ -94,10 +94,15 @@ print(f"== {len(results)-n_bad}/{len(results)} ok ==")
 def _freshness_histogram():
     # Standing rotation check (VERDICT r7 #4): print the newest-driver-row
     # histogram so every harness run verifies the 5-round freshness-cycle
-    # arithmetic automatically instead of by hand. "Projected" assumes the
-    # current driver tier lands green this round.
+    # arithmetic automatically instead of by hand. The projection logic
+    # (incl. the inter-round-window handling that uses the pre-written
+    # NEXT_TIER, VERDICT r8 #3) lives in tools/freshness.py so it has a
+    # liveness pin — tests/test_gate_liveness.py proves the warning
+    # still fires on a genuinely stale rotation.
     import glob, os, re
-    from collections import Counter
+
+    from decaton_spark.queries import NEXT_TIER
+    from freshness import project
 
     newest = {}
     rounds = []
@@ -114,17 +119,13 @@ def _freshness_histogram():
             print(f"freshness: skipping unreadable {os.path.basename(p)}")
     if not newest:
         return
-    hist = Counter(newest.values())
-    print("freshness newest-row histogram:",
-          " ".join(f"r{r}:{hist[r]}" for r in sorted(hist)))
-    nxt = max(rounds) + 1
-    projected = Counter({**newest, **{k: nxt for k in e.queries()}}.values())
-    print(f"freshness projected after r{nxt} tier lands:",
-          " ".join(f"r{r}:{projected[r]}" for r in sorted(projected)))
-    oldest = min(projected)
-    if nxt - oldest > 4:
-        print(f"freshness WARNING: oldest cohort r{oldest} exceeds the "
-              f"5-round cycle bound — rotation fell behind")
+    hist_line, proj_line, warning = project(
+        newest, rounds, list(e.queries()), NEXT_TIER
+    )
+    print(hist_line)
+    print(proj_line)
+    if warning:
+        print(warning)
 
 
 _freshness_histogram()
