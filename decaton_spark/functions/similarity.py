@@ -21,6 +21,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import re
 import tempfile
 
 from pyspark.sql import Column, DataFrame, Window
@@ -36,6 +37,8 @@ _CENTROID_DIR = os.environ.get(
     "DECATON_SPARK_CENTROID_DIR",
     os.path.join(tempfile.gettempdir(), "decaton_spark_centroids"),
 )
+#: current artifact filename format: {dataset_hash}_{fp_hash}_{suffix}
+_ARTIFACT_NAME = re.compile(r"^[0-9a-f]{12}_[0-9a-f]{12}_.+\.json$")
 
 
 def _artifact_path(dataset: str, fp: str, suffix: str) -> str:
@@ -55,14 +58,39 @@ def _artifact_path(dataset: str, fp: str, suffix: str) -> str:
     fphash = hashlib.md5(fp.encode()).hexdigest()[:12]
     if os.path.isdir(_CENTROID_DIR):
         for name in os.listdir(_CENTROID_DIR):
-            if name.startswith(f"{dhash}_") and not name.startswith(
+            stale_sibling = name.startswith(f"{dhash}_") and not name.startswith(
                 f"{dhash}_{fphash}_"
-            ):
+            )
+            # Pre-round-8 artifacts used a single {tag16}_ filename
+            # segment and never match the two-segment prefix, so they
+            # accumulated forever (ADVICE r8) — sweep any .json that
+            # isn't in the current format. In-flight *.tmp files are
+            # deliberately NOT matched: deleting a sibling writer's
+            # temp file would fail its atomic os.replace.
+            legacy_format = name.endswith(".json") and not _ARTIFACT_NAME.match(name)
+            if stale_sibling or legacy_format:
                 try:
                     os.remove(os.path.join(_CENTROID_DIR, name))
                 except OSError:
                     pass  # concurrent worker already swept it
     return os.path.join(_CENTROID_DIR, f"{dhash}_{fphash}_{suffix}.json")
+
+
+def _load_artifact(path: str):
+    """Parsed JSON artifact, or ``None`` when absent or unreadable.
+
+    A plain ``exists() -> open()`` races the stale-sibling sweep: two
+    processes working on different fixture generations of the same
+    dataset can delete the file between the two calls, turning a cache
+    miss into ``FileNotFoundError`` (ADVICE r8). Treat every read
+    failure — vanished, truncated by a crashed writer, corrupt — as a
+    miss and fall through to retraining; the artifact regenerates from
+    the parquet."""
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return None
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -475,9 +503,9 @@ def trained_centroids(
     if key in _CENTROID_CACHE:
         return _CENTROID_CACHE[key]
     path = _artifact_path(dataset, fp, f"n{nlist}_i{iters}")
-    if os.path.exists(path):
-        with open(path) as f:
-            cents = [(int(cid), [float(v) for v in vec]) for cid, vec in json.load(f)]
+    raw = _load_artifact(path)
+    if raw is not None:
+        cents = [(int(cid), [float(v) for v in vec]) for cid, vec in raw]
     else:
         train_df = (
             df.sample(fraction=sample_fraction, seed=42)
@@ -1052,10 +1080,9 @@ def train_pq_codebooks(
     if key in _CENTROID_CACHE:
         return _CENTROID_CACHE[key]
     path = _artifact_path(dataset, fp, f"pq_m{m}_k{ksub}_i{iters}")
-    if os.path.exists(path):
-        with open(path) as f:
-            books = json.load(f)
-        books = [[[float(x) for x in cv] for cv in book] for book in books]
+    raw = _load_artifact(path)
+    if raw is not None:
+        books = [[[float(x) for x in cv] for cv in book] for book in raw]
     else:
         rows = (
             df.select(id_col, vec_col)

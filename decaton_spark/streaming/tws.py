@@ -242,11 +242,17 @@ class BatchingProcessor(StatefulProcessor):
             # timer_ms — treat it as "no timer recorded" (0): the old
             # build never cancelled timers, so 0 exactly reproduces
             # its semantics for restored state.
+            # Two restore shapes for a legacy checkpoint (ADVICE r8):
+            # a literal 3-tuple, or — under Avro state encoding with
+            # schema evolution — a 4-field row whose added timer_ms is
+            # None. Both mean "no timer recorded".
             if len(row) == 3:
                 offs, first_ms, seq = row
                 timer_ms = 0
             else:
                 offs, first_ms, seq, timer_ms = row
+                if timer_ms is None:
+                    timer_ms = 0
             return [int(x) for x in offs], int(first_ms), int(seq), int(timer_ms)
         return [], 0, 0, 0
 
@@ -271,7 +277,18 @@ class BatchingProcessor(StatefulProcessor):
             return
         expiry = expiredTimerInfo.getExpiryTimeInMs()
         if expiry != timer_ms:
-            return  # stale timer superseded by a later flush/re-arm
+            # timer_ms == 0 with pending data only occurs after a
+            # legacy-checkpoint restore (the current build records
+            # first_ms + linger_ms whenever pending is non-empty), so
+            # an unmatched expiry there is the OLD build's persisted
+            # timer refiring, not a superseded one — the old build
+            # flushed on any fire, so honor it once the pending batch
+            # is linger-overdue at the fire time (ADVICE r8: without
+            # this, a restored remainder never linger-flushes unless
+            # new input arrives for that key).
+            legacy = timer_ms == 0 and expiry - first_ms >= self.linger_ms
+            if not legacy:
+                return  # stale timer superseded by a later flush/re-arm
         out, _ = self._flush(pkey, pending, first_ms, seq, expiry, True, timer_ms)
         if out["partition"]:
             yield pd.DataFrame(out)

@@ -118,3 +118,30 @@ def test_baseline_file_carries_async_engine_signal():
         baseline = json.load(fh)
     assert baseline.get("ref_workload_async_median", 0) > 0
     assert baseline.get("task_ops_queries")
+
+
+def test_suite_wide_regression_flagged_when_async_flat():
+    """ADVICE r8 blind spot: a Spark-wide plan regression (every op
+    slows together) divides itself out of the LOO normalization AND
+    leaves the async mirror flat (it doesn't run Spark plans). The
+    secondary gate must flag exactly that disagreement."""
+    from bench import suite_wide_regression_signal
+
+    uniform = {n: round(v * 1.6, 3) for n, v in BASE.items()}
+    deltas, worst, suite_factor = compute_task_op_deltas(uniform, BASE)
+    assert worst is None  # primary signal is blind here, by design
+    flag = suite_wide_regression_signal(suite_factor, async_median_delta_pct=-2.0)
+    assert flag is not None and "suite-wide" in flag["verdict"]
+    assert flag["suite_factor"] == suite_factor
+
+
+def test_suite_wide_gate_quiet_on_degraded_host_and_missing_data():
+    """Host degradation moves BOTH signals (async mirror drops too) —
+    no flag; a comparable host with a flat suite — no flag; missing
+    async baseline or no task-op baseline — no flag (never guess)."""
+    from bench import suite_wide_regression_signal
+
+    assert suite_wide_regression_signal(2.0, -35.0) is None   # degraded host
+    assert suite_wide_regression_signal(1.02, 1.0) is None    # all quiet
+    assert suite_wide_regression_signal(None, 1.0) is None    # no baseline
+    assert suite_wide_regression_signal(1.6, None) is None    # no async base

@@ -52,6 +52,13 @@ GATE_LIVENESS_REGISTRY = {
         "tests.test_bench_signals",
         "test_injected_regression_trips_under_degraded_host",
     ),
+    # suite-wide bench regression (ADVICE r8): a uniform Spark slowdown
+    # that the per-op LOO normalization divides out must be flagged by
+    # the factor-vs-flat-async disagreement gate
+    "bench_suite_wide_regression": (
+        "tests.test_bench_signals",
+        "test_suite_wide_regression_flagged_when_async_flat",
+    ),
     # freshness rotation: the projection must still warn on a genuinely
     # stale tier after the r9 inter-round-window fix (which taught it
     # to project with the pre-written NEXT_TIER when the current tier

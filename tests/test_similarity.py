@@ -333,3 +333,45 @@ def test_ivf_cell_stats_planted_clusters(spark):
         assert out[c]["min_cos_c4"] <= out[c]["mean_cos_c4"] <= out[c]["max_cos_c4"]
     p = plan_of(sim.ivf_cell_stats(df, centroids=cents), "simple")
     assert p.count("Exchange") - p.count("BroadcastExchange") <= 1  # the groupBy only
+
+
+def test_artifact_store_sweep_and_race_tolerance(emb, tmp_path, monkeypatch):
+    """ADVICE r8: (1) a concurrent sibling sweep deleting the artifact
+    between exists() and open() must fall through to retraining, not
+    raise FileNotFoundError — pinned by pointing the reader at corrupt
+    and vanished files; (2) pre-round-8 single-segment filenames never
+    match the two-segment prefix and accumulated forever — the sweep
+    now clears them; in-flight *.tmp files survive the sweep."""
+    monkeypatch.setattr(sim, "_CENTROID_DIR", str(tmp_path))
+    # the same fingerprint trained_centroids will compute for "ds1"
+    # (a non-path dataset tag has no fixture file -> "absent")
+    from decaton_spark.sources import fixture_fingerprint
+
+    fp = fixture_fingerprint("ds1")
+    # corrupt file at the exact path: half-written by a crashed writer
+    path = sim._artifact_path("ds1", fp, "n4_i1")
+    with open(path, "w") as f:
+        f.write('[["not json')
+    assert sim._load_artifact(path) is None
+    # vanished between exists() and open(): simply absent
+    import os
+
+    os.remove(path)
+    assert sim._load_artifact(path) is None
+    # trained_centroids regenerates through the corrupt-artifact path
+    with open(path, "w") as f:
+        f.write("{")
+    cents = sim.trained_centroids(emb, dataset="ds1", nlist=4, iters=1)
+    assert len(cents) == 4
+    # legacy pre-r8 name, a stale same-dataset sibling, and a tmp file
+    legacy = tmp_path / "0123456789abcdef_n16_i4.json"
+    legacy.write_text("[]")
+    stale = tmp_path / (path.split("/")[-1][:13] + "deadbeef0000_n9_i9.json")
+    stale.write_text("[]")
+    tmp_file = tmp_path / "whatever.json.123.tmp"
+    tmp_file.write_text("{}")
+    sim._artifact_path("ds1", fp, "n4_i1")  # triggers the sweep
+    assert not legacy.exists(), "legacy-format artifact must be swept"
+    assert not stale.exists(), "stale same-dataset sibling must be swept"
+    assert tmp_file.exists(), "in-flight tmp files must survive the sweep"
+    assert os.path.exists(path), "the live artifact must survive"

@@ -668,3 +668,46 @@ def test_batching_state_restores_from_pre_timer_checkpoint():
     assert list(out["reason"]) == ["size"]
     assert out["batch_seq"].iloc[0] == 5
     assert out["first_offset"].iloc[0] == 7
+
+
+def test_batching_state_restores_avro_widened_none_timer():
+    """ADVICE r8: under Avro state-schema evolution the restored buf
+    row has FOUR fields with the added timer_ms = None (not a 3-tuple).
+    Must restore as 'no timer recorded', not TypeError on int(None)."""
+    p = BatchingProcessor(capacity=3, linger_ms=1_000)
+    h = FakeHandle()
+    p.init(h)
+    h.states["buf"].update(([7, 8], 0, 5, None))
+    out = _collect(p.handleInputRows((0,), iter([pd.DataFrame({"offset": [9]})]),
+                                     FakeTimerValues(400)))
+    assert list(out["reason"]) == ["size"]
+    assert out["batch_seq"].iloc[0] == 5
+
+
+def test_batching_legacy_timer_refire_flushes_overdue_remainder():
+    """ADVICE r8: a checkpoint from the pre-timer_ms build restores
+    with timer_ms=0, and the OLD build's persisted timer refires after
+    restart with an expiry that can't match. The old build flushed on
+    any fire — discarding it as 'superseded' would strand the restored
+    remainder until new input arrived for that key. The shim must honor
+    a legacy fire once the pending batch is linger-overdue, and still
+    discard a premature unmatched wake."""
+    p = BatchingProcessor(capacity=3, linger_ms=1_000)
+    h = FakeHandle()
+    p.init(h)
+    # legacy restore: two pending offsets buffered at t=0, no timer_ms
+    h.states["buf"].update(([7, 8], 0, 5))
+    # premature unmatched wake (before linger elapsed): ignored
+    out = list(p.handleExpiredTimer((0,), FakeTimerValues(300),
+                                    FakeExpiredTimer(300)))
+    assert out == [] or all(len(f) == 0 for f in out)
+    # the old build's real linger deadline (first_ms + linger) refires:
+    # the remainder must flush without any new input
+    out = _collect(p.handleExpiredTimer((0,), FakeTimerValues(1_000),
+                                        FakeExpiredTimer(1_000)))
+    assert list(out["reason"]) == ["linger"]
+    assert out["first_offset"].iloc[0] == 7
+    assert out["last_offset"].iloc[0] == 8
+    assert out["batch_seq"].iloc[0] == 5
+    # state cleared: nothing pending, no timer armed in state
+    assert h.states["buf"].v[0] == [] and h.states["buf"].v[3] == 0
