@@ -659,6 +659,16 @@ def exact_substring_stats(
     base = df.select(
         F.col(id_col).alias("doc_id"), toks.alias("t")
     ).filter(F.size("t") >= window)
+    # Explode-then-slice is the MEASURED winner here, not an oversight
+    # (round-9 A/B, interleaved full-query medians at sf0.1: this form
+    # 1.08 s vs 1.22 s for a posexplode over the word_shingles-style
+    # zip_with fold): the exploded rows never cross a shuffle with
+    # ``t`` aboard — Generate + Project sit in one whole-stage-codegen
+    # stage where ``t`` is a per-parent-row reference, not a per-row
+    # copy — so the fold's O(window²) char copying buys nothing. The
+    # shingle-fold lesson (spark-hof memory) applies when the per-row
+    # HOF work is interpreted; slice/array_join/md5 after an explode
+    # are plain codegen expressions.
     win = base.select(
         "doc_id",
         F.explode(F.sequence(F.lit(0), F.size("t") - window)).alias("s"),

@@ -45,11 +45,19 @@ def pagerank(
     are deduplicated).
 
     Plan shape at scale: every per-iteration step is edge-sized, never
-    corpus-sized — a join of the rank table onto the symmetric edge
-    list (both hash-partitioned on the source id), one partial-agg
-    groupBy on the destination, and a join back to the degree table.
-    ``iters`` is a small constant (3 default), so the plan stays
-    O(iters) deep with no checkpointing need.
+    corpus-sized, and exactly ONE shuffle deep — the rank table joins
+    the degree-annotated symmetric edge list on the source id, and one
+    partial-agg groupBy on the destination produces the next rank
+    table directly. Both endpoint degrees are attached to the edge
+    list ONCE before the loop (the pre-round-9 form joined the degree
+    table back every iteration — a second edge-sized shuffle per
+    iteration — and re-derived the 1-row node count as a
+    crossJoin-broadcast agg job per reference: 2 + 3·iters stages of
+    pure overhead on a 16k-edge sf0.1 graph, measured ~1.1 s of the
+    query's 2.1 s). The node count is collected once driver-side — a
+    bounded 1-row model-state pull, same class as the IVF centroid
+    pull — so the teleport term is a literal. ``iters`` is a small
+    constant (3 default), so the plan stays O(iters) deep.
 
     Returns (id, degree, pr_micromass) — one row per node that has at
     least one edge, ``pr_micromass`` in units of ``scale`` total mass.
@@ -62,10 +70,9 @@ def pagerank(
         .union(edges.select(b.alias("src"), a.alias("dst")))
         .filter(F.col("src") != F.col("dst"))
         .distinct()
-        # the edge list is consumed 2 + iters times (degree table +
-        # every iteration's join); ONE staged materialization keeps
-        # upstream edge derivation (e.g. the LSH+verify pipeline) from
-        # re-running per consumer — same rationale as
+        # staged once: keeps the upstream edge derivation (e.g. the
+        # LSH+verify pipeline) from re-running for the degree table
+        # and the annotated-edge build — same rationale as
         # connected_components' per-round checkpoint (measured 17 s ->
         # ~2 s on the near-dup graph at sf0.1)
         .localCheckpoint(eager=False)
@@ -73,27 +80,29 @@ def pagerank(
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("d")).select(
         F.col("src").alias("id"), "d"
     )
-    n_nodes = deg.agg(F.count(F.lit(1)).alias("n"))
-    base = f"CAST({scale} AS BIGINT) DIV n"
-    teleport = f"(({100 - damping_pct} * ({base})) DIV 100)"
-    pr = deg.crossJoin(F.broadcast(n_nodes)).select(
-        "id", "d", F.expr(base).alias("r"), F.expr(teleport).alias("t")
+    # undirected symmetric graph: every node emits and receives ≥ 1
+    # contribution, so the per-iteration groupBy below never drops a
+    # node and carrying d_dst through it preserves the degree table
+    sym_d = (
+        sym.join(deg.select(F.col("id").alias("src"), F.col("d").alias("d_src")), "src")
+        .join(deg.select(F.col("id").alias("dst"), F.col("d").alias("d_dst")), "dst")
+        .select("src", "dst", "d_src", "d_dst")
+        .localCheckpoint(eager=False)
     )
+    n = deg.count()  # bounded driver pull: ONE long, not data rows
+    base = scale // n
+    teleport = ((100 - damping_pct) * base) // 100
+    pr = deg.select("id", "d", F.lit(base).alias("r"))
     for _ in range(iters):
-        incoming = (
-            pr.join(sym, pr["id"] == sym["src"])
-            .select("dst", F.expr("r DIV d").alias("c"))
-            .groupBy("dst")
-            .agg(F.sum("c").alias("s"))
-        )
         pr = (
-            incoming.join(deg, incoming["dst"] == deg["id"])
-            .crossJoin(F.broadcast(n_nodes))
+            pr.join(sym_d, pr["id"] == sym_d["src"])
+            .select("dst", "d_dst", F.expr("r DIV d_src").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"), F.max("d_dst").alias("d"))
             .select(
-                "id",
+                F.col("dst").alias("id"),
                 "d",
                 F.expr(f"{teleport} + ({damping_pct} * s) DIV 100").alias("r"),
-                F.expr(teleport).alias("t"),
             )
         )
     return pr.select(

@@ -433,11 +433,18 @@ def novelty_stats(
     so there is no (doc, gram) shuffle); first-seer election is one
     partial-aggregable ``min`` per gram md5 (the same skew-safe
     election ``span_dedup`` uses — a boilerplate gram appearing in 10^8
-    docs partial-aggregates map-side instead of hot-keying a window);
-    the verdict joins back on the gram hash, co-partitioned with the
-    election's output; the final per-doc rollup is one more partial
-    agg. Every ratio is floor-division of nonnegative integers, exact
-    in both engines.
+    docs partial-aggregates map-side instead of hot-keying a window).
+    The per-doc verdict NEVER joins the gram stream back on the gram
+    hash (the pre-round-9 plan — it re-shuffled all |grams| rows a
+    second time and dominated the ×100 ladder wall at 131 s): because
+    ``novel_grams(doc) = |{h : first_doc(h) = doc}|``, the election
+    output — already only |distinct grams| rows — re-aggregates by its
+    OWN value column, and the final join is doc-sized × doc-sized.
+    Gram rows therefore shuffle exactly once (the election), grams per
+    doc reduce map-side (doc rows are scan-colocated), and the heavy
+    stream is consumed by two partial aggregations instead of a
+    shuffle join. Every ratio is floor-division of nonnegative
+    integers, exact in both engines.
 
     Returns (doc_id, n_grams, novel_grams, novelty_pml) — novelty in
     exact per-mille.
@@ -448,28 +455,30 @@ def novelty_stats(
         F.col(id_col).alias("doc_id"),
         F.explode(word_shingles(text_col, n)).alias("_g"),
     ).select("doc_id", F.md5("_g").alias("h"))
-    # two consumers (election input + join-back probe) would re-run the
+    # two consumers (per-doc count + election) would re-run the
     # explode+md5 lineage twice — Catalyst can't reuse the exchange
-    # because the election side aggregates below it. ONE lazy
-    # checkpoint materializes the gram stream once (measured at sf0.1:
-    # 3.8 s → 2.4 s warm; the merge.py staging lesson). The skew-safe
+    # because both sides aggregate below it. ONE lazy checkpoint
+    # materializes the gram stream once (measured at sf0.1: 3.8 s →
+    # 2.4 s warm; the merge.py staging lesson). The skew-safe
     # partial-agg election is kept — a window over gram partitions
     # would put a 10^8-doc boilerplate gram into one task.
     grams = grams.localCheckpoint(eager=False)
+    per_doc = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
     first = grams.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    novel = first.groupBy(F.col("first_doc").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("novel_grams")
+    )
     return (
-        grams.join(first, "h")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.sum(
-                F.when(F.col("doc_id") == F.col("first_doc"), 1).otherwise(0)
-            ).alias("novel_grams"),
-        )
+        per_doc.join(novel, "doc_id", "left")
         .select(
             "doc_id",
             F.col("n_grams").cast("long").alias("n_grams"),
-            F.col("novel_grams").cast("long").alias("novel_grams"),
+            F.coalesce(F.col("novel_grams"), F.lit(0))
+            .cast("long")
+            .alias("novel_grams"),
+        )
+        .select(
+            "*",
             F.expr("CAST((novel_grams * 1000) DIV n_grams AS BIGINT)").alias(
                 "novelty_pml"
             ),
