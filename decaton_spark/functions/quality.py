@@ -451,17 +451,32 @@ def novelty_stats(
     """
     from decaton_spark.functions.dedup import word_shingles
 
-    grams = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(word_shingles(text_col, n)).alias("_g"),
-    ).select("doc_id", F.md5("_g").alias("h"))
+    # NULL-text docs are EXCLUDED, matching the registered oracle and
+    # the pre-round-9 plan, where the NULL gram hash fell out of the
+    # h-equi-join (NULL ≠ NULL). The explicit filter is required now
+    # that the join-back is gone — without it the NULL gram survives
+    # the groupBys and resurrects NULL-text docs (caught by the
+    # round-9 adversarial NULL/empty-text pin in test_quality.py).
+    grams = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(word_shingles(text_col, n)).alias("_g"),
+        )
+        .select("doc_id", F.md5("_g").alias("h"))
+    )
     # two consumers (per-doc count + election) would re-run the
-    # explode+md5 lineage twice — Catalyst can't reuse the exchange
-    # because both sides aggregate below it. ONE lazy checkpoint
-    # materializes the gram stream once (measured at sf0.1: 3.8 s →
-    # 2.4 s warm; the merge.py staging lesson). The skew-safe
-    # partial-agg election is kept — a window over gram partitions
-    # would put a 10^8-doc boilerplate gram into one task.
+    # shingle-fold + explode + md5 lineage twice — Catalyst can't
+    # reuse the exchange because both sides aggregate below it. ONE
+    # lazy checkpoint materializes the gram stream once. Measured
+    # round 9, ×100 ladder: computing n_grams instead as
+    # size(word_shingles) on a second raw-text scan (no checkpoint,
+    # election as sole gram consumer) was 117 s vs 66 s for this form
+    # — the shingle fold itself is the dominant ×100 cost, so it must
+    # run once, and the checkpointed gram rows (doc_id, h) are far
+    # cheaper to re-read than to re-derive. The skew-safe partial-agg
+    # election is kept — a window over gram partitions would put a
+    # 10^8-doc boilerplate gram into one task.
     grams = grams.localCheckpoint(eager=False)
     per_doc = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
     first = grams.groupBy("h").agg(F.min("doc_id").alias("first_doc"))

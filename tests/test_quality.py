@@ -227,6 +227,22 @@ def test_novelty_semantics_and_plan(spark):
     assert "CartesianProduct" not in p
 
 
+def test_novelty_null_and_empty_text(spark):
+    """Round-9 adversarial pin (the restructure away from the h
+    join-back made this reachable): NULL-text docs must stay EXCLUDED
+    — in the old plan their NULL gram hash fell out of the equi-join;
+    the registered oracle (md5(gram) JOIN USING h) does the same —
+    while empty-text docs keep their single ''-shingle row. Without
+    the explicit NULL filter the new aggregation-only plan resurrected
+    NULL-text docs with novelty 1000 (caught live in round 9)."""
+    rows = [(1, "alpha beta gamma delta"), (2, None), (3, "")]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+    out = {r["doc_id"]: r for r in ql.novelty_stats(df, n=3).collect()}
+    assert 2 not in out, "NULL-text doc must not appear"
+    assert out[1]["n_grams"] == 2 and out[1]["novelty_pml"] == 1000
+    assert out[3]["n_grams"] == 1  # the single clamped '' shingle
+
+
 def test_ccnet_buckets_per_lang_tertiles(spark):
     """Tertile assignment is per-language by score rank (head = highest
     mean log-prob), bucket sizes follow ntile's remainder rule, and the
