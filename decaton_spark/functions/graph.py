@@ -90,6 +90,15 @@ def pagerank(
         .localCheckpoint(eager=False)
     )
     n = deg.count()  # bounded driver pull: ONE long, not data rows
+    if n == 0:
+        # empty graph: the pre-round-9 plan computed the base rank as
+        # a SQL expression over zero rows and returned an empty frame;
+        # the driver-side literal would instead divide by zero
+        return deg.select(
+            "id",
+            F.col("d").cast("long").alias("degree"),
+            F.lit(0).cast("long").alias("pr_micromass"),
+        )
     base = scale // n
     teleport = ((100 - damping_pct) * base) // 100
     pr = deg.select("id", "d", F.lit(base).alias("r"))

@@ -607,3 +607,18 @@ def test_triangle_stats_planted_graph(spark):
     assert (out[3]["degree"], out[3]["triangles"], out[3]["clustering_pml"]) == (3, 1, 333)
     assert (out[4]["degree"], out[4]["triangles"], out[4]["clustering_pml"]) == (1, 0, 0)
     assert out[5]["triangles"] == 0 and out[6]["clustering_pml"] == 0
+
+
+def test_pagerank_empty_and_self_loop_only_graph(spark):
+    """Round-9 pin for the driver-side node-count literal: an empty
+    edge set (and one that empties after self-loop removal) must
+    return an empty frame with the full schema, as the pre-round-9
+    all-SQL plan did — not divide by zero on the driver."""
+    from decaton_spark.functions.graph import pagerank
+
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    out = pagerank(empty)
+    assert out.columns == ["id", "degree", "pr_micromass"]
+    assert out.count() == 0
+    loops = spark.createDataFrame([(7, 7)], "id_a long, id_b long")
+    assert pagerank(loops).count() == 0
