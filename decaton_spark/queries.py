@@ -4290,6 +4290,26 @@ def emb_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "emb_sq_topk_vec",
+    f"""
+    WITH {_SQ_DEQ_CTES}
+    SELECT query_id, rank, neighbor_id, ip4 FROM sq_ranked WHERE rank <= 5
+    """,
+)
+def emb_sq_topk_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``emb_sq_topk``'s compute-bound scale path: identical trained
+    quantizer and native encode, but pair scoring is an exact int64
+    matmul per Arrow batch with a local top-k prune before the shuffle
+    (``quantize.sq_topk_vectorized``) — the per-pair interpreted
+    ``aggregate(zip_with)`` fold was the 31.6 s ×100-ladder wall of
+    the expression form. Same oracle; bit-identical results (pinned in
+    tests/test_quantize.py)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") < 8)
+    return qt.sq_topk_vectorized(emb, q, k=5)
+
+
+@register(
     "emb_sq_refine_topk",
     f"""
     WITH {_SQ_DEQ_CTES},

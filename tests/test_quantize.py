@@ -162,3 +162,15 @@ def test_adc_table_matches_per_pair_fold(spark, sf_dir):
         f"{old} AS fold_dot", f"{sim._adc_dot_sql(m)} AS table_dot"
     )
     assert out.filter("NOT (fold_dot <=> table_dot)").count() == 0
+
+
+def test_sq_topk_vectorized_bit_identical(spark, sf_dir):
+    """The int64-matmul scale path must reproduce the expression form
+    EXACTLY — integer scores, ranks, ties — on the full fixture."""
+    from decaton_spark.sources import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") < 8)
+    a = sorted(map(tuple, qt.sq_topk(emb, q, k=5).collect()))
+    b = sorted(map(tuple, qt.sq_topk_vectorized(emb, q, k=5).collect()))
+    assert a == b
