@@ -121,9 +121,12 @@ def test_centroid_store_invalidates_on_swap(spark, tmp_path, monkeypatch):
 
 
 def test_artifact_sweep_spares_other_datasets(tmp_path, monkeypatch):
-    """The stale-tag sweep only removes siblings of the SAME dataset:
-    artifacts for other datasets (different dataset hash) and the
-    current fingerprint's own artifacts are untouched (ADVICE r7)."""
+    """The stale-tag sweep only removes current-format siblings of the
+    SAME dataset: artifacts for other datasets (different dataset
+    hash) and the current fingerprint's own artifacts are untouched
+    (ADVICE r7). Fingerprint segments here must be format-valid hex —
+    since round 9 a non-hex name is (correctly) swept as a pre-r8
+    legacy leftover, which test_similarity pins separately."""
     store = tmp_path / "store"
     store.mkdir()
     monkeypatch.setattr(sim, "_CENTROID_DIR", str(store))
@@ -131,11 +134,12 @@ def test_artifact_sweep_spares_other_datasets(tmp_path, monkeypatch):
 
     dhash = hashlib.md5(b"dsA").hexdigest()[:12]
     other = hashlib.md5(b"dsB").hexdigest()[:12]
-    (store / f"{dhash}_oldfp0000000_n4_i1.json").write_text("[]")
-    (store / f"{other}_oldfp0000000_n4_i1.json").write_text("[]")
+    oldfp = "0" * 12
+    (store / f"{dhash}_{oldfp}_n4_i1.json").write_text("[]")
+    (store / f"{other}_{oldfp}_n4_i1.json").write_text("[]")
     path = sim._artifact_path("dsA", "fp-new", "n4_i1")
     fphash = hashlib.md5(b"fp-new").hexdigest()[:12]
     names = sorted(f.name for f in store.iterdir())
     # dsA's stale tag swept; dsB untouched; returned path uses new tag
-    assert names == [f"{other}_oldfp0000000_n4_i1.json"]
+    assert names == [f"{other}_{oldfp}_n4_i1.json"]
     assert path.endswith(f"{dhash}_{fphash}_n4_i1.json")

@@ -329,19 +329,29 @@ def test_plan_inspection_helpers(spark, sf_dir):
 
 def test_q21_decorrelates_without_fact_self_join(spark, sf_dir):
     """The Q21 EXISTS/NOT-EXISTS pair must decorrelate into one
-    per-order aggregate joined back — no cartesian, no second scan of
-    the raw fact (the order-level flags are computed from the single
-    materialized lineitem⋈orders frame), and the supplier dim must
-    broadcast."""
+    per-order aggregate joined back — no cartesian, no correlated fact
+    SELF-join, and the supplier dim must broadcast. Since round 9 the
+    two consumers are planned independently off a repartition (no
+    localCheckpoint): exactly two lineitem scans, and the late-line
+    probe's lateness predicate must reach ITS scan as a data filter
+    (l_shipdate non-null prunes at the parquet level) — the
+    scan-level pruning that beat the shared materialization."""
     df = QUERIES["q21_waiting_suppliers"].fn(spark, sf_dir)
     p = plan_of(df)
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "BroadcastHashJoin" in p, "supplier dim must broadcast"
+    assert "REPARTITION_BY_COL" in p, "both consumers hang off the repartition"
     simple = plan_of(df, "simple")
-    assert simple.count("Scan ExistingRDD") == 2, (
-        "both the late-line branch and the per-order aggregate must "
-        "reuse the materialized join"
+    assert simple.count("Scan ExistingRDD") == 0, (
+        "no executor-local checkpoint storage in the q21 plan"
+    )
+    assert simple.count("lineitem.parquet") == 2, (
+        "exactly the two planned fact scans — a third would mean a "
+        "correlated self-join came back"
+    )
+    assert "IsNotNull(l_shipdate)" in p, (
+        "the probe branch must push the lateness filter to its scan"
     )
 
 
