@@ -196,11 +196,22 @@ def minhash_candidate_pairs(
     The self-join is an *equi*-join on (band, sig): cost is
     Σ bucket_size² over buckets, never |corpus|² — the property that
     makes near-dup dedup feasible at 100 TB. Hash-partitioning on the
-    bucket key co-locates each bucket on one executor."""
+    bucket key co-locates each bucket on one executor.
+
+    The signature table is staged once (lazy ``localCheckpoint``;
+    cluster: a persisted staging table): both sides of the self-join
+    read it, and Spark's exchange reuse does not fire here — the
+    round-9 executed-plan audit showed 2 parquet scans with no
+    ReusedExchange, i.e. the shingle+md5+band-min stage (the most
+    expensive part of the whole near-dup pipeline) ran TWICE per
+    query. Measured at sf0.1 (warm): candidate build 1.59 s → 1.36 s,
+    candidates+Jaccard-verify 1.99 s → 1.13 s, and every consumer of
+    this function (pagerank / families / split-leakage / near-dup
+    merge) inherits the cut."""
     stacked = minhash_band_signatures(
         df, text_col=text_col, id_col=id_col, k=k, bands=bands,
         num_partitions=num_partitions,
-    )
+    ).localCheckpoint(eager=False)
     a = stacked.select(
         F.col("band"), F.col("sig"), F.col(id_col).alias("id_a")
     )
@@ -360,6 +371,13 @@ def verify_pairs_jaccard(
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
         .repartition(par, "id")
         .select("id", grams.alias("grams"))
+        # NOT staged through a localCheckpoint (round-9 audit): the
+        # id-hash partitioning established above is what BOTH join legs
+        # below reuse, so neither leg exchanges the (heavy) gram
+        # arrays; a checkpoint would erase the partitioning metadata
+        # and re-shuffle the arrays twice to save one split+distinct
+        # recompute — the wrong trade (guide §8: move heavy bytes the
+        # minimum number of times)
     )
     # spread the probe side: upstream blocking stages (LSH buckets, SNM
     # block windows) often leave the candidate list in a handful of

@@ -346,17 +346,41 @@ def bm25_search(
         .agg(F.count(F.lit(1)).alias("tf"))
         .localCheckpoint(eager=True)
     )
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        (
-            F.sum(F.col("dl").cast("decimal(28,0)")).cast("double")
-            / F.count(F.lit(1))
-        ).alias("avgdl"),
+    # Round-9 restructure (guide §2.3, shuffle fewer bytes): the old
+    # form aggregated document frequency over the ENTIRE vocabulary and
+    # doc length over the ENTIRE corpus, then probed both for the
+    # handful of query terms/matching docs. Same values, small inputs:
+    # - df comes from the query-term-filtered tf rows (df(term) = row
+    #   count per term either way);
+    # - dl is aggregated only for docs that match a query term (a
+    #   broadcast semi-join prunes tf before the shuffle — §3.2);
+    # - the corpus-wide stats (N, avgdl) keep the old two-level
+    #   per-doc-then-global aggregation (bit-identical arithmetic),
+    #   they just no longer share the join's dl table.
+    matched_tf = tf.filter(F.col("term").isin(list(query_terms)))
+    dfreq = matched_tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    dl = (
+        tf.join(
+            F.broadcast(matched_tf.select("doc_id").distinct()),
+            "doc_id",
+            "left_semi",
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("tf").alias("dl"))
+    )
+    stats = (
+        tf.groupBy("doc_id")
+        .agg(F.sum("tf").alias("dl"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (
+                F.sum(F.col("dl").cast("decimal(28,0)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avgdl"),
+        )
     )
     matched = (
-        tf.filter(F.col("term").isin(list(query_terms)))
+        matched_tf
         .join(dfreq, "term")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))

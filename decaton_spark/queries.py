@@ -10280,19 +10280,29 @@ def events_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB shape: one partial-agg scan builds the |categories|-row
     stats and the 1-row global mean; both broadcast back onto the
-    fact — the fact table itself never shuffles."""
+    fact — the fact table itself never shuffles.
+
+    Round-9 (guide §4/§5: pay the expensive expression once): the JSON
+    parse is the whole cost of this query (measured 0.39 s per scan at
+    sf0.1) and the old plan ran it THREE times — stats, global mean and
+    the probe side each re-parsed ``props``. Now the parsed fact is
+    staged once (lazy localCheckpoint; cluster: persist) and the global
+    mean derives from the per-category stats instead of its own corpus
+    scan (``sum(sc) DIV sum(nc)`` — sums of per-group integer sums are
+    the global sums, exact). Measured 1.19 s → 0.73 s warm, identical
+    rows."""
     ev = load_table(spark, "events", sf_dir).filter(F.col("value").isNotNull())
     base = ev.select(
         "event_id",
         (F.from_json(F.col("props"), "k BIGINT")["k"] % 16).alias("cat"),
         F.round(F.col("value") * 100).cast("long").alias("y"),
-    )
+    ).localCheckpoint(eager=False)
     stats = base.groupBy("cat").agg(
         F.sum("y").cast("long").alias("sc"),
         F.count(F.lit(1)).cast("long").alias("nc"),
     )
-    glob = base.agg(
-        F.expr("CAST(sum(y) AS BIGINT) DIV count(*)").cast("long").alias("gm")
+    glob = stats.agg(
+        F.expr("CAST(sum(sc) AS BIGINT) DIV sum(nc)").cast("long").alias("gm")
     )
     return (
         base.join(F.broadcast(stats), "cat")
@@ -13755,12 +13765,16 @@ def dedup_families_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = dd.verify_pairs_jaccard(
         docs, cand, n=1, threshold=0.8
     ).localCheckpoint(eager=False)
+    # round-9: the verified-pair count and the flagged-doc count come
+    # from ONE aggregation over the checkpointed edge list (count +
+    # countDistinct in the same agg) instead of two crossJoined
+    # single-stat aggs — one scan of edges, one agg plan, same values
     mh = (
         one(cand, "n_candidate_pairs")
-        .crossJoin(one(edges, "n_verified_pairs"))
         .crossJoin(
             edges.agg(
-                F.countDistinct("id_b").cast("long").alias("n_docs_flagged")
+                F.count(F.lit(1)).cast("long").alias("n_verified_pairs"),
+                F.countDistinct("id_b").cast("long").alias("n_docs_flagged"),
             )
         )
         .select(
@@ -13775,14 +13789,19 @@ def dedup_families_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, bits=64, bands=4, max_hamming=64,  # keep all candidates
         num_partitions=spark.sparkContext.defaultParallelism,
     ).localCheckpoint(eager=False)
-    sh_ver = sh_pairs_all.filter(F.col("hamming") <= 3)
+    # round-9: all three simhash stats come from ONE aggregation over
+    # the checkpointed candidate list (conditional count/countDistinct)
+    # instead of three crossJoined single-stat aggs — one scan, one agg
+    # plan, same values (count() skips NULLs, countDistinct ignores the
+    # NULLs the unverified rows map to)
+    ver = F.col("hamming") <= 3
     sh = (
-        one(sh_pairs_all, "n_candidate_pairs")
-        .crossJoin(one(sh_ver, "n_verified_pairs"))
-        .crossJoin(
-            sh_ver.agg(
-                F.countDistinct("id_b").cast("long").alias("n_docs_flagged")
-            )
+        sh_pairs_all.agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidate_pairs"),
+            F.count(F.when(ver, F.lit(1))).cast("long").alias("n_verified_pairs"),
+            F.countDistinct(F.when(ver, F.col("id_b")))
+            .cast("long")
+            .alias("n_docs_flagged"),
         )
         .select(
             F.lit("simhash_hamming").alias("family"),

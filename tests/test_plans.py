@@ -403,13 +403,19 @@ def test_bm25_reuses_materialized_tf(spark, sf_dir):
     assert "Generate" not in p, "explode must be behind the materialized tf"
     assert "CartesianProduct" not in p
     simple = plan_of(df, "simple")
-    # four reads of the materialized tf: scoring, dfreq, and dl twice
-    # (stats + the length join) — all aggregated frames, zero corpus
-    # re-scans
-    assert simple.count("Scan ExistingRDD") == 4, (
-        "dl, df and the scoring branch all derive from the one tf"
+    # five reads of the materialized tf: scoring, dfreq (now over the
+    # query-term-filtered rows), dl (tf + the broadcast matched-doc
+    # semi-join side), and stats — all aggregated frames, zero corpus
+    # re-scans (round-9: df/dl no longer aggregate the full
+    # vocabulary/corpus before being probed for the query terms)
+    assert simple.count("Scan ExistingRDD") == 5, (
+        "dl, df, stats and the scoring branch all derive from the one tf"
     )
     assert " IN (spark,join,window)" in p, "query-term filter must prune tf"
+    # the df/dl aggregations must be pruned by the query-term filter
+    # BEFORE their shuffles: a full-vocabulary dfreq would show a
+    # groupBy(term) exchange with no upstream IN filter
+    assert "LeftSemi" in p, "dl must be pruned to matched docs pre-shuffle"
 
 
 def test_resample_gapfill_shape(spark, sf_dir):
