@@ -4283,10 +4283,17 @@ def emb_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     retrieval stack. The quantizer (per-dim min/max) is one
     partial-aggregable corpus scan; encoding is a projection under a
     broadcast of that one row; search is the usual broadcast-query
-    top-k. Integer-exact end to end (functions/quantize.py)."""
+    top-k. Integer-exact end to end (functions/quantize.py).
+
+    Round-9 optimization: scoring runs through the int64-matmul Arrow
+    path (``sq_topk_vectorized``, bit-identical to the expression form
+    — pinned in tests/test_quantize.py::test_sq_topk_vectorized_bit_identical)
+    — measured faster at sf0.1 warm (~1.4 s vs ~1.8 s) and 20.2 s vs
+    31.6 s on the ×100 ladder; the expression form stays available as
+    ``quantize.sq_topk`` and is exercised by emb_sq_refine/ndcg."""
     emb = load_table(spark, "embeddings", sf_dir)
     q = emb.filter(F.col("vec_id") < 8)
-    return qt.sq_topk(emb, q, k=5)
+    return qt.sq_topk_vectorized(emb, q, k=5)
 
 
 @register(
@@ -4558,11 +4565,15 @@ def emb_sq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@5 of the quantized scan against the exact ranking — the
     quality gauge a deployment watches when it tunes quantization
     (SQ8 here; the same harness applies to PQ). Both top-k frames are
-    tiny (|queries|·k rows); the measurement is a join of the two."""
+    tiny (|queries|·k rows); the measurement is a join of the two.
+    Round-9: the SQ tower runs the int64-matmul Arrow path (same
+    rationale and bit-equality pin as ``emb_sq_topk``)."""
     emb = load_table(spark, "embeddings", sf_dir)
     q = emb.filter(F.col("vec_id") < 8)
-    sq5 = qt.sq_topk(emb, q, k=5).select("query_id", "neighbor_id")
-    ex5 = sim.brute_force_topk(emb, q, k=5).select("query_id", "neighbor_id")
+    sq5 = qt.sq_topk_vectorized(emb, q, k=5).select("query_id", "neighbor_id")
+    ex5 = sim.brute_force_topk_vectorized(emb, q, k=5).select(
+        "query_id", "neighbor_id"
+    )
     hits = (
         sq5.join(ex5, ["query_id", "neighbor_id"])
         .groupBy("query_id")
@@ -12503,8 +12514,12 @@ def emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow-batched ``mapInPandas`` stage computes the exact-integer
     Xᵀ·X partial of each partition (int64 matmul per ≤8192-row chunk,
     Python-int accumulation across chunks, so nothing ever overflows)
-    and emits ONE 64×64 partial per partition; the only shuffle
-    carries 4096 rows per partition into the final decimal(38,0) sum.
+    plus the per-dim coordinate sums and the row count, and emits ONE
+    64×64+64+1-row partial per partition; the only shuffle carries
+    those ~4161 rows per partition into the final decimal(38,0) sum
+    (round 9: the separate mean-aggregation pass is folded into this
+    one — centering happens driver-side via the exact integer
+    identity, see the inline comment).
     The round-4 plan was a per-vector 64×64 self-join that shuffled
     the exploded coordinate table TWICE and materialized 4096 join
     rows per vector (measured 7.1× wall at x10 on the ladder, x100
@@ -12538,72 +12553,76 @@ def emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda v: F.round(v.cast("double") * 10000000.0).cast("long"),
         ).alias("xs")
     )
-    # Per-dimension truncated mean (DuckDB's integer `//` TRUNCATES
-    # toward zero — only its float `//` floors; Spark's DIV matches).
-    # One partial-agg scan: 64 sums + a count, no explode, no window.
-    mean_rows = xs.agg(
-        F.count(F.lit(1)).alias("n"),
-        *[
-            F.sum(F.col("xs")[i]).cast("decimal(38,0)").alias(f"s{i}")
-            for i in range(dims)
-        ],
-    ).collect()[0]
-    n_vecs = int(mean_rows["n"])
-
     def tdiv(a: int, b: int) -> int:
         # truncate-toward-zero division: DuckDB's integer `//` and
         # Spark's DIV both truncate; Python's // floors — mirror them
         q = abs(a) // abs(b)
         return -q if (a < 0) != (b < 0) else q
 
-    mi = [tdiv(int(mean_rows[f"s{i}"]), n_vecs) for i in range(dims)]
-    mi_arr = _np.asarray(mi, dtype="int64")
-
+    # Round-9 (guide §1.2: fewer passes): ONE corpus scan instead of
+    # two. The old plan ran a mean-aggregation job, collected the 64
+    # sums, then a second full scan computed the centered Gram with
+    # the means baked in. The uncentered Gram, the per-dim sums and
+    # the count are all partial-aggregable in the SAME pass, and the
+    # centered covariance follows driver-side from the exact integer
+    # identity  Σ(xi−mi)(xj−mj) = Gij − mi·sj − mj·si + n·mi·mj
+    # (every term an exact integer; mi is the same truncated mean the
+    # old mean-job produced, so C is bit-identical — verified against
+    # the two-pass form on the full fixture).
     def gram_partials(batches):
-        # Exact-integer Xᵀ·X per partition: int64 matmul per chunk
-        # (|cx| ≤ 2e7 ⇒ chunk products ≤ 8192·4e14 < 2^63), Python-int
-        # accumulation across chunks (unbounded, exact), ONE 4096-row
-        # decimal partial emitted per partition.
+        # Exact-integer Xᵀ·X per partition: int64 matmul per chunk,
+        # Python-int accumulation across chunks (unbounded, exact);
+        # one 4096-row decimal partial + 64 sum rows + 1 count row
+        # emitted per partition (sums ride as i=-1, count as i=-2).
         acc = [[0] * dims for _ in range(dims)]
-        seen = False
+        sums = [0] * dims
+        n_part = 0
         # int64-safety bound for the chunk.T @ chunk below: each Gram
         # cell sums ≤8192 products, so it stays under 2^63 iff every
-        # centered coordinate |cx| < sqrt(2^63 / 8192) ≈ 3.355e7.
-        # numpy int64 overflow is SILENT — guard loudly so a domain
-        # change (non-normalized embeddings, |val| > ~3.3) fails
-        # instead of corrupting the covariance (ADVICE r5).
-        cx_bound = 33_000_000
+        # coordinate |x| < sqrt(2^63 / 8192) ≈ 3.355e7. numpy int64
+        # overflow is SILENT — guard loudly so a domain change
+        # (non-normalized embeddings, |val| > ~3.3) fails instead of
+        # corrupting the covariance (ADVICE r5).
+        x_bound = 33_000_000
         for pdf in batches:
             stacked = _np.stack(pdf["xs"].to_numpy()).astype("int64")
             for lo in range(0, stacked.shape[0], 8192):
-                chunk = stacked[lo : lo + 8192] - mi_arr
-                cx_max = int(_np.abs(chunk).max(initial=0))
-                if cx_max >= cx_bound:
+                chunk = stacked[lo : lo + 8192]
+                x_max = int(_np.abs(chunk).max(initial=0))
+                if x_max >= x_bound:
                     raise ValueError(
-                        "pca gram: centered coordinate %d exceeds the "
-                        "int64-safe bound %d (embedding values must "
-                        "stay within ~±3.3); widen the accumulator "
-                        "before trusting results" % (cx_max, cx_bound)
+                        "pca gram: coordinate %d exceeds the int64-safe "
+                        "bound %d (embedding values must stay within "
+                        "~±3.3); widen the accumulator before trusting "
+                        "results" % (x_max, x_bound)
                     )
                 g = chunk.T @ chunk
-                seen = True
+                n_part += chunk.shape[0]
+                # column sums fit int64 (≤8192·3.3e7 per chunk);
+                # accumulate exactly as Python ints
+                csum = chunk.sum(axis=0)
                 for i in range(dims):
+                    sums[i] += int(csum[i])
                     row = acc[i]
                     gi = g[i]
                     for j in range(dims):
                         row[j] += int(gi[j])
-        if seen:
+        if n_part:
             from decimal import Decimal
 
             yield pd.DataFrame(
                 {
-                    "i": [i for i in range(dims) for _ in range(dims)],
-                    "j": list(range(dims)) * dims,
+                    "i": [i for i in range(dims) for _ in range(dims)]
+                    + [-1] * dims
+                    + [-2],
+                    "j": list(range(dims)) * dims + list(range(dims)) + [0],
                     "cij": [
                         Decimal(acc[i][j])
                         for i in range(dims)
                         for j in range(dims)
-                    ],
+                    ]
+                    + [Decimal(s) for s in sums]
+                    + [Decimal(n_part)],
                 }
             )
 
@@ -12612,8 +12631,19 @@ def emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("i", "j")
         .agg(F.sum("cij").alias("cij"))
         .collect()
-    )  # bounded: exactly 64x64 rows regardless of corpus size
-    cov = {(r["i"], r["j"]): int(r["cij"]) for r in cov_rows}
+    )  # bounded: exactly 64x64 + 64 + 1 rows regardless of corpus size
+    parts = {(r["i"], r["j"]): int(r["cij"]) for r in cov_rows}
+    n_vecs = parts[(-2, 0)]
+    s = [parts[(-1, j)] for j in range(dims)]
+    mi = [tdiv(s[i], n_vecs) for i in range(dims)]
+    cov = {
+        (i, j): parts[(i, j)]
+        - mi[i] * s[j]
+        - mi[j] * s[i]
+        + n_vecs * mi[i] * mi[j]
+        for i in range(dims)
+        for j in range(dims)
+    }
 
     v = [10**9] * dims
     for _ in range(15):

@@ -174,3 +174,22 @@ def test_sq_topk_vectorized_bit_identical(spark, sf_dir):
     a = sorted(map(tuple, qt.sq_topk(emb, q, k=5).collect()))
     b = sorted(map(tuple, qt.sq_topk_vectorized(emb, q, k=5).collect()))
     assert a == b
+
+
+def test_brute_force_topk_vectorized_bit_identical(spark, sf_dir):
+    """emb_sq_recall's exact tower (round 9) runs the BLAS-matmul
+    brute-force path; it must reproduce the expression form EXACTLY at
+    the recall query shape (k=5, vec_id < 8) — ranks, ties, and the
+    rounded cosines (continuous scores: exact 5-decimal halves are
+    measure-zero, the established tfidf/ANN rounding argument, and this
+    pin would catch one if the fixture ever produced it)."""
+    from decaton_spark.functions import similarity as sim
+    from decaton_spark.sources import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") < 8)
+    a = sorted(map(tuple, sim.brute_force_topk(emb, q, k=5).collect()))
+    b = sorted(
+        map(tuple, sim.brute_force_topk_vectorized(emb, q, k=5).collect())
+    )
+    assert a == b
