@@ -4345,7 +4345,7 @@ def emb_sq_refine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     expensive column never scans corpus-wide."""
     emb = load_table(spark, "embeddings", sf_dir)
     q = emb.filter(F.col("vec_id") < 8)
-    cand = qt.sq_topk(emb, q, k=20).select("query_id", "neighbor_id")
+    cand = qt.sq_topk_vectorized(emb, q, k=20).select("query_id", "neighbor_id")
     qv = q.select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("_qv"),
@@ -4525,8 +4525,10 @@ def retrieval_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(method).alias("method"), "query_id", "n_rel_topk", "ndcg"
         )
 
-    exact = sim.brute_force_topk(emb, q, k=_NDCG_K)
-    sq = qt.sq_topk(emb, q, k=_NDCG_K)
+    # round-9: both dense towers run the vectorized scorers (pinned
+    # bit-identical to the expression forms at k ∈ {5, 10, 20})
+    exact = sim.brute_force_topk_vectorized(emb, q, k=_NDCG_K)
+    sq = qt.sq_topk_vectorized(emb, q, k=_NDCG_K)
     binr = qt.hamming_topk(emb, q, k=_NDCG_K)
     return (
         ndcg_of(exact, "exact")

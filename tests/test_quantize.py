@@ -166,14 +166,17 @@ def test_adc_table_matches_per_pair_fold(spark, sf_dir):
 
 def test_sq_topk_vectorized_bit_identical(spark, sf_dir):
     """The int64-matmul scale path must reproduce the expression form
-    EXACTLY — integer scores, ranks, ties — on the full fixture."""
+    EXACTLY — integer scores, ranks, ties — on the full fixture, at
+    every k a registered consumer uses (5 = emb_sq_topk/recall,
+    10 = retrieval_ndcg_eval, 20 = emb_sq_refine_topk)."""
     from decaton_spark.sources import load_table
 
     emb = load_table(spark, "embeddings", sf_dir)
     q = emb.filter(F.col("vec_id") < 8)
-    a = sorted(map(tuple, qt.sq_topk(emb, q, k=5).collect()))
-    b = sorted(map(tuple, qt.sq_topk_vectorized(emb, q, k=5).collect()))
-    assert a == b
+    for k in (5, 10, 20):
+        a = sorted(map(tuple, qt.sq_topk(emb, q, k=k).collect()))
+        b = sorted(map(tuple, qt.sq_topk_vectorized(emb, q, k=k).collect()))
+        assert a == b, f"k={k}"
 
 
 def test_brute_force_topk_vectorized_bit_identical(spark, sf_dir):
@@ -188,8 +191,9 @@ def test_brute_force_topk_vectorized_bit_identical(spark, sf_dir):
 
     emb = load_table(spark, "embeddings", sf_dir)
     q = emb.filter(F.col("vec_id") < 8)
-    a = sorted(map(tuple, sim.brute_force_topk(emb, q, k=5).collect()))
-    b = sorted(
-        map(tuple, sim.brute_force_topk_vectorized(emb, q, k=5).collect())
-    )
-    assert a == b
+    for k in (5, 10):  # 5 = emb_sq_recall, 10 = retrieval_ndcg_eval
+        a = sorted(map(tuple, sim.brute_force_topk(emb, q, k=k).collect()))
+        b = sorted(
+            map(tuple, sim.brute_force_topk_vectorized(emb, q, k=k).collect())
+        )
+        assert a == b, f"k={k}"
