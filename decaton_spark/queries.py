@@ -10310,9 +10310,18 @@ def events_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.from_json(F.col("props"), "k BIGINT")["k"] % 16).alias("cat"),
         F.round(F.col("value") * 100).cast("long").alias("y"),
     ).localCheckpoint(eager=False)
-    stats = base.groupBy("cat").agg(
-        F.sum("y").cast("long").alias("sc"),
-        F.count(F.lit(1)).cast("long").alias("nc"),
+    # stats is consumed twice (the global-mean derivation and the
+    # broadcast join side); the lazy checkpoint keeps it ONE
+    # |categories|-row aggregation instead of a duplicated subtree
+    # re-aggregating the fact per consumer (plan-pinned at ≤2 shuffles
+    # in tests/test_plans.py::test_feature_band_plan_shapes)
+    stats = (
+        base.groupBy("cat")
+        .agg(
+            F.sum("y").cast("long").alias("sc"),
+            F.count(F.lit(1)).cast("long").alias("nc"),
+        )
+        .localCheckpoint(eager=False)
     )
     glob = stats.agg(
         F.expr("CAST(sum(sc) AS BIGINT) DIV sum(nc)").cast("long").alias("gm")
