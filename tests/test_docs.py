@@ -5,6 +5,8 @@ from __future__ import annotations
 import sys
 from pathlib import Path
 
+import pytest
+
 ROOT = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(ROOT / "tools"))
 
@@ -326,3 +328,34 @@ def test_simhash_banding_pigeonhole_complete(spark):
         if bin((sigs[a] ^ sigs[b]) & mask).count("1") <= 3
     }
     assert got == brute  # complete AND exact distances
+
+
+@pytest.mark.parametrize("bits", [16, 64])
+def test_simhash_signatures_bit_identical(spark, bits):
+    """The codegen vote path (explode + 64-sum aggregation, round 9)
+    must reproduce the expression form bit for bit — including the
+    NULL-text → NULL signature contract, empty text (split('') yields
+    the '' token), single-token docs (every vote unanimous) and
+    repeated tokens (array_distinct collapses them identically)."""
+    from decaton_spark.functions import dedup as dd
+
+    docs = [
+        (0, "alpha beta gamma delta epsilon"),
+        (1, "alpha beta beta beta gamma"),  # dups collapse pre-vote
+        (2, ""),                            # '' token, not tokenless
+        (3, None),                          # NULL in -> NULL out
+        (4, "single"),
+        (5, "zeta eta theta iota kappa lambda mu nu xi omicron pi rho"),
+        (6, "alpha  beta"),                 # double space -> '' token too
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    expr_form = {
+        r["doc_id"]: r["simhash"]
+        for r in dd.simhash(df, bits=bits).select("doc_id", "simhash").collect()
+    }
+    agg_form = {
+        r["doc_id"]: r["simhash"]
+        for r in dd.simhash_signatures(df, bits=bits, num_partitions=4).collect()
+    }
+    assert agg_form == expr_form
+    assert agg_form[3] is None

@@ -79,9 +79,21 @@ def test_compaction_is_agg_not_sort(plans):
     assert p.count("Aggregate") >= 2
 
 
-def test_text_ops_shuffle_free(plans):
-    for q in ("text_fingerprint", "dedup_simhash"):
-        assert "Exchange" not in plans[q], f"{q} is a projection; no shuffle allowed"
+def test_text_ops_shuffle_free(plans, spark, sf_dir):
+    from decaton_spark.plans import count_shuffles
+
+    assert "Exchange" not in plans["text_fingerprint"], (
+        "text_fingerprint is a projection; no shuffle allowed"
+    )
+    # dedup_simhash (round 9): ONE deliberate exchange — the by-id
+    # hash spread that both parallelizes the md5-heavy projection past
+    # the scan's split count AND satisfies the vote aggregation's
+    # distribution (groupBy(doc_id) reuses it; no second shuffle).
+    n = count_shuffles(QUERIES["dedup_simhash"].fn(spark, sf_dir))
+    assert n == 1, f"one hash-spread exchange exactly, saw {n}"
+    assert "hashpartitioning(doc_id" in plans["dedup_simhash"], (
+        "spread must be by id for agg reuse"
+    )
 
 
 def test_ann_brute_force_broadcasts_queries(plans, spark, sf_dir):
