@@ -417,10 +417,17 @@ def novelty_stats(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Per-document n-gram novelty: how much of a document's distinct
     shingle set appears here FIRST (first = lowest doc id — ingestion
     order in an append-only corpus), versus being repeated boilerplate.
+
+    ``num_partitions`` hash-spreads the corpus by id before the
+    shingle fold: the fold is the dominant CPU (the ×100 ladder
+    numbers below) and otherwise runs at the scan's split count
+    (round-9 stage audit: single-task at sf0.1), and the checkpointed
+    gram stream inherits that partition count for both consumers.
 
     The marginal-utility gauge curation samplers weight by (near-dup
     removal keeps one copy of everything; novelty scoring says how much
@@ -451,6 +458,8 @@ def novelty_stats(
     """
     from decaton_spark.functions.dedup import word_shingles
 
+    if num_partitions:
+        df = df.repartition(num_partitions, id_col)
     # NULL-text docs are EXCLUDED, matching the registered oracle and
     # the pre-round-9 plan, where the NULL gram hash fell out of the
     # h-equi-join (NULL ≠ NULL). The explicit filter is required now

@@ -209,6 +209,7 @@ def sq_topk_vectorized(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = EMB,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """``sq_topk``, numpy-vectorized scoring: the compute-bound scale
     path (the ``brute_force_topk_vectorized`` pattern applied to the
@@ -225,8 +226,19 @@ def sq_topk_vectorized(
     ladder charged 31.6 s to that fold). Integer matmul is exact, so
     results are bit-identical to ``sq_topk`` (pinned in
     tests/test_quantize.py); ties break to the lowest neighbor id.
+
+    ``num_partitions`` hash-spreads the corpus by id before the stats
+    scan and the Arrow scoring stage: ``mapInPandas`` inherits the
+    input partitioning, so on a source with fewer scan splits than
+    cores the matmul towers otherwise collapse to the split count
+    (round-9 stage audit: single-task towers at sf0.1). Results are
+    partitioning-independent — the per-partition local top-k is a
+    superset filter and the final window re-ranks globally.
     """
     import numpy as np
+
+    if num_partitions:
+        corpus = corpus.repartition(num_partitions, id_col)
 
     mn, mx = sq_stats(corpus, vec_col=vec_col).select("min7", "max7").first()
     stats = corpus.sparkSession.range(1).select(

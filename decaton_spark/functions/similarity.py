@@ -242,6 +242,7 @@ def brute_force_topk_vectorized(
     id_col: str = "vec_id",
     vec_col: str = EMB,
     round_digits: int = 4,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine, numpy-vectorized: the compute-bound scale path.
 
@@ -255,8 +256,19 @@ def brute_force_topk_vectorized(
     before ranking) at ~an order of magnitude less CPU for wide
     vectors; prefer this at 100 TB, the expression form for oracle
     work.
+
+    ``num_partitions`` hash-spreads the corpus by id before the Arrow
+    scoring stage: ``mapInPandas`` inherits the input partitioning, so
+    on a source with fewer scan splits than cores the matmul tower
+    otherwise collapses to the split count (round-9 stage audit:
+    single-task towers at sf0.1). Results are partitioning-independent
+    — the per-partition local top-k is a superset filter and the final
+    window re-ranks globally.
     """
     import numpy as np
+
+    if num_partitions:
+        df = df.repartition(num_partitions, id_col)
 
     q_rows = queries.select(id_col, vec_col).collect()  # query set is tiny
     q_ids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
@@ -529,6 +541,7 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = EMB,
     round_digits: int = 4,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Cell-assigned corpus frame for IVF search: (neighbor_id, c_vec,
     c_norm, cell). The assignment is a pure projection (fold over the
@@ -536,7 +549,14 @@ def ivf_assign(
     separately so multi-rung consumers (the nprobe sweep) can compute
     it ONCE and stage it instead of re-projecting the corpus per rung
     (at sf0.1 the interpreted centroid fold costs ~0.6 s per corpus
-    pass — rung-invariant work)."""
+    pass — rung-invariant work).
+
+    ``num_partitions`` hash-spreads the corpus by id first: the
+    interpreted centroid fold otherwise runs at the scan's split count
+    (round-9 stage audit: single-task at sf0.1). Assignment is per-row,
+    so partitioning never changes it."""
+    if num_partitions:
+        df = df.repartition(num_partitions, id_col)
     cents = _centroid_literals(centroids)
     return df.select(
         F.col(id_col).alias("neighbor_id"),
@@ -603,6 +623,7 @@ def ivf_topk(
     vec_col: str = EMB,
     round_digits: int = 4,
     centroids: list[tuple[int, list[float]]] | None = None,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN top-k: probe the ``nprobe`` nearest cells.
 
@@ -617,6 +638,10 @@ def ivf_topk(
     - the candidate join is an equality join on ``cell`` touching only
       probed cells — at 100 TB the cell id becomes the storage partition
       key so unprobed cells are partition-pruned at the scan.
+
+    ``num_partitions`` forwards to ``ivf_assign``'s hash-spread; the
+    broadcast probe join and pair scoring inherit the assign
+    partitioning, so the spread parallelizes the whole chain.
     """
     if centroids is None:
         centroids = _lowest_id_centroids(df, nlist, id_col, vec_col)
@@ -631,6 +656,7 @@ def ivf_topk(
         id_col=id_col,
         vec_col=vec_col,
         round_digits=round_digits,
+        num_partitions=num_partitions,
     )
     q = ivf_probe_ranked(
         queries,
@@ -876,6 +902,7 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = EMB,
     encode_digits: int = 6,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """Encode each vector to ``m`` sub-codes: code_j = argmin over k of
     L2²(sub-vector_j, c_{j,k}), ties to the lowest k (strict-< left
@@ -888,7 +915,10 @@ def pq_encode(
 
     Returns (id, pq_codes array<int>, recon_norm double) where
     recon_norm = |reconstruction| = sqrt(Σ_j |c_{j,code_j}|²), used to
-    normalize asymmetric-distance cosine."""
+    normalize asymmetric-distance cosine. ``carry`` names additional
+    ``df`` columns to pass through the projection unchanged — round 9:
+    lets ``ivf_pq_topk`` ride its cell assignment along instead of
+    joining two projections of the same corpus back on the id."""
     m = len(codebooks)
     ksub = len(codebooks[0])
     dsub = len(codebooks[0][0])
@@ -931,10 +961,12 @@ def pq_encode(
     subs = df.selectExpr(
         f"{id_col} AS neighbor_id",
         *[f"slice({vec_col}, {j * dsub + 1}, {dsub}) AS _sub_{j}" for j in range(m)],
+        *carry,
     )
     coded = subs.selectExpr(
         "neighbor_id",
         "array(" + ", ".join(code_sql(j) for j in range(m)) + ") AS pq_codes",
+        *carry,
     )
     recon2 = "0.0D"
     for j in range(m):
@@ -943,7 +975,7 @@ def pq_encode(
             f"element_at(pq_codes, {j + 1}) + 1))"
         )
     return coded.selectExpr(
-        "neighbor_id", "pq_codes", f"sqrt({recon2}) AS recon_norm"
+        "neighbor_id", "pq_codes", f"sqrt({recon2}) AS recon_norm", *carry
     )
 
 
@@ -997,6 +1029,7 @@ def pq_topk(
     vec_col: str = EMB,
     round_digits: int = 4,
     encode_digits: int = 6,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) top-k over the PQ-encoded corpus:
     approx dot(q, x) = Σ_j dot(q_j, c_{j,code_j}) — m codebook lookups
@@ -1010,6 +1043,11 @@ def pq_topk(
     oracle-verified baseline."""
     m = len(codebooks)
     dsub = len(codebooks[0][0])
+    # num_partitions: hash-spread by id before the encode projection —
+    # the per-row nearest-codeword search is the dominant CPU and
+    # otherwise runs at the scan's split count (round-9 stage audit).
+    if num_partitions:
+        df = df.repartition(num_partitions, id_col)
     enc = pq_encode(
         df, codebooks, id_col=id_col, vec_col=vec_col, encode_digits=encode_digits
     )
@@ -1128,6 +1166,7 @@ def ivf_pq_topk(
     vec_col: str = EMB,
     round_digits: int = 4,
     centroids: list[tuple[int, list[float]]] | None = None,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """The composed IVF+PQ stack — coarse quantizer prunes the corpus
     to ``nprobe`` cells, PQ codes score the survivors by asymmetric
@@ -1148,12 +1187,24 @@ def ivf_pq_topk(
     m = len(codebooks)
     dsub = len(codebooks[0][0])
 
-    enc = pq_encode(df, codebooks, id_col=id_col, vec_col=vec_col)
-    cells = df.select(
-        F.col(id_col).alias("neighbor_id"),
+    # Round 9: the PQ codes and the cell assignment are BOTH per-row
+    # projections of the same corpus row — ride the cell through
+    # pq_encode's projection chain (carry=) instead of computing two
+    # separate corpus scans and joining them back on the id (the old
+    # plan paid 2 scans + 2 exchanges + a sort-merge join for a 1:1
+    # recombination). num_partitions additionally hash-spreads by id
+    # first — the codeword search otherwise runs at the scan's split
+    # count (round-9 stage audit).
+    if num_partitions:
+        df = df.repartition(num_partitions, id_col)
+    dfc = df.select(
+        F.col(id_col),
+        F.col(vec_col),
         _argmax_cell(_cell_scores(vec_col, cents, round_digits)).alias("cell"),
     )
-    corpus = enc.join(cells, "neighbor_id")
+    corpus = pq_encode(
+        dfc, codebooks, id_col=id_col, vec_col=vec_col, carry=("cell",)
+    )
 
     probe_cells = F.transform(
         F.slice(

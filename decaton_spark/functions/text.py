@@ -310,6 +310,7 @@ def bm25_search(
     b: float = 0.75,
     top_k: int = 10,
     round_digits: int = 6,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Full-text BM25 search: score every document against a bag of
     query terms and return the top-k — keyword retrieval over a
@@ -336,7 +337,16 @@ def bm25_search(
        query-term filter is an isin() literal pushed into the tf scan,
        so the join explosion is |query terms| x |matching docs|;
     5. top-k is a TakeOrdered of the per-doc scores (no global sort).
+
+    ``num_partitions`` hash-spreads the corpus by id before the
+    tokenize+count stage that materializes tf: on a source with fewer
+    scan splits than cores that stage otherwise runs at the split
+    count (round-9 stage audit: single-task at sf0.1), and the
+    checkpointed tf inherits the collapse for all five consumers.
+    Partitioning never changes the aggregated values.
     """
+    if num_partitions:
+        df = df.repartition(num_partitions, id_col)
     toks = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.col(text_col), " ")).alias("term"),

@@ -69,6 +69,14 @@ def resample_gapfill(
     span = base.groupBy("key").agg(
         F.min("bucket_ms").alias("lo"), F.max("bucket_ms").alias("hi")
     )
+    # Round-9 measured dead end: re-spreading the tiny span frame by
+    # key before the grid explode (to undo AQE's byte-based coalesce,
+    # which is blind to the sequence() amplification) made the query
+    # SLOWER at both measured scales (sf0.1 bench 1.69 → 1.94 s; x100
+    # 16.5 → 19.1 s) — the per-key grids here are small enough that
+    # task overhead beats the parallelism gain, and the base
+    # aggregation straggler is scan-split-bound either way. Left as a
+    # single AQE-sized stage on purpose.
     grid = span.select(
         "key",
         F.explode(

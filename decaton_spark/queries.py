@@ -43,7 +43,7 @@ from decaton_spark.operators import (
     retry_tasks,
     split_due,
 )
-from decaton_spark.sources import load_table
+from decaton_spark.sources import load_table, spread_partitions
 from decaton_spark.sources import fixture_fingerprint as sources_fixture_fingerprint
 
 HOUR_MS = 3_600_000
@@ -2380,7 +2380,16 @@ def docs_novelty_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     utility signal a curation sampler weights by, decomposing corpus-
     level duplicate-text mass down to documents. Skew-safe min-per-gram
     election, join-back, partial-agg rollup; exact per-mille."""
-    return ql.novelty_stats(load_table(spark, "documents", sf_dir), n=3)
+    docs = load_table(spark, "documents", sf_dir)
+    # size-adaptive spread (guide §2): the shingle fold is the
+    # dominant CPU and single-row-group sources pin it to one task
+    # (x100: 85.5 → 47.2 s spread 32-way), but an unconditional
+    # core-count spread taxes the tiny sf0.1 corpus with per-task
+    # overhead (measured +0.9 s on a 1.65 s wall) — so the width
+    # derives from the scan's byte size.
+    return ql.novelty_stats(
+        docs, n=3, num_partitions=spread_partitions(spark, docs)
+    )
 
 
 @register(
@@ -3816,7 +3825,9 @@ def ann_brute_force_topk_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BLAS-matmul scale path: same results, Arrow-batched kernel."""
     emb = load_table(spark, "embeddings", sf_dir)
     q = emb.filter(F.col("vec_id") < 8)
-    return sim.brute_force_topk_vectorized(emb, q, k=5)
+    return sim.brute_force_topk_vectorized(
+        emb, q, k=5, num_partitions=spread_partitions(spark, emb)
+    )
 
 
 def _dot64(a: str, b: str) -> str:
@@ -4302,7 +4313,9 @@ def emb_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``quantize.sq_topk`` and is exercised by emb_sq_refine/ndcg."""
     emb = load_table(spark, "embeddings", sf_dir)
     q = emb.filter(F.col("vec_id") < 8)
-    return qt.sq_topk_vectorized(emb, q, k=5)
+    return qt.sq_topk_vectorized(
+        emb, q, k=5, num_partitions=spread_partitions(spark, emb)
+    )
 
 
 @register(
@@ -4322,7 +4335,9 @@ def emb_sq_topk_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_quantize.py)."""
     emb = load_table(spark, "embeddings", sf_dir)
     q = emb.filter(F.col("vec_id") < 8)
-    return qt.sq_topk_vectorized(emb, q, k=5)
+    return qt.sq_topk_vectorized(
+        emb, q, k=5, num_partitions=spread_partitions(spark, emb)
+    )
 
 
 @register(
@@ -4354,7 +4369,9 @@ def emb_sq_refine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     expensive column never scans corpus-wide."""
     emb = load_table(spark, "embeddings", sf_dir)
     q = emb.filter(F.col("vec_id") < 8)
-    cand = qt.sq_topk_vectorized(emb, q, k=20).select("query_id", "neighbor_id")
+    cand = qt.sq_topk_vectorized(
+        emb, q, k=20, num_partitions=spread_partitions(spark, emb)
+    ).select("query_id", "neighbor_id")
     qv = q.select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("_qv"),
@@ -4536,8 +4553,11 @@ def retrieval_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # round-9: both dense towers run the vectorized scorers (pinned
     # bit-identical to the expression forms at k ∈ {5, 10, 20})
-    exact = sim.brute_force_topk_vectorized(emb, q, k=_NDCG_K)
-    sq = qt.sq_topk_vectorized(emb, q, k=_NDCG_K)
+    spread = spread_partitions(spark, emb)
+    exact = sim.brute_force_topk_vectorized(
+        emb, q, k=_NDCG_K, num_partitions=spread
+    )
+    sq = qt.sq_topk_vectorized(emb, q, k=_NDCG_K, num_partitions=spread)
     binr = qt.hamming_topk(emb, q, k=_NDCG_K)
     return (
         ndcg_of(exact, "exact")
@@ -4581,10 +4601,13 @@ def emb_sq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     rationale and bit-equality pin as ``emb_sq_topk``)."""
     emb = load_table(spark, "embeddings", sf_dir)
     q = emb.filter(F.col("vec_id") < 8)
-    sq5 = qt.sq_topk_vectorized(emb, q, k=5).select("query_id", "neighbor_id")
-    ex5 = sim.brute_force_topk_vectorized(emb, q, k=5).select(
-        "query_id", "neighbor_id"
-    )
+    spread = spread_partitions(spark, emb)
+    sq5 = qt.sq_topk_vectorized(
+        emb, q, k=5, num_partitions=spread
+    ).select("query_id", "neighbor_id")
+    ex5 = sim.brute_force_topk_vectorized(
+        emb, q, k=5, num_partitions=spread
+    ).select("query_id", "neighbor_id")
     hits = (
         sq5.join(ex5, ["query_id", "neighbor_id"])
         .groupBy("query_id")
@@ -4680,7 +4703,10 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = sim.trained_centroids(
         emb, dataset=f"{sf_dir}/embeddings", nlist=16, iters=2
     )
-    return sim.ivf_topk(emb, q, k=5, nlist=16, nprobe=4, centroids=cents)
+    return sim.ivf_topk(
+        emb, q, k=5, nlist=16, nprobe=4, centroids=cents,
+        num_partitions=spark.sparkContext.defaultParallelism,
+    )
 
 
 @register(
@@ -4877,7 +4903,10 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     literals exactly like IVF's trained_centroids."""
     emb = load_table(spark, "embeddings", sf_dir)
     q = emb.filter(F.col("vec_id") < 8)
-    return sim.pq_topk(emb, q, _pq_books(emb, sf_dir), k=5)
+    return sim.pq_topk(
+        emb, q, _pq_books(emb, sf_dir), k=5,
+        num_partitions=spark.sparkContext.defaultParallelism,
+    )
 
 
 def _ivf_pq_oracle() -> str:
@@ -4987,6 +5016,7 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivf_pq_topk(
         emb, q, _pq_books(emb, sf_dir), k=5, nlist=16, nprobe=4,
         centroids=cents,
+        num_partitions=spark.sparkContext.defaultParallelism,
     )
 
 
@@ -7449,7 +7479,10 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus stats, query-term isin() pushed to the tf rows, TakeOrdered
     top-k) and the rounded-DECIMAL order-independent score sum."""
     docs = load_table(spark, "documents", sf_dir)
-    return tx.bm25_search(docs, ["spark", "join", "window"], top_k=10)
+    return tx.bm25_search(
+        docs, ["spark", "join", "window"], top_k=10,
+        num_partitions=spark.sparkContext.defaultParallelism,
+    )
 
 
 @register(
@@ -7781,7 +7814,10 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast (materialized-tf BM25 on the lexical side)."""
     docs = load_table(spark, "documents", sf_dir)
     emb = load_table(spark, "embeddings", sf_dir)
-    lex = tx.bm25_search(docs, ["spark", "join", "window"], top_k=50).select(
+    lex = tx.bm25_search(
+        docs, ["spark", "join", "window"], top_k=50,
+        num_partitions=spark.sparkContext.defaultParallelism,
+    ).select(
         "doc_id", F.col("rank").alias("r_lex")
     )
     cents = sim.trained_centroids(
@@ -7794,6 +7830,7 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         nlist=16,
         nprobe=4,
         centroids=cents,
+        num_partitions=spark.sparkContext.defaultParallelism,
     ).select(F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("r_sem"))
     fused = (
         lex.join(sem, "doc_id", "full_outer")
@@ -8480,6 +8517,14 @@ def events_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct count a 100 TB key space needs."""
     ev = load_table(spark, "events", sf_dir).select(
         "event_type", F.col("user_id").cast("string").alias("user_id")
+    )
+    # hash-spread by (type, user) before the two towers: the
+    # md5-register projection and the exact-distinct partial agg
+    # otherwise run at the scan's split count (single-task at sf0.1,
+    # round-9 stage audit), and co-locating (type, user) lets the
+    # distinct partial deduplicate completely map-side.
+    ev = ev.repartition(
+        spark.sparkContext.defaultParallelism, "event_type", "user_id"
     )
     est = sk.hll_distinct(ev, "user_id", ["event_type"])
     exact = ev.groupBy("event_type").agg(
@@ -9934,6 +9979,15 @@ def events_kmv_sample_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.col("event_id").cast("string").alias("rid"),
     ).where(F.col("value").isNotNull())
+    # size-adaptive hash-spread by row id before the md5 sample-hash
+    # projection — it otherwise runs at the scan's split count
+    # (single-row-group x100 fixture: one straggler task did all the
+    # work; spread measured 58.5 → 11.2 s there), while the tiny
+    # sf0.1 scan keeps its old single-stage plan; the bottom-k windows
+    # and the exact median re-shuffle by event_type regardless.
+    spread = spread_partitions(spark, ev)
+    if spread:
+        ev = ev.repartition(spread, "rid")
     h = F.expr(md5_long("rid", 12))
     w = Window.partitionBy("event_type").orderBy("h", "rid")
     sample = (
@@ -11947,7 +12001,9 @@ def ann_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # the corpus side (cell assignment) and the candidate scoring are
     # rung-invariant — compute both ONCE at the widest rung
-    assigned = sim.ivf_assign(emb, cents)
+    assigned = sim.ivf_assign(
+        emb, cents, num_partitions=spark.sparkContext.defaultParallelism
+    )
     qp = sim.ivf_probe_ranked(q, cents, nprobe=max(rungs))
     pairs = assigned.join(F.broadcast(qp), "cell").filter(
         F.col("neighbor_id") != F.col("query_id")

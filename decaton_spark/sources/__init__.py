@@ -5,6 +5,7 @@ from decaton_spark.sources.parquet import (
     load_table,
     load_tables,
     register_views,
+    spread_partitions,
 )
 
 __all__ = [
@@ -16,5 +17,6 @@ __all__ = [
     "compact_small_files",
     "read_table",
     "register_views",
+    "spread_partitions",
     "write_table",
 ]

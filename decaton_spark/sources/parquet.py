@@ -95,6 +95,36 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, 
     return {name: load_table(spark, name, sf_dir) for name in TABLES}
 
 
+def spread_partitions(
+    spark: SparkSession,
+    df: DataFrame,
+    *,
+    target_bytes: int = 2 << 20,
+) -> int | None:
+    """Scale-adaptive spread width for a CPU-heavy projection over
+    ``df``'s scan: enough partitions to keep ~``target_bytes`` of
+    compressed input per task, capped at the session's core count,
+    or None when the input is too small to be worth an exchange.
+
+    This is guide §2's "derive partitioning from input size, not a
+    constant tuned for either local mode or the cluster": a single
+    low-row-group parquet file otherwise pins the whole stage to one
+    task regardless of cores (round-9 stage audit), while an
+    unconditional core-count spread taxes small inputs with per-task
+    overhead (measured +0.9 s on the sf0.1 novelty wall for ~1.5 s of
+    total work). Driver-side file listing only — no job runs.
+    """
+    try:
+        nbytes = 0
+        for f in df.inputFiles():
+            path = f[7:] if f.startswith("file://") else f
+            nbytes += os.path.getsize(path)
+    except OSError:
+        return spark.sparkContext.defaultParallelism
+    n = min(spark.sparkContext.defaultParallelism, nbytes // target_bytes)
+    return int(n) if n > 1 else None
+
+
 def register_views(
     spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, prefix: str = ""
 ) -> list[str]:

@@ -274,3 +274,34 @@ def test_schema_evolution_merge_on_read(spark, tmp_path):
         .toString()
     )
     assert "ReadSchema: struct<doc_id:bigint>" in plan
+
+
+def test_spread_partitions_is_size_adaptive(spark, sf_dir):
+    """spread_partitions (round 9) derives a CPU-stage spread width
+    from the scan's byte size: None below the per-task target (small
+    fixtures keep their minimal plans), bytes//target capped at the
+    session core count above it — guide-§2 scale-adaptive
+    partitioning rather than a constant tuned to local cores."""
+    from decaton_spark.sources import load_table, spread_partitions
+
+    # this module's docs fixture caches the table; cache substitution
+    # swaps the scan for an InMemoryRelation whose inputFiles() is
+    # empty, and spread_partitions then (correctly) declines to spread
+    # a cached frame — clear it so the helper sees the real scan
+    spark.catalog.clearCache()
+    docs = load_table(spark, "documents", sf_dir)
+    # the test fixture is far below the 2 MiB/task target
+    assert spread_partitions(spark, docs) is None
+    # a 1-byte target forces the cap: exactly the core count
+    assert (
+        spread_partitions(spark, docs, target_bytes=1)
+        == spark.sparkContext.defaultParallelism
+    )
+    # mid-range: width tracks bytes // target, not the core count
+    nbytes = sum(
+        __import__("os").path.getsize(f[7:] if f.startswith("file://") else f)
+        for f in docs.inputFiles()
+    )
+    target = max(1, nbytes // 3)
+    got = spread_partitions(spark, docs, target_bytes=target)
+    assert got == min(spark.sparkContext.defaultParallelism, nbytes // target)

@@ -591,7 +591,10 @@ def test_sq_encode_is_projection_topk_shuffles_once(spark, sf_dir):
     one-row literal broadcast, so encoding both sides is a projection —
     the corpus is NEVER shuffled by the encoder; the only corpus-wide
     exchange is the per-query top-k window's hashpartitioning on
-    query_id. The query⋈corpus pairing is the same bounded
+    query_id. (The round-9 size-adaptive id spread adds one more on
+    sources big enough to under-split — spread_partitions returns
+    None at this fixture size, so the minimal plan is what's pinned.)
+    The query⋈corpus pairing is the same bounded
     BroadcastNestedLoopJoin the exact brute-force baseline owns (8
     broadcast queries), and codegen must stay compiled: the
     transform-loop encoder, not 128 inlined element expressions."""
