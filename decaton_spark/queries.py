@@ -1732,6 +1732,11 @@ def docs_mixture_by_topic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from decaton_spark.functions import sampling as smp
 
     docs = load_table(spark, "documents", sf_dir)
+    # size-adaptive spread (guide §2): the dictionary tagger is
+    # per-row text CPU ahead of the first exchange
+    spread = spread_partitions(spark, docs)
+    if spread:
+        docs = docs.repartition(spread, "doc_id")
     tagged = tx.topic_tag(docs, _TOPIC_DICT, carry=("text",)).select(
         "doc_id",
         "text",
@@ -1882,9 +1887,14 @@ def docs_lm_score_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     the n=2 point of the CCNet KenLM quality-signal family. One corpus
     bigram explode feeds every count table (unigrams recovered as
     first-token + successor occurrences)."""
-    return tx.lm_score_bigram(
-        load_table(spark, "documents", sf_dir), lam=_BLM_LAM
-    )
+    docs = load_table(spark, "documents", sf_dir)
+    # size-adaptive spread (guide §2): tokenize + bigram explode is
+    # the dominant CPU and runs pre-exchange; the spread moves it off
+    # the single scan task on big low-row-group sources
+    spread = spread_partitions(spark, docs)
+    if spread:
+        docs = docs.repartition(spread, "doc_id")
+    return tx.lm_score_bigram(docs, lam=_BLM_LAM)
 
 
 @register(
@@ -2171,6 +2181,12 @@ def docs_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-agg vocab + broadcast scoring, distributed TakeOrdered
     selection with rank over the bounded result)."""
     docs = load_table(spark, "documents", sf_dir)
+    # size-adaptive spread (guide §2): the Gopher battery below is the
+    # dominant per-row CPU of the whole pipeline and runs pre-exchange;
+    # the checkpointed survivor table inherits the parallel layout
+    spread = spread_partitions(spark, docs)
+    if spread:
+        docs = docs.repartition(spread, "doc_id")
     # materialize the filtered corpus once: downstream it is scanned
     # four times (dedup election, join-back, DSIR vocab build, DSIR
     # scoring) and without this every scan re-runs the Gopher
@@ -3719,7 +3735,14 @@ _FP_TOK = md5_long("t", 8)
     """,
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document rolling token-hash fingerprint. Size-adaptive
+    spread (guide §2): the hash fold is per-row CPU that would
+    otherwise run at the scan's split count on a big source; small
+    scans keep the pinned shuffle-free projection plan."""
     docs = load_table(spark, "documents", sf_dir)
+    spread = spread_partitions(spark, docs)
+    if spread:
+        docs = docs.repartition(spread, "doc_id")
     return tx.fingerprint(docs).select("doc_id", "fingerprint")
 
 
@@ -5162,6 +5185,12 @@ def emb_bitext_margin_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # mirrored in the oracle via GREATEST(count(*), 1))
     n = _bitext_corpus_count(spark, sf_dir)
     bits = min(16, max(2, math.ceil(math.log2(max(n, 1) / 256.0))))
+    # size-adaptive spread (guide §2): the per-vector sign-LSH bucket
+    # fold (bits × 64-dim dots) is pre-exchange CPU that would
+    # otherwise run at the scan's split count on a big source
+    spread = spread_partitions(spark, emb)
+    if spread:
+        emb = emb.repartition(spread, "vec_id")
     src = emb.filter(F.col("label") % 2 == 0)
     tgt = emb.filter(F.col("label") % 2 == 1)
     return sim.margin_mining(
@@ -6250,6 +6279,13 @@ def docs_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     fuse into a single whole-stage-codegen'd projection
     (tests/test_plans.py asserts no Exchange in this plan)."""
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    # size-adaptive spread (guide §2): the whole battery is per-row
+    # expression CPU, so on a big low-row-group source the one cheap
+    # exchange moves that CPU off the single scan task; small scans
+    # keep the pinned shuffle-free plan (spread is None there)
+    spread = spread_partitions(spark, docs)
+    if spread:
+        docs = docs.repartition(spread, "doc_id")
     edges = spark.createDataFrame(
         _GOPHER_EDGE_ROWS, schema="doc_id long, text string"
     )
@@ -8703,6 +8739,13 @@ def events_ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from decaton_spark.functions import stats as st
 
     ev = load_table(spark, "events", sf_dir).filter(F.col("value").isNotNull())
+    # size-adaptive spread (guide §2): the md5 arm assignment runs
+    # per event BEFORE the sufficient-statistics partial agg, i.e. in
+    # the scan stage — on a big low-row-group source that whole pass
+    # is one task without the spread
+    spread = spread_partitions(spark, ev)
+    if spread:
+        ev = ev.repartition(spread, "event_id")
     armed = ev.withColumn("arm", st.hash_arm("CAST(user_id AS STRING)"))
     return st.welch_ttest(armed, group_cols=["event_type"], unit=100)
 
