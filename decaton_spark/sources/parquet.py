@@ -114,13 +114,24 @@ def spread_partitions(
     overhead (measured +0.9 s on the sf0.1 novelty wall for ~1.5 s of
     total work). Driver-side file listing only — no job runs.
     """
-    try:
-        nbytes = 0
-        for f in df.inputFiles():
-            path = f[7:] if f.startswith("file://") else f
+    nbytes = 0
+    for f in df.inputFiles():
+        path = f[7:] if f.startswith("file://") else f
+        try:
             nbytes += os.path.getsize(path)
-    except OSError:
-        return spark.sparkContext.defaultParallelism
+        except OSError:
+            # non-posix path (s3://, hdfs://, …): ask the Hadoop
+            # FileSystem for the real size instead of guessing
+            try:
+                jvm = spark._jvm
+                jpath = jvm.org.apache.hadoop.fs.Path(f)
+                fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+                nbytes += fs.getFileStatus(jpath).getLen()
+            except Exception:
+                # unreadable size: do NOT spread — an unconditional
+                # full-width exchange on a possibly-tiny input is the
+                # exact failure mode this helper exists to avoid
+                return None
     n = min(spark.sparkContext.defaultParallelism, nbytes // target_bytes)
     return int(n) if n > 1 else None
 

@@ -304,4 +304,24 @@ def test_spread_partitions_is_size_adaptive(spark, sf_dir):
     )
     target = max(1, nbytes // 3)
     got = spread_partitions(spark, docs, target_bytes=target)
-    assert got == min(spark.sparkContext.defaultParallelism, nbytes // target)
+    expected = min(spark.sparkContext.defaultParallelism, nbytes // target)
+    # the helper's contract is n>1 else None — mirror it so the test
+    # holds on low-core runners where the min collapses to 1
+    assert got == (expected if expected > 1 else None)
+
+
+def test_spread_partitions_unreadable_size_declines(spark):
+    """When file sizes are unreadable through both the posix and the
+    Hadoop FileSystem paths (round-10 fix: the old fallback returned
+    an unconditional full-width spread), the helper must decline to
+    spread — a guessed core-count exchange on a possibly-tiny remote
+    input is the exact overhead the size-adaptive contract rules out."""
+    from decaton_spark.sources import spread_partitions
+
+    class _FakeScan:
+        def inputFiles(self):
+            # scheme with no registered Hadoop FileSystem in this
+            # deployment and no posix path: both size probes fail
+            return ["nosuchscheme://bucket/part-0.parquet"]
+
+    assert spread_partitions(spark, _FakeScan()) is None
