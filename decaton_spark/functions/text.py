@@ -369,9 +369,17 @@ def bm25_search(
     #   they just no longer share the join's dl table.
     matched_tf = tf.filter(F.col("term").isin(list(query_terms)))
     dfreq = matched_tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # the matched-doc set is bounded only by query-term selectivity: a
+    # frequent term makes it corpus-scale, so no broadcast HINT here —
+    # AQE converts the semi-join to broadcast at runtime when the side
+    # is actually small, and keeps a shuffle join when it is not
+    # (round-10, ADVICE r9: a static hint would exceed the 8 GB
+    # broadcast cap / driver memory at the 100 TB corpus this targets).
+    # The semi-join keying (doc_id) matches the groupBy, so the
+    # sort-merge path shares one exchange with the aggregation.
     dl = (
         tf.join(
-            F.broadcast(matched_tf.select("doc_id").distinct()),
+            matched_tf.select("doc_id").distinct(),
             "doc_id",
             "left_semi",
         )
