@@ -121,35 +121,71 @@ def compute_task_op_deltas(
     return deltas, worst, suite_factor
 
 
+CANARY_ROWS = 8_000_000_000
+
+
+def cpu_canary_sec(spark, n_rows: int = CANARY_ROWS, n_runs: int = 3) -> float:
+    """Wall seconds for a FIXED pure-JVM codegen aggregation: sum of
+    xxhash64 over ``spark.range`` at the session's full parallelism.
+
+    This is the host-contention probe the suite-wide gate needs
+    (round 10, VERDICT r9 wrong #1): it exercises no repo code and no
+    input data — its plan cannot change when task operators change —
+    but it is CPU-bound on every core, so host CPU steal slows it by
+    the same factor it slows the task-op suite. The old gate inferred
+    "host quiet" from a flat async mirror, which is sleep-floor-
+    dominated and insensitive to CPU steal by design; the driver's r9
+    run fired it on a contended host (suite factor 1.368) that three
+    same-code quiet-host runs measured at ~1.04-1.09. One unmeasured
+    warm run absorbs the one-off Janino compile; the reported wall is
+    the min of ``n_runs`` (min, not median: contention only ever adds
+    time, and the gate compares against a quiet-host baseline)."""
+    df = spark.range(0, n_rows, 1, spark.sparkContext.defaultParallelism)
+    # max, not sum: ANSI mode makes a long sum of 64-bit hashes throw
+    # on overflow; max still forces every hash to be computed
+    agg = df.selectExpr("xxhash64(id) AS h").groupBy().max("h")
+    agg.write.format("noop").mode("overwrite").save()  # codegen warm-up
+    walls = []
+    for _ in range(n_runs):
+        t0 = time.perf_counter()
+        agg.write.format("noop").mode("overwrite").save()
+        walls.append(time.perf_counter() - t0)
+    return round(min(walls), 3)
+
+
 def suite_wide_regression_signal(
     suite_factor: float | None,
-    async_median_delta_pct: float | None,
+    canary_factor: float | None,
+    async_median_delta_pct: float | None = None,
     factor_threshold: float = 1.25,
-    async_flat_pct: float = 10.0,
+    canary_flat_factor: float = 1.15,
 ) -> dict | None:
     """Secondary gate for the blind spot ADVICE r8 named: the
     leave-one-out normalization divides out anything that slows MANY
     ops at once, so a Spark-wide plan regression (e.g. a codegen
-    fallback hitting most operators) reports ``worst_regression=None``
-    — and the async mirror cannot catch it either, because it measures
-    the simulated reference workload, not Spark query plans. The two
-    signals DISAGREEING is itself the evidence: the task-op suite
-    materially slower than baseline while the machine-stable async
-    mirror is flat means the slowdown is in the Spark engine path, not
-    the host. Returns a flag dict, or None (no data / host degradation
-    / no material suite move)."""
-    if suite_factor is None or async_median_delta_pct is None:
+    fallback hitting most operators) reports ``worst_regression=None``.
+    The task-op suite materially slower than baseline while the
+    CPU-bound pure-JVM canary is flat means the slowdown is in the
+    engine path, not the host — the canary runs no repo code, so a
+    repo regression cannot move it, while host CPU contention moves
+    both by the same factor. (Round 10: the previous premise — "async
+    mirror flat ⇒ host not degraded" — was unsound, the async mirror
+    being sleep-floor-dominated and insensitive to CPU steal; it
+    false-alarmed on the driver's r9 run.) Returns a flag dict, or
+    None (no data / host degradation / no material suite move)."""
+    if suite_factor is None or canary_factor is None:
         return None
-    if suite_factor > factor_threshold and abs(async_median_delta_pct) <= async_flat_pct:
+    if suite_factor > factor_threshold and canary_factor <= canary_flat_factor:
         return {
             "suite_factor": suite_factor,
+            "cpu_canary_factor": canary_factor,
             "async_median_delta_pct": async_median_delta_pct,
             "verdict": (
                 "suite-wide Spark regression suspected: the whole task-op "
-                "suite slowed vs baseline while the async mirror is flat "
-                "(host not degraded) — per-op LOO normalization cannot "
-                "flag a regression that hits every op; inspect the "
-                "per-query tier walls"
+                "suite slowed vs baseline while the CPU-bound JVM canary "
+                "is flat (host CPU not contended) — per-op LOO "
+                "normalization cannot flag a regression that hits every "
+                "op; inspect the per-query tier walls"
             ),
         }
     return None
@@ -361,6 +397,9 @@ def main() -> None:
     # first-ish and 0.421 s when last in the same session. One full
     # unmeasured pass costs ~5-10 s and makes the measured walls
     # position-independent steady-state.
+    # host-contention canary, measured in the same window as the
+    # task-op walls it contextualizes (see cpu_canary_sec)
+    canary_sec = cpu_canary_sec(spark)
     task_timings: dict[str, float] = {}
     for name in task_ops:
         drain(_ALL_QUERIES[name].fn(spark, SF_DIR))
@@ -468,8 +507,13 @@ def main() -> None:
         if baseline.get("ref_workload_async_median")
         else None
     )
+    canary_factor = (
+        round(canary_sec / baseline["cpu_canary_sec"], 3)
+        if baseline.get("cpu_canary_sec")
+        else None
+    )
     suite_wide_regression = suite_wide_regression_signal(
-        task_ops_suite_factor, async_median_delta_pct
+        task_ops_suite_factor, canary_factor, async_median_delta_pct
     )
 
     oracle_sec, oracle_skipped = oracle_baseline(timings)
@@ -505,6 +549,8 @@ def main() -> None:
         "task_ops_sec": round(task_time, 3),
         "task_ops_queries": task_timings_measured,
         "task_ops_queries_adjudicated": task_ops_adjudicated,
+        "cpu_canary_sec": canary_sec,
+        "cpu_canary_factor_vs_baseline": canary_factor,
         "task_ops_delta_vs_baseline": task_ops_deltas,
         "task_ops_worst_regression": worst_regression,
         "task_ops_suite_factor_vs_baseline": task_ops_suite_factor,
@@ -554,9 +600,16 @@ def main() -> None:
         # the informational absolutes above
         "task_ops_suite_factor_vs_baseline": task_ops_suite_factor,
         "task_ops_worst_regression": worst_regression,
-        # secondary gate (ADVICE r8): per-op LOO normalization is blind
-        # to a regression hitting EVERY op — a material suite factor
-        # with a flat async mirror flags that case explicitly
+        # host-contention probe (round 10): pure-JVM codegen wall, no
+        # repo code — ~1 = host CPU quiet vs the committed baseline,
+        # >>1 = contended; contextualizes the suite factor above
+        "cpu_canary_sec": canary_sec,
+        "cpu_canary_factor_vs_baseline": canary_factor,
+        # secondary gate (ADVICE r8, canary-based since round 10): per-
+        # op LOO normalization is blind to a regression hitting EVERY
+        # op — a material suite factor with a FLAT CPU canary flags
+        # that case explicitly (a slow canary means the host, not the
+        # engine, is degraded)
         "task_ops_suite_wide_regression": suite_wide_regression,
         "worst_spark_over_oracle": {"query": worst[0], "ratio": worst[1]}
         if worst

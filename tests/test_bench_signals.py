@@ -120,28 +120,47 @@ def test_baseline_file_carries_async_engine_signal():
     assert baseline.get("task_ops_queries")
 
 
-def test_suite_wide_regression_flagged_when_async_flat():
+def test_suite_wide_regression_flagged_when_canary_flat():
     """ADVICE r8 blind spot: a Spark-wide plan regression (every op
     slows together) divides itself out of the LOO normalization AND
-    leaves the async mirror flat (it doesn't run Spark plans). The
+    leaves the CPU canary flat (the canary runs no repo code). The
     secondary gate must flag exactly that disagreement."""
     from bench import suite_wide_regression_signal
 
     uniform = {n: round(v * 1.6, 3) for n, v in BASE.items()}
     deltas, worst, suite_factor = compute_task_op_deltas(uniform, BASE)
     assert worst is None  # primary signal is blind here, by design
-    flag = suite_wide_regression_signal(suite_factor, async_median_delta_pct=-2.0)
+    flag = suite_wide_regression_signal(
+        suite_factor, canary_factor=1.02, async_median_delta_pct=-2.0
+    )
     assert flag is not None and "suite-wide" in flag["verdict"]
     assert flag["suite_factor"] == suite_factor
+    assert flag["cpu_canary_factor"] == 1.02
 
 
-def test_suite_wide_gate_quiet_on_degraded_host_and_missing_data():
-    """Host degradation moves BOTH signals (async mirror drops too) —
-    no flag; a comparable host with a flat suite — no flag; missing
-    async baseline or no task-op baseline — no flag (never guess)."""
+def test_suite_wide_gate_quiet_on_contended_host_and_missing_data():
+    """Host CPU contention moves BOTH the task-op suite and the
+    CPU-bound canary (the driver's r9 false alarm: suite factor 1.368
+    on a host that three quiet-window same-code runs measured ~1.04;
+    the old async-flat premise could not see CPU steal) — no flag; a
+    comparable host with a flat suite — no flag; missing canary or
+    task-op baseline — no flag (never guess)."""
     from bench import suite_wide_regression_signal
 
-    assert suite_wide_regression_signal(2.0, -35.0) is None   # degraded host
+    # driver-r9 scenario: suite 1.368, canary would have read ~1.3+
+    assert suite_wide_regression_signal(1.368, 1.31) is None  # contended host
+    assert suite_wide_regression_signal(2.0, 1.9) is None     # degraded host
     assert suite_wide_regression_signal(1.02, 1.0) is None    # all quiet
     assert suite_wide_regression_signal(None, 1.0) is None    # no baseline
-    assert suite_wide_regression_signal(1.6, None) is None    # no async base
+    assert suite_wide_regression_signal(1.6, None) is None    # no canary base
+
+
+def test_baseline_file_carries_cpu_canary():
+    """The committed baseline must carry the quiet-host canary wall so
+    bench.py can compute the contention factor the suite-wide gate
+    keys on (round 10)."""
+    path = os.path.join(os.path.dirname(__file__), "..",
+                        "BENCH_TASK_OPS_BASELINE.json")
+    with open(path) as fh:
+        baseline = json.load(fh)
+    assert baseline.get("cpu_canary_sec", 0) > 0
