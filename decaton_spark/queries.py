@@ -14242,89 +14242,16 @@ def events_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      dedup_near_full CC hardening, ann_brute_force_topk shares
 #      similarity.py), then one representative per operator family.
 _DRIVER_TIER = [
-    # ================= ROUND 9 TIER =================
-    # Standing rotation (VERDICT r7 #4): 240 registered queries / 50
+    # ================= ROUND 10 TIER =================
+    # Standing rotation (VERDICT r7 #4): 241 registered queries / 50
     # slots per round = a 5-round freshness cycle, oldest-newest-row
     # first, r{N} file order within a cohort; implementation-changed
     # queries always jump the queue. This round burns the 40 remaining
-    # r4-row holders (r4 file order) + the 10 oldest r5 rows (r5 file
-    # order) — exactly the list VERDICT r8 #2 pre-wrote. After it
-    # lands the histogram is r5:40 r6:50 r7:50 r8:50 r9:50.
+    # r5-row holders (r5 file order) + the 10 oldest r6 rows (r6 file
+    # order) — exactly the list VERDICT r9 #10 pre-wrote as round 9's
+    # NEXT_TIER. After it lands the histogram is r6:40 r7:50 r8:50
+    # r9:50 r10:50.
     #
-    # The 40 r4-row holders (r4 file order):
-    "events_props_json",
-    "events_session_gaps",
-    "customer_balance_quartiles",
-    "docs_lm_score",
-    "events_resample_gapfill",
-    "emb_label_centroid_drift",
-    "events_percent_rank",
-    "array_functions_bridge",
-    "docs_normalize",
-    "lineitem_unpivot",
-    "set_ops_all_variants",
-    "datetime_functions_bridge",
-    "lateral_top_orders",
-    "null_semantics_bridge",
-    "text_tokenize_ids",
-    "dedup_graph_pagerank",
-    "corpus_token_histogram",
-    "events_top_transitions",
-    "events_hll_distinct",
-    "map_functions_bridge",
-    "window_functions_bridge",
-    "docs_weighted_sample",
-    "q15_top_supplier",
-    "q8_market_share",
-    "t1_compaction_hash",
-    "hybrid_search_rrf",
-    "text_bpe_merges",
-    "docs_bpe_compression",
-    "text_bpe_symbol_vocab",
-    "events_kmv_distinct",
-    "dedup_spans_intradoc",
-    "events_kmv_sample_median",
-    "docs_decontaminate_bloom",
-    "dedup_exact_substring",
-    "docs_temperature_mixture",
-    "docs_curation_pipeline_v2",
-    "emb_sq_topk",
-    "emb_sq_recall",
-    "docs_novelty_ngrams",
-    "cm_sketch_quota",
-    # The 10 oldest r5 rows (r5 file order):
-    "emb_pca_power_iteration",
-    "dedup_simhash_hamming",
-    "dedup_families_report",
-    "events_power_user_curve",
-    "events_rfm_segments",
-    "corpus_snapshot_diff",
-    "events_histogram_quantiles",
-    "events_pit_features",
-    "events_target_encoding",
-    "split_leakage_check",
-    # ================= HISTORY (condensed) =================
-    # r1-r8: 50/50 driver rows every round, zero failures; round 6
-    # closed the never-verified queue (all-time union 240/240), round
-    # 7 burned the 41 r2 rows + 9 oldest r3 (tier in git bf68203),
-    # round 8 the 40 r3 rows + 10 oldest r4 (tier in git 0470bd0).
-    # Per-round certification: tier 50/50 at sf0.01 re-run after every
-    # material change; full-registry drive_harness --all 240/240; full
-    # window audit (incl. checkpointed stage plans); pytest;
-    # adversarial-equivalence pins for expression rewrites
-    # (tests/test_ngram_constructions.py).
-]
-
-# ROUND-10 TIER, pre-written AS DATA (VERDICT r8 #3/#6): the harness
-# projects the post-next-round histogram with this list during the
-# inter-round window (after the driver writes CORRECTNESS_r09 but
-# before _DRIVER_TIER rotates), so the rotation arithmetic is checked
-# without the false "fell behind" alarm the comment-only pre-write
-# caused. Computed from the correctness files with the r9 tier marked
-# newest=r9: the 40 remaining r5-row holders (r5 file order) + the 10
-# oldest r6 rows (r6 file order). After r10 lands the histogram is
-# r6:40 r7:50 r8:50 r9:50 r10:50.
-NEXT_TIER = [
     # The 40 r5-row holders (r5 file order):
     "retrieval_ndcg_eval",
     "dedup_containment",
@@ -14377,6 +14304,83 @@ NEXT_TIER = [
     "users_behavior_similarity",
     "text_collocations_pmi",
     "text_fertility_by_lang",
+    # ================= HISTORY (condensed) =================
+    # r1-r9: 50/50 driver rows every round, zero failures; round 6
+    # closed the never-verified queue (all-time union 240/240), round
+    # 7 burned the 41 r2 rows + 9 oldest r3 (tier in git bf68203),
+    # round 8 the 40 r3 rows + 10 oldest r4 (tier in git 0470bd0),
+    # round 9 the 40 r4 rows + 10 oldest r5 (tier in git 17831fd).
+    # Per-round certification: tier 50/50 at sf0.01 re-run after every
+    # material change; full-registry drive_harness --all 241/241; full
+    # window audit (incl. checkpointed stage plans); pytest;
+    # adversarial-equivalence pins for expression rewrites
+    # (tests/test_ngram_constructions.py).
+]
+
+# ROUND-11 TIER, pre-written AS DATA (VERDICT r8 #3/#6): the harness
+# projects the post-next-round histogram with this list during the
+# inter-round window (after the driver writes CORRECTNESS_r10 but
+# before _DRIVER_TIER rotates), so the rotation arithmetic is checked
+# without the false "fell behind" alarm the comment-only pre-write
+# caused. Computed from the correctness files with the r10 tier marked
+# newest=r10: emb_sq_topk_vec (registered r9, never a driver row —
+# priority-1 queue jump) + the 40 remaining r6-row holders (r6 file
+# order) + the 9 oldest r7 rows (r7 file order). After r11 lands the
+# histogram is r7:41 r8:50 r9:50 r10:50 r11:50.
+NEXT_TIER = [
+    # Priority 1 — registered but never driver-verified:
+    "emb_sq_topk_vec",
+    # The 40 r6-row holders (r6 file order):
+    "text_keyphrases_rake",
+    "text_length_buckets",
+    "docs_lm_score_bigram",
+    "docs_mixture_by_topic",
+    "docs_rater_agreement",
+    "docs_stratified_sample",
+    "docs_topic_tag",
+    "docs_zipf_fit",
+    "corpus_dataset_card",
+    "corpus_release_audit",
+    "corpus_term_jsd",
+    "events_anomaly_mad",
+    "events_assoc_pairs",
+    "events_covisitation_eval",
+    "events_covisitation_recs",
+    "events_cusum_changepoints",
+    "events_dau_mau_stickiness",
+    "events_entropy_by_type",
+    "events_forecast_backtest",
+    "events_join_size_estimate",
+    "events_k_anonymity",
+    "events_kmv_user_overlap",
+    "events_l_diversity",
+    "events_markov_stationary",
+    "events_seasonality_hod",
+    "events_slo_burn_rate",
+    "events_theilsen_trend",
+    "events_trajectories",
+    "events_trajectory_dedup",
+    "orders_backlog_sweepline",
+    "orders_benford_audit",
+    "orders_duplicate_payments",
+    "orders_gini_by_nation",
+    "parts_abc_classification",
+    "tpch_referential_audit",
+    "regex_functions_bridge",
+    "q2_min_acctbal_supplier",
+    "q4_priority_exists",
+    "q9_nation_year_profit",
+    "q10_returned_customers",
+    # The 9 oldest r7 rows (r7 file order):
+    "t1_compaction_windowed",
+    "t2_batching",
+    "t3_retry_queueing",
+    "t4_scheduled_due",
+    "t5_rate_limit",
+    "t6_per_key_quota",
+    "t13_pipeline_chain",
+    "f1_ignore_keys",
+    "f2_discard_invalid",
 ]
 
 _ALL_QUERIES = dict(QUERIES)
