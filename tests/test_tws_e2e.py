@@ -71,6 +71,7 @@ def _task_rows(spark):
 
 
 def _run_available_now(df, qname, ckpt, output_mode="update", timeout=300):
+    spark = df.sparkSession
     q = (
         df.writeStream.format("memory")
         .queryName(qname)
@@ -79,7 +80,29 @@ def _run_available_now(df, qname, ckpt, output_mode="update", timeout=300):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout)
+    # An availableNow query whose processor holds far-future
+    # processing-time timers does not self-terminate when the input is
+    # drained — the old unconditional awaitTermination(timeout) burned
+    # the full 300 s cap twice per suite run (scheduled-holds-future
+    # and size-flush-with-1h-linger). Exit early once the input has
+    # been processed and the sink has been stable for several polls: a
+    # wrongful late release would land within that settle window (the
+    # original runs committed no further batches for 290+ s).
+    import time as _t
+
+    deadline = _t.time() + timeout
+    stable, last_n = 0, -1
+    while not q.awaitTermination(1):
+        if _t.time() > deadline:
+            break
+        progress = q.recentProgress
+        if not any(p["numInputRows"] > 0 for p in progress):
+            continue  # input not processed yet
+        n = spark.table(qname).count()
+        stable = stable + 1 if n == last_n else 0
+        last_n = n
+        if stable >= 4:
+            break
     q.stop()
 
 
