@@ -261,6 +261,40 @@ def test_connected_components_long_chain(spark):
     assert len(plan) < 4_000 and "LogicalRDD" in plan
 
 
+def test_checkpoint_fresh_stats_bounds_size_estimate(spark):
+    """Round-10 regression pin: ``Dataset.localCheckpoint`` copies the
+    origin plan's sizeInBytes onto the new leaf, and Catalyst's
+    size-only join estimate MULTIPLIES child sizes — so an iterative
+    join-on-previous-checkpoint loop grows the BigInt's bit length
+    geometrically until the driver spends minutes inside
+    BigInteger.multiply (thread-dump verified: 100+ s per CC round at
+    sf0.001). The stats-free checkpoint must (a) keep rows identical
+    and (b) keep the estimate's bit length flat across rounds."""
+    from pyspark.sql import functions as F
+
+    from decaton_spark.functions.dedup import _checkpoint_fresh_stats
+
+    df = spark.range(64).select(
+        F.col("id"), (F.col("id") % 8).alias("k")
+    )
+    cur = _checkpoint_fresh_stats(df)
+    assert sorted(r["id"] for r in cur.collect()) == list(range(64))
+    bits = []
+    for _ in range(4):
+        other = cur.select(F.col("id").alias("oid"), "k")
+        joined = cur.join(other, "k").groupBy("k").agg(
+            F.min("id").alias("id")
+        ).select("id", "k")
+        cur = _checkpoint_fresh_stats(joined)
+        size = int(
+            cur._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        bits.append(size.bit_length())
+    # inherited stats would give bits ~ [126, 252, 504, 1008]; the
+    # fresh leaf stays at the defaultSizeInBytes constant (= 63)
+    assert max(bits) == min(bits) <= 64, bits
+
+
 def test_span_dedup_semantics(spark):
     """First occurrence wins corpus-wide; later copies of a span are cut
     from their documents; a fully-duplicate document keeps 0 spans."""
