@@ -139,7 +139,13 @@ def cpu_canary_sec(spark, n_rows: int = CANARY_ROWS, n_runs: int = 3) -> float:
     same-code quiet-host runs measured at ~1.04-1.09. One unmeasured
     warm run absorbs the one-off Janino compile; the reported wall is
     the min of ``n_runs`` (min, not median: contention only ever adds
-    time, and the gate compares against a quiet-host baseline)."""
+    time, and the gate compares against a quiet-host baseline).
+    ``main`` samples this twice — before and after the task-op section
+    — and gates on the max: this host bounces on shorter scales than
+    the ~60 s op window, so one sample can catch a quiet instant while
+    the ops hit a noisy one (observed: canary 1.36 s with the suite at
+    1.41x, then 2.28 s twenty minutes later with a fresh-session suite
+    at 1.9x — both on untouched op code)."""
     df = spark.range(0, n_rows, 1, spark.sparkContext.defaultParallelism)
     # max, not sum: ANSI mode makes a long sum of 64-bit hashes throw
     # on overflow; max still forces every hash to be computed
@@ -397,8 +403,14 @@ def main() -> None:
     # first-ish and 0.421 s when last in the same session. One full
     # unmeasured pass costs ~5-10 s and makes the measured walls
     # position-independent steady-state.
-    # host-contention canary, measured in the same window as the
-    # task-op walls it contextualizes (see cpu_canary_sec)
+    # host-contention canary, sampled BEFORE AND AFTER the task-op
+    # section (see cpu_canary_sec): the op walls span a ~60 s window
+    # and this host's contention bounces on shorter scales than that
+    # (one adjudication run measured canary 1.36 s and, twenty minutes
+    # later, 2.28 s with the suite at 1.9x) — a single pre-sample can
+    # catch a quiet instant while the ops hit a noisy one and
+    # false-fire the suite-wide gate. The gate keys on the MAX of the
+    # two samples: "host quiet" must hold at both ends of the window.
     canary_sec = cpu_canary_sec(spark)
     task_timings: dict[str, float] = {}
     for name in task_ops:
@@ -410,6 +422,7 @@ def main() -> None:
             drain(_ALL_QUERIES[name].fn(spark, SF_DIR))
             walls.append(round(time.perf_counter() - t0, 3))
         task_timings[name] = min(walls)
+    canary_sec_post = cpu_canary_sec(spark)
     # Protocol-uniform walls (positional min-of-2 for every op): this
     # frozen copy is what task_ops_queries / task_ops_sec report and
     # what the next round's baseline is refreshed from, so a flagged
@@ -507,8 +520,10 @@ def main() -> None:
         if baseline.get("ref_workload_async_median")
         else None
     )
+    # max of the pre/post samples: the gate's "host quiet" premise
+    # must hold across the WHOLE op window, not at one instant of it
     canary_factor = (
-        round(canary_sec / baseline["cpu_canary_sec"], 3)
+        round(max(canary_sec, canary_sec_post) / baseline["cpu_canary_sec"], 3)
         if baseline.get("cpu_canary_sec")
         else None
     )
@@ -550,6 +565,7 @@ def main() -> None:
         "task_ops_queries": task_timings_measured,
         "task_ops_queries_adjudicated": task_ops_adjudicated,
         "cpu_canary_sec": canary_sec,
+        "cpu_canary_sec_post": canary_sec_post,
         "cpu_canary_factor_vs_baseline": canary_factor,
         "task_ops_delta_vs_baseline": task_ops_deltas,
         "task_ops_worst_regression": worst_regression,
@@ -604,6 +620,7 @@ def main() -> None:
         # repo code — ~1 = host CPU quiet vs the committed baseline,
         # >>1 = contended; contextualizes the suite factor above
         "cpu_canary_sec": canary_sec,
+        "cpu_canary_sec_post": canary_sec_post,
         "cpu_canary_factor_vs_baseline": canary_factor,
         # secondary gate (ADVICE r8, canary-based since round 10): per-
         # op LOO normalization is blind to a regression hitting EVERY
