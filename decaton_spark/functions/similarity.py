@@ -1669,9 +1669,17 @@ def margin_mining(
         / (F.col("q_norm") * F.col("c_norm"))
         * 10_000
     ).cast("long")
-    paired = (
-        c.join(q, "bucket") if bucket_dims is not None else c.crossJoin(F.broadcast(q))
-    )
+    if bucket_dims is not None:
+        paired = c.join(q, "bucket")
+    else:
+        # spread the STREAMED side of the broadcast cross join: the
+        # embeddings scan is one or two splits at bench SFs, so without
+        # this the whole |c|x|q| dot pass runs on 1-2 tasks of the
+        # session's cores (guide §2.5 input skew). The exchange moves
+        # only |c| narrow rows once; the work it spreads is |q|-fold
+        # larger per row (round-10, measured on emb_bitext_margin_mining).
+        c = c.repartition(c.sparkSession.sparkContext.defaultParallelism, "tid")
+        paired = c.crossJoin(F.broadcast(q))
     scored = (
         paired
         .select("sid", "tid", c4.alias("c4"))
