@@ -10833,27 +10833,45 @@ def parts_fuzzy_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_partkey").alias("key_b"),
         F.col("p_name").alias("name_b"),
     )
+    # the comparator must run ONCE per surviving pair, and only after
+    # the cheap cuts (round-10, guide §1.2 per-task work): the old
+    # `filter(dist <= 4)` was pushed INTO the join condition, where it
+    # ran levenshtein on every (blk, salt) candidate BEFORE the
+    # key_a < key_b conjunct and then twice more (condition + project)
+    # on survivors — ~118M evaluations for ~11M needed. Now the join
+    # carries only cheap predicates (ordering cut, then the exact
+    # lower bound levenshtein >= |len(a)-len(b)|), and the banded
+    # threshold form — O(len*4) work instead of O(len^2), NULL past
+    # the cut via nullif(-1) — is evaluated once in the projection.
+    # The dist <= 4 cut moves to after the window as dist IS NOT NULL
+    # (NULLs sort last, so surviving ranks are unchanged).
     pairs = a.join(
         b,
         (F.col("blk") == F.col("blk_b"))
         & (F.col("salt") == F.col("salt_b"))
-        & (F.col("key_a") < F.col("key_b")),
+        & (F.col("key_a") < F.col("key_b"))
+        & (
+            F.abs(F.length("name_a") - F.length("name_b")) <= F.lit(4)
+        ),
     ).select(
         "blk",
         "key_a",
         "key_b",
-        F.levenshtein("name_a", "name_b").cast("long").alias("dist"),
+        F.nullif(F.levenshtein("name_a", "name_b", 4), F.lit(-1))
+        .cast("long")
+        .alias("dist"),
     )
     # n_pairs = C(block_size, 2) — arithmetic on the block sizes, so the
     # expensive levenshtein join has exactly ONE consumer
     sized = p.groupBy("blk").agg(
         F.expr("(count(*) * (count(*) - 1)) DIV 2").cast("long").alias("n_pairs")
     )
-    w = Window.partitionBy("blk").orderBy("dist", "key_a", "key_b")
+    w = Window.partitionBy("blk").orderBy(
+        F.asc_nulls_last("dist"), "key_a", "key_b"
+    )
     ranked = (
-        pairs.filter(F.col("dist") <= 4)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 3)
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") <= 3) & F.col("dist").isNotNull())
         .drop("rn")
     )
     return ranked.join(F.broadcast(sized), "blk").select(

@@ -1085,3 +1085,21 @@ def test_abc_classification_no_single_partition_sweep(spark, sf_dir):
     )
     assert "rangepartitioning" in p.lower(), "lost the parallel range sort"
     assert p.lower().count("singlepartition") <= 1
+
+
+def test_fuzzy_linkage_comparator_runs_once_outside_join(spark, sf_dir):
+    """Round-10 pin: the levenshtein comparator must live in the
+    projection, not the join condition — a filter on the projected
+    dist column gets pushed into the join, where it runs BEFORE the
+    cheap key/length cuts and up to three times per candidate pair
+    (measured ~118M evaluations for ~11M needed, 2x the query wall).
+    The join may carry only the ordering and length-bound conjuncts,
+    and the map-side top-k (WindowGroupLimit) must survive."""
+    p = plan_of(QUERIES["parts_fuzzy_linkage"].fn(spark, sf_dir))
+    join_conds = [
+        l for l in p.splitlines() if l.strip().startswith("Join condition")
+    ]
+    assert join_conds, p
+    assert not any("levenshtein" in c for c in join_conds), join_conds
+    assert p.count("levenshtein") == 1, p.count("levenshtein")
+    assert "WindowGroupLimit" in p, "map-side top-k gone"
