@@ -491,7 +491,7 @@ def verify_pairs_jaccard(
     )
 
 
-def _checkpoint_fresh_stats(df: DataFrame) -> DataFrame:
+def _checkpoint_fresh_stats(df: DataFrame, eager: bool = True) -> DataFrame:
     """Eager localCheckpoint that does NOT inherit the origin plan's
     size statistics.
 
@@ -510,7 +510,7 @@ def _checkpoint_fresh_stats(df: DataFrame) -> DataFrame:
     snowballed estimates were far past every static broadcast
     threshold anyway). Measured: sf0.001 CC 166 s -> 8.6 s, identical
     per-round convergence."""
-    jdf = df._jdf.localCheckpoint()
+    jdf = df._jdf.localCheckpoint(eager)
     jnew = df.sparkSession._jsparkSession.internalCreateDataFrame(
         jdf.queryExecution().toRdd(), jdf.schema(), False
     )
@@ -550,12 +550,33 @@ def connected_components(
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .union(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
     )
+    # checkpoint sym FIRST and derive the label table from the
+    # checkpoint: the old order materialized labels from the raw plan,
+    # running the whole upstream edge derivation (LSH banding + exact
+    # verification, ~2 s at sf0.1) a second time for the sym
+    # checkpoint right after
+    sym = _checkpoint_fresh_stats(sym)
+    # bound the loop width by data size, not by whatever partitioning
+    # the upstream pipeline left behind: every round maps over sym's
+    # partitions, and per-task overhead (broadcast fetch, checkpoint
+    # persist) dominates when tasks are near-empty — the sf0.1 graph
+    # inherited 64 partitions for ~33k two-long rows and the loop ran
+    # 6.3 s where 2 right-sized partitions run it 2.5 s. Shrink-only:
+    # a graph big enough to fill its partitions is left untouched, so
+    # cluster-scale runs keep their parallelism (rows-per-task is a
+    # data constant, same design as sources.spread_partitions).
+    rows_per_task = 500_000
+    width = int(sym.count() // rows_per_task) + 1
+    if width < min(
+        sym.rdd.getNumPartitions(),
+        sym.sparkSession.sparkContext.defaultParallelism,
+    ):
+        sym = _checkpoint_fresh_stats(sym.repartition(width, "src"))
     labels = _checkpoint_fresh_stats(
         sym.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
     )
-    sym = _checkpoint_fresh_stats(sym)
     rounds = 0
     for _ in range(max_iter):
         rounds += 1
@@ -578,7 +599,12 @@ def connected_components(
                 F.min("old_label").alias("old_label"),
             )
         )
-        prop = _checkpoint_fresh_stats(prop)
+        # lazy: prop's three consumers (shortcut + both hop joins) live
+        # inside new_labels' materialization job, so the first compute
+        # persists it there — one round = one materialization job plus
+        # the convergence count (measured 5.9 -> 4.8 s on the sf0.1
+        # near-dup graph vs an eager per-round prop job)
+        prop = _checkpoint_fresh_stats(prop, eager=False)
         # shortcut: label(label), applied twice. Every label value is
         # itself a node id of the same component, so the left join only
         # misses when the label is already a component root pointing at
