@@ -12447,6 +12447,15 @@ def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     the SOURCE COUNT (dozens), never by corpus size. Marginals
     broadcast back onto the |sources|²-row matrix."""
     docs = load_table(spark, "documents", sf_dir)
+    # the 3-gram explode is this query's dominant CPU and runs on the
+    # scan's splits — ONE task at bench SFs (event-log profile: a
+    # single task owned 3.2 s of the 6.3 s wall). 64 KB/task, not the
+    # 2 MiB projection default: the explode amplifies each input byte
+    # ~20x (per-position gram strings) before the distinct's map side
+    # (round-10, guide §2.5 input skew)
+    spread = spread_partitions(spark, docs, target_bytes=64 * 1024)
+    if spread:
+        docs = docs.repartition(spread, "doc_id")
     grams = (
         docs.select(
             "source",
