@@ -122,6 +122,20 @@ def _replicas(df, n):
     )
 
 
+
+def _healthy_width(base_table_file: str, replicas: int,
+                   target_bytes: int = 24 * 1024 * 1024) -> int:
+    """Output-file count for a replicated fixture (VERDICT r9 #9 /
+    guide §6): the old single-partition write produced ONE ~90 MB file
+    with ONE row group at x100, so every scan collapsed to 1-2 tasks
+    and decode-bound queries (orders_backlog_sweepline: ~59 s) could
+    not parallelize no matter how the query was written. ~24 MB files
+    give the scanner real splits while staying far from the
+    small-files regime. Deterministic: a pure function of the base
+    fixture size."""
+    base = os.path.getsize(base_table_file)
+    return max(1, (base * replicas) // target_bytes)
+
 def build_fixture(spark, dest: str, replicas: int) -> None:
     if os.path.exists(dest):
         shutil.rmtree(dest)
@@ -144,6 +158,10 @@ def build_fixture(spark, dest: str, replicas: int) -> None:
             ),
         )
         .drop("_r")
+        .repartition(
+            _healthy_width(os.path.join(BASE, "documents.parquet"), replicas),
+            "doc_id",
+        )
         .write.parquet(os.path.join(dest, "documents.parquet"))
     )
 
@@ -160,6 +178,10 @@ def build_fixture(spark, dest: str, replicas: int) -> None:
             ),
         )
         .drop("_r")
+        .repartition(
+            _healthy_width(os.path.join(BASE, "embeddings.parquet"), replicas),
+            "vec_id",
+        )
         .write.parquet(os.path.join(dest, "embeddings.parquet"))
     )
 
@@ -169,6 +191,10 @@ def build_fixture(spark, dest: str, replicas: int) -> None:
         _replicas(ev, replicas)
         .withColumn("event_id", F.col("event_id") + F.col("_r") * F.lit(max_ev))
         .drop("_r")
+        .repartition(
+            _healthy_width(os.path.join(BASE, "events.parquet"), replicas),
+            "event_id",
+        )
         .write.parquet(os.path.join(dest, "events.parquet"))
     )
 
@@ -180,6 +206,10 @@ def build_fixture(spark, dest: str, replicas: int) -> None:
             "o_orderkey", F.col("o_orderkey") + F.col("_r") * F.lit(max_ord)
         )
         .drop("_r")
+        .repartition(
+            _healthy_width(os.path.join(BASE, "orders.parquet"), replicas),
+            "o_orderkey",
+        )
         .write.parquet(os.path.join(dest, "orders.parquet"))
     )
     li = load_table(spark, "lineitem", BASE)
@@ -189,6 +219,10 @@ def build_fixture(spark, dest: str, replicas: int) -> None:
             "l_orderkey", F.col("l_orderkey") + F.col("_r") * F.lit(max_ord)
         )
         .drop("_r")
+        .repartition(
+            _healthy_width(os.path.join(BASE, "lineitem.parquet"), replicas),
+            "l_orderkey",
+        )
         .write.parquet(os.path.join(dest, "lineitem.parquet"))
     )
     _stamp_fixture(dest, replicas)
@@ -220,6 +254,10 @@ def build_user_fixture(spark, dest: str) -> None:
             F.col("user_id") + (F.col("_r") % 10) * F.lit(max_user),
         )
         .drop("_r")
+        .repartition(
+            _healthy_width(os.path.join(BASE, "events.parquet"), 100),
+            "event_id",
+        )
         .write.parquet(os.path.join(dest, "events.parquet"))
     )
     orders = load_table(spark, "orders", BASE)
@@ -235,6 +273,10 @@ def build_user_fixture(spark, dest: str) -> None:
             F.col("o_custkey") + (F.col("_r") % 10) * F.lit(max_cust),
         )
         .drop("_r")
+        .repartition(
+            _healthy_width(os.path.join(BASE, "orders.parquet"), 100),
+            "o_orderkey",
+        )
         .write.parquet(os.path.join(dest, "orders.parquet"))
     )
     _stamp_fixture(dest, "u10")
@@ -255,6 +297,11 @@ def _fixture_meta(replicas) -> dict:
         "replicas": replicas,
         "base": BASE,
         "base_fp": fixture_fingerprint(BASE),
+        # bump when the physical layout recipe changes (round 10:
+        # multi-file ~24 MB writes replaced the single 90 MB one-row-
+        # group file) so stale-layout fixtures rebuild instead of
+        # silently reusing the old physical shape
+        "layout": "multifile-24mb-v2",
     }
 
 
