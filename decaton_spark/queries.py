@@ -2193,11 +2193,19 @@ def docs_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # expression battery (measured ~2x wall on the full pipeline at
     # sf0.1). At cluster scale this localCheckpoint is the persisted
     # quality-filtered corpus table — a real pipeline stage output.
+    # The checkpoint cuts BEFORE the verdict filter: a filter on the
+    # battery's computed columns gets predicate-pushed below the
+    # spread repartition (Catalyst substitutes the whole battery into
+    # the pushed predicate), pinning the battery to the scan's splits
+    # — the ×100 stage profile showed 2 tasks owning 42 s of a 49 s
+    # wall. With the filter above the checkpointed leaf the battery
+    # runs once, after the exchange, at full width (round 10).
     kept = (
         ql.gopher_filter(docs)
+        .select("doc_id", "text", "lang", "quality_verdict")
+        .localCheckpoint(eager=False)
         .filter(F.col("quality_verdict") == "keep")
         .select("doc_id", "text", "lang")
-        .localCheckpoint(eager=False)
     )
     firsts = dd.exact_dups(kept).select(F.col("keep_id").alias("doc_id"))
     base = kept.join(firsts, "doc_id").localCheckpoint(eager=False)
@@ -2207,7 +2215,12 @@ def docs_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     benchmark = docs.filter(F.col("doc_id") % 97 == 0)
     corpus = base.filter(F.col("doc_id") % 97 != 0)
     flagged = ql.decontaminate(corpus, benchmark, n=3).select("doc_id")
-    clean = corpus.join(flagged, "doc_id", "left_anti")
+    # the DSIR stage scans its input three times (vocab build, token
+    # scoring, id join-back); without staging, each scan re-runs the
+    # decontaminate gram explode + anti-join subtree (round 10)
+    clean = corpus.join(flagged, "doc_id", "left_anti").localCheckpoint(
+        eager=False
+    )
     imp = dsir.domain_importance(clean, F.col("lang") == "zh", min_count=2)
     sel = (
         imp.filter(F.col("importance").isNotNull())
