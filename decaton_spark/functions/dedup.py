@@ -22,6 +22,7 @@ them bit-for-bit.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -449,13 +450,19 @@ def verify_pairs_jaccard(
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
         .repartition(par, "id")
         .select("id", grams.alias("grams"))
-        # NOT staged through a localCheckpoint (round-9 audit): the
-        # id-hash partitioning established above is what BOTH join legs
-        # below reuse, so neither leg exchanges the (heavy) gram
-        # arrays; a checkpoint would erase the partitioning metadata
-        # and re-shuffle the arrays twice to save one split+distinct
-        # recompute — the wrong trade (guide §8: move heavy bytes the
-        # minimum number of times)
+        # staged through persist(), NOT localCheckpoint (round-10; the
+        # round-9 audit rejected a checkpoint here because it erases
+        # the id-hash partitioning both join legs reuse and re-shuffles
+        # the heavy gram arrays twice). InMemoryRelation KEEPS the
+        # child's outputPartitioning, so this is the best of both:
+        # gram sets computed ONCE (was once per join leg) and still
+        # zero added exchanges (measured x100: 19.4 -> 15.9 s; sf0.1
+        # parity). Storage posture at real scale: MEMORY_AND_DISK
+        # spills instead of OOMing — the same executor-storage class
+        # as the pipeline-stage localCheckpoints — and the blocks are
+        # freed by the ContextCleaner when the query's frames go out
+        # of scope. Per-invocation only: nothing survives the query.
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # spread the probe side: upstream blocking stages (LSH buckets, SNM
     # block windows) often leave the candidate list in a handful of
@@ -888,6 +895,13 @@ def verify_pairs_containment(
         if n == 1
         else word_shingles(text_col, n)
     )
+    # deliberately NOT restructured into verify_pairs_jaccard's staged
+    # shuffle form (round-10 A/B: the staged form cost +1 s on
+    # docs_curation_pipeline_v3 at sf0.1). The un-hinted join lets the
+    # planner broadcast the gram sets while their ESTIMATE fits the
+    # threshold — fast at bench scale — and fall back to a shuffle
+    # join on its own once the corpus estimate exceeds it, so there is
+    # no broadcast cliff at real scale.
     sets = df.select(F.col(id_col).alias("_id"), grams.alias("_g"))
     j = (
         pairs.join(sets.withColumnRenamed("_id", "id_a"), "id_a")

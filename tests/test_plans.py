@@ -167,6 +167,32 @@ def test_near_dup_pipeline_no_all_pairs(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in p
 
 
+def test_verify_pairs_gram_sets_staged_once(spark, sf_dir):
+    """verify_pairs_jaccard stages the gram sets through ONE
+    partitioning-preserving persist (round 10): the executed plan must
+    read the SAME InMemoryRelation on both join legs (gram compute 1x,
+    was once per leg) with NO exchange re-shuffling the cached arrays
+    — InMemoryRelation keeps the id-hash outputPartitioning that both
+    legs require, which is the whole point of persist over
+    localCheckpoint here."""
+    import re
+
+    from decaton_spark.functions import dedup as dd
+    from decaton_spark.sources import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    cand = dd.minhash_candidate_pairs(docs, k=3, bands=4)
+    edges = dd.verify_pairs_jaccard(docs, cand, n=1, threshold=0.8)
+    edges.write.format("noop").mode("overwrite").save()
+    ep = edges._jdf.queryExecution().executedPlan().toString()
+    assert ep.count("InMemoryTableScan") == 2, "both legs must read the cache"
+    # no Exchange directly above either cached scan: the runtime plan
+    # consumes the cache's own hashpartitioning(id)
+    assert not re.search(r"Exchange[^\n]*\n[^\n]*InMemoryTableScan", ep), (
+        "cached gram sets must not be re-shuffled above the persist"
+    )
+
+
 def test_quota_has_no_window_sort(spark, sf_dir):
     """T6 quota rate estimate must be a groupBy + join-back, not a
     window function: WindowExec sorts every row within each shuffle
