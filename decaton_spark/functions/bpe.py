@@ -79,19 +79,79 @@ def merged_state(word: Column, merges: list[tuple[str, str]]) -> Column:
     return state
 
 
+#: corpora whose scan is under this many compressed bytes train their
+#: merge table driver-side: the vocabulary of such a corpus is at most
+#: a few million short words — a bounded driver structure in the same
+#: class as bradley_terry's duel matrix — and the R sequential merge
+#: rounds then cost ONE distributed job (the histogram collect) instead
+#: of R aggregation+collect round trips whose per-job floor, not the
+#: vocabulary compute, dominates the wall (round-10 profile: 10 rounds
+#: x ~0.2 s floor). Bigger corpora keep the distributed loop below.
+DRIVER_TRAIN_MAX_BYTES = 1 << 30
+
+
+def _train_on_histogram(
+    rows: list, num_merges: int
+) -> list[tuple[str, str, int]]:
+    """Exact driver-side replica of the distributed merge loop over a
+    collected (word, cnt) histogram: same pair statistics (sum of word
+    counts), same winner order (count desc, then p1, p2 bytewise —
+    words are [a-z_] ASCII so Python and UTF-8 compare identically),
+    same greedy leftmost non-overlapping merge application. Pinned
+    equal to the distributed path by test_bpe_driver_path_matches."""
+    vocab: list[tuple[list[str], int]] = [
+        (list(word) + [EOW], int(cnt)) for word, cnt in rows
+    ]
+    out: list[tuple[str, str, int]] = []
+    for _ in range(num_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, cnt in vocab:
+            for i in range(len(syms) - 1):
+                pr = (syms[i], syms[i + 1])
+                counts[pr] = counts.get(pr, 0) + cnt
+        if not counts:
+            break
+        (p1, p2), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        out.append((p1, p2, c))
+        merged = p1 + p2
+        for syms, _ in vocab:
+            i = 0
+            while i < len(syms) - 1:
+                if syms[i] == p1 and syms[i + 1] == p2:
+                    syms[i : i + 2] = [merged]
+                i += 1
+    return out
+
+
 def bpe_train(
-    df: DataFrame, text_col: str = "text", num_merges: int = 10
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 10,
+    driver_max_bytes: int | None = None,
 ) -> list[tuple[str, str, int]]:
     """Learn ``num_merges`` BPE merges; returns [(left, right, count)]
     in learned order.
 
-    The histogram is materialized once (``localCheckpoint`` cuts the
-    lineage so round r does not replay the corpus scan r times); each
-    round recomputes segmentations from the checkpointed histogram by
-    replaying the r learned replaces — O(R^2) cheap string ops over
-    the small vocabulary table in exchange for zero mutable
-    distributed state and a plan whose size stays O(R)."""
-    words = word_histogram(df, text_col).localCheckpoint(eager=True)
+    Small corpora (scan under ``driver_max_bytes``, default
+    ``DRIVER_TRAIN_MAX_BYTES``) collect the word histogram once and
+    run the merge rounds driver-side — exact same statistics and
+    tie-breaks, one job instead of R (see ``_train_on_histogram``).
+    At scale the histogram is materialized once (``localCheckpoint``
+    cuts the lineage so round r does not replay the corpus scan r
+    times); each round recomputes segmentations from the checkpointed
+    histogram by replaying the r learned replaces — O(R^2) cheap
+    string ops over the small vocabulary table in exchange for zero
+    mutable distributed state and a plan whose size stays O(R)."""
+    from decaton_spark.sources import scan_bytes
+
+    limit = DRIVER_TRAIN_MAX_BYTES if driver_max_bytes is None else driver_max_bytes
+    hist = word_histogram(df, text_col)
+    nbytes = scan_bytes(df.sparkSession, df)
+    if nbytes is not None and nbytes < limit:
+        return _train_on_histogram(
+            [(r["word"], r["cnt"]) for r in hist.collect()], num_merges
+        )
+    words = hist.localCheckpoint(eager=True)
     merges: list[tuple[str, str]] = []
     out: list[tuple[str, str, int]] = []
     for _ in range(num_merges):

@@ -5,6 +5,7 @@ from decaton_spark.sources.parquet import (
     load_table,
     load_tables,
     register_views,
+    scan_bytes,
     spread_partitions,
 )
 
@@ -17,6 +18,7 @@ __all__ = [
     "compact_small_files",
     "read_table",
     "register_views",
+    "scan_bytes",
     "spread_partitions",
     "write_table",
 ]

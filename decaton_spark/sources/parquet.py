@@ -114,6 +114,20 @@ def spread_partitions(
     overhead (measured +0.9 s on the sf0.1 novelty wall for ~1.5 s of
     total work). Driver-side file listing only — no job runs.
     """
+    nbytes = scan_bytes(spark, df)
+    if nbytes is None:
+        # unreadable size: do NOT spread — an unconditional
+        # full-width exchange on a possibly-tiny input is the
+        # exact failure mode this helper exists to avoid
+        return None
+    n = min(spark.sparkContext.defaultParallelism, nbytes // target_bytes)
+    return int(n) if n > 1 else None
+
+
+def scan_bytes(spark: SparkSession, df: DataFrame) -> int | None:
+    """Total compressed bytes of ``df``'s underlying scan files, or
+    None when any file's size is unreadable. Driver-side listing only
+    — no job runs. Derived frames with no file scans report 0."""
     nbytes = 0
     for f in df.inputFiles():
         path = f[7:] if f.startswith("file://") else f
@@ -128,12 +142,8 @@ def spread_partitions(
                 fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
                 nbytes += fs.getFileStatus(jpath).getLen()
             except Exception:
-                # unreadable size: do NOT spread — an unconditional
-                # full-width exchange on a possibly-tiny input is the
-                # exact failure mode this helper exists to avoid
                 return None
-    n = min(spark.sparkContext.defaultParallelism, nbytes // target_bytes)
-    return int(n) if n > 1 else None
+    return nbytes
 
 
 def register_views(

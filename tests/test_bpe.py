@@ -157,6 +157,19 @@ if _HAVE_HYPOTHESIS:
         assert got == ref_bpe(texts, n)
 
 
+def test_bpe_driver_path_matches_distributed(spark, sf_dir):
+    """The size-adaptive driver-side trainer (round 10) must learn the
+    exact same merge table — same pairs, same counts, same order — as
+    the distributed loop it replaces on small corpora. Run both paths
+    on the parquet fixture by forcing the byte threshold each way."""
+    from decaton_spark.sources import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    driver = bpe.bpe_train(docs, num_merges=6, driver_max_bytes=1 << 40)
+    distributed = bpe.bpe_train(docs, num_merges=6, driver_max_bytes=0)
+    assert driver == distributed
+
+
 def test_bpe_round_plan_never_rescans_corpus(spark, sf_dir):
     """The scale contract: after the histogram localCheckpoint, a
     merge round's pair-count job must read the checkpointed RDD, not
