@@ -1670,7 +1670,18 @@ def margin_mining(
         * 10_000
     ).cast("long")
     if bucket_dims is not None:
-        paired = c.join(q, "bucket")
+        # explicit-width bucket exchanges: the towers' shuffle BYTES
+        # are small (narrow vec rows), so AQE's byte-based coalescing
+        # otherwise folds the join stage to ~1 partition and the
+        # CPU-dense within-bucket dot pass (≈256·N dots with buckets
+        # ∝ N) runs on one task of the session's cores (round-10
+        # stage profile: three ~1.3 s single-task stages owned the
+        # whole emb_bitext_margin_lsh wall). REPARTITION_BY_NUM is
+        # exempt from AQE coalescing, so the width sticks.
+        par = c.sparkSession.sparkContext.defaultParallelism
+        paired = c.repartition(par, "bucket").join(
+            q.repartition(par, "bucket"), "bucket"
+        )
     else:
         # spread the STREAMED side of the broadcast cross join: the
         # embeddings scan is one or two splits at bench SFs, so without
@@ -1680,11 +1691,21 @@ def margin_mining(
         # larger per row (round-10, measured on emb_bitext_margin_mining).
         c = c.repartition(c.sparkSession.sparkContext.defaultParallelism, "tid")
         paired = c.crossJoin(F.broadcast(q))
-    scored = (
-        paired
-        .select("sid", "tid", c4.alias("c4"))
-        .localCheckpoint(eager=False)  # consumed 3x: fwd top-k, rev top-k, margins
-    )
+    scored = paired.select("sid", "tid", c4.alias("c4"))
+    if bucket_dims is not None:
+        # keep the checkpoint wide: AQE coalesces the bucket join's
+        # output to ~1 partition (narrow rows), and every downstream
+        # pass — the two WindowGroupLimit partial top-k sorts and the
+        # margin join — would then run single-task over the pair set.
+        # sid-keyed so the forward window's partial limit is exact per
+        # partition. The exact branch already inherits the spread
+        # cross-join's width.
+        scored = scored.repartition(
+            scored.sparkSession.sparkContext.defaultParallelism, "sid"
+        )
+    scored = scored.localCheckpoint(
+        eager=False
+    )  # consumed 3x: fwd top-k, rev top-k, margins
     fwd = Window.partitionBy("sid").orderBy(F.col("c4").desc(), F.col("tid"))
     rev = Window.partitionBy("tid").orderBy(F.col("c4").desc(), F.col("sid"))
     a_sum = (

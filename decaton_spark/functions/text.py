@@ -855,14 +855,80 @@ def wordpiece_tokenize_words(
     """Greedy WordPiece over a word column: returns (word, pieces,
     n_pieces) with pieces space-joined in BERT display form.
 
-    The per-word loop is unrolled into ``steps`` expression stages
-    (every stage consumes ≥1 char, so ``steps`` ≥ max word length
-    guarantees completion; shorter words no-op through the tail) — the
-    whole tokenizer is ONE shuffle-free projection in whole-stage
-    codegen, no UDF, no Python on the hot path. Vocab sizes beyond a
-    few hundred pieces should move the match step to a broadcast
-    prefix-table join; the greedy control flow is unchanged.
-    """
+    Arrow-batched tokenizer (round 10): the input is the DISTINCT word
+    table (bounded by vocabulary, never corpus-sized), and the
+    ``steps``-stage unrolled expression fold this replaces cost ~2 s of
+    Catalyst analysis per invocation — the generated CASE tree is
+    O(steps · |vocab|) and dominated every consumer's wall while the
+    executors sat idle (round-10 stage profile: ≤0.5 s of task time
+    under a 2.6 s query). The greedy control flow, step cap, and
+    tie-breaks replicate the expression form exactly
+    (``wordpiece_tokenize_words_expr``, kept as the oracle generator's
+    twin), pinned bit-identical by test_wordpiece_arrow_matches_expr.
+    The matcher tables build once per task (guide §4.5)."""
+    by_len: dict[int, set[str]] = {}
+    for v in vocab:
+        by_len.setdefault(len(v), set()).add(v)
+    lens = sorted(by_len, reverse=True)
+
+    def tok(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out_p: list = []
+            out_n: list = []
+            for w in pdf[word_col]:
+                if w is None:
+                    out_p.append(None)
+                    out_n.append(None)
+                    continue
+                toks: list[str] = []
+                pos, wl = 1, len(w)
+                for _ in range(steps):
+                    if pos > wl:
+                        break
+                    m = None
+                    for k in lens:
+                        cand = w[pos - 1 : pos - 1 + k]
+                        if cand in by_len[k]:
+                            m = cand
+                            break
+                    if m is None:
+                        toks.append("[UNK]")
+                        pos = wl + 1
+                    else:
+                        toks.append(("##" if pos > 1 else "") + m)
+                        pos += len(m)
+                pieces = " ".join(toks)
+                out_p.append(pieces)
+                out_n.append(pieces.count(" ") + 1)
+            yield pd.DataFrame(
+                {
+                    "word": pdf[word_col],
+                    "pieces": pd.Series(out_p, dtype="object"),
+                    "n_pieces": pd.Series(out_n, dtype="object"),
+                }
+            )
+
+    return words.mapInPandas(
+        tok, schema="word string, pieces string, n_pieces long"
+    )
+
+
+def wordpiece_tokenize_words_expr(
+    words: DataFrame,
+    *,
+    word_col: str = "w",
+    steps: int = 10,
+    vocab: tuple[str, ...] = WORDPIECE_VOCAB,
+) -> DataFrame:
+    """The unrolled expression form of ``wordpiece_tokenize_words`` —
+    ``steps`` chained match/advance stages, one shuffle-free codegen
+    projection. Kept as the reference twin of the oracle replay (same
+    generated SQL fragments) and as the bit-identity pin for the Arrow
+    tokenizer; not on the query path since round 10 (its O(steps ·
+    |vocab|) CASE tree costs ~2 s of Catalyst analysis per
+    invocation)."""
     out = words.withColumn("toks0", F.lit("")).withColumn("pos0", F.lit(1))
     for i in range(1, steps + 1):
         out = out.withColumn(

@@ -805,16 +805,46 @@ def test_covisitation_and_power_plan_shapes(spark, sf_dir):
     assert "partial_sum" in p or "partial_count" in p
 
 
-def test_wordpiece_is_codegen_projection(spark, sf_dir):
-    """The unrolled WordPiece fold must add ZERO shuffles beyond the
-    distinct-words aggregation, and stay inside whole-stage codegen."""
+def test_wordpiece_is_single_arrow_stage(spark, sf_dir):
+    """The Arrow WordPiece tokenizer must add ZERO shuffles beyond the
+    distinct-words aggregation and run as ONE Arrow stage (round 10:
+    it replaced the unrolled CASE fold whose Catalyst analysis cost
+    ~2 s per invocation); the expression twin stays codegen'd for the
+    oracle/bit-identity pin."""
     from decaton_spark.functions import text as tx
 
     words = spark.createDataFrame([("column",), ("batch",)], "w string")
     p = plan_of(tx.wordpiece_tokenize_words(words))
     assert "Exchange" not in p, "tokenizer must be a pure projection"
-    p = plan_of(tx.wordpiece_tokenize_words(words), mode="codegen")
+    import re as _re
+
+    assert len(_re.findall(r"MapInPandas \(\d+\)", p)) == 1
+    p = plan_of(tx.wordpiece_tokenize_words_expr(words), mode="codegen")
     assert "WholeStageCodegen" in p
+
+
+def test_wordpiece_arrow_matches_expr(spark, sf_dir):
+    """Bit-identity pin: the Arrow tokenizer and the unrolled
+    expression fold (the oracle's twin) must agree on every distinct
+    corpus word — pieces string and n_pieces both."""
+    from decaton_spark.functions import text as tx
+    from decaton_spark.sources import load_table
+
+    words = (
+        load_table(spark, "documents", sf_dir)
+        .selectExpr("explode(split(text, ' ')) AS w")
+        .filter("w <> ''")
+        .distinct()
+    )
+    got = {
+        r["word"]: (r["pieces"], r["n_pieces"])
+        for r in tx.wordpiece_tokenize_words(words).collect()
+    }
+    want = {
+        r["word"]: (r["pieces"], r["n_pieces"])
+        for r in tx.wordpiece_tokenize_words_expr(words).collect()
+    }
+    assert got == want
 
 
 def test_monitoring_band_plan_shapes(spark, sf_dir):
