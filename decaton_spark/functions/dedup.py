@@ -337,7 +337,10 @@ def simhash_signatures(
     NULL text keeps its NULL signature (``explode_outer`` + ``count(m)``
     so a tokenless document aggregates to n = 0 → NULL, matching the
     NULL-in/NULL-out of the expression form). Requires ``id_col`` to be
-    unique (every registered consumer keys by doc_id).
+    unique: with duplicate ids the groupBy POOLS the token votes of all
+    same-id rows into one signature, where per-row ``simhash()`` would
+    emit one signature per row — a silent semantic divergence, not an
+    error (every registered consumer keys by the unique doc_id).
 
     Measured (x10 ladder fixture, warm min-of-3, 32 cores): HOF form
     14.1 s (2-task scan) → 2.6 s with the spread alone → **1.7 s** with

@@ -12469,7 +12469,16 @@ def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     spread = spread_partitions(spark, docs, target_bytes=64 * 1024)
     if spread:
         docs = docs.repartition(spread, "doc_id")
-    grams = (
+    # ONE gram-keyed exchange instead of distinct + a gram self-join
+    # (round 10): collect_set(source) per gram dedups (source, gram)
+    # map-side AND replaces the join outright — the source set per
+    # gram is bounded by the SOURCE COUNT (dozens), so the ordered
+    # pairs explode from each set with no shuffle of gram strings
+    # beyond the single aggregation. The x100 profile of the join form
+    # showed the gram stream crossing three exchanges (distinct + both
+    # join legs) with executor-memory pressure stalling between
+    # stages.
+    gram_sources = (
         docs.select(
             "source",
             F.explode(
@@ -12482,23 +12491,24 @@ def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("gram"),
         )
-        .distinct()
-        .localCheckpoint(eager=False)  # feeds marginals AND both join sides
+        .groupBy("gram")
+        .agg(F.collect_set("source").alias("srcs"))
+        .select("srcs")
+        .localCheckpoint(eager=False)  # feeds pair counts AND marginals
     )
-    marg = grams.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("n_grams")
+    marg = (
+        gram_sources.select(F.explode("srcs").alias("source_a"))
+        .groupBy("source_a")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_grams"))
     )
-    a = grams.select(F.col("source").alias("source_a"), "gram")
-    b = grams.select(F.col("source").alias("source_b"), "gram")
     shared = (
-        a.join(b, "gram")
+        gram_sources.select(F.explode("srcs").alias("source_a"), "srcs")
+        .select("source_a", F.explode("srcs").alias("source_b"))
         .filter(F.col("source_a") != F.col("source_b"))
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
     )
-    return shared.join(
-        F.broadcast(marg.withColumnRenamed("source", "source_a")), "source_a"
-    ).select(
+    return shared.join(F.broadcast(marg), "source_a").select(
         "source_a",
         "source_b",
         F.col("n_grams").alias("grams_a"),

@@ -124,15 +124,17 @@ def _replicas(df, n):
 
 
 def _healthy_width(base_table_file: str, replicas: int,
-                   target_bytes: int = 24 * 1024 * 1024) -> int:
+                   target_bytes: int = 4 * 1024 * 1024) -> int:
     """Output-file count for a replicated fixture (VERDICT r9 #9 /
     guide §6): the old single-partition write produced ONE ~90 MB file
     with ONE row group at x100, so every scan collapsed to 1-2 tasks
     and decode-bound queries (orders_backlog_sweepline: ~59 s) could
-    not parallelize no matter how the query was written. ~24 MB files
-    give the scanner real splits while staying far from the
-    small-files regime. Deterministic: a pure function of the base
-    fixture size."""
+    not parallelize no matter how the query was written. Each ~4 MB
+    output file is one row group = one scan split — the stand-in for
+    the many-row-group layout a real 100 TB table has — so the x100
+    documents/embeddings tables (~60-90 MB) still give every core a
+    split, while tiny x10 tables stay at a handful of files.
+    Deterministic: a pure function of the base fixture size."""
     base = os.path.getsize(base_table_file)
     return max(1, (base * replicas) // target_bytes)
 
@@ -298,10 +300,10 @@ def _fixture_meta(replicas) -> dict:
         "base": BASE,
         "base_fp": fixture_fingerprint(BASE),
         # bump when the physical layout recipe changes (round 10:
-        # multi-file ~24 MB writes replaced the single 90 MB one-row-
+        # multi-file ~4 MB writes replaced the single 90 MB one-row-
         # group file) so stale-layout fixtures rebuild instead of
         # silently reusing the old physical shape
-        "layout": "multifile-24mb-v2",
+        "layout": "multifile-4mb-v3",
     }
 
 
@@ -371,6 +373,15 @@ def time_queries(spark, sf_dir: str) -> dict[str, float]:
             best = sec if best is None else min(best, sec)
         out[name] = round(best, 3)
         print(f"  {sf_dir} {name}: {out[name]}s", flush=True)
+        # drop the Python references to the finished query's frames so
+        # the ContextCleaner can free their checkpoint/persist blocks
+        # before the next rung — a long --only list over the x100
+        # fixture otherwise accumulates blocks until the heap blows
+        # (measured: OOM ~60 rungs into a 21-query x100 sweep)
+        import gc
+
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
     return out
 
 
