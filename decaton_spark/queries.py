@@ -9048,20 +9048,71 @@ def dedup_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     reads this before trusting a banding threshold at a new shingle
     size or corpus mix. All joins are id/band equi-joins over the
     bounded candidate set."""
+    from pyspark import StorageLevel
+
+    from decaton_spark.functions.hashing import hex_to_long_spark
+
     par = spark.sparkContext.defaultParallelism
     docs = load_table(spark, "documents", sf_dir)
     cand = dd.minhash_candidate_pairs(
         docs, k=3, bands=4, num_partitions=par
     ).localCheckpoint(eager=False)
-    exact = dd.verify_pairs_jaccard(docs, cand, n=3, threshold=0.0)
-    mh = dd.minhash_values(docs, k=3, num_partitions=par)
+    # the exact-Jaccard verify and the m=8 estimator read the SAME
+    # 3-shingle set, so both per-document payloads (gram array + mh
+    # slots) build in ONE pass into one partitioning-preserving
+    # persist and the candidate stream crosses exactly TWO exchanges
+    # (id_a leg, id_b re-key) — the operator-composed form ran three
+    # separate pair passes (verify join, estimator join, final
+    # (id_a, id_b) join) whose exchanges owned the x100 wall
+    # (round-10 stage profile: 29 s + 20 s pair-shuffle stages).
+    # Expressions replicate dd.verify_pairs_jaccard (n=3, threshold
+    # 0.0) and dd.minhash_values (k=3) exactly; the oracle is
+    # unchanged.
+    sh = dd.word_shingles("_t", 3)
+    slots = [
+        F.expr(
+            f"array_min(transform(_h{src}, "
+            f"h -> {hex_to_long_spark('h', start=1 + 8 * b, ndigits=8)}))"
+        )
+        for src in (1, 2)
+        for b in range(4)
+    ]
+    side = (
+        docs.select(F.col("doc_id").alias("id"), F.col("text").alias("_t"))
+        .repartition(par, "id")
+        .withColumn("grams", sh)
+        .withColumn("_h1", F.expr("transform(grams, s -> md5(s))"))
+        .withColumn(
+            "_h2", F.expr("transform(grams, s -> md5(concat('mh2:', s)))")
+        )
+        .select("id", "grams", F.array(*slots).alias("mh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     paired = (
-        cand.join(
-            mh.select(F.col("id").alias("id_a"), F.col("mh").alias("mh_a")), "id_a"
+        cand.repartition(par, "id_a")
+        .join(
+            side.select(
+                F.col("id").alias("id_a"),
+                F.col("grams").alias("grams_a"),
+                F.col("mh").alias("mh_a"),
+            ).hint("SHUFFLE_HASH"),
+            "id_a",
         )
         .join(
-            mh.select(F.col("id").alias("id_b"), F.col("mh").alias("mh_b")), "id_b"
+            side.select(
+                F.col("id").alias("id_b"),
+                F.col("grams").alias("grams_b"),
+                F.col("mh").alias("mh_b"),
+            ).hint("SHUFFLE_HASH"),
+            "id_b",
         )
+    )
+    inter = F.size(F.array_intersect("grams_a", "grams_b"))
+    union = F.size("grams_a") + F.size("grams_b") - inter
+    jacc = F.round(inter * F.lit(1.0) / union, 6)
+    out = (
+        paired.withColumn("jaccard", jacc)
+        .filter(F.col("jaccard") >= 0.0)
         .withColumn(
             "est_pml",
             F.expr(
@@ -9070,9 +9121,7 @@ def dedup_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
             ),
         )
-    )
-    out = paired.join(exact, ["id_a", "id_b"]).withColumn(
-        "jacc_pml", F.round(F.col("jaccard") * 1000).cast("long")
+        .withColumn("jacc_pml", F.round(F.col("jaccard") * 1000).cast("long"))
     )
     return out.select(
         "id_a",
