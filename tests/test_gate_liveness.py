@@ -54,10 +54,11 @@ GATE_LIVENESS_REGISTRY = {
     ),
     # suite-wide bench regression (ADVICE r8): a uniform Spark slowdown
     # that the per-op LOO normalization divides out must be flagged by
-    # the factor-vs-flat-async disagreement gate
+    # the factor-vs-flat-CPU-canary disagreement gate (canary-based
+    # since round 10; the async-flat premise was unsound — VERDICT r9 #1)
     "bench_suite_wide_regression": (
         "tests.test_bench_signals",
-        "test_suite_wide_regression_flagged_when_async_flat",
+        "test_suite_wide_regression_flagged_when_canary_flat",
     ),
     # freshness rotation: the projection must still warn on a genuinely
     # stale tier after the r9 inter-round-window fix (which taught it
