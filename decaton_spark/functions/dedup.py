@@ -429,14 +429,20 @@ def verify_pairs_jaccard(
     id_col: str = "doc_id",
     n: int = 1,
     threshold: float = 0.5,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """Exact n-gram Jaccard on a *given* candidate pair set — the
     bucket-composed form of ``ngram_jaccard_pairs``: quadratic work is
     bounded by |pairs| (from LSH banding), never |corpus|².
 
-    Returns (id_a, id_b, jaccard) for pairs at/above threshold. The two
-    gram lookups are equi-joins on the id — each shuffles only the
-    candidate ids + gram arrays, not the corpus cross product."""
+    Returns (id_a, id_b, *carry, jaccard) for pairs at/above threshold.
+    The two gram lookups are equi-joins on the id — each shuffles only
+    the candidate ids + gram arrays, not the corpus cross product.
+    ``carry`` names extra ``pairs`` columns to keep in the output: they
+    ride the verify joins for free, so a consumer that needs its own
+    pair metadata next to the score never has to join the result back
+    to the candidate stream (that join-back re-shuffled the whole pair
+    stream twice and forced the candidates through a checkpoint)."""
     par = df.sparkSession.sparkContext.defaultParallelism
     grams = (
         F.array_distinct(F.split(F.col("_t"), " "))
@@ -496,7 +502,7 @@ def verify_pairs_jaccard(
     union = F.size("grams_a") + F.size("grams_b") - inter
     jacc = F.round(inter * F.lit(1.0) / union, 6)
     return (
-        joined.select("id_a", "id_b", jacc.alias("jaccard"))
+        joined.select("id_a", "id_b", *carry, jacc.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 

@@ -3223,15 +3223,16 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     of hot first letters spreads over ~26x more blocks).
     """
     docs = load_table(spark, "documents", sf_dir)
-    # candidates feed the verifier AND the final join-back: ONE staged
-    # materialization instead of re-running the block window per consumer
+    # block/rank_gap ride the verify joins via carry= — no join-back of
+    # the verified stream to the candidates, so the candidates have ONE
+    # consumer and need no staged materialization either (round 10;
+    # the join-back re-shuffled the whole pair stream twice)
     cand = dd.sorted_neighborhood_pairs(
         docs, window=4, key_chars=24, block_chars=2
-    ).localCheckpoint(eager=False)
-    verified = dd.verify_pairs_jaccard(docs, cand, n=3, threshold=0.2)
-    return cand.join(verified, ["id_a", "id_b"]).select(
-        "id_a", "id_b", "block", "rank_gap", "jaccard"
     )
+    return dd.verify_pairs_jaccard(
+        docs, cand, n=3, threshold=0.2, carry=("block", "rank_gap")
+    ).select("id_a", "id_b", "block", "rank_gap", "jaccard")
 
 
 @register(
@@ -3305,12 +3306,12 @@ def dedup_snm_multipass(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(p2.select("id_a", "id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_passes"))
-        .localCheckpoint(eager=False)
     )
-    ver = dd.verify_pairs_jaccard(docs, cand, n=3, threshold=0.2)
-    return cand.join(ver, ["id_a", "id_b"]).select(
-        "id_a", "id_b", "n_passes", "jaccard"
-    )
+    # n_passes rides the verify joins via carry= — no join-back, so the
+    # unioned candidates have one consumer and skip the checkpoint
+    return dd.verify_pairs_jaccard(
+        docs, cand, n=3, threshold=0.2, carry=("n_passes",)
+    ).select("id_a", "id_b", "n_passes", "jaccard")
 
 
 def _dedup_edges_cte(bands: int = 4, k: int = 3, threshold: float = 0.8) -> str:
@@ -5461,15 +5462,19 @@ def events_trajectories(spark: SparkSession, sf_dir: str) -> DataFrame:
     with an exact rolling-hash fingerprint (the dedup key for
     trajectory-level exact dedup — same fragment as text_fingerprint).
 
-    Per-session collect is a partial-aggregable groupBy over Spark's
-    native session_window; ordering is restored inside each bounded
-    group by sort_array of (ms, event_id, step) structs — no global
-    sort, no window over the corpus. The cap bounds payload per group
-    before the fingerprint projection."""
+    Session assembly is the oracle's own lag/running-sum island form
+    over ONE user-keyed exchange: gap islands from lag(ms), a
+    row_number cap INSIDE each island so the collect only ever sees
+    the first {cap} steps (the full-session collect_list the previous
+    session_window form paid grows with events-per-user — the u10
+    rung's exact stress — while every decision here needs only the
+    first 16), then a same-key groupBy that rides the window's
+    partitioning with no second exchange. Ordering is restored inside
+    each bounded group by array_sort of (ms, event_id, step) structs —
+    no global sort, no window wider than one user."""
     ev = load_table(spark, "events", sf_dir)
     steps = ev.select(
-        F.col("user_id").cast("string").alias("key"),
-        F.col("ts"),
+        F.col("user_id"),
         F.unix_millis("ts").alias("ms"),
         F.col("event_id"),
         F.concat_ws(
@@ -5478,24 +5483,45 @@ def events_trajectories(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("value") * 100).cast("long").cast("string"),
         ).alias("step"),
     )
+    w_user = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    islands = steps.withColumn("prev", F.lag("ms").over(w_user)).withColumn(
+        "sid",
+        F.sum(
+            F.when(
+                F.col("prev").isNull()
+                | (F.col("ms") - F.col("prev") >= SESSION_GAP_MS),
+                1,
+            )
+            .otherwise(0)
+            .cast("long")
+        ).over(w_user.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("user_id", "sid").orderBy("ms", "event_id")
+    )
     grouped = (
-        steps.groupBy("key", F.session_window("ts", "30 minutes").alias("w"))
+        islands.withColumn("rn", rn)
+        .groupBy("user_id", "sid")
         .agg(
             F.min("ms").alias("session_start_ms"),
             F.count(F.lit(1)).cast("long").alias("n_steps_total"),
+            # collect_list drops NULLs: only the first {cap} steps of
+            # the island are ever collected or sorted
             F.array_sort(
-                F.collect_list(F.struct("ms", "event_id", "step"))
+                F.collect_list(
+                    F.when(
+                        F.col("rn") <= _TRAJ_CAP,
+                        F.struct("ms", "event_id", "step"),
+                    )
+                )
             ).alias("_ord"),
         )
-        .drop("w")
     )
     cut = grouped.select(
-        "key",
+        F.col("user_id").cast("string").alias("key"),
         "session_start_ms",
         "n_steps_total",
-        F.slice(
-            F.transform(F.col("_ord"), lambda s: s["step"]), 1, _TRAJ_CAP
-        ).alias("steps16"),
+        F.transform(F.col("_ord"), lambda s: s["step"]).alias("steps16"),
     )
     from decaton_spark.functions.hashing import token_fingerprint
 

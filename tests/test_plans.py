@@ -651,7 +651,11 @@ def test_session_additions_plan_shapes(spark, sf_dir):
         # query: (max shuffle exchanges, BNLJ allowed)
         "emb_hard_negatives": (1, True),    # top-k window; anchors broadcast
         "dedup_containment": (4, False),    # band sigs + distinct + gram joins
-        "events_trajectories": (1, False),  # one session-window agg
+        "events_trajectories": (1, False),  # one user-keyed exchange
+        # (r10: lag/running-sum islands + rn<=cap filter + same-key
+        # groupBy, all riding one hashpartitioning(user_id) — the
+        # session_window collect_list form grew its per-group payload
+        # with events-per-user; the cap now lands BEFORE the collect)
         "events_anomaly_mad": (4, False),   # two percentile passes + final agg
         "emb_binary_hamming_topk": (1, True),  # top-k window; queries broadcast
         # the one BNLJ is the 1-row quantile-cutoff scalar broadcast
@@ -689,11 +693,16 @@ def test_r4_late_additions_plan_shapes(spark, sf_dir):
     at runtime — the static plan is the conservative shape.)"""
     shapes = {
         # query: max shuffle exchanges in the static plan
-        "dedup_sorted_neighborhood": 6,    # block window + gram/pair spreads + verify joins
-        # (+1 in r10: verify_pairs_jaccard's gram-set persist shows its
-        # build exchange in the static plan; the executed plan consumes
-        # the cache on both legs with no re-shuffle — see
-        # test_verify_pairs_gram_sets_staged_once)
+        "dedup_sorted_neighborhood": 7,    # block window + gram/pair spreads + verify joins
+        # (r10: verify_pairs_jaccard's gram-set persist shows its build
+        # exchange in the static plan — the executed plan consumes the
+        # cache on both legs with no re-shuffle, see
+        # test_verify_pairs_gram_sets_staged_once — and the candidate
+        # block window's exchanges are now INLINE instead of hidden
+        # behind a checkpoint leaf: carry= removed the verified→cand
+        # join-back, so the static count rose while the executed plan
+        # dropped the join-back's two pair-stream exchanges,
+        # interleaved-A/B'd 35-44 → 28 s at ×100)
         "dedup_triangle_stats": 15,        # LSH+verify lineage (checkpointed at run) + wedge joins
         "emb_random_projection_recall": 7, # two top-k windows + hits join
         "emb_bitext_margin_mining": 6,     # fwd/rev top-k + margins + argmax
@@ -706,7 +715,10 @@ def test_r4_late_additions_plan_shapes(spark, sf_dir):
         "events_ab_cuped": 4,              # user reduce + moment reduce (+1-row bounds BNLJ)
         "emb_ivf_cell_stats": 1,           # literal-fold assign + ONE groupBy
         "events_ab_conversion_ztest": 2,   # user reduce + 1-row final agg
-        "dedup_snm_multipass": 6,          # two block windows + pair union + verify
+        "dedup_snm_multipass": 9,          # two block windows + pair union + verify
+        # (r10: the unioned candidates' exchanges are inline now — the
+        # carry= form dropped the join-back and its checkpoint, same
+        # account as dedup_sorted_neighborhood above)
         "dedup_minhash_accuracy": 9,       # banding + mh slots + verify + spreads
         "docs_zipf_fit": 2,                # ONE term count + bounded top-k windows
     }
