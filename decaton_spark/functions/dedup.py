@@ -562,10 +562,24 @@ def connected_components(
 
     ``stats`` (optional dict) receives ``{"rounds": n}`` for
     convergence tests."""
-    sym = (
-        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-        .union(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
-    )
+    # symmetrize via ONE explode, not a self-union: each branch of
+    # union(edges, edges.swapped) re-executes the whole upstream edge
+    # derivation — at ×100 the LSH-candidate + Jaccard-verify subtree
+    # behind it shuffles ~1.2 GB of pair+gram rows, and the union form
+    # paid that exchange (and its ~100 s of verify CPU) TWICE before
+    # the checkpoint (event-log audit, round 10)
+    sym = edges.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+                ),
+                F.struct(
+                    F.col(dst_col).alias("src"), F.col(src_col).alias("dst")
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     # checkpoint sym FIRST and derive the label table from the
     # checkpoint: the old order materialized labels from the raw plan,
     # running the whole upstream edge derivation (LSH banding + exact

@@ -66,8 +66,20 @@ def pagerank(
         raise ValueError("damping_pct must be in [0, 100]")
     a, b = F.col(src_col), F.col(dst_col)
     sym = (
-        edges.select(a.alias("src"), b.alias("dst"))
-        .union(edges.select(b.alias("src"), a.alias("dst")))
+        # symmetrize via ONE explode, not a self-union: each union
+        # branch re-executes the upstream edge derivation (the
+        # LSH+verify pipeline shuffles ~1.2 GB of pair+gram rows at
+        # ×100) before the checkpoint materializes — the explode form
+        # runs it once (same fix as connected_components, round 10)
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(a.alias("src"), b.alias("dst")),
+                    F.struct(b.alias("src"), a.alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
         .filter(F.col("src") != F.col("dst"))
         .distinct()
         # staged once: keeps the upstream edge derivation (e.g. the
