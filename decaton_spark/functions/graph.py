@@ -177,10 +177,14 @@ def triangle_stats(
     tri = wedge.join(
         e.select(F.col("a").alias("x"), F.col("b").alias("z")), ["x", "z"]
     ).select("x", "y", "z")
+    # one explode, not a 3-way self-union: the union form leans on
+    # ReusedExchange to deduplicate the wedge + closure joins across
+    # its branches (interleaved ×100 A/B read parity, so it DID fire
+    # here) — but that reuse is fragile (it demonstrably fails across
+    # alias-renamed subtrees, see verify_pairs_jaccard's round-10
+    # notes), and the explode form does not rely on it (round 10)
     tcount = (
-        tri.select(F.col("x").alias("id"))
-        .unionAll(tri.select(F.col("y").alias("id")))
-        .unionAll(tri.select(F.col("z").alias("id")))
+        tri.select(F.explode(F.array("x", "y", "z")).alias("id"))
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("triangles"))
     )
