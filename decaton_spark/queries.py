@@ -5484,24 +5484,29 @@ def events_trajectories(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("step"),
     )
     w_user = Window.partitionBy("user_id").orderBy("ms", "event_id")
-    islands = steps.withColumn("prev", F.lag("ms").over(w_user)).withColumn(
-        "sid",
-        F.sum(
-            F.when(
-                F.col("prev").isNull()
-                | (F.col("ms") - F.col("prev") >= SESSION_GAP_MS),
-                1,
-            )
-            .otherwise(0)
-            .cast("long")
-        ).over(w_user.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    w_run = w_user.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ordered = steps.withColumn("prev", F.lag("ms").over(w_user)).withColumn(
+        "pos", F.row_number().over(w_user)
     )
-    rn = F.row_number().over(
-        Window.partitionBy("user_id", "sid").orderBy("ms", "event_id")
+    is_new = F.when(
+        F.col("prev").isNull()
+        | (F.col("ms") - F.col("prev") >= SESSION_GAP_MS),
+        1,
+    ).otherwise(0)
+    # sid and the island's first position come from the SAME running
+    # window as the lag — the in-island rank is then pos − first + 1,
+    # so no third WindowExec (and no (user, sid)-keyed re-sort) is
+    # needed to cap the collect
+    islands = ordered.withColumn(
+        "sid", F.sum(is_new.cast("long")).over(w_run)
+    ).withColumn(
+        "rn",
+        F.col("pos")
+        - F.max(F.when(is_new == 1, F.col("pos"))).over(w_run)
+        + 1,
     )
     grouped = (
-        islands.withColumn("rn", rn)
-        .groupBy("user_id", "sid")
+        islands.groupBy("user_id", "sid")
         .agg(
             F.min("ms").alias("session_start_ms"),
             F.count(F.lit(1)).cast("long").alias("n_steps_total"),
